@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Joins, set operations, and aggregations (SURVEY.md §2.3, §2.4, §2.6).
+  *
+  * Reference semantics re-expressed set-oriented: the reference does per-row
+  * REST lookups inside loops (identities.py:124-160, onefs.py:1267-1277);
+  * here each becomes one relational operator so Catalyst/AQE pick broadcast
+  * vs shuffle join. Dimension tables (nation, region) are explicitly
+  * broadcast — at 100 TB the fact side never shuffles for these lookups.
+  */
+object RelationalOps extends QueryModule {
+
+  /** A1 — distinct-set dedup (identities.py:293-303 `created_group_names`). */
+  private val dedupDistinct = DeclaredQuery(
+    "dedup_distinct",
+    (s, d) =>
+      customer(s, d).select("c_mktsegment").distinct().orderBy("c_mktsegment"),
+    Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"),
+  )
+
+  /** J1/J2/A4 — name→id lookup as a 3-way equi-join with broadcast dims
+    * (onefs.py:1267-1277, 1072-1082). nation/region are tiny → broadcast;
+    * the customer fact side streams through without a shuffle.
+    */
+  private val equiJoinLookup = DeclaredQuery(
+    "equi_join_lookup",
+    (s, d) => {
+      val c = customer(s, d)
+      val n = broadcast(nation(s, d))
+      val r = broadcast(region(s, d))
+      c.join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(
+          c("c_custkey"),
+          c("c_name"),
+          n("n_name").as("nation"),
+          r("r_name").as("region"),
+        )
+        .orderBy("c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name, n_name AS nation, r_name AS region
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            ORDER BY c_custkey"""),
+  )
+
+  /** J4/J5 — membership/referential anti-join (identities.py:105-112;
+    * tests/test_directories.py:6-14): orders whose customer is not in the
+    * positive-balance set, summarized per status.
+    */
+  private val antijoinMissing = DeclaredQuery(
+    "antijoin_missing",
+    (s, d) => {
+      val pos = customer(s, d).filter(col("c_acctbal") > 0).select("c_custkey")
+      orders(s, d)
+        .join(pos, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), min("o_orderkey").as("sample_key"))
+        .orderBy("o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS sample_key
+            FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+  )
+
+  /** J3 — create-or-lookup upsert (identities.py:137-149, 251-263):
+    * desired ⟗ existing on the key, keep the existing id when present,
+    * otherwise assign the new one. Pure full-outer + coalesce.
+    */
+  private val idempotentUpsert = DeclaredQuery(
+    "idempotent_upsert",
+    (s, d) => {
+      val desired = customer(s, d).select(col("c_nationkey").as("dkey")).distinct()
+      val existing = supplier(s, d)
+        .select(col("s_nationkey").as("ekey"))
+        .distinct()
+        .withColumn("id", (col("ekey").cast("long") + 1024L).cast("long"))
+      desired
+        .join(existing, col("dkey") === col("ekey"), "full_outer")
+        .select(
+          coalesce(col("dkey"), col("ekey")).cast("int").as("key"),
+          coalesce(col("id"), col("dkey").cast("long") + 2000L)
+            .cast("long")
+            .as("final_id"),
+          col("id").isNotNull.as("existed"),
+        )
+        .orderBy("key")
+    },
+    Some("""WITH desired AS (SELECT DISTINCT c_nationkey AS dkey FROM customer),
+                 existing AS (SELECT DISTINCT s_nationkey AS ekey,
+                              CAST(s_nationkey + 1024 AS BIGINT) AS id FROM supplier)
+            SELECT CAST(coalesce(dkey, ekey) AS INTEGER) AS key,
+                   CAST(coalesce(id, dkey + 2000) AS BIGINT) AS final_id,
+                   (id IS NOT NULL) AS existed
+            FROM desired FULL OUTER JOIN existing ON dkey = ekey
+            ORDER BY key"""),
+  )
+
+  /** J6/W5 — deterministic first match (onefs.py:1260-1265): min-key row
+    * passing a case-insensitive predicate.
+    */
+  private val firstMatch = DeclaredQuery(
+    "first_match",
+    (s, d) =>
+      nation(s, d)
+        .filter(lower(col("n_name")).contains("nation_1"))
+        .orderBy("n_nationkey")
+        .limit(1)
+        .select("n_nationkey", "n_name"),
+    Some("""SELECT n_nationkey, n_name FROM nation
+            WHERE lower(n_name) LIKE '%nation_1%'
+            ORDER BY n_nationkey LIMIT 1"""),
+  )
+
+  /** W5 — top-k (onefs.py:556-563 newest-SDK fallback): Spark plans this as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge, no
+    * full sort at scale.
+    */
+  private val topkLimit = DeclaredQuery(
+    "topk_limit",
+    (s, d) =>
+      orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+  )
+
+  /** U1 — union with distinct (identities.py:300). */
+  private val setUnionDistinct = DeclaredQuery(
+    "set_union_distinct",
+    (s, d) =>
+      customer(s, d)
+        .select(col("c_nationkey").as("nk"))
+        .union(supplier(s, d).select(col("s_nationkey").as("nk")))
+        .distinct()
+        .orderBy("nk"),
+    Some("""SELECT c_nationkey AS nk FROM customer
+            UNION SELECT s_nationkey FROM supplier ORDER BY nk"""),
+  )
+
+  /** U2 — set difference (onefs.py:988-1000 keytab SPN rewrite). */
+  private val exceptSpns = DeclaredQuery(
+    "except_spns",
+    (s, d) =>
+      customer(s, d)
+        .select(col("c_custkey").as("key"))
+        .except(supplier(s, d).select(col("s_suppkey").as("key")))
+        .orderBy("key"),
+    Some("""SELECT c_custkey AS key FROM customer
+            EXCEPT SELECT s_suppkey FROM supplier ORDER BY key"""),
+  )
+
+  /** U4 — intersect (tests/test_directories.py:6-14 invariant shape). */
+  private val intersectKeys = DeclaredQuery(
+    "intersect_keys",
+    (s, d) =>
+      customer(s, d)
+        .select(col("c_custkey").as("key"))
+        .intersect(supplier(s, d).select(col("s_suppkey").as("key")))
+        .orderBy("key"),
+    Some("""SELECT c_custkey AS key FROM customer
+            INTERSECT SELECT s_suppkey FROM supplier ORDER BY key"""),
+  )
+
+  /** A3 — membership fan-in (onefs.py:1330-1341): per-user counts plus an
+    * order-pinned collect (sort_array ↔ string_agg ORDER BY).
+    */
+  private val groupCountAgg = DeclaredQuery(
+    "group_count_agg",
+    (s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          array_join(sort_array(collect_set(col("event_type"))), ",").as("types"),
+        )
+        .orderBy("user_id"),
+    Some("""SELECT user_id, count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+            FROM events GROUP BY user_id ORDER BY user_id"""),
+  )
+
+  /** A2 — consensus check (onefs.py:1240-1249 MixedModeError shape):
+    * countDistinct per group.
+    */
+  private val consensusDistinct = DeclaredQuery(
+    "consensus_distinct",
+    (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderstatus")).as("n_status"))
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(DISTINCT o_orderstatus) AS n_status
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(
+    dedupDistinct,
+    equiJoinLookup,
+    antijoinMissing,
+    idempotentUpsert,
+    firstMatch,
+    topkLimit,
+    setUnionDistinct,
+    exceptSpns,
+    intersectKeys,
+    groupCountAgg,
+    consensusDistinct,
+  )
+}

@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (graft.Verify output) and runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
+<sfDir>/*.parquet. Compares column names, dtypes, row counts, and values.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.sql(sql).df()
+            got = con.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if list(exp.columns) != list(got.columns):
+            # driver sorts columns by name; order mismatch only matters
+            # if the names differ
+            if sorted(exp.columns) != sorted(got.columns):
+                problems.append(
+                    f"columns: oracle={list(exp.columns)} spark={list(got.columns)}")
+            else:
+                problems.append(
+                    f"column ORDER differs: {list(exp.columns)} vs {list(got.columns)}")
+        if not problems:
+            got = got[list(exp.columns)]
+            for c in exp.columns:
+                if str(exp[c].dtype) != str(got[c].dtype):
+                    problems.append(
+                        f"dtype[{c}]: oracle={exp[c].dtype} spark={got[c].dtype}")
+        if len(exp) != len(got):
+            problems.append(f"rows: oracle={len(exp)} spark={len(got)}")
+        if not problems:
+            for c in exp.columns:
+                ev, gv = exp[c].tolist(), got[c].tolist()
+                bad = [
+                    (i, a, b) for i, (a, b) in enumerate(zip(ev, gv))
+                    if a != b and not (a != a and b != b)  # NaN==NaN ok
+                ]
+                if bad:
+                    i, a, b = bad[0]
+                    problems.append(
+                        f"value[{c}] row {i}: oracle={a!r} spark={b!r} "
+                        f"({len(bad)} diffs)")
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}:")
+            for p in problems:
+                print(f"  - {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(exp)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
