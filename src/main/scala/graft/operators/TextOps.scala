@@ -1,0 +1,217 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** North-star text-analysis operators over the `documents` table
+  * (SURVEY.md §2.12 extension queries; BASELINE.json north_star): quality
+  * stats, token counting, language-ID heuristic, content fingerprinting,
+  * and exact deduplication.
+  *
+  * Scale notes (100 TB): every query here is a single narrow projection —
+  * per-row higher-order functions with NO shuffle except the final
+  * presentation sort and the dedup window. All scalar work stays inside
+  * whole-stage codegen (built-in Catalyst expressions only, no UDFs), so
+  * a 1000-executor scan parallelizes embarrassingly. The dedup window
+  * partitions by hash (uniformly distributed) — no skew.
+  *
+  * Cross-engine hash: DuckDB and Spark share no built-in hash function,
+  * so fingerprints use either md5/sha2 (identical hex in both) or an
+  * explicit polynomial fold (`aggregate` in Spark ≡ `list_reduce` in
+  * DuckDB, both sequential left folds — bit-identical on BIGINT).
+  */
+object TextOps extends QueryModule {
+
+  /** Polynomial word hash, Spark side: fold chars, base 31 mod 1e9+7. */
+  private[operators] val wordHashSpark =
+    "aggregate(split(w, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
+
+  /** Same hash, DuckDB side (list_reduce has no init → prepend the zero). */
+  private[operators] val wordHashDuck =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
+
+  /** Length / stopword / uniqueness quality stats — the "quality scoring"
+    * signal a pretraining pipeline filters on.
+    */
+  private val textStats = DeclaredQuery(
+    "text_stats",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("ws")).cast("long").as("n_words"),
+          size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+          round(
+            (length(col("text")) - size(col("ws")) + 1).cast("double") / size(col("ws")),
+            4,
+          ).as("avg_word_len"),
+          round(
+            expr("size(filter(ws, w -> w = 'the' OR w = 'a'))").cast("double")
+              / size(col("ws")),
+            4,
+          ).as("stopword_ratio"),
+          round(
+            size(array_distinct(col("ws"))).cast("double") / size(col("ws")),
+            4,
+          ).as("uniq_ratio"),
+        )
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                   round((length(text) - len(ws) + 1)::DOUBLE / len(ws), 4) AS avg_word_len,
+                   round(len(list_filter(ws, w -> w = 'the' OR w = 'a'))::DOUBLE / len(ws), 4) AS stopword_ratio,
+                   round(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS uniq_ratio
+            FROM t ORDER BY doc_id"""),
+  )
+
+  /** Whitespace + regex ("BPE-ish" `[a-z]+|[0-9]+`) token counts plus the
+    * chars/4 heuristic estimate.
+    */
+  private val tokenCount = DeclaredQuery(
+    "token_count",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), "\\s+")).cast("long").as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0)))
+            .cast("long")
+            .as("re_tokens"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe"),
+        )
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS re_tokens,
+                   CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS est_bpe
+            FROM documents ORDER BY doc_id"""),
+  )
+
+  /** Character-level language-ID heuristic: stopword hits, vowel ratio,
+    * average word length → threshold cascade. (The synthetic corpus shares
+    * one vocabulary, so this demonstrates the *operator*, not accuracy.)
+    */
+  private val langId = DeclaredQuery(
+    "lang_id",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_the", expr("size(filter(ws, w -> w = 'the'))"))
+        .withColumn(
+          "vr",
+          (length(col("text")) - length(translate(col("text"), "aeiou", "")))
+            .cast("double") / length(col("text")),
+        )
+        .withColumn(
+          "awl",
+          (length(col("text")) - size(col("ws")) + 1).cast("double") / size(col("ws")),
+        )
+        .select(
+          col("doc_id"),
+          col("lang"),
+          when(col("n_the") >= 2, "en")
+            .when(col("vr") >= 0.40, "es")
+            .when(col("awl") >= 4.6, "de")
+            .when(col("vr") < 0.34, "zh")
+            .otherwise("fr")
+            .as("predicted"),
+        )
+        .withColumn("is_match", col("predicted") === col("lang"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+                 f AS (SELECT doc_id, lang,
+                              len(list_filter(ws, w -> w = 'the')) AS n_the,
+                              (length(text) - length(translate(text, 'aeiou', '')))::DOUBLE / length(text) AS vr,
+                              (length(text) - len(ws) + 1)::DOUBLE / len(ws) AS awl
+                       FROM t)
+            SELECT doc_id, lang,
+                   CASE WHEN n_the >= 2 THEN 'en'
+                        WHEN vr >= 0.40 THEN 'es'
+                        WHEN awl >= 4.6 THEN 'de'
+                        WHEN vr < 0.34 THEN 'zh'
+                        ELSE 'fr' END AS predicted,
+                   (CASE WHEN n_the >= 2 THEN 'en'
+                         WHEN vr >= 0.40 THEN 'es'
+                         WHEN awl >= 4.6 THEN 'de'
+                         WHEN vr < 0.34 THEN 'zh'
+                         ELSE 'fr' END) = lang AS is_match
+            FROM f ORDER BY doc_id"""),
+  )
+
+  /** Two content fingerprints per document: md5 of the order-canonical
+    * word multiset (shuffle-invariant) and a rolling polynomial hash of
+    * the word sequence (order-sensitive) — both bit-identical in DuckDB.
+    */
+  private val docFingerprint = DeclaredQuery(
+    "doc_fingerprint",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          md5(array_join(sort_array(col("ws")), " ")).as("fp_canon"),
+          expr(
+            s"""aggregate(
+               |  transform(ws, w -> $wordHashSpark),
+               |  CAST(0 AS BIGINT),
+               |  (acc, h) -> (acc * 1000003 + h) % 2147483647)""".stripMargin,
+          ).as("fp_roll"),
+        )
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+             SELECT doc_id,
+                    md5(array_to_string(list_sort(ws), ' ')) AS fp_canon,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(ws, w -> $wordHashDuck)),
+                      (acc, h) -> (acc * 1000003 + h) % 2147483647) AS fp_roll
+             FROM t ORDER BY doc_id"""),
+  )
+
+  /** Exact dedup: keep the min-doc_id representative per sha2(text) group
+    * (byte-exact) and per canonical-multiset md5 (shuffle-invariant).
+    * At 100 TB this shuffles 64-byte hashes, never the text itself.
+    */
+  private val exactDedupDocs = DeclaredQuery(
+    "exact_dedup_docs",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("text_sha", sha2(col("text"), 256))
+        .withColumn(
+          "canon_md5",
+          md5(array_join(sort_array(split(col("text"), " ")), " ")),
+        )
+        .withColumn(
+          "keep_exact",
+          row_number().over(Window.partitionBy("text_sha").orderBy("doc_id")) === 1,
+        )
+        .withColumn(
+          "keep_canon",
+          row_number().over(Window.partitionBy("canon_md5").orderBy("doc_id")) === 1,
+        )
+        .select("doc_id", "text_sha", "canon_md5", "keep_exact", "keep_canon")
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, sha256(text) AS text_sha,
+                              md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS canon_md5
+                       FROM documents)
+            SELECT doc_id, text_sha, canon_md5,
+                   (row_number() OVER (PARTITION BY text_sha ORDER BY doc_id)) = 1 AS keep_exact,
+                   (row_number() OVER (PARTITION BY canon_md5 ORDER BY doc_id)) = 1 AS keep_canon
+            FROM t ORDER BY doc_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(
+    textStats,
+    tokenCount,
+    langId,
+    docFingerprint,
+    exactDedupDocs,
+  )
+}
