@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Near-duplicate detection over `documents` (north-star dedup surface):
+  * exact n-gram Jaccard via an inverted index, MinHash+LSH banding, and
+  * SimHash with chunk banding. All hash work uses the cross-engine
+  * polynomial fold from [[TextOps]] so every query has a DuckDB oracle.
+  *
+  * Scale notes (100 TB):
+  *  - `ngram_jaccard` joins on exploded shingles (inverted index), never
+  *    a cross join — the classic candidate-generation pattern. At scale a
+  *    document-frequency cap on hot shingles bounds the skew; here the
+  *    synthetic corpus is uniform so none is applied.
+  *  - `minhash_near_dup` reduces each doc to a 16-int signature (map-side,
+  *    zero shuffle), then shuffles only (band, sig) pairs — bytes per doc,
+  *    not the text. Banding 4×4 finds J≳0.9 pairs with P>0.98.
+  *  - `simhash_near_dup` reduces each doc to ONE 30-bit int; banding into
+  *    5 six-bit chunks is exhaustive for hamming ≤ 4 (pigeonhole: 4 bit
+  *    errors cannot touch all 5 chunks), so the banded physical plan
+  *    computes exactly the all-pairs-threshold semantics the oracle states.
+  */
+object DedupOps extends QueryModule {
+
+  /** Word-bigram shingles from a single-spaced text column (as `ws`). */
+  private val gramsSpark =
+    "array_distinct(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (x, y) -> concat(x, ' ', y)))"
+
+  private val gramsDuck =
+    "list_distinct(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]))"
+
+  /** doc_id + hashed-shingle array, Spark side. */
+  private def hashedGrams(df: DataFrame): DataFrame =
+    df.withColumn("ws", split(col("text"), " "))
+      .withColumn("grams", expr(gramsSpark))
+      .withColumn("ghs", expr(s"transform(grams, w -> ${TextOps.wordHashSpark})"))
+
+  private val hashedGramsDuck =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, $gramsDuck AS grams FROM t),
+       |h AS (SELECT doc_id, list_transform(grams, w -> ${TextOps.wordHashDuck}) AS ghs FROM g)""".stripMargin
+
+  /** Exact bigram-set Jaccard ≥ 0.3 via inverted index (explode + equi-join
+    * on the shingle, then count shared per pair). Finds the 25 planted
+    * near-dup pairs in the synthetic corpus.
+    */
+  private val ngramJaccard = DeclaredQuery(
+    "ngram_jaccard",
+    (s, d) => {
+      val g = documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("grams", expr(gramsSpark))
+        .select(col("doc_id"), size(col("grams")).as("n"), col("grams"))
+      val e = g.select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
+      val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gram"))
+      val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gram").as("gram2"))
+      x.join(y, x("gram") === y("gram2") && x("da") < y("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+        .filter(col("j") >= 0.3)
+        .select(col("da"), col("db"), col("shared"), round(col("j"), 3).as("j"))
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             g2 AS (SELECT doc_id, len(grams) AS n, grams FROM g),
+             e AS (SELECT doc_id, n, unnest(grams) AS gram FROM g2),
+             p AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
+                   FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2, 3, 4)
+             SELECT da, db, shared, round(shared::DOUBLE / (na + nb - shared), 3) AS j
+             FROM p WHERE shared::DOUBLE / (na + nb - shared) >= 0.3
+             ORDER BY da, db"""),
+  )
+
+  /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod P,
+    * banded 4×4. Seed constants are embedded literally in BOTH engines'
+    * expressions so signatures agree bit-for-bit.
+    */
+  private val P = 2038074743L
+  private val seeds: Seq[(Long, Long)] =
+    (1 to 16).map(i => ((1299709L * i) % P, (15485863L * (i + 7)) % P))
+
+  private val minhashNearDup = DeclaredQuery(
+    "minhash_near_dup",
+    (s, d) => {
+      val mhsExpr = seeds
+        .map { case (a, b) => s"array_min(transform(ghs, x -> ($a * x + $b) % $P))" }
+        .mkString("array(", ", ", ")")
+      val bandsExpr = (0 until 4)
+        .map { b =>
+          val sig = (1 to 4).map(r => s"element_at(mhs, ${4 * b + r})").mkString(", ")
+          s"named_struct('band', $b, 'sig', concat_ws(',', $sig))"
+        }
+        .mkString("inline(array(", ", ", "))")
+      val banded = hashedGrams(documents(s, d))
+        .withColumn("mhs", expr(mhsExpr))
+        .select(col("doc_id"), col("mhs"), expr(bandsExpr))
+      val l = banded.select(col("doc_id").as("da"), col("mhs").as("ma"), col("band"), col("sig"))
+      val r = banded
+        .select(col("doc_id").as("db"), col("mhs").as("mb"), col("band").as("band2"), col("sig").as("sig2"))
+      l.join(r, l("band") === r("band2") && l("sig") === r("sig2") && l("da") < r("db"))
+        .select("da", "db", "ma", "mb")
+        .dropDuplicates("da", "db")
+        .withColumn(
+          "matches",
+          expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)"),
+        )
+        .withColumn("est_j", round(col("matches").cast("double") / 16.0, 4))
+        .select("da", "db", "matches", "est_j")
+        .orderBy("da", "db")
+    }, {
+      val mhsList = seeds
+        .map { case (a, b) => s"list_min(list_transform(ghs, x -> ($a * x + $b) % $P))" }
+        .mkString("[", ", ", "]")
+      Some(s"""WITH $hashedGramsDuck,
+               m AS (SELECT doc_id, $mhsList AS mhs FROM h),
+               b AS (SELECT doc_id, mhs, unnest(generate_series(0, 3)) AS band FROM m),
+               sg AS (SELECT doc_id, mhs, band,
+                             array_to_string(list_transform(generate_series(1, 4), r -> mhs[4 * band + r]), ',') AS sig
+                      FROM b),
+               p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.mhs AS ma, y.mhs AS mb
+                     FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
+               SELECT da, db,
+                      CAST(list_sum(list_transform(generate_series(1, 16),
+                           i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
+                      round(list_sum(list_transform(generate_series(1, 16),
+                           i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0, 4) AS est_j
+               FROM p ORDER BY da, db""")
+    },
+  )
+
+  /** 30-bit SimHash over hashed shingles; pairs at hamming ≤ 4. The Spark
+    * plan bands into 5 six-bit chunks (exhaustive for ≤ 4, see object doc)
+    * so only chunk-colliding pairs are ever compared; the oracle states the
+    * equivalent all-pairs predicate.
+    */
+  private val simhashSpark =
+    """aggregate(sequence(0, 29), CAST(0 AS BIGINT), (acc, b) ->
+      |  acc + IF(aggregate(ghs, 0, (s2, x) -> s2 + IF((shiftright(x, b) & 1) = 1, 1, -1)) >= 0,
+      |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin
+
+  private val simhashDuck =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 29), b ->
+      |  CASE WHEN list_sum(list_transform(ghs, x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
+      |       THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)""".stripMargin
+
+  private val simhashNearDup = DeclaredQuery(
+    "simhash_near_dup",
+    (s, d) => {
+      val chunksExpr = (0 until 5)
+        .map(c => s"named_struct('ck', $c, 'cv', shiftright(sim, ${6 * c}) & 63)")
+        .mkString("inline(array(", ", ", "))")
+      val sigs = hashedGrams(documents(s, d))
+        .withColumn("sim", expr(simhashSpark))
+        .select(col("doc_id"), col("sim"), expr(chunksExpr))
+      val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
+      val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
+      l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))
+        .select("da", "db", "sa", "sb")
+        .dropDuplicates("da", "db")
+        .withColumn("hd", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("hd") <= 4)
+        .select("da", "db", "hd")
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             sg AS (SELECT doc_id, $simhashDuck AS sim FROM h)
+             SELECT a.doc_id AS da, b.doc_id AS db,
+                    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hd
+             FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.sim, b.sim)) <= 4
+             ORDER BY da, db"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(ngramJaccard, minhashNearDup, simhashNearDup)
+}
