@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (north-star ANN surface).
+  *
+  * Two tiers:
+  *  - `cosine_topk` — exact brute-force top-k for a small query set:
+  *    broadcast the queries, stream the candidate side, fold the dot
+  *    product with higher-order functions (all codegen'd; no UDF), rank
+  *    per query with a window. At 100 TB the candidate scan parallelizes
+  *    per partition and only k rows per query survive the window.
+  *  - `cosine_lsh_ann` — random-hyperplane LSH: each vector reduces
+  *    map-side to a 16-bit sign code; the code hamming distance (≤ 3)
+  *    prunes candidates before any exact dot product is computed. This is
+  *    the scale path: at 1000 executors the cheap 16-bit compare replaces
+  *    ~all of the O(n·q·dim) float work of brute force.
+  *
+  * Determinism: dot products are sequential left folds over doubles in
+  * both engines (Spark `aggregate` ≡ DuckDB `list_inner_product` /
+  * `list_reduce`), so similarity values agree bit-for-bit; output sims
+  * are additionally rounded to 6 dp and ties broken on vec_id.
+  * Hyperplane j,k components come from the shared integer formula
+  * ((j·73856093 + k·19349663) mod 10007)/10007 − 0.5 — no RNG state.
+  */
+object SimilarityOps extends QueryModule {
+
+  private val NQueries = 8
+  private val Dim = 64
+
+  /** embeddings with double-cast vector + L2 norm (Spark side). */
+  private val withNorm =
+    """sqrt(aggregate(zip_with(dvec, dvec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"""
+
+  private val dotExpr =
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  private val cosineTopk = DeclaredQuery(
+    "cosine_topk",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", expr(withNorm))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("nrm").as("qn"))
+      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("nrm").as("cn"))
+      broadcast(q)
+        .join(c, col("qid") =!= col("cid"))
+        .withColumn("sim", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid")
+              .orderBy(col("sim").desc, col("cid")),
+          ),
+        )
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                   FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+             r AS (SELECT qid, cid, sim,
+                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+                   FROM p)
+             SELECT qid, CAST(rank AS BIGINT) AS rank, cid, sim
+             FROM r WHERE rank <= 10 ORDER BY qid, rank"""),
+  )
+
+  /** Shared hyperplane component formula; j = plane index, k = dimension. */
+  private def planeSpark(j: String, k: String): String =
+    s"((CAST($j AS BIGINT) * 73856093 + CAST($k AS BIGINT) * 19349663) % 10007) / 10007.0D - 0.5D"
+
+  private def planeDuck(j: String, k: String): String =
+    s"((CAST($j AS BIGINT) * 73856093 + CAST($k AS BIGINT) * 19349663) % 10007) / 10007.0 - 0.5"
+
+  /** 16-bit sign code: bit j set iff dot(v, plane_j) >= 0. */
+  private val codeSpark =
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
+       |  acc + IF(aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE),
+       |             (s2, k) -> s2 + element_at(dvec, k + 1) * (${planeSpark("j", "k")})) >= CAST(0 AS DOUBLE),
+       |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin
+
+  private val codeDuck =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 15), j ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(0, ${Dim - 1}),
+       |              k -> dvec[k + 1] * (${planeDuck("j", "k")}))), (s2, x) -> s2 + x) >= 0
+       |       THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)""".stripMargin
+
+  private val cosineLshAnn = DeclaredQuery(
+    "cosine_lsh_ann",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("nrm", expr(withNorm))
+        .withColumn("code", expr(codeSpark))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("nrm").as("qn"), col("code").as("qc"))
+      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("nrm").as("cn"), col("code").as("cc"))
+      broadcast(q)
+        .join(c, col("qid") =!= col("cid"))
+        .withColumn("code_hd", expr("CAST(bit_count(qc ^ cc) AS BIGINT)"))
+        .filter(col("code_hd") <= 3)
+        .withColumn("sim", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid")
+              .orderBy(col("sim").desc, col("cid")),
+          ),
+        )
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank").cast("long").as("rank"), col("cid"), col("code_hd"), col("sim"))
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
+             p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                          CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
+                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                   FROM ec q JOIN ec c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+                   WHERE bit_count(xor(q.code, c.code)) <= 3),
+             r AS (SELECT qid, cid, code_hd, sim,
+                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+                   FROM p)
+             SELECT qid, CAST(rank AS BIGINT) AS rank, cid, code_hd, sim
+             FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(cosineTopk, cosineLshAnn)
+}
