@@ -24,11 +24,11 @@ import graft.Tables._
 object TextOps extends QueryModule {
 
   /** Polynomial word hash, Spark side: fold chars, base 31 mod 1e9+7. */
-  private[operators] val wordHashSpark =
+  val wordHashSpark =
     "aggregate(split(w, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
 
   /** Same hash, DuckDB side (list_reduce has no init → prepend the zero). */
-  private[operators] val wordHashDuck =
+  val wordHashDuck =
     """list_reduce(list_prepend(CAST(0 AS BIGINT),
       |  list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
       |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin

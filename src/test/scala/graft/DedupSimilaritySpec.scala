@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks between the approximate (MinHash/SimHash/LSH) and exact
+  * (Jaccard / brute-force cosine) formulations on the real testdata.
+  */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val exactPairs: Map[(Long, Long), Double] =
+    SparkEntry
+      .queries("ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) -> r.getAs[Double]("j"))
+      .toMap
+
+  test("ngram_jaccard finds the planted near-dup pairs with high similarity") {
+    assert(exactPairs.nonEmpty)
+    assert(exactPairs.values.forall(_ >= 0.3))
+    assert(exactPairs.values.max >= 0.9, "planted near-dups should score >= 0.9")
+  }
+
+  test("minhash candidates with high est_j are real near-dups") {
+    val mh = SparkEntry
+      .queries("minhash_near_dup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) -> r.getAs[Double]("est_j"))
+      .toMap
+    val confident = mh.filter(_._2 >= 0.75).keySet
+    assert(confident.nonEmpty)
+    // every high-signature-agreement candidate is a true >= 0.3 jaccard pair
+    assert(confident.subsetOf(exactPairs.keySet))
+    // and minhash recalls most of the exact near-dup set (banding is probabilistic)
+    val recall = exactPairs.keySet.count(mh.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"minhash recall $recall too low")
+  }
+
+  test("simhash pairs are exactly the hamming<=4 pairs and cover planted dups") {
+    val sh = SparkEntry
+      .queries("simhash_near_dup")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getAs[Long]("da"), r.getAs[Long]("db")), r.getAs[Long]("hd")))
+    assert(sh.nonEmpty)
+    assert(sh.forall(_._2 <= 4))
+    val shPairs = sh.map(_._1).toSet
+    val recall = exactPairs.keySet.count(shPairs.contains).toDouble / exactPairs.size
+    assert(recall >= 0.8, s"simhash recall $recall too low")
+  }
+
+  test("cosine_topk is correctly ranked and bounded") {
+    val rows = SparkEntry.queries("cosine_topk")(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims must be descending")
+      assert(sims.forall(s0 => s0 >= -1.0001 && s0 <= 1.0001))
+    }
+  }
+
+  test("LSH ANN results are a subset-quality answer vs brute force") {
+    val exact = SparkEntry
+      .queries("cosine_topk")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view
+      .mapValues(_.map(_.getAs[Double]("sim")).max)
+      .toMap
+    val lsh = SparkEntry.queries("cosine_lsh_ann")(spark, sfDir).collect()
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      assert(rs.forall(_.getAs[Long]("code_hd") <= 3))
+      // no LSH hit can beat the exact top-1
+      assert(rs.forall(_.getAs[Double]("sim") <= exact(q) + 1e-9))
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the text-analysis surface: the cross-engine
+  * polynomial hash matches a direct Scala fold, fingerprints respect
+  * (only) the intended invariances, and dedup collapses duplicates.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  /** Direct Scala mirror of TextOps.wordHashSpark. */
+  private def polyHash(w: String): Long =
+    w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+
+  test("Spark polynomial word hash matches the Scala fold") {
+    import spark.implicits._
+    val words = Seq("spark", "the", "a", "join merge", "x")
+    val got = words
+      .toDF("w")
+      .select(expr(graft.operators.TextOps.wordHashSpark).as("h"))
+      .as[Long]
+      .collect()
+    assert(got.toSeq == words.map(polyHash))
+  }
+
+  test("fp_canon is shuffle-invariant, fp_roll is order-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma beta alpha"), // same multiset, different order
+      (3L, "alpha beta delta"),
+    ).toDF("doc_id", "text")
+    df.createOrReplaceTempView("documents_tmp")
+    val fp = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        md5(array_join(sort_array(col("ws")), " ")).as("fp_canon"),
+        expr(
+          s"""aggregate(transform(ws, w -> ${graft.operators.TextOps.wordHashSpark}),
+             |CAST(0 AS BIGINT), (acc, h) -> (acc * 1000003 + h) % 2147483647)""".stripMargin,
+        ).as("fp_roll"),
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(fp(1L)._1 == fp(2L)._1, "canonical fingerprint must ignore word order")
+    assert(fp(1L)._2 != fp(2L)._2, "rolling fingerprint must see word order")
+    assert(fp(1L)._1 != fp(3L)._1, "different multisets must differ")
+  }
+
+  test("exact_dedup_docs keeps exactly one representative per text") {
+    val df = SparkEntry.queries("exact_dedup_docs")(spark, sfDir)
+    val agg = df
+      .groupBy("text_sha")
+      .agg(
+        sum(when(col("keep_exact"), 1).otherwise(0)).as("kept"),
+        min(when(col("keep_exact"), col("doc_id"))).as("keeper"),
+        min(col("doc_id")).as("min_id"),
+      )
+      .collect()
+    assert(agg.forall(_.getAs[Long]("kept") == 1L))
+    assert(agg.forall(r => r.getAs[Long]("keeper") == r.getAs[Long]("min_id")))
+  }
+
+  test("text_stats ratios are in [0,1] and word counts positive") {
+    val rows = SparkEntry.queries("text_stats")(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Long]("n_words") > 0))
+    assert(rows.forall { r =>
+      val u = r.getAs[Double]("uniq_ratio"); u >= 0.0 && u <= 1.0
+    })
+    assert(rows.forall { r =>
+      val s0 = r.getAs[Double]("stopword_ratio"); s0 >= 0.0 && s0 <= 1.0
+    })
+  }
+
+  test("lang_id predicts a label from the closed set") {
+    val preds = SparkEntry
+      .queries("lang_id")(spark, sfDir)
+      .select("predicted")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(preds.subsetOf(Set("en", "es", "de", "zh", "fr")))
+  }
+}
