@@ -12,7 +12,7 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps, SimilarityOps)
+    Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps, SimilarityOps, PlanOps)
 
   private val declared: Seq[DeclaredQuery] = modules.flatMap(_.queries)
 
