@@ -12,7 +12,8 @@ import graft.operators._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] =
-    Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps, SimilarityOps, PlanOps)
+    Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps,
+      SimilarityOps, PlanOps, MultimodalOps)
 
   private val declared: Seq[DeclaredQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Multimodal-column plumbing (north star): media payloads ride as opaque
+  * `binary` columns with typed metadata; decode / feature-extraction runs
+  * per partition over the bytes. The actual codec is STUBBED (this
+  * container ships no image/audio libraries) behind [[MediaDecoder]]; the
+  * deterministic fake implementation keeps the Spark-side plumbing —
+  * schema, partitioning, batch iteration, typed output — fully real and
+  * testable, and is arithmetically mirrored by the DuckDB oracle.
+  *
+  * Scale notes: `mapPartitions` keeps decode zero-shuffle (one pass over
+  * the scan partitions); features are fixed-width doubles so downstream
+  * joins/aggs never carry the payload bytes. At 100 TB the payload column
+  * stays in parquet until the decode projection touches it — column
+  * pruning skips it for metadata-only queries.
+  */
+object MultimodalOps extends QueryModule {
+
+  /** A media payload row: bytes + typed metadata. */
+  final case class MediaRecord(doc_id: Long, kind: String, n_bytes: Long, data: Array[Byte])
+
+  /** Fixed-width decoded features. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Long,
+      f0: Double,
+      f1: Double,
+      f2: Double,
+      f3: Double,
+  )
+
+  /** Decode interface — a real deployment plugs an image/audio codec in
+    * here; everything downstream is codec-agnostic.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaFeatures
+  }
+
+  /** A real codec would decode pixels/samples; unavailable in this
+    * container, so it stays unimplemented by design.
+    */
+  object NativeDecoder extends MediaDecoder {
+    def decode(r: MediaRecord): MediaFeatures =
+      throw new UnsupportedOperationException(
+        "native media codecs are not available in this environment; use FakeDecoder",
+      )
+  }
+
+  /** Deterministic fake: polynomial hash of four 64-byte chunks, scaled to
+    * [0,1) — the same fold the cross-engine text hash uses, so the oracle
+    * can restate it in SQL over the source text.
+    */
+  object FakeDecoder extends MediaDecoder {
+    private def chunkHash(bytes: Array[Byte], start: Int, len: Int): Long = {
+      var a = 0L
+      var i = start
+      val end = math.min(bytes.length, start + len)
+      while (i < end) { a = (a * 31 + (bytes(i) & 0xffL)) % 1000000007L; i += 1 }
+      a
+    }
+    private def feat(bytes: Array[Byte], k: Int): Double =
+      (chunkHash(bytes, 64 * k, 64) % 1000L) / 1000.0
+    def decode(r: MediaRecord): MediaFeatures =
+      MediaFeatures(
+        r.doc_id, r.kind, r.n_bytes,
+        feat(r.data, 0), feat(r.data, 1), feat(r.data, 2), feat(r.data, 3),
+      )
+  }
+
+  /** The decode pipeline: binary-typed Dataset → per-partition decode →
+    * typed features. No shuffle; partitioning inherited from the scan.
+    */
+  def decodeFeatures(media: Dataset[MediaRecord], decoder: MediaDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(decoder.decode))
+  }
+
+  /** Testdata carrier: documents.text bytes stand in for media payloads
+    * (the corpus is ASCII, so byte offsets == character offsets — which is
+    * what lets the oracle mirror the byte math with substr).
+    */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        lit("text/plain").as("kind"),
+        length(col("text")).cast("long").as("n_bytes"),
+        encode(col("text"), "UTF-8").as("data"),
+      )
+      .as[MediaRecord]
+  }
+
+  private def chunkSqlDuck(k: Int): String =
+    s"""round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split(substr(text, ${64 * k + 1}, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, c) -> (a * 31 + c) % 1000000007) % 1000 / 1000.0, 3)""".stripMargin
+
+  private val mediaFeatures = DeclaredQuery(
+    "media_features",
+    (s, d) => {
+      import s.implicits._
+      decodeFeatures(mediaFromDocuments(s, d), FakeDecoder)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("kind"),
+          col("n_bytes"),
+          round(col("f0"), 3).as("f0"),
+          round(col("f1"), 3).as("f1"),
+          round(col("f2"), 3).as("f2"),
+          round(col("f3"), 3).as("f3"),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, 'text/plain' AS kind, CAST(length(text) AS BIGINT) AS n_bytes,
+                    ${chunkSqlDuck(0)} AS f0, ${chunkSqlDuck(1)} AS f1,
+                    ${chunkSqlDuck(2)} AS f2, ${chunkSqlDuck(3)} AS f3
+             FROM documents ORDER BY doc_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.EventStream
+
+/** Streaming/batch parity: the AvailableNow streaming run over the same
+  * parquet files must produce exactly the DuckDB-verified batch result of
+  * time_bucket_agg, and watermarked dedup must be a no-op on unique ids.
+  */
+class StreamingSpec extends SparkSpec {
+
+  /** File stream sources read directories; stage the single-file testdata
+    * parquet into one (production events land as a directory of files).
+    */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("events-stream")
+    Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-000.parquet"),
+    )
+    dir.toString
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory(s"ck-$name").toString)
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+  }
+
+  test("streaming hourly agg equals the batch time_bucket_agg oracle query") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    runToMemory(EventStream.hourlyAgg(stream), "hourly")
+    val streamed = spark
+      .table("hourly")
+      .orderBy("hour")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = SparkEntry
+      .queries("time_bucket_agg")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("watermarked dedup preserves unique event_ids") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val deduped = EventStream.dedupedEvents(stream).groupBy().count()
+    runToMemory(deduped, "deduped_count")
+    val n = spark.table("deduped_count").collect().head.getLong(0)
+    val expected = Tables.events(spark, sfDir).count()
+    assert(n == expected)
+  }
+
+  test("watermarked hourly agg is a valid streaming plan") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    // analysis-time validation: watermark + window agg resolves in append mode
+    val q = EventStream
+      .hourlyAggWatermarked(stream)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_wm")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-wm").toString)
+      .start()
+    q.awaitTermination(120000)
+    // append mode withholds the last open window; everything emitted must
+    // match the batch result for its hour.
+    val batch = SparkEntry
+      .queries("time_bucket_agg")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val emitted = spark.table("hourly_wm").collect()
+    assert(emitted.forall { r =>
+      batch.get(r.getString(0)).contains((r.getLong(1), r.getDouble(2)))
+    })
+  }
+}
