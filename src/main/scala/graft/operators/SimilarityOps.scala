@@ -74,18 +74,8 @@ object SimilarityOps extends QueryModule {
   )
 
   /** Shared hyperplane component formula; j = plane index, k = dimension. */
-  private def planeSpark(j: String, k: String): String =
-    s"((CAST($j AS BIGINT) * 73856093 + CAST($k AS BIGINT) * 19349663) % 10007) / 10007.0D - 0.5D"
-
   private def planeDuck(j: String, k: String): String =
     s"((CAST($j AS BIGINT) * 73856093 + CAST($k AS BIGINT) * 19349663) % 10007) / 10007.0 - 0.5"
-
-  /** 16-bit sign code: bit j set iff dot(v, plane_j) >= 0. */
-  private val codeSpark =
-    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (acc, j) ->
-       |  acc + IF(aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE),
-       |             (s2, k) -> s2 + element_at(dvec, k + 1) * (${planeSpark("j", "k")})) >= CAST(0 AS DOUBLE),
-       |           shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin
 
   private val codeDuck =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(generate_series(0, 15), j ->
@@ -96,10 +86,32 @@ object SimilarityOps extends QueryModule {
   private val cosineLshAnn = DeclaredQuery(
     "cosine_lsh_ann",
     (s, d) => {
-      val e = embeddings(s, d)
+      val e0 = embeddings(s, d)
         .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("nrm", expr(withNorm))
-        .withColumn("code", expr(codeSpark))
+      // Sign codes as 16 codegen'd sum aggregates over the exploded dims
+      // (one partial-agg pass; an exploded vector never crosses a partition
+      // boundary, so each sum accumulates in ascending-k order and agrees
+      // bit-for-bit with the oracle's sequential fold).
+      val dims = e0.select(col("vec_id"), posexplode(col("dvec")).as(Seq("k", "v")))
+      val sumCols = (0 until 16).map { j =>
+        val plane = ((lit(j.toLong * 73856093L) + col("k").cast("long") * 19349663L) % 10007L)
+          .cast("double") / 10007.0 - 0.5
+        sum(col("v") * plane).as(s"s$j")
+      }
+      val codes = dims
+        .groupBy("vec_id")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(
+          col("vec_id"),
+          (0 until 16)
+            .map(j => when(col(s"s$j") >= 0d, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _)
+            .as("code"),
+        )
+      // materialize once: both sides of the query/candidate join reuse it
+      val e = e0.join(codes, "vec_id").persist()
+      e.count()
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("nrm").as("qn"), col("code").as("qc"))
       val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("nrm").as("cn"), col("code").as("cc"))
