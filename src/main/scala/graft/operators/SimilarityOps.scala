@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -7,10 +8,11 @@ import graft.Tables._
   *
   * Two tiers:
   *  - `cosine_topk` — exact brute-force top-k for a small query set:
-  *    broadcast the queries, stream the candidate side, fold the dot
-  *    product with higher-order functions (all codegen'd; no UDF), rank
-  *    per query with a window. At 100 TB the candidate scan parallelizes
-  *    per partition and only k rows per query survive the window.
+  *    broadcast the queries, stream the candidate side, compute the
+  *    similarity with the native codegen'd CosineSimilarity expression
+  *    (graft.functions — custom Expression, not a UDF), rank per query
+  *    with a window. At 100 TB the candidate scan parallelizes per
+  *    partition and only k rows per query survive the window.
   *  - `cosine_lsh_ann` — random-hyperplane LSH: each vector reduces
   *    map-side to a 16-bit sign code; the code hamming distance (≤ 3)
   *    prunes candidates before any exact dot product is computed. This is
@@ -29,25 +31,26 @@ object SimilarityOps extends QueryModule {
   private val NQueries = 8
   private val Dim = 64
 
-  /** embeddings with double-cast vector + L2 norm (Spark side). */
-  private val withNorm =
-    """sqrt(aggregate(zip_with(dvec, dvec, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))"""
-
-  private val dotExpr =
-    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Register the native codegen'd cosine expression (idempotent), then
+    * build `cosine_similarity(qv, cv)` — bit-identical to the HOF fold
+    * but a tight generated loop (see graft.functions.CosineSimilarity).
+    */
+  private def simExpr(s: SparkSession): org.apache.spark.sql.Column = {
+    graft.functions.GraftFunctions.register(s)
+    expr("cosine_similarity(qv, cv)")
+  }
 
   private val cosineTopk = DeclaredQuery(
     "cosine_topk",
     (s, d) => {
       val e = embeddings(s, d)
         .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", expr(withNorm))
       val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("nrm").as("qn"))
-      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("nrm").as("cn"))
+        .select(col("vec_id").as("qid"), col("dvec").as("qv"))
+      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"))
       broadcast(q)
         .join(c, col("qid") =!= col("cid"))
-        .withColumn("sim", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
+        .withColumn("sim", round(simExpr(s), 6))
         .withColumn(
           "rank",
           row_number().over(
@@ -88,7 +91,6 @@ object SimilarityOps extends QueryModule {
     (s, d) => {
       val e0 = embeddings(s, d)
         .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("nrm", expr(withNorm))
       // Sign codes as 16 codegen'd sum aggregates over the exploded dims
       // (one partial-agg pass; an exploded vector never crosses a partition
       // boundary, so each sum accumulates in ascending-k order and agrees
@@ -113,13 +115,13 @@ object SimilarityOps extends QueryModule {
       val e = e0.join(codes, "vec_id").persist()
       e.count()
       val q = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("nrm").as("qn"), col("code").as("qc"))
-      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("nrm").as("cn"), col("code").as("cc"))
+        .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("code").as("qc"))
+      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("code").as("cc"))
       broadcast(q)
         .join(c, col("qid") =!= col("cid"))
         .withColumn("code_hd", expr("CAST(bit_count(qc ^ cc) AS BIGINT)"))
         .filter(col("code_hd") <= 3)
-        .withColumn("sim", round(expr(dotExpr) / (col("qn") * col("cn")), 6))
+        .withColumn("sim", round(simExpr(s), 6))
         .withColumn(
           "rank",
           row_number().over(

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, GraftExtensions}
+
+/** The native codegen'd cosine expression must be bit-identical to the
+  * HOF fold formulation (which the DuckDB oracle mirrors), survive the
+  * codegen path on real data, and register via both entry points.
+  */
+class CosineSimilaritySpec extends SparkSpec {
+
+  private val hof =
+    """aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+      | / (sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+      |    * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  test("native expression equals the HOF fold bit-for-bit on real embeddings") {
+    GraftFunctions.register(spark)
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val pairs = e
+      .select(col("vec_id").as("ia"), col("dvec").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("dvec").as("b")))
+      .filter(col("ia") < col("ib") && col("ia") < 30)
+    val diffs = pairs
+      .select(
+        (expr("cosine_similarity(a, b)") - expr(hof)).as("delta"),
+      )
+      .filter(col("delta") =!= 0.0)
+      .count()
+    assert(diffs == 0L, "codegen loop must reproduce the sequential fold exactly")
+  }
+
+  test("null inputs yield null, mismatched types are rejected") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val row = Seq((Seq(1.0, 2.0), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+      .select(expr("cosine_similarity(a, b)"))
+      .collect()
+      .head
+    assert(row.isNullAt(0))
+    intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b").select(expr("cosine_similarity(a, b)")).collect()
+    }
+  }
+
+  test("extension injector wires the same registrations") {
+    // builder-level injection can't be exercised on an existing session;
+    // validate the injector runs against a fresh extensions container.
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("interpreted (non-codegen) eval path matches too") {
+    GraftFunctions.register(spark)
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      import spark.implicits._
+      val got = Seq((Seq(1.0, 2.0, 3.0), Seq(2.0, 3.0, 4.0)))
+        .toDF("a", "b")
+        .select(expr("cosine_similarity(a, b)"))
+        .as[Double]
+        .collect()
+        .head
+      val exp = {
+        val dot = 1.0 * 2 + 2.0 * 3 + 3.0 * 4
+        dot / (math.sqrt(1 + 4 + 9) * math.sqrt(4 + 9 + 16))
+      }
+      assert(got == exp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
