@@ -150,5 +150,35 @@ object SimilarityOps extends QueryModule {
              FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(cosineTopk, cosineLshAnn)
+  /** Embedding-space near-dup pairs: exact all-pairs cosine at a
+    * threshold. Exact (no LSH prefilter) because at this threshold the
+    * angular distance is too wide for short sign codes to prune without
+    * recall loss; the native expression keeps the O(n²·dim) float work in
+    * one generated loop. At 100 TB-scale vector counts this becomes the
+    * block-matmul / ANN-index territory — the LSH query above is that
+    * path's candidate generator.
+    */
+  private val cosineNearDup = DeclaredQuery(
+    "cosine_near_dup",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val a = e.select(col("vec_id").as("va"), col("dvec").as("qv"))
+      val b = e.select(col("vec_id").as("vb"), col("dvec").as("cv"))
+      a.join(b, col("va") < col("vb"))
+        .withColumn("sim", round(simExpr(s), 6))
+        .filter(col("sim") >= 0.4)
+        .select("va", "vb", "sim")
+        .orderBy("va", "vb")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                       FROM embeddings),
+            p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                         round(list_inner_product(a.dvec, b.dvec) / (a.nrm * b.nrm), 6) AS sim
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT va, vb, sim FROM p WHERE sim >= 0.4 ORDER BY va, vb"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(cosineTopk, cosineLshAnn, cosineNearDup)
 }
