@@ -74,4 +74,70 @@ object EventStream {
     */
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
+
+  // ---- custom state: per-user sessionization ------------------------------
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  final case class SessionState(start: Long, end: Long, n: Int)
+
+  /** One closed session per output row. */
+  final case class UserSession(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Int,
+  )
+
+  /** Per-user sessionization with a configurable inactivity gap —
+    * `flatMapGroupsWithState` custom state (KeyValueGroupedDataset):
+    * state per user is one open session; an event past the gap closes and
+    * emits it. Event-time timeout bounds state by the watermark.
+    *
+    * At scale: state is O(active users), hash-partitioned by user —
+    * exactly how a 1000-executor stateful job shards.
+    */
+  def sessionize(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gap: java.time.Duration,
+  ): org.apache.spark.sql.Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gap.toMillis
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout(),
+      ) { (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+        def toSession(s0: SessionState): UserSession =
+          UserSession(user, new java.sql.Timestamp(s0.start), new java.sql.Timestamp(s0.end), s0.n)
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(toSession).toSeq
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val closed = Seq.newBuilder[UserSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case Some(s0) if e.ts.getTime - s0.end <= gapMs =>
+                cur = Some(SessionState(s0.start, e.ts.getTime, s0.n + 1))
+              case Some(s0) =>
+                closed += toSession(s0)
+                cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+              case None =>
+                cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1))
+            }
+          }
+          cur.foreach { s0 =>
+            state.update(s0)
+            state.setTimeoutTimestamp(s0.end + gapMs)
+          }
+          closed.result().iterator
+        }
+      }
+  }
 }
