@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ScalePatterns
+
+/** Plan-level proofs for the 100 TB join patterns: bucketed joins are
+  * exchange-free; salted joins equal plain joins and actually flatten the
+  * skewed key's partition distribution.
+  */
+class ScalePatternsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without any shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      ScalePatterns.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+        "orders_b", "o_orderkey", 8,
+      )
+      ScalePatterns.writeBucketed(
+        Tables
+          .lineitem(spark, sfDir)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(sum("l_quantity").as("qty")),
+        "lineagg_b", "o_orderkey", 8,
+      )
+      val joined = ScalePatterns.bucketedJoin(spark, "orders_b", "lineagg_b", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("ShuffleExchange"), s"bucketed join must not shuffle:\n$plan")
+      // and it still computes the right thing
+      val expected = Tables
+        .orders(spark, sfDir)
+        .join(
+          Tables.lineitem(spark, sfDir).groupBy(col("l_orderkey")).agg(sum("l_quantity").as("qty")),
+          col("o_orderkey") === col("l_orderkey"),
+        )
+        .count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals the plain join and flattens the hot key") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 90% of rows share one key — the pathological shuffle-join shape
+      val big = spark
+        .range(0, 20000)
+        .select(when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 100).as("k"), col("id").as("payload"))
+      val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "attr")
+
+      val plain = big.join(small, Seq("k"))
+      val salted = ScalePatterns.saltedJoin(big, small, "k", salts = 8)
+      assert(salted.count() == plain.count())
+      assert(
+        salted.agg(sum(col("payload"))).head.getLong(0) ==
+          plain.agg(sum(col("payload"))).head.getLong(0),
+      )
+
+      def maxPartitionRows(df: org.apache.spark.sql.DataFrame): Long = {
+        val sizes = df
+          .repartition(8, col("k"), col("__salt_probe"))
+          .rdd
+          .mapPartitions(it => Iterator(it.size.toLong))
+          .collect()
+        sizes.max
+      }
+      // partition the joined output the way the join shuffles it:
+      // plain = by key only (hot key lands on one partition);
+      // salted = by (key, salt) — spread over `salts` partitions.
+      val plainMax = maxPartitionRows(plain.withColumn("__salt_probe", lit(0)))
+      val saltedMax = maxPartitionRows(
+        big
+          .withColumn("__salt_probe", pmod(monotonically_increasing_id(), lit(8L)))
+          .join(small.withColumn("__salt_probe", explode(sequence(lit(0L), lit(7L)))), Seq("k", "__salt_probe")),
+      )
+      assert(
+        saltedMax * 2 < plainMax,
+        s"salting must flatten the hot key: salted max $saltedMax vs plain max $plainMax",
+      )
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -8,12 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-test").toString
+    System.setProperty("derby.system.home", scratch) // metastore_db off the repo
     val s = SparkSession
       .builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
