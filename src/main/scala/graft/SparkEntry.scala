@@ -13,7 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps,
-      SimilarityOps, PlanOps, MultimodalOps)
+      SimilarityOps, PlanOps, MultimodalOps, PipelineOps)
 
   private val declared: Seq[DeclaredQuery] = modules.flatMap(_.queries)
 

@@ -69,42 +69,50 @@ object DedupOps extends QueryModule {
     cached
   }
 
-  private val hashedGramsDuck =
+  private[operators] val hashedGramsDuck =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |g AS (SELECT doc_id, $gramsDuck AS grams FROM t),
        |h AS (SELECT doc_id, list_transform(grams, w -> ${TextOps.wordHashDuck}) AS ghs FROM g)""".stripMargin
 
-  /** Exact bigram-set Jaccard ≥ 0.3 via inverted index (explode + equi-join
-    * on the shingle, then count shared per pair). Finds the 25 planted
-    * near-dup pairs in the synthetic corpus.
+  /** Exact trigram-set Jaccard candidate pairs ≥ `minJ` via the inverted
+    * index (explode + equi-join on the shingle, count shared per pair) —
+    * also the near-dup stage of PipelineOps.clean_corpus.
     */
+  private[operators] def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
+    val g = docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("grams", expr(gramsSpark))
+      .select(col("doc_id"), size(col("grams")).as("n"), col("grams"))
+    val e = g.select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
+    val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gram"))
+    val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gram").as("gram2"))
+    x.join(y, x("gram") === y("gram2") && x("da") < y("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("j") >= minJ)
+  }
+
+  /** The matching DuckDB pair CTE (expects the hashedGramsDuck CTEs). */
+  private[operators] def jaccardPairsDuck(minJ: Double): String =
+    s"""g2 AS (SELECT doc_id, len(grams) AS n, grams FROM g),
+       |e AS (SELECT doc_id, n, unnest(grams) AS gram FROM g2),
+       |p0 AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
+       |       FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
+       |       GROUP BY 1, 2, 3, 4),
+       |p AS (SELECT da, db, shared, shared::DOUBLE / (na + nb - shared) AS j
+       |      FROM p0 WHERE shared::DOUBLE / (na + nb - shared) >= $minJ)""".stripMargin
+
   private val ngramJaccard = DeclaredQuery(
     "ngram_jaccard",
-    (s, d) => {
-      val g = documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("grams", expr(gramsSpark))
-        .select(col("doc_id"), size(col("grams")).as("n"), col("grams"))
-      val e = g.select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
-      val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gram"))
-      val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gram").as("gram2"))
-      x.join(y, x("gram") === y("gram2") && x("da") < y("db"))
-        .groupBy("da", "db", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
-        .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-        .filter(col("j") >= 0.3)
+    (s, d) =>
+      jaccardPairs(documents(s, d), 0.3)
         .select(col("da"), col("db"), col("shared"), round(col("j"), 3).as("j"))
-        .orderBy("da", "db")
-    },
+        .orderBy("da", "db"),
     Some(s"""WITH $hashedGramsDuck,
-             g2 AS (SELECT doc_id, len(grams) AS n, grams FROM g),
-             e AS (SELECT doc_id, n, unnest(grams) AS gram FROM g2),
-             p AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
-                   FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
-                   GROUP BY 1, 2, 3, 4)
-             SELECT da, db, shared, round(shared::DOUBLE / (na + nb - shared), 3) AS j
-             FROM p WHERE shared::DOUBLE / (na + nb - shared) >= 0.3
-             ORDER BY da, db"""),
+             ${jaccardPairsDuck(0.3)}
+             SELECT da, db, shared, round(j, 3) AS j
+             FROM p ORDER BY da, db"""),
   )
 
   /** MinHash parameters: 16 permutations h_i(x) = (a_i·x + b_i) mod P,

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** End-to-end pretraining-corpus cleaning — the composition the north
+  * star actually runs: quality filter → exact dedup → near-dup removal →
+  * token accounting. One declared query so the whole composed pipeline is
+  * oracle-verified, not just its stages.
+  *
+  * Stage semantics (all deterministic):
+  *  1. quality: keep docs with ≥ 20 words and uniq_ratio ≥ 0.35
+  *     (length/stopword heuristics from TextOps);
+  *  2. exact dedup: keep the min-doc_id representative per canonical
+  *     word-multiset md5 (shuffle-invariant exact dup);
+  *  3. near-dup: compute trigram Jaccard ≥ 0.3 pairs over the full corpus
+  *     and drop every doc that appears as the HIGHER id of any pair —
+  *     chains collapse to their lowest id;
+  *  4. account: per surviving doc, word and BPE-estimate token counts.
+  *
+  * Scale: stages 1–2 are scan + hash-window (no text shuffled, only
+  * hashes); stage 3 reuses the inverted-index candidate join; stage 4 is
+  * a projection. The pair table is tiny (near-dups are rare), so the
+  * removal anti-join broadcasts it.
+  */
+object PipelineOps extends QueryModule {
+
+  private val MinWords = 20
+  private val MinUniq = 0.35
+  private val MinJ = 0.3
+
+  private val cleanCorpus = DeclaredQuery(
+    "clean_corpus",
+    (s, d) => {
+      val docs = documents(s, d)
+      val quality = docs
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn(
+          "uniq_ratio",
+          size(array_distinct(col("ws"))).cast("double") / size(col("ws")),
+        )
+        .filter(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniq)
+      val deduped = quality
+        .withColumn("canon", md5(array_join(sort_array(col("ws")), " ")))
+        .withColumn(
+          "keep",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("canon").orderBy("doc_id"),
+          ) === 1,
+        )
+        .filter(col("keep"))
+      val nearDupLosers = DedupOps
+        .jaccardPairs(docs, MinJ)
+        .select(col("db").as("doc_id"))
+        .distinct()
+      deduped
+        .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_words"),
+          round(col("uniq_ratio"), 4).as("uniq_ratio"),
+          ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe"),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${DedupOps.hashedGramsDuck},
+             ${DedupOps.jaccardPairsDuck(MinJ)},
+             losers AS (SELECT DISTINCT db AS doc_id FROM p),
+             q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+             q2 AS (SELECT doc_id, lang, text, ws,
+                           CAST(len(ws) AS BIGINT) AS n_words,
+                           len(list_distinct(ws))::DOUBLE / len(ws) AS uniq_ratio
+                    FROM q
+                    WHERE len(ws) >= $MinWords
+                      AND len(list_distinct(ws))::DOUBLE / len(ws) >= $MinUniq),
+             dd AS (SELECT *, row_number() OVER (
+                      PARTITION BY md5(array_to_string(list_sort(ws), ' '))
+                      ORDER BY doc_id) AS rn
+                    FROM q2)
+             SELECT doc_id, lang, n_words, round(uniq_ratio, 4) AS uniq_ratio,
+                    CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS est_bpe
+             FROM dd
+             WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM losers)
+             ORDER BY doc_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(cleanCorpus)
+}
