@@ -11,10 +11,7 @@ import org.apache.spark.sql.functions._
 object DirectoryPlanner {
 
   /** directories.py:29-30, 54-57: refusing to manage /ifs is fatal. */
-  final class HdfsRootDirectoryException(root: String)
-      extends IllegalArgumentException(
-        s"The HDFS root directory ($root) must not be /ifs (modifying /ifs can break NFS/SMB).",
-      )
+  type HdfsRootDirectoryException = graft.HdfsRootDirectoryError
 
   /** Zone-relative rebase (directories.py:47-63): validate roots, strip the
     * zone prefix from the HDFS root, join each catalog path under it.

@@ -29,10 +29,23 @@ object IdentityPlanner {
     *
     * @param demand   (name, seq) creation demand, seq = creation order
     * @param existing (name, id) current state
+    * @param kind     entity kind for error messages ("user"/"group")
     * @return (name, seq, id, existed)
+    *
+    * Fails with [[graft.DuplicateIdentityError]] when an existing name maps
+    * to more than one id — the reference's "duplicate users (e.g. local and
+    * LDAP)?" uniqueness assertion (onefs.py:1079-1082, 1274-1277); a silent
+    * left join would duplicate demand rows instead.
     */
-  def resolveIds(demand: DataFrame, existing: DataFrame, start: Long): DataFrame = {
+  def resolveIds(
+      demand: DataFrame,
+      existing: DataFrame,
+      start: Long,
+      kind: String = "identity",
+  ): DataFrame = {
     val ex = existing.select(col("name"), col("id").cast("long").as("eid"))
+    if (ex.groupBy("name").count().filter(col("count") > 1).limit(1).count() > 0)
+      throw new graft.DuplicateIdentityError(kind)
     val joined = demand.join(broadcast(ex), Seq("name"), "left")
     val newNames = joined.filter(col("eid").isNull)
     val hi = demand
@@ -72,11 +85,11 @@ object IdentityPlanner {
     val actions = Catalogs.actionsFor(dist, zone, suffix).toDF()
 
     val groupDemand = actions.filter($"action" === "create_group").select($"name", $"seq")
-    val groups = resolveIds(groupDemand, existingGroups, startGid)
+    val groups = resolveIds(groupDemand, existingGroups, startGid, "group")
       .select($"name", $"seq", $"id".as("gid"))
 
     val userDemand = actions.filter($"action" === "create_user").select($"name", $"seq")
-    val users = resolveIds(userDemand, existingUsers, startUid)
+    val users = resolveIds(userDemand, existingUsers, startUid, "user")
       .select($"name", $"seq", $"id".as("uid"))
 
     // useradd needs the (resolved) gid of the user's primary group
