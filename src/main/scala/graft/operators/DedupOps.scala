@@ -83,7 +83,7 @@ object DedupOps extends QueryModule {
       .withColumn("ws", split(col("text"), " "))
       .withColumn("grams", expr(gramsSpark))
       .select(col("doc_id"), size(col("grams")).as("n"), col("grams"))
-    val e = g.select(col("doc_id"), col("n"), explode(col("grams")).as("gram"))
+    val e = materialized(g.select(col("doc_id"), col("n"), explode(col("grams")).as("gram")))
     val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gram"))
     val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gram").as("gram2"))
     x.join(y, x("gram") === y("gram2") && x("da") < y("db"))

@@ -1,0 +1,38 @@
+package graft
+
+/** Contract lints over the declared-query manifest (SURVEY.md §2.12):
+  * deterministic ordering in every oracle, unique names, and full oracle
+  * coverage — cheap guards against silently breaking the driver's gate.
+  */
+class DeclarationLintSpec extends SparkSpec {
+
+  test("every oracle has a deterministic ORDER BY") {
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(
+        sql.toUpperCase.contains("ORDER BY"),
+        s"$name oracle lacks ORDER BY — hash compare would be row-order lottery",
+      )
+    }
+  }
+
+  test("oracle coverage is total and names are unique") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+    assert(SparkEntry.queries.size == 43, "declared-query count changed — update SURVEY.md §2.12")
+  }
+
+  test("oracles reference only driver testdata tables") {
+    val tables = Set(
+      "region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      // strip CTE names declared in this query; whatever remains must be testdata
+      val cteRe = """(?i)([a-z_][a-z0-9_]*)(?:\s*\([^)]*\))?\s+AS\s*\(""".r
+      val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+      val unknown = refs -- ctes -- tables
+      assert(unknown.isEmpty, s"$name references unknown tables: $unknown")
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+/** Physical-plan pins: the scale-critical plan shapes asserted in CI so a
+  * refactor can't silently regress them (SCALE.md documents why each
+  * matters at 100 TB).
+  */
+class PlanAssertionsSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (equi_join_lookup)") {
+    val p = planOf("equi_join_lookup")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dims must never sort-merge")
+  }
+
+  test("anti-join pushes the filter into the parquet scan (antijoin_missing)") {
+    val p = planOf("antijoin_missing")
+    assert(p.contains("LeftAnti"), p.take(500))
+    assert(p.contains("PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)"),
+      "acctbal filter must reach the scan")
+  }
+
+  test("projection prunes columns at the scan (settings_projection)") {
+    val p = planOf("settings_projection")
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_orderstatus:string," +
+      "o_totalprice:double,o_orderpriority:string>"),
+      "scan must read only the 4 projected columns")
+  }
+
+  test("per-group top-k plans as WindowGroupLimit (cosine_topk)") {
+    assert(planOf("cosine_topk").contains("WindowGroupLimit"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (topk_limit)") {
+    assert(planOf("topk_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregations are partial+final (group_count_agg)") {
+    val p = planOf("group_count_agg")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial agg must exist")
+  }
+}
