@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.IdentityPlanner
+
+/** The scale dimension of the planner is the *existing state* (the
+  * reference walks it one REST call at a time; we join against a
+  * snapshot). 200k existing identities must plan in seconds with the
+  * same create-or-lookup/collision semantics as the 5-row case.
+  */
+class PlannerScaleSpec extends SparkSpec {
+
+  test("planIdentities against 200k existing identities stays correct and fast") {
+    // 200k existing users/groups occupying ids 1025..201024, plus the
+    // catalog's own hdfs-cl1/hive-cl1 already present with high ids.
+    val exUsers = spark
+      .range(0, 200000)
+      .select(concat(lit("u"), col("id")).as("name"), (col("id") + 1025L).as("id"))
+      .union(spark.range(1).select(lit("hdfs-cl1").as("name"), lit(900000L).as("id")))
+    val exGroups = spark
+      .range(0, 200000)
+      .select(concat(lit("g"), col("id")).as("name"), (col("id") + 1025L).as("id"))
+      .union(spark.range(1).select(lit("hive-cl1").as("name"), lit(900001L).as("id")))
+
+    val t0 = System.nanoTime()
+    val plan = IdentityPlanner
+      .planIdentities(spark, "cdh", "z1", "cl1", 1025L, 1025L, exUsers, exGroups)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+
+    val users = plan.filter(_.getAs[String]("action") == "create_user")
+    val groups = plan.filter(_.getAs[String]("action") == "create_group")
+    // create-or-lookup found the pre-existing ids among 200k rows
+    assert(users.find(_.getAs[String]("name") == "hdfs-cl1").get.getAs[Long]("id") == 900000L)
+    assert(groups.find(_.getAs[String]("name") == "hive-cl1").get.getAs[Long]("id") == 900001L)
+    // new ids all skip the fully-occupied 1025..201024 range
+    val newIds = plan
+      .filter(r => r.getAs[String]("action") == "create_user" && r.getAs[Long]("id") != 900000L)
+      .map(_.getAs[Long]("id"))
+    assert(newIds.forall(_ >= 201025L), s"allocation must skip the occupied range: ${newIds.min}")
+    assert(secs < 120.0, s"200k-state planning took ${secs}s")
+    info(f"planned CDH against 200k existing identities in $secs%.1f s")
+  }
+}
