@@ -66,6 +66,43 @@ object IdentityPlanner {
     allocated.unionByName(kept)
   }
 
+  /** The 100 TB variant of resolveIds' allocation: each shard allocates
+    * from its own disjoint id range `[start + shard·capacity, …)`, so the
+    * ranking window partitions by shard and parallelizes — no global
+    * sequence bottleneck. Contiguity holds within a shard (global
+    * contiguity is the price of parallel allocation).
+    *
+    * @param demand (name, seq, shard) — shard ∈ [0, nShards)
+    * @return (name, seq, shard, id)
+    */
+  def allocateIdsSharded(
+      demand: DataFrame,
+      taken: DataFrame, // id
+      start: Long,
+      capacity: Long,
+  ): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("seq")
+    val ranked = demand.withColumn("rn", row_number().over(w))
+    // per-shard free list: shard-local candidate pool minus taken ids
+    val perShard = demand.groupBy("shard").agg(count(lit(1)).as("nd"))
+    val pool = perShard
+      .select(
+        col("shard"),
+        explode(
+          sequence(
+            lit(start) + col("shard") * capacity,
+            lit(start) + col("shard") * capacity + col("nd") + lit(64L),
+          ),
+        ).as("id"),
+      )
+    val free = pool
+      .join(taken.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("rn", row_number().over(Window.partitionBy("shard").orderBy("id")))
+    ranked
+      .join(free, Seq("shard", "rn"))
+      .select(col("name"), col("seq"), col("shard"), col("id"))
+  }
+
   /** Full identity plan for a distribution. Output ordered by seq:
     * (phase, seq, action, name, arg, id, shell_line) — shell_line replays
     * the plan on Linux (identities.py:122, 159, 280); proxy users have no

@@ -41,4 +41,32 @@ class PlannerScaleSpec extends SparkSpec {
     assert(secs < 120.0, s"200k-state planning took ${secs}s")
     info(f"planned CDH against 200k existing identities in $secs%.1f s")
   }
+
+  test("sharded allocation: disjoint per-shard ranges, contiguous within shard") {
+    import org.apache.spark.sql.functions._
+    val demand = spark
+      .range(0, 10000)
+      .select(
+        concat(lit("n"), col("id")).as("name"),
+        col("id").cast("int").as("seq"),
+        (col("id") % 8).as("shard"),
+      )
+    val taken = spark.range(0, 50).select((col("id") * 7 + 1000000L).as("id"))
+    val got = IdentityPlanner
+      .allocateIdsSharded(demand, taken, start = 1000000L, capacity = 100000L)
+      .collect()
+    assert(got.length == 10000)
+    assert(got.map(_.getAs[String]("name")).distinct.length == 10000)
+    val takenSet = (0 until 50).map(i => i * 7 + 1000000L).toSet
+    got.foreach(r => assert(!takenSet.contains(r.getAs[Long]("id"))))
+    got.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+      val lo = 1000000L + shard * 100000L
+      val ids = rows.map(_.getAs[Long]("id")).sorted
+      assert(ids.head >= lo && ids.last < lo + 100000L, s"shard $shard ids stay in range")
+      // contiguous over the shard's free list: each next id is the next free one
+      ids.zip(ids.tail).foreach { case (a, b) =>
+        assert((a + 1 to b - 1).forall(takenSet.contains), s"gap $a->$b must be all-taken")
+      }
+    }
+  }
 }
