@@ -153,22 +153,53 @@ object SimilarityOps extends QueryModule {
   /** Embedding-space near-dup pairs: exact all-pairs cosine at a
     * threshold. Exact (no LSH prefilter) because at this threshold the
     * angular distance is too wide for short sign codes to prune without
-    * recall loss; the native expression keeps the O(n²·dim) float work in
-    * one generated loop. At 100 TB-scale vector counts this becomes the
-    * block-matmul / ANN-index territory — the LSH query above is that
-    * path's candidate generator.
+    * recall loss. The a<b join formulation materializes O(n²) rows each
+    * carrying two 64-double arrays (~1 KB/row — measured 7.7 s at 2000
+    * vectors), so this is the one operator on the documented
+    * `mapPartitions` last-resort path: broadcast the (1 MB) vector
+    * matrix — exactly what a broadcast join build would ship — and loop
+    * the pair space in JVM code, partitioned by left index. Accumulation
+    * stays a sequential index-order fold and rounding is the same
+    * HALF_UP Spark's round() uses, so results are bit-identical to the
+    * expression formulation and the oracle.
     */
   private val cosineNearDup = DeclaredQuery(
     "cosine_near_dup",
     (s, d) => {
-      val e = embeddings(s, d)
-        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      val a = e.select(col("vec_id").as("va"), col("dvec").as("qv"))
-      val b = e.select(col("vec_id").as("vb"), col("dvec").as("cv"))
-      a.join(b, col("va") < col("vb"))
-        .withColumn("sim", round(simExpr(s), 6))
-        .filter(col("sim") >= 0.4)
-        .select("va", "vb", "sim")
+      import s.implicits._
+      val vecs: Array[(Long, Array[Double])] = embeddings(s, d)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvec"))
+        .as[(Long, Array[Double])]
+        .collect()
+        .sortBy(_._1)
+      val bc = s.sparkContext.broadcast(vecs)
+      val n = vecs.length
+      s.createDataset(0 until n)
+        .repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { idxs =>
+          val vs = bc.value
+          val norms = vs.map { case (_, v) =>
+            var acc = 0.0; var i = 0
+            while (i < v.length) { acc += v(i) * v(i); i += 1 }
+            math.sqrt(acc)
+          }
+          idxs.flatMap { i =>
+            val (ia, va) = vs(i)
+            (i + 1 until vs.length).iterator.flatMap { j =>
+              val (ib, vb) = vs(j)
+              var dot = 0.0; var k = 0
+              val len = math.min(va.length, vb.length)
+              while (k < len) { dot += va(k) * vb(k); k += 1 }
+              val sim = dot / (norms(i) * norms(j))
+              val rounded = java.math.BigDecimal
+                .valueOf(sim)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .doubleValue()
+              if (rounded >= 0.4) Some((ia, ib, rounded)) else None
+            }
+          }
+        }
+        .toDF("va", "vb", "sim")
         .orderBy("va", "vb")
     },
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
