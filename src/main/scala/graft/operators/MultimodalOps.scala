@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -94,6 +94,39 @@ object MultimodalOps extends QueryModule {
         encode(col("text"), "UTF-8").as("data"),
       )
       .as[MediaRecord]
+  }
+
+  /** Frame sampling: one row per sampled frame index — a pure generator
+    * (`explode(sequence(...))`, codegen'd) over the *metadata*; the
+    * payload column is untouched (and pruned away entirely) until a
+    * decoder extracts the frame bytes. `fps`-style steps become the
+    * sequence stride.
+    */
+  def sampleFrames(media: DataFrame, nFrames: Column, step: Int): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("kind"),
+      explode(
+        when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(step)))
+          .otherwise(array().cast("array<int>")), // zero-frame media yields no rows
+      ).as("frame_idx"),
+    )
+
+  /** Resize: a decoder-level transform — real pixel work needs a codec
+    * (stubbed like NativeDecoder); the deterministic fake scales the
+    * feature chunks so the plumbing (metadata update + feature rescale)
+    * is testable. Output metadata carries the target box.
+    */
+  def resizeStub(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val scale = (w.toLong * h.toLong % 997L) / 997.0
+    media.mapPartitions(_.map { r =>
+      val f = FakeDecoder.decode(r)
+      f.copy(
+        kind = s"${r.kind};${w}x$h",
+        f0 = f.f0 * scale, f1 = f.f1 * scale, f2 = f.f2 * scale, f3 = f.f3 * scale,
+      )
+    })
   }
 
   private def chunkSqlDuck(k: Int): String =

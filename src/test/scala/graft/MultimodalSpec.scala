@@ -36,6 +36,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("frame sampling explodes metadata without touching the payload") {
+    import org.apache.spark.sql.functions._
+    val media = MultimodalOps.mediaFromDocuments(spark, sfDir).toDF()
+    // n_bytes/100 stands in for a frame count derived from metadata
+    val frames = MultimodalOps.sampleFrames(media, (col("n_bytes") / 100).cast("int"), step = 1)
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("data#"), "payload column must be pruned from the frame scan")
+    val got = frames.collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Int]("frame_idx") >= 0))
+  }
+
+  test("resize stub rescales features and tags the metadata") {
+    val media = MultimodalOps.mediaFromDocuments(spark, sfDir).limit(10)
+    val base = MultimodalOps.decodeFeatures(media, FakeDecoder).collect().sortBy(_.doc_id)
+    val resized = MultimodalOps.resizeStub(media, 224, 224).collect().sortBy(_.doc_id)
+    resized.zip(base).foreach { case (r, b) =>
+      assert(r.kind == "text/plain;224x224")
+      val scale = (224L * 224L % 997L) / 997.0
+      assert(r.f0 == b.f0 * scale)
+    }
+  }
+
   test("features depend on payload bytes") {
     val r1 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a b".getBytes))
     val r2 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a c".getBytes))
