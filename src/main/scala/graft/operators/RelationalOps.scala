@@ -204,7 +204,63 @@ object RelationalOps extends QueryModule {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 
+  /** Beyond the reference surface: hierarchical totals via ROLLUP —
+    * Catalyst expands grouping sets into one pass; the NULL indicator
+    * columns are coalesced to sentinels so cross-engine NULL ordering
+    * never matters.
+    */
+  private val rollupAgg = DeclaredQuery(
+    "rollup_agg",
+    (s, d) =>
+      orders(s, d)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        )
+        .select(
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          col("n"),
+          col("total"),
+        )
+        .orderBy("priority", "status"),
+    Some("""SELECT coalesce(o_orderpriority, '<all>') AS priority,
+                   coalesce(o_orderstatus, '<all>') AS status,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY priority, status"""),
+  )
+
+  /** Beyond the reference surface: per-user inter-event gaps via lag —
+    * the batch twin of sessionization's gap test (EventStream.sessionize).
+    */
+  private val lagGaps = DeclaredQuery(
+    "lag_gaps",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id")
+        .orderBy("ts", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn(
+          "gap_us", // exact integer microseconds — no per-side second truncation
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)),
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "gap_us")
+    },
+    Some("""SELECT user_id, event_id,
+                   epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+            FROM events
+            ORDER BY user_id, ts, event_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    rollupAgg,
+    lagGaps,
     dedupDistinct,
     equiJoinLookup,
     antijoinMissing,
