@@ -19,11 +19,17 @@ import org.apache.spark.sql.SparkSessionExtensions
   * fold, so results are bit-identical to the HOF version and to DuckDB's
   * list_inner_product-based oracle.
   *
-  * Null contract: null if either array is null (nullSafe); array elements
-  * are assumed non-null (enforce upstream with a cast), matching the HOF
-  * fold, which would propagate element nulls differently.
+  * Null contract: null if either array is null (nullSafe) or either
+  * vector has zero norm (cosine is undefined — returning NaN would
+  * silently poison downstream comparisons); array elements are assumed
+  * non-null (enforce upstream with a cast), matching the HOF fold, which
+  * would propagate element nulls differently. Mismatched array lengths
+  * raise (DuckDB's list_inner_product oracle errors on unequal lengths —
+  * silently truncating to min(n) would be a cross-engine divergence).
   */
 case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
@@ -43,7 +49,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_similarity: array length mismatch ($n vs ${y.numElements()})",
+      )
     var dot = 0.0
     var nx = 0.0
     var ny = 0.0
@@ -56,7 +66,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
       ny += yv * yv
       i += 1
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
+    if (nx == 0.0 || ny == 0.0) null
+    else dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -72,7 +83,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
         val xv = ctx.freshName("xv")
         val yv = ctx.freshName("yv")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "cosine_similarity: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  double $xv = $a.getDouble($i);
@@ -81,7 +96,11 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
            |  $nx += $xv * $xv;
            |  $ny += $yv * $yv;
            |}
-           |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+           |if ($nx == 0.0 || $ny == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+           |}
          """.stripMargin
       },
     )

@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * MALFORMED if it decodes but doesn't carry `{"errors": [{"message":
   * ...}, ...]}`, and OK otherwise (empty error lists included). The
   * reference drives this with a 10-case pytest corpus
-  * (tests/conftest.py:465-533); ApiBodySpec mirrors those shapes.
+  * (tests/conftest.py:465-533); ApiBodySpec mirrors those shapes plus the
+  * present-but-null `{"message": null}` key, which the reference's
+  * `error["message"]` lookup accepts (no KeyError) — so elements are
+  * parsed as maps and validated by KEY MEMBERSHIP, not value nullness
+  * (a struct parse can't tell key-absent from key-null).
   *
   * Pure expressions: `try_parse_json` (variant) probes decodability,
-  * `from_json` extracts the expected shape, `forall` validates every
-  * element — all codegen-friendly, no UDF.
+  * `from_json` extracts the expected shape, `forall` + `map_contains_key`
+  * validate every element — all codegen-friendly, no UDF.
   */
 object ApiBodyClassifier {
 
-  private val shape = "errors array<struct<message:string>>"
+  private val shape = "errors array<map<string,string>>"
 
   /** Adds `kind` ('ok | 'malformed | 'undecodable) and `messages`. */
   def classify(df: DataFrame, body: Column): DataFrame = {
@@ -27,13 +31,16 @@ object ApiBodyClassifier {
       "kind",
       when(body.isNull || try_parse_json(body).isNull, "undecodable")
         .when(
-          errorsCol.isNotNull && forall(errorsCol, e => e.getField("message").isNotNull),
+          errorsCol.isNotNull && forall(
+            errorsCol,
+            e => e.isNotNull && map_contains_key(e, "message"),
+          ),
           "ok",
         )
         .otherwise("malformed"),
     ).withColumn(
       "messages",
-      when(col("kind") === "ok", transform(errorsCol, e => e.getField("message")))
+      when(col("kind") === "ok", transform(errorsCol, e => element_at(e, "message")))
         .otherwise(lit(null).cast("array<string>")),
     )
   }

@@ -36,18 +36,29 @@ object IdentityPlanner {
     * to more than one id — the reference's "duplicate users (e.g. local and
     * LDAP)?" uniqueness assertion (onefs.py:1079-1082, 1274-1277); a silent
     * left join would duplicate demand rows instead.
+    *
+    * Counter-burn semantics: the live reference consumes `next_uid`/
+    * `next_gid` *before* discovering the name already exists
+    * (identities.py:233-254 calls `next_uid` then hits the already-exists
+    * branch at 251-263), so each pre-existing demand name shifts later
+    * allocations by one. The default here intentionally diverges — new
+    * names pack contiguously, which is what a plan-first engine wants
+    * (re-running a plan against state it already created must not drift
+    * ids). Pass `burnOnExisting = true` for reference-live parity: every
+    * demand row consumes a rank in the free list, and the ids ranked to
+    * existing names are discarded (burned).
     */
   def resolveIds(
       demand: DataFrame,
       existing: DataFrame,
       start: Long,
       kind: String = "identity",
+      burnOnExisting: Boolean = false,
   ): DataFrame = {
     val ex = existing.select(col("name"), col("id").cast("long").as("eid"))
     if (ex.groupBy("name").count().filter(col("count") > 1).limit(1).count() > 0)
       throw new graft.DuplicateIdentityError(kind)
     val joined = demand.join(broadcast(ex), Seq("name"), "left")
-    val newNames = joined.filter(col("eid").isNull)
     val hi = demand
       .agg(count(lit(1)).as("nd"))
       .crossJoin(ex.agg(count(lit(1)).as("ne")))
@@ -56,9 +67,13 @@ object IdentityPlanner {
     val free = pool
       .join(ex.select(col("eid").as("id")), Seq("id"), "left_anti")
       .withColumn("rn", row_number().over(Window.orderBy("id")))
-    val ranked = newNames.withColumn("rn", row_number().over(Window.orderBy("seq")))
+    // burn mode ranks every demand row (existing names consume-and-discard
+    // their rank's id); default ranks only new names (packed allocation)
+    val toRank = if (burnOnExisting) joined else joined.filter(col("eid").isNull)
+    val ranked = toRank.withColumn("rn", row_number().over(Window.orderBy("seq")))
     val allocated = ranked
       .join(free, Seq("rn"))
+      .filter(col("eid").isNull)
       .select(col("name"), col("seq"), col("id"), lit(false).as("existed"))
     val kept = joined
       .filter(col("eid").isNotNull)
@@ -83,15 +98,41 @@ object IdentityPlanner {
   ): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("seq")
     val ranked = demand.withColumn("rn", row_number().over(w))
-    // per-shard free list: shard-local candidate pool minus taken ids
+    // Per-shard free list: shard-local candidate pool minus taken ids.
+    // The pool window is sized by nd + (taken ids inside this shard's
+    // range): the window [lo, lo+nd+nt] holds nd+nt+1 candidates of which
+    // at most nt are taken, so >= nd are always free — a fixed slack would
+    // silently drop demand rows once more than that many ids were taken.
     val perShard = demand.groupBy("shard").agg(count(lit(1)).as("nd"))
+    val takenPerShard = taken
+      .select(col("id"))
+      .filter(col("id") >= start)
+      .groupBy(floor((col("id") - start) / capacity).cast("long").as("shard"))
+      .agg(count(lit(1)).as("nt"))
+    val lo = lit(start) + col("shard") * capacity
     val pool = perShard
+      .join(takenPerShard, Seq("shard"), "left")
+      .na
+      .fill(0L, Seq("nt"))
       .select(
         col("shard"),
+        // a window spilling past lo+capacity would let two shards hand out
+        // the same id — refuse loudly instead (distributed, no collect)
         explode(
           sequence(
-            lit(start) + col("shard") * capacity,
-            lit(start) + col("shard") * capacity + col("nd") + lit(64L),
+            lo,
+            when(col("nd") + col("nt") < capacity, lo + col("nd") + col("nt"))
+              .otherwise(
+                raise_error(
+                  format_string(
+                    "graft: shard %d demand %d + taken-in-range %d exceeds capacity %d",
+                    col("shard"),
+                    col("nd"),
+                    col("nt"),
+                    lit(capacity),
+                  ),
+                ),
+              ),
           ),
         ).as("id"),
       )
@@ -99,8 +140,18 @@ object IdentityPlanner {
       .join(taken.select(col("id")), Seq("id"), "left_anti")
       .withColumn("rn", row_number().over(Window.partitionBy("shard").orderBy("id")))
     ranked
-      .join(free, Seq("shard", "rn"))
-      .select(col("name"), col("seq"), col("shard"), col("id"))
+      .join(free, Seq("shard", "rn"), "left")
+      .select(
+        col("name"),
+        col("seq"),
+        col("shard"),
+        // by construction every demand row finds a free id; if not, fail
+        // loudly rather than dropping the row (inner-join would hide it)
+        when(
+          col("id").isNull,
+          raise_error(concat(lit("graft: shard allocation shortfall for "), col("name"))),
+        ).otherwise(col("id")).as("id"),
+      )
   }
 
   /** Full identity plan for a distribution. Output ordered by seq:

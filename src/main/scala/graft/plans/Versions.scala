@@ -65,18 +65,23 @@ object Versions {
   }
 
   /** Feature support (onefs.py:1010-1035): a feature (generation, bit) is
-    * supported iff some committed word i of that generation satisfies
-    * bit == i*64 + offset, else generations at-or-below the default are
-    * assumed supported.
+    * supported iff some committed word i of that generation carries an
+    * offset with bit == i*64 + offset, else generations at-or-below the
+    * default are assumed supported. Each committed word carries a *list*
+    * of offsets (the reference's gen_bits entries iterate
+    * `for offset in offsets` per word) — a word can commit many bits.
     */
   def featureSupported(
       generation: Int,
       bit: Long,
-      committed: Seq[(Int, Long)], // (generation, word-bit value)
+      committed: Seq[(Int, Seq[Long])], // (generation, offsets within word i)
       defaultGeneration: Int,
   ): Boolean = {
     val words = committed.filter(_._1 == generation).map(_._2)
     if (words.isEmpty) generation <= defaultGeneration
-    else words.zipWithIndex.exists { case (offset, i) => bit == i * 64 + offset }
+    else
+      words.zipWithIndex.exists { case (offsets, i) =>
+        offsets.exists(offset => bit == i * 64 + offset)
+      }
   }
 }

@@ -65,6 +65,39 @@ class AllocationSpec extends SparkSpec {
     assert(got == loopAlloc(demand.sorted, taken, 1025L))
   }
 
+  test("resolveIds burnOnExisting reproduces the reference's counter burn") {
+    import spark.implicits._
+    // live reference: next_uid is consumed BEFORE the already-exists branch
+    // (identities.py:233-254 → 251-263), so d2/d4 existing burns 1026/1028
+    val demand = Seq(("d1", 1), ("d2", 2), ("d3", 3), ("d4", 4), ("d5", 5), ("d6", 6))
+      .toDF("name", "seq")
+    val existing = Seq(("d2", 5000L), ("d4", 5001L)).toDF("name", "id")
+    val burned = graft.plans.IdentityPlanner
+      .resolveIds(demand, existing, 1025L, burnOnExisting = true)
+      .collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("id"))
+      .toMap
+    assert(
+      burned == Map(
+        "d1" -> 1025L, "d2" -> 5000L, "d3" -> 1027L,
+        "d4" -> 5001L, "d5" -> 1029L, "d6" -> 1030L,
+      ),
+    )
+    // default (plan-first) mode packs new names contiguously — the
+    // documented intentional divergence from live-reference burn
+    val packed = graft.plans.IdentityPlanner
+      .resolveIds(demand, existing, 1025L)
+      .collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("id"))
+      .toMap
+    assert(
+      packed == Map(
+        "d1" -> 1025L, "d2" -> 5000L, "d3" -> 1026L,
+        "d4" -> 5001L, "d5" -> 1027L, "d6" -> 1028L,
+      ),
+    )
+  }
+
   test("id_allocation is contiguous from 1025 in sort order") {
     val rows = SparkEntry
       .queries("id_allocation")(spark, sfDir)

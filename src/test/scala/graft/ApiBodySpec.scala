@@ -4,7 +4,8 @@ import graft.operators.ApiBodyClassifier
 import org.apache.spark.sql.functions.col
 
 /** The reference's 10-case malformed-error-body corpus
-  * (tests/conftest.py:465-533) against the expression-based classifier:
+  * (tests/conftest.py:465-533) — plus present-but-null-key shapes the
+  * corpus misses — against the expression-based classifier:
   * decodable+valid → ok, decodable+invalid → malformed, otherwise
   * undecodable.
   */
@@ -22,9 +23,13 @@ class ApiBodySpec extends SparkSpec {
     ("""not JSON""", "undecodable"), // Apache errored before PAPI
     (null, "undecodable"), // no body
     ("""{"errors": [{"message": "a"}, {"message": "b"}]}""", "ok"),
+    // present-but-null key: error["message"] succeeds in the reference (no
+    // KeyError), so this is VALID — key membership, not value nullness
+    ("""{"errors": [{"message": null}]}""", "ok"),
+    ("""{"errors": [{"message": null}, {"note": "x"}]}""", "malformed"), // 2nd lacks the key
   )
 
-  test("the 10-case body corpus classifies exactly as the reference") {
+  test("the body corpus classifies exactly as the reference") {
     val df = corpus.zipWithIndex
       .map { case ((body, exp), i) => (i, body, exp) }
       .toDF("i", "body", "expected")

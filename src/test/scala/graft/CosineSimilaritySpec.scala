@@ -46,6 +46,39 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors yield null (not NaN), mismatched lengths raise") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // codegen path
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)), (Seq(1.0, 2.0), Seq(0.0, 0.0)))
+      .toDF("a", "b")
+      .select(expr("cosine_similarity(a, b)"))
+      .collect()
+    assert(z.forall(_.isNullAt(0)), "zero-norm must be null, not NaN")
+    val mismatch = intercept[Exception] {
+      Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))
+        .toDF("a", "b")
+        .select(expr("cosine_similarity(a, b)"))
+        .collect()
+    }
+    assert(mismatch.getMessage.contains("length mismatch")
+      || mismatch.getCause != null && mismatch.getCause.getMessage.contains("length mismatch"))
+    // interpreted path agrees
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val zi = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0)))
+        .toDF("a", "b")
+        .select(expr("cosine_similarity(a, b)"))
+        .collect()
+      assert(zi.head.isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("extension injector wires the same registrations") {
     // builder-level injection can't be exercised on an existing session;
     // validate the injector runs against a fresh extensions container.

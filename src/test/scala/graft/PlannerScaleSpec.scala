@@ -42,6 +42,45 @@ class PlannerScaleSpec extends SparkSpec {
     info(f"planned CDH against 200k existing identities in $secs%.1f s")
   }
 
+  test("sharded allocation survives >64 taken ids inside one shard's pool window") {
+    // 500 taken ids densely packed at the front of shard 0's range: the old
+    // fixed +64 slack dropped demand rows here; pool sizing must count them
+    val demand = spark
+      .range(0, 100)
+      .select(
+        concat(lit("n"), col("id")).as("name"),
+        col("id").cast("int").as("seq"),
+        lit(0L).as("shard"),
+      )
+    val taken = spark.range(0, 500).select((col("id") + 1000000L).as("id"))
+    val got = IdentityPlanner
+      .allocateIdsSharded(demand, taken, start = 1000000L, capacity = 10000L)
+      .collect()
+    assert(got.length == 100, "no demand row may be silently dropped")
+    val ids = got.map(_.getAs[Long]("id")).sorted
+    assert(ids.head == 1000500L && ids.last == 1000599L, "ids pack right after the taken block")
+  }
+
+  test("sharded allocation refuses overflow past a shard's capacity") {
+    val demand = spark
+      .range(0, 60)
+      .select(
+        concat(lit("n"), col("id")).as("name"),
+        col("id").cast("int").as("seq"),
+        lit(0L).as("shard"),
+      )
+    val taken = spark.range(0, 50).select((col("id") + 1000L).as("id"))
+    // nd=60 + nt=50 >= capacity=100 → the pool would spill into shard 1
+    val ex = intercept[Exception] {
+      IdentityPlanner
+        .allocateIdsSharded(demand, taken, start = 1000L, capacity = 100L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("exceeds capacity")), msgs(ex).mkString(" | "))
+  }
+
   test("sharded allocation: disjoint per-shard ranges, contiguous within shard") {
     import org.apache.spark.sql.functions._
     val demand = spark

@@ -43,9 +43,15 @@ class VersionsSpec extends AnyFunSuite {
   }
 
   test("feature bits: word membership and default-generation fallback") {
-    // bit 65 = word 1 * 64 + offset 1 → supported if committed words are (x, 1)
-    assert(featureSupported(2, 65L, Seq((2, 99L), (2, 1L)), defaultGeneration = 1))
-    assert(!featureSupported(2, 65L, Seq((2, 99L), (2, 2L)), defaultGeneration = 1))
+    // bit 65 = word 1 * 64 + offset 1 → supported if word 1's offsets hold 1
+    assert(featureSupported(2, 65L, Seq((2, Seq(99L)), (2, Seq(1L))), defaultGeneration = 1))
+    assert(!featureSupported(2, 65L, Seq((2, Seq(99L)), (2, Seq(2L))), defaultGeneration = 1))
+    // a word committing MULTIPLE bits (for offset in offsets, onefs.py:1029-1033)
+    assert(featureSupported(2, 65L, Seq((2, Seq(99L)), (2, Seq(0L, 1L, 7L))), defaultGeneration = 1))
+    assert(featureSupported(2, 7L, Seq((2, Seq(3L, 7L, 12L))), defaultGeneration = 1))
+    assert(!featureSupported(2, 8L, Seq((2, Seq(3L, 7L, 12L))), defaultGeneration = 1))
+    // empty offset list on a word commits nothing but still occupies index i
+    assert(featureSupported(2, 64L, Seq((2, Seq.empty), (2, Seq(0L))), defaultGeneration = 1))
     // no committed words for the generation → default-generation gate
     assert(featureSupported(1, 0L, Seq.empty, defaultGeneration = 1))
     assert(!featureSupported(2, 0L, Seq.empty, defaultGeneration = 1))
