@@ -18,12 +18,21 @@ object Bench {
       .groupBy("r_name").count().write.format("noop").mode("overwrite").save()
     // noop sink forces full materialization of every output column;
     // count() would let Catalyst prune the projections being measured.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
+    // SPARK_GRAFT_ONLY=a,b,c + SPARK_GRAFT_REPS=n for focused iteration.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val results = SparkEntry.queries.toSeq
+      .sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -120,6 +120,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
         (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)),
       ),
+      (
+        FunctionIdentifier("graft_poly_hash"),
+        new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
+        (children: Seq[Expression]) => PolyHash(children(0)),
+      ),
     )
 
   /** Imperative per-session registration (idempotent) — usable from any

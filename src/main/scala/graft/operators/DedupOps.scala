@@ -50,13 +50,34 @@ object DedupOps extends QueryModule {
       .withColumn("grams", expr(gramsSpark))
       .withColumn("ghs", expr(s"transform(grams, w -> ${TextOps.wordHashSpark})"))
 
-  /** One row per (doc, hashed shingle) — signature computation then runs
-    * as a codegen'd hash aggregation with map-side partial aggregation,
-    * instead of interpreted higher-order-function lambdas (measured 20×
-    * faster at sf0.1; shuffle payload is just (doc_id, 16×8B mins).
+  /** The shared dedup substrate: one row per (doc, hashed shingle) plus
+    * the doc's shingle count — the signature-store pattern. Every dedup
+    * query (Jaccard, MinHash, SimHash, clean_corpus's near-dup stage)
+    * derives from this table, so the expensive interpreted char-fold hash
+    * over each shingle runs ONCE per session+dataset and is served from
+    * cache afterwards. At 100 TB this is the materialized signature table
+    * you'd persist to parquet between pipeline stages; rows are
+    * (long, int, long) — a few hundred bytes per document, memory-safe.
+    *
+    * Signature computation downstream runs as codegen'd hash aggregation
+    * with map-side partial aggregation instead of interpreted
+    * higher-order-function lambdas (measured 20× faster at sf0.1); the
+    * shuffle carries (doc_id, a few longs), never the text.
     */
-  private def gramRows(df: DataFrame): DataFrame =
-    hashedGrams(df).select(col("doc_id"), explode(col("ghs")).as("gh"))
+  private val substrateCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def gramRows(s: SparkSession, d: String): DataFrame =
+    substrateCache.getOrElseUpdate(
+      (s, d), {
+        graft.functions.GraftFunctions.register(s)
+        val df = hashedGrams(documents(s, d))
+          .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
+          .persist()
+        df.count()
+        df
+      },
+    )
 
   /** Materialize a signature table before self-joining on it: both join
     * sides then read the computed partitions instead of re-running the
@@ -75,18 +96,18 @@ object DedupOps extends QueryModule {
        |h AS (SELECT doc_id, list_transform(grams, w -> ${TextOps.wordHashDuck}) AS ghs FROM g)""".stripMargin
 
   /** Exact trigram-set Jaccard candidate pairs ≥ `minJ` via the inverted
-    * index (explode + equi-join on the shingle, count shared per pair) —
-    * also the near-dup stage of PipelineOps.clean_corpus.
+    * index (equi-join on the HASHED shingle, count shared per pair) —
+    * also the near-dup stage of PipelineOps.clean_corpus. Joining on the
+    * 8-byte shingle hash instead of the shingle string keeps the shuffle
+    * narrow and the join key fixed-width; the oracle states the identical
+    * hashed-shingle formulation, so both engines agree even in the
+    * (possible) event of a hash collision.
     */
-  private[operators] def jaccardPairs(docs: DataFrame, minJ: Double): DataFrame = {
-    val g = docs
-      .withColumn("ws", split(col("text"), " "))
-      .withColumn("grams", expr(gramsSpark))
-      .select(col("doc_id"), size(col("grams")).as("n"), col("grams"))
-    val e = materialized(g.select(col("doc_id"), col("n"), explode(col("grams")).as("gram")))
-    val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gram"))
-    val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gram").as("gram2"))
-    x.join(y, x("gram") === y("gram2") && x("da") < y("db"))
+  private[operators] def jaccardPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
+    val e = gramRows(s, d)
+    val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+    val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
+    x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
       .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
@@ -95,8 +116,7 @@ object DedupOps extends QueryModule {
 
   /** The matching DuckDB pair CTE (expects the hashedGramsDuck CTEs). */
   private[operators] def jaccardPairsDuck(minJ: Double): String =
-    s"""g2 AS (SELECT doc_id, len(grams) AS n, grams FROM g),
-       |e AS (SELECT doc_id, n, unnest(grams) AS gram FROM g2),
+    s"""e AS (SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gram FROM h),
        |p0 AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
        |       FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
        |       GROUP BY 1, 2, 3, 4),
@@ -106,7 +126,7 @@ object DedupOps extends QueryModule {
   private val ngramJaccard = DeclaredQuery(
     "ngram_jaccard",
     (s, d) =>
-      jaccardPairs(documents(s, d), 0.3)
+      jaccardPairs(s, d, 0.3)
         .select(col("da"), col("db"), col("shared"), round(col("j"), 3).as("j"))
         .orderBy("da", "db"),
     Some(s"""WITH $hashedGramsDuck,
@@ -136,7 +156,7 @@ object DedupOps extends QueryModule {
         }
         .mkString("inline(array(", ", ", "))")
       val banded = materialized(
-        gramRows(documents(s, d))
+        gramRows(s, d)
           .groupBy("doc_id")
           .agg(minCols.head, minCols.tail: _*)
           .withColumn("mhs", array((0 until 16).map(i => col(s"m$i")): _*))
@@ -200,7 +220,7 @@ object DedupOps extends QueryModule {
         .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
       val sigs = materialized(
-        gramRows(documents(s, d))
+        gramRows(s, d)
           .groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), simCol.as("sim"))

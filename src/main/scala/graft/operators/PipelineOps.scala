@@ -51,7 +51,7 @@ object PipelineOps extends QueryModule {
         )
         .filter(col("keep"))
       val nearDupLosers = DedupOps
-        .jaccardPairs(docs, MinJ)
+        .jaccardPairs(s, d, MinJ)
         .select(col("db").as("doc_id"))
         .distinct()
       deduped

@@ -23,8 +23,16 @@ import graft.Tables._
   */
 object TextOps extends QueryModule {
 
-  /** Polynomial word hash, Spark side: fold chars, base 31 mod 1e9+7. */
-  val wordHashSpark =
+  /** Polynomial word hash, Spark side: fold chars, base 31 mod 1e9+7 —
+    * the native codegen'd expression ([[graft.functions.PolyHash]]);
+    * builders using it must call GraftFunctions.register first.
+    */
+  val wordHashSpark = "graft_poly_hash(w)"
+
+  /** The equivalent interpreted HOF formulation (kept for the
+    * bit-equality spec that proves the native expression's semantics).
+    */
+  val wordHashSparkHof =
     "aggregate(split(w, ''), CAST(0 AS BIGINT), (a, c) -> (a * 31 + ascii(c)) % 1000000007)"
 
   /** Same hash, DuckDB side (list_reduce has no init → prepend the zero). */
@@ -152,7 +160,8 @@ object TextOps extends QueryModule {
     */
   private val docFingerprint = DeclaredQuery(
     "doc_fingerprint",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       documents(s, d)
         .withColumn("ws", split(col("text"), " "))
         .select(
@@ -165,7 +174,8 @@ object TextOps extends QueryModule {
                |  (acc, h) -> (acc * 1000003 + h) % 2147483647)""".stripMargin,
           ).as("fp_roll"),
         )
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+    },
     Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
              SELECT doc_id,
                     md5(array_to_string(list_sort(ws), ' ')) AS fp_canon,

@@ -13,6 +13,7 @@ class TextOpsSpec extends SparkSpec {
     w.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
 
   test("Spark polynomial word hash matches the Scala fold") {
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val words = Seq("spark", "the", "a", "join merge", "x")
     val got = words
@@ -23,7 +24,26 @@ class TextOpsSpec extends SparkSpec {
     assert(got.toSeq == words.map(polyHash))
   }
 
+  test("native graft_poly_hash equals the interpreted HOF fold, incl. non-ASCII") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // é (2-byte UTF-8), € (3-byte), 𝄞 (4-byte, surrogate pair in UTF-16):
+    // split(w, '') + ascii() folds code points, so the native loop must too
+    val words = Seq("spark", "", "a", "héllo", "€uro", "g𝄞clef", "mixed é€𝄞")
+    val rows = words
+      .toDF("w")
+      .select(
+        expr(graft.operators.TextOps.wordHashSpark).as("native"),
+        expr(graft.operators.TextOps.wordHashSparkHof).as("hof"),
+      )
+      .collect()
+    rows.zip(words).foreach { case (r, w) =>
+      assert(r.getLong(0) == r.getLong(1), s"native != HOF for '$w'")
+    }
+  }
+
   test("fp_canon is shuffle-invariant, fp_roll is order-sensitive") {
+    graft.functions.GraftFunctions.register(spark)
     import spark.implicits._
     val df = Seq(
       (1L, "alpha beta gamma"),
