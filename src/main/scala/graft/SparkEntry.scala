@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] =
     Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps,
-      SimilarityOps, PlanOps, MultimodalOps, PipelineOps)
+      SimilarityOps, PlanOps, MultimodalOps, PipelineOps, TemporalOps,
+      AggregatorOps, SourceOps)
 
   private val declared: Seq[DeclaredQuery] = modules.flatMap(_.queries)
 

@@ -17,13 +17,16 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 45, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 49, "declared-query count changed — update SURVEY.md §2.12")
   }
 
   test("oracles reference only driver testdata tables") {
     val tables = Set(
       "region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings",
+      // table functions DuckDB provides without touching files (state_scan
+      // rebuilds the V2 source's deterministic rows from a range)
+      "range",
     )
     val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>

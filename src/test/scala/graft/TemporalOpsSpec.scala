@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the temporal operators: the union+window as-of join must
+  * agree with a direct per-row scan, and sessionization must partition
+  * the event stream with gaps only at session boundaries.
+  */
+class TemporalOpsSpec extends SparkSpec {
+
+  test("asof_join matches a per-row most-recent-prior scan") {
+    val ev = Tables
+      .events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_type"),
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicks = ev.filter(_._4 == "click")
+    val expected = ev
+      .filter(_._4 == "purchase")
+      .map { case (eid, uid, t, _) =>
+        val prior = clicks.filter(c => c._2 == uid && c._3 <= t)
+        // most recent; ties broken by max event_id (the deduped keeper)
+        val best =
+          if (prior.isEmpty) None
+          else Some(prior.maxBy(c => (c._3, c._1))._1)
+        eid -> best
+      }
+      .toMap
+    val got = SparkEntry
+      .queries("asof_join")(spark, sfDir)
+      .collect()
+      .map { r =>
+        r.getAs[Long]("purchase_id") ->
+          (if (r.isNullAt(r.fieldIndex("click_id"))) None
+           else Some(r.getAs[Long]("click_id")))
+      }
+      .toMap
+    assert(got == expected)
+  }
+
+  test("sessionize partitions all events; gaps only at session boundaries") {
+    val sessions = SparkEntry.queries("sessionize")(spark, sfDir).collect()
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum == nEvents, "sessions partition the stream")
+    // within a user, consecutive sessions are separated by > gap
+    val gapUs = 14400000000L
+    sessions
+      .groupBy(_.getAs[Long]("user_id"))
+      .foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("sess"))
+        assert(sorted.map(_.getAs[Long]("sess")).toSeq == (1L to sorted.length).toSeq)
+        sorted.zip(sorted.tail).foreach { case (a, b) =>
+          assert(
+            b.getAs[Long]("start_us") - a.getAs[Long]("end_us") > gapUs,
+            "adjacent sessions must be separated by more than the gap",
+          )
+        }
+        sorted.foreach(r =>
+          assert(r.getAs[Long]("duration_us") ==
+            r.getAs[Long]("end_us") - r.getAs[Long]("start_us")),
+        )
+      }
+  }
+}
