@@ -42,4 +42,27 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(500))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial agg must exist")
   }
+
+  test("as-of join is sort-merge shaped: no join operator, windows share sorts (asof_join)") {
+    val p = planOf("asof_join")
+    assert(!p.contains("Join"), "as-of must be the union+window plan, never a join")
+    assert(p.contains("WindowGroupLimit"), "right-side dedup must group-limit before full sort")
+    // the two running-last windows must reuse one exchange+sort, not add their own
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"union+dedup+final-sort needs at most 4 exchanges, got $exchanges:\n${p.take(800)}")
+  }
+
+  test("sessionize runs in one partition-by-user sort (sessionize)") {
+    val p = planOf("sessionize")
+    assert(!p.contains("Join"), "sessionize must never self-join")
+    val windows = "Window\n".r.findAllIn(p).size + "Window ".r.findAllIn(p).size
+    assert(windows >= 1, p.take(500))
+  }
+
+  test("V2 source consumes the id range; kind stays residual (state_scan)") {
+    val p = planOf("state_scan")
+    assert(p.contains("graft_state"), p.take(500))
+    // the residual kind filter is applied post-scan by Spark
+    assert(p.contains("Filter"), "kind predicate must remain a residual filter")
+  }
 }

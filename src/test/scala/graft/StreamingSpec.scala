@@ -57,6 +57,55 @@ class StreamingSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("streaming sessionize parity with the batch sessionize oracle query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stream = EventStream
+      .readEvents(spark, eventsDir)
+      .select(col("user_id"), col("ts"))
+      .as[EventStream.SessionEvent]
+    val sess = EventStream.sessionize(stream, java.time.Duration.ofHours(4))
+    val q = sess.writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-sess").toString)
+      .start()
+    q.awaitTermination(120000)
+    // streaming state keeps ms precision; batch keeps µs — compare at ms
+    val streamed = spark
+      .table("sessions")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime,
+          r.getAs[java.sql.Timestamp]("session_end").getTime,
+          r.getAs[Int]("n_events").toLong,
+        ),
+      )
+      .toSet
+    val batchRows = SparkEntry.queries("sessionize")(spark, sfDir).collect()
+    val batch = batchRows
+      .map(r =>
+        (
+          r.getAs[Long]("user_id"),
+          r.getAs[Long]("start_us") / 1000,
+          r.getAs[Long]("end_us") / 1000,
+          r.getAs[Long]("n_events"),
+        ),
+      )
+      .toSet
+    assert(streamed.subsetOf(batch), "every closed streaming session must be a batch session")
+    // a user's final session may remain open (unemitted) at stream end
+    val nUsers = batchRows.map(_.getAs[Long]("user_id")).distinct.length
+    assert(
+      streamed.size >= batch.size - nUsers,
+      s"at most one open session per user may be withheld: ${streamed.size} vs ${batch.size} - $nUsers",
+    )
+  }
+
   test("watermarked hourly agg is a valid streaming plan") {
     val stream = EventStream.readEvents(spark, eventsDir)
     // analysis-time validation: watermark + window agg resolves in append mode
