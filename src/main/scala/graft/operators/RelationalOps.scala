@@ -258,7 +258,66 @@ object RelationalOps extends QueryModule {
             ORDER BY user_id, ts, event_id"""),
   )
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`: both interpolate at rank p·(n−1)). Rounded
+    * to cents — sub-ULP interpolation-order differences between engines
+    * vanish at 2 decimals.
+    */
+  private val quantileStats = DeclaredQuery(
+    "quantile_stats",
+    (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+          round(min("o_totalprice"), 2).as("lo"),
+          round(max("o_totalprice"), 2).as("hi"),
+        )
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   round(quantile_cont(o_totalprice, 0.95), 2) AS p95,
+                   round(min(o_totalprice), 2) AS lo,
+                   round(max(o_totalprice), 2) AS hi
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
+  /** RANGE-frame rolling window: per-customer trailing-7-day spend. The
+    * frame is on integer day numbers (RANGE BETWEEN 6 PRECEDING AND
+    * CURRENT ROW), so same-day orders fall in each other's frames — the
+    * semantic difference from a ROWS frame. Sums go through
+    * DECIMAL(18,2) so the in-frame accumulation order can't drift.
+    */
+  private val rangeFrameAgg = DeclaredQuery(
+    "range_frame_agg",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      orders(s, d)
+        .withColumn("day", datediff(col("o_orderdate"), lit("1970-01-01")).cast("long"))
+        .withColumn(
+          "spend_7d",
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .select("o_orderkey", "o_custkey", "day", "spend_7d")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+            FROM orders ORDER BY o_orderkey"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    quantileStats,
+    rangeFrameAgg,
     rollupAgg,
     lagGaps,
     dedupDistinct,
