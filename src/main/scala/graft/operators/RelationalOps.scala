@@ -315,9 +315,33 @@ object RelationalOps extends QueryModule {
             FROM orders ORDER BY o_orderkey"""),
   )
 
+  /** Pivot (wide aggregation): order counts per priority pivoted by
+    * status. The pivot value list is EXPLICIT — at scale an implicit
+    * pivot runs a distinct scan first and can explode the column count;
+    * declaring values keeps the plan a single pass. The oracle states the
+    * equivalent FILTERed aggregates (portable across engines).
+    */
+  private val pivotCounts = DeclaredQuery(
+    "pivot_counts",
+    (s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na
+        .fill(0L)
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     quantileStats,
     rangeFrameAgg,
+    pivotCounts,
     rollupAgg,
     lagGaps,
     dedupDistinct,
