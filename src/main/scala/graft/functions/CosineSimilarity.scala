@@ -125,6 +125,16 @@ object GraftFunctions {
         new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
         (children: Seq[Expression]) => PolyHash(children(0)),
       ),
+      (
+        FunctionIdentifier("graft_pow31"),
+        new ExpressionInfo(classOf[PolyPow31].getName, "graft_pow31"),
+        (children: Seq[Expression]) => PolyPow31(children(0)),
+      ),
+      (
+        FunctionIdentifier("graft_gram_hashes"),
+        new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
+        (children: Seq[Expression]) => GramHashes(children(0)),
+      ),
     )
 
   /** Imperative per-session registration (idempotent) — usable from any

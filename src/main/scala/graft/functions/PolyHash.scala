@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen'd polynomial string hash: fold code points, base 31,
@@ -63,6 +63,138 @@ case class PolyHash(child: Expression) extends UnaryExpression {
            |  $i += java.lang.Character.charCount($cp);
            |}
            |${ev.value} = $h;
+         """.stripMargin
+      },
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** One-pass trigram-shingle hashing: array<string> words → array<long>
+  * distinct trigram hashes, where each trigram hash equals the [[PolyHash]]
+  * char-fold of "w1 w2 w3" via the algebraic composition
+  * H(a||b) = H(a)·31^len(b) + H(b) (mod M), separator = ·31 + 32.
+  *
+  * Why one expression instead of composing `transform`s over (hash, pow)
+  * columns: Catalyst's CollapseProject inlines the per-word transforms
+  * into EVERY element_at access of the gram lambda, re-evaluating the
+  * whole word-array transform per element — O(n²) per document (measured
+  * 8× slower at sf0.1). This computes word hashes once and composes all
+  * shingles in a single compiled pass, and stays inside whole-stage
+  * codegen by emitting one static call per row.
+  */
+case class GramHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.catalogString}",
+      )
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashesUtil.compute(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"${ev.value} = graft.functions.GramHashesUtil.compute($a);",
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramHashesUtil {
+  private val M = 1000000007L
+
+  /** Word array → distinct trigram hashes (first-occurrence order;
+    * downstream consumers are order-insensitive aggregations/joins).
+    */
+  def compute(ws: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = ws.numElements()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val h = new Array[Long](n)
+    val p = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = ws.getUTF8String(i).toString
+      var hh = 0L
+      var pp = 1L
+      var j = 0
+      while (j < s.length) {
+        val cp = s.codePointAt(j)
+        hh = (hh * 31L + cp) % M
+        pp = (pp * 31L) % M
+        j += Character.charCount(cp)
+      }
+      h(i) = hh
+      p(i) = pp
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var k = 0
+    while (k <= n - 3) {
+      var g = h(k)
+      g = ((g * 31L + 32L) % M * p(k + 1) + h(k + 1)) % M
+      g = ((g * 31L + 32L) % M * p(k + 2) + h(k + 2)) % M
+      seen.add(g)
+      k += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** 31^len(s) mod 1e9+7, len in code points — the composition factor of
+  * [[PolyHash]]: folding string b onto accumulator a gives
+  * a·31^len(b) + H(b) (mod M), so concatenated-string hashes (shingles)
+  * compose from per-word (hash, pow) pairs in O(1) per shingle instead of
+  * re-folding every character of the concatenation.
+  */
+case class PolyPow31(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}",
+      )
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pow31"
+
+  override def nullSafeEval(input: Any): Any = {
+    // UTF8String.numChars counts code points — matches PolyHash's fold count
+    var n = input.asInstanceOf[UTF8String].numChars()
+    var p = 1L
+    while (n > 0) { p = (p * 31L) % 1000000007L; n -= 1 }
+    p
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => {
+        val n = ctx.freshName("n")
+        val p = ctx.freshName("p")
+        s"""
+           |int $n = $a.numChars();
+           |long $p = 1L;
+           |while ($n > 0) { $p = ($p * 31L) % 1000000007L; $n--; }
+           |${ev.value} = $p;
          """.stripMargin
       },
     )

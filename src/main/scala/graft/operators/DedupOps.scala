@@ -33,22 +33,40 @@ object DedupOps extends QueryModule {
     * candidates linear while planted near-dups still share ~97% of
     * shingles. The df-cap on hot shingles is the equivalent production
     * knob at 100 TB.
+    *
+    * Trigram-shingle hashes composed algebraically from per-word
+    * (hash, 31^len) pairs — H("w1 w2 w3") without ever building the gram
+    * string: folding string b onto accumulator a gives
+    * a·31^len(b) + H(b) (mod M), and the separator contributes a·31 + 32.
+    * One native hash + one native pow per WORD replaces one char-fold
+    * over ~3 words per TRIGRAM (≈3× less hash work, zero gram-string
+    * allocation). Both engines state the identical composition, so
+    * signatures stay bit-equal; PolyComposeSpec proves it equals hashing
+    * the concatenated string.
     */
-  private val gramsSpark =
-    """IF(size(ws) >= 3,
-      |   array_distinct(zip_with(
-      |     zip_with(slice(ws, 1, size(ws) - 2), slice(ws, 2, size(ws) - 2), (x, y) -> concat(x, ' ', y)),
-      |     slice(ws, 3, size(ws) - 2), (x, y) -> concat(x, ' ', y))),
-      |   array())""".stripMargin
+  private val M = 1000000007L
 
-  private val gramsDuck =
-    "list_distinct(list_transform(generate_series(1, len(ws) - 2), i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
+  private def stepDuck(acc: String, i: String): String =
+    s"(((($acc) * 31 + 32) % $M * pws[$i] + hws[$i]) % $M)"
 
-  /** doc_id + hashed-shingle array, Spark side. */
+  private val gramHashDuck = {
+    val g = stepDuck(stepDuck("hws[i]", "i + 1"), "i + 2")
+    s"list_distinct(list_transform(generate_series(1, len(hws) - 2), i -> $g))"
+  }
+
+  private val pow31Duck =
+    """list_reduce(list_prepend(CAST(1 AS BIGINT),
+      |  list_transform(generate_series(1, length(w)), x -> CAST(31 AS BIGINT))),
+      |  (a, b) -> (a * b) % 1000000007)""".stripMargin
+
+  /** doc_id + hashed-shingle array, Spark side: ONE native call per
+    * document ([[graft.functions.GramHashes]]) — word hashes computed
+    * once, shingles composed in the same pass. (Composing via
+    * `transform`ed hash/pow columns instead lets CollapseProject inline
+    * the per-word transform into every element access — O(n²)/doc.)
+    */
   private def hashedGrams(df: DataFrame): DataFrame =
-    df.withColumn("ws", split(col("text"), " "))
-      .withColumn("grams", expr(gramsSpark))
-      .withColumn("ghs", expr(s"transform(grams, w -> ${TextOps.wordHashSpark})"))
+    df.withColumn("ghs", expr("graft_gram_hashes(split(text, ' '))"))
 
   /** The shared dedup substrate: one row per (doc, hashed shingle) plus
     * the doc's shingle count — the signature-store pattern. Every dedup
@@ -92,8 +110,11 @@ object DedupOps extends QueryModule {
 
   private[operators] val hashedGramsDuck =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |g AS (SELECT doc_id, $gramsDuck AS grams FROM t),
-       |h AS (SELECT doc_id, list_transform(grams, w -> ${TextOps.wordHashDuck}) AS ghs FROM g)""".stripMargin
+       |hp AS (SELECT doc_id,
+       |              list_transform(ws, w -> ${TextOps.wordHashDuck}) AS hws,
+       |              list_transform(ws, w -> $pow31Duck) AS pws
+       |       FROM t),
+       |h AS (SELECT doc_id, $gramHashDuck AS ghs FROM hp)""".stripMargin
 
   /** Exact trigram-set Jaccard candidate pairs ≥ `minJ` via the inverted
     * index (equi-join on the HASHED shingle, count shared per pair) —
