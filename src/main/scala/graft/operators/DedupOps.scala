@@ -124,16 +124,27 @@ object DedupOps extends QueryModule {
     * hashed-shingle formulation, so both engines agree even in the
     * (possible) event of a hash collision.
     */
-  private[operators] def jaccardPairs(s: SparkSession, d: String, minJ: Double): DataFrame = {
-    val e = gramRows(s, d)
-    val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
-    val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
-    x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
-      .groupBy("da", "db", "na", "nb")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
-      .filter(col("j") >= minJ)
-  }
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+
+  private[operators] def jaccardPairs(s: SparkSession, d: String, minJ: Double): DataFrame =
+    pairsCache.getOrElseUpdate(
+      (s, d, minJ), {
+        val e = gramRows(s, d)
+        val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+        val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
+        materialized(
+          x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
+            .groupBy("da", "db", "na", "nb")
+            .agg(count(lit(1)).as("shared"))
+            .withColumn(
+              "j",
+              col("shared").cast("double") / (col("na") + col("nb") - col("shared")),
+            )
+            .filter(col("j") >= minJ),
+        )
+      },
+    )
 
   /** The matching DuckDB pair CTE (expects the hashedGramsDuck CTEs). */
   private[operators] def jaccardPairsDuck(minJ: Double): String =
