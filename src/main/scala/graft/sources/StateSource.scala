@@ -16,6 +16,7 @@ import org.apache.spark.sql.connector.read.{
   SupportsPushDownFilters,
   SupportsPushDownRequiredColumns,
 }
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{
   EqualTo,
   Filter,
@@ -80,12 +81,13 @@ class StateTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   override def name(): String = "graft_state"
   override def schema(): StructType = StateSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val rows = Option(options.get("rows")).map(_.toLong).getOrElse(1000L)
     val slices = Option(options.get("slices")).map(_.toInt).getOrElse(4)
-    new StateScanBuilder(rows, slices)
+    val batchRows = Option(options.get("batchRows")).map(_.toLong).getOrElse(rows)
+    new StateScanBuilder(rows, slices, batchRows)
   }
 }
 
@@ -93,7 +95,7 @@ class StateTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   * columns. Only conjunctive top-level comparisons on `id` are consumed;
   * everything else is returned to Spark as a post-scan filter.
   */
-class StateScanBuilder(rows: Long, slices: Int)
+class StateScanBuilder(rows: Long, slices: Int, batchRows: Long = Long.MaxValue)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -130,14 +132,19 @@ class StateScanBuilder(rows: Long, slices: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new StateScan(lo, math.max(lo, hi), slices, required)
+  override def build(): Scan = new StateScan(lo, math.max(lo, hi), slices, required, batchRows)
 }
 
 final case class StateRange(lo: Long, hi: Long) extends InputPartition
 
-class StateScan(lo: Long, hi: Long, slices: Int, required: StructType) extends Scan with Batch {
+class StateScan(lo: Long, hi: Long, slices: Int, required: StructType, batchRows: Long = Long.MaxValue)
+    extends Scan
+    with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new StateMicroBatchStream(lo, hi, slices, required, math.max(1L, batchRows))
 
   override def description(): String =
     s"graft_state [lo=$lo, hi=$hi, slices=$slices, columns=${required.fieldNames.mkString(",")}]"
@@ -153,6 +160,60 @@ class StateScan(lo: Long, hi: Long, slices: Int, required: StructType) extends S
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StateReaderFactory(required)
+}
+
+/** Offset = exclusive upper id bound already emitted. */
+final case class StateOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+/** Micro-batch stream over the same deterministic state rows: each batch
+  * advances the offset watermark by `batchRows` ids until the table is
+  * exhausted — the resume-token-paged REST scan as a streaming source.
+  * Paging happens in `latestOffset` (the source ADMITS only one page per
+  * batch); `planInputPartitions` always covers exactly [start, end), so
+  * the checkpointed offset range and the emitted rows agree — capping
+  * inside planInputPartitions instead would checkpoint offsets that were
+  * never read (silent data loss on the paged tail). Batches split into
+  * `slices` partitions exactly like the batch scan. (Demo limitation:
+  * the page cursor restarts at `lo` on recovery; a production source
+  * would recover it from the checkpointed start offset.)
+  */
+class StateMicroBatchStream(
+    lo: Long,
+    hi: Long,
+    slices: Int,
+    required: StructType,
+    batchRows: Long,
+) extends MicroBatchStream {
+
+  private var cursor = lo
+
+  override def initialOffset(): Offset = StateOffset(lo)
+
+  override def latestOffset(): Offset = {
+    cursor = math.min(hi, cursor + batchRows)
+    StateOffset(cursor)
+  }
+
+  override def deserializeOffset(json: String): Offset = StateOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[StateOffset].v
+    val e = end.asInstanceOf[StateOffset].v
+    cursor = math.max(cursor, e)
+    if (e <= s) Array.empty
+    else {
+      val per = math.max(1L, (e - s + slices - 1) / slices)
+      (s until e by per).map(p => StateRange(p, math.min(p + per, e))).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StateReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class StateReaderFactory(required: StructType) extends PartitionReaderFactory {

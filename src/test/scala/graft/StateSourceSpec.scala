@@ -59,6 +59,32 @@ class StateSourceSpec extends SparkSpec {
     assert(plan.contains("graft_state"), plan)
   }
 
+  test("micro-batch stream pages the table and emits every row exactly once") {
+    val df = spark.readStream
+      .format("graft.sources.StateSource")
+      .option("rows", "1000")
+      .option("slices", "2")
+      .option("batchRows", "300") // 1000 rows / 300 per page → 4 batches
+      .load()
+    val q = df.writeStream
+      .format("memory")
+      .queryName("state_stream")
+      .outputMode("append")
+      .option(
+        "checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ck-state").toString,
+      )
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("state_stream").collect()
+      assert(rows.length == 1000, "every row exactly once")
+      assert(rows.map(_.getLong(0)).distinct.length == 1000)
+      assert(rows.map(_.getLong(0)).min == 0L && rows.map(_.getLong(0)).max == 999L)
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "paging must take multiple batches")
+    } finally q.stop()
+  }
+
   test("empty pushed range yields no partitions") {
     val b = new StateScanBuilder(rows = 100L, slices = 4)
     b.pushFilters(Array(GreaterThanOrEqual("id", 90L), LessThan("id", 10L)))
