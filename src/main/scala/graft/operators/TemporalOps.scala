@@ -27,11 +27,12 @@ object TemporalOps extends QueryModule {
   /** As-of join via tagged union + running last-non-null window — the
     * standard distributed as-of plan (one shuffle on the join key, one
     * sort per partition). For each purchase event, attribute the user's
-    * most recent click at-or-before it. The right side is deduped to one
-    * row per (user, instant) — max event_id wins — so the as-of pick is
-    * deterministic; at equal instants the right row sorts before the left
-    * (is_r DESC), making the match inclusive (`>=`), which is exactly
-    * DuckDB's ASOF LEFT JOIN semantics stated by the oracle.
+    * most recent click at-or-before it. No pre-dedup pass: ordering the
+    * window by (t, is_r DESC, r_eid) makes `last(..., ignoreNulls)` pick
+    * the max-event_id click per instant for free — at equal instants the
+    * right rows sort before the left (inclusive `>=` match, exactly
+    * DuckDB's ASOF LEFT JOIN semantics stated by the oracle), and among
+    * equal-instant right rows the largest event_id is scanned last.
     */
   private val asofJoin = DeclaredQuery(
     "asof_join",
@@ -44,15 +45,7 @@ object TemporalOps extends QueryModule {
           col("event_type"),
         )
       val lhs = ev.filter(col("event_type") === "purchase")
-      val rhs = ev
-        .filter(col("event_type") === "click")
-        .withColumn(
-          "rn",
-          row_number().over(
-            Window.partitionBy("user_id", "t_us").orderBy(col("event_id").desc),
-          ),
-        )
-        .filter(col("rn") === 1)
+      val rhs = ev.filter(col("event_type") === "click")
       val tagged = rhs
         .select(
           col("user_id"),
@@ -72,7 +65,7 @@ object TemporalOps extends QueryModule {
         )
       val w = Window
         .partitionBy("user_id")
-        .orderBy(col("t_us"), col("is_r").desc)
+        .orderBy(col("t_us"), col("is_r").desc, col("r_eid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       tagged
         .withColumn("click_id", last(col("r_eid"), ignoreNulls = true).over(w))

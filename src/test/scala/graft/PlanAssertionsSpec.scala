@@ -43,13 +43,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial agg must exist")
   }
 
-  test("as-of join is sort-merge shaped: no join operator, windows share sorts (asof_join)") {
+  test("as-of join is sort-merge shaped: no join operator, one data shuffle (asof_join)") {
     val p = planOf("asof_join")
     assert(!p.contains("Join"), "as-of must be the union+window plan, never a join")
-    assert(p.contains("WindowGroupLimit"), "right-side dedup must group-limit before full sort")
-    // the two running-last windows must reuse one exchange+sort, not add their own
+    // one exchange shuffles the union by user; the only other is the
+    // presentation sort — the tie-aware window ordering replaced the
+    // dedup pre-pass, so no per-side exchanges exist
     val exchanges = "Exchange".r.findAllIn(p).size
-    assert(exchanges <= 4, s"union+dedup+final-sort needs at most 4 exchanges, got $exchanges:\n${p.take(800)}")
+    assert(exchanges <= 2, s"union+final-sort needs at most 2 exchanges, got $exchanges:\n${p.take(800)}")
   }
 
   test("sessionize runs in one partition-by-user sort (sessionize)") {
