@@ -124,13 +124,33 @@ object DedupOps extends QueryModule {
     * hashed-shingle formulation, so both engines agree even in the
     * (possible) event of a hash collision.
     */
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+  /** The production skew knob at 100 TB: drop shingles present in more
+    * than `maxDf` documents before the inverted-index self-join.
+    * Candidate pairs grow O(df²) per shingle, so one viral boilerplate
+    * shingle (df = 10⁶) alone would generate 5·10¹¹ candidates; capping
+    * df bounds the join at the cost of missing pairs whose ONLY shared
+    * shingles are ubiquitous ones — which a Jaccard threshold would
+    * reject anyway (a shingle shared by everyone carries no similarity
+    * signal). DfCapSpec measures the candidate reduction.
+    */
+  private[operators] def capByDf(e: DataFrame, maxDf: Long): DataFrame = {
+    val df = e.groupBy("gh").agg(count(lit(1)).as("df"))
+    e.join(broadcast(df.filter(col("df") > maxDf).select("gh")), Seq("gh"), "left_anti")
+  }
 
-  private[operators] def jaccardPairs(s: SparkSession, d: String, minJ: Double): DataFrame =
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Double, Option[Long]), DataFrame]
+
+  private[operators] def jaccardPairs(
+      s: SparkSession,
+      d: String,
+      minJ: Double,
+      maxDf: Option[Long] = None,
+  ): DataFrame =
     pairsCache.getOrElseUpdate(
-      (s, d, minJ), {
-        val e = gramRows(s, d)
+      (s, d, minJ, maxDf), {
+        val e = maxDf.fold(gramRows(s, d))(cap => capByDf(gramRows(s, d), cap))
         val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
         val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
         materialized(
