@@ -20,12 +20,146 @@ import org.apache.spark.sql.functions._
   * touches nprobe buckets. The centroid build samples the corpus — here
   * it uses all vectors because the table is small.
   */
-object Ivf {
+object Ivf extends QueryModule {
 
   private def sim(s: SparkSession, a: String, b: String) = {
     graft.functions.GraftFunctions.register(s)
     expr(s"cosine_similarity($a, $b)")
   }
+
+  /** Oracle-backed IVF search (`ivf_ann`): deterministic end-to-end —
+    * stride seeds, ONE Lloyd refinement whose centroids are exact means
+    * of integer-scaled vectors (the [[AggregatorOps]] trick: Long sums
+    * are partitioning-invariant, so the refined centroids are
+    * bit-identical to the oracle's single-threaded build), then
+    * nprobe=2 / topk=5 search with the native cosine expression. Every
+    * cosine is a per-row sequential fold — no cross-row float
+    * aggregation anywhere, which is what makes an iterative clustering
+    * algorithm hash-comparable across engines at all.
+    */
+  private val K = 8
+  private val NProbe = 2
+  private val TopK = 5
+  private val NQueries = 8
+
+  private val ivfAnn = DeclaredQuery(
+    "ivf_ann",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val e = graft.Tables
+        .embeddings(s, d)
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("dvec"),
+          expr(
+            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))",
+          ).as("sv"),
+        )
+        .persist()
+      val n = e.count()
+      val stride = math.max(n / K, 1L)
+      val seeds = e
+        .filter(col("vec_id") % stride === 0)
+        .orderBy("vec_id")
+        .limit(K)
+        .select(
+          (row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
+          col("dvec").as("cvec"),
+        )
+      def argmaxCell(vecs: DataFrame, cents: DataFrame): DataFrame =
+        vecs
+          .crossJoin(broadcast(cents))
+          .withColumn("csim", sim(s, "dvec", "cvec"))
+          .withColumn(
+            "rk",
+            row_number().over(
+              Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid")),
+            ),
+          )
+          .filter(col("rk") === 1)
+          .select("vec_id", "cid")
+      // one Lloyd step with EXACT integer-scaled means
+      val refined = argmaxCell(e.select("vec_id", "dvec"), seeds)
+        .join(e.select(col("vec_id"), col("sv")), Seq("vec_id"))
+        .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum("v").as("sv2"), count(lit(1)).as("m"))
+        .withColumn("c", col("sv2").cast("double") / (col("m") * lit(1000000.0)))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      val assigned = argmaxCell(e.select("vec_id", "dvec"), refined)
+      val q = e
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+      val probed = q
+        .crossJoin(broadcast(refined))
+        .withColumn("csim", sim(s, "qvec", "cvec"))
+        .withColumn(
+          "rk",
+          row_number().over(Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))),
+        )
+        .filter(col("rk") <= NProbe)
+        .select("qid", "qvec", "cid")
+      probed
+        .join(assigned, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), Seq("vec_id"))
+        .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
+        .withColumn(
+          "rank",
+          row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+        )
+        .filter(col("rank") <= TopK)
+        .select(
+          col("qid"),
+          col("rank").cast("long").as("rank"),
+          col("vec_id").as("cand_id"),
+          col("sim"),
+        )
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             st AS (SELECT greatest(count(*) // $K, 1) AS stride FROM e),
+             seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
+                       FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT $K),
+             a0 AS (SELECT e.vec_id, s.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.dvec, s.dvec) / (e.nrm * s.nrm) DESC, s.cid) AS rk
+                    FROM e CROSS JOIN seeds s),
+             asg0 AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
+             ex AS (SELECT a.cid, u.pos, u.v
+                    FROM asg0 a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
+             cm AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex GROUP BY 1, 2),
+             cent AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm GROUP BY cid),
+             cn AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent),
+             a1 AS (SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
+                    FROM e CROSS JOIN cn c),
+             asg1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1),
+             q AS (SELECT vec_id AS qid, dvec AS qvec, nrm AS qnrm FROM e WHERE vec_id < $NQueries),
+             qc AS (SELECT q.qid, q.qvec, q.qnrm, c.cid,
+                           row_number() OVER (PARTITION BY q.qid
+                             ORDER BY list_inner_product(q.qvec, c.cvec) / (q.qnrm * c.cnrm) DESC, c.cid) AS rk
+                    FROM q CROSS JOIN cn c),
+             probe AS (SELECT qid, qvec, qnrm, cid FROM qc WHERE rk <= $NProbe),
+             cand AS (SELECT p.qid, p.qvec, p.qnrm, a.vec_id
+                      FROM probe p JOIN asg1 a USING (cid) WHERE a.vec_id <> p.qid),
+             scored AS (SELECT c.qid, c.vec_id,
+                               round(list_inner_product(c.qvec, e.dvec) / (c.qnrm * e.nrm), 6) AS sim
+                        FROM cand c JOIN e USING (vec_id)),
+             r AS (SELECT qid, vec_id, sim,
+                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                   FROM scored)
+             SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cand_id, sim
+             FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(ivfAnn)
 
   /** k deterministic seeds refined by `iters` Lloyd iterations.
     * @param e (vec_id, dvec: array<double>)
