@@ -43,6 +43,31 @@ class TemporalOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sessionize agrees with Spark's built-in session_window") {
+    // Same gap, two formulations: lag→flag→running-sum (ours, also the
+    // DuckDB oracle) vs the built-in merging session_window. Boundary
+    // semantics match because a gap of EXACTLY 4h merges in neither
+    // (session_window closes at last.ts + gap exclusive; we break on
+    // gap > 4h — equality is measure-zero at µs resolution and absent
+    // from this deterministic dataset).
+    val built = Tables
+      .events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "4 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val ours = SparkEntry
+      .queries("sessionize")(spark, sfDir)
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(built == ours, s"built-in session_window diverged: ${(built -- ours).take(3)} vs ${(ours -- built).take(3)}")
+  }
+
   test("sessionize partitions all events; gaps only at session boundaries") {
     val sessions = SparkEntry.queries("sessionize")(spark, sfDir).collect()
     val nEvents = Tables.events(spark, sfDir).count()
