@@ -19,8 +19,11 @@ object Bench {
     // noop sink forces full materialization of every output column;
     // count() would let Catalyst prune the projections being measured.
     // SPARK_GRAFT_ONLY=a,b,c + SPARK_GRAFT_REPS=n for focused iteration.
+    // Default 2 reps, min taken: this box shows occasional 50%+ transient
+    // spikes (external load), and min-of-2 reports the query's real cost
+    // instead of whichever rep collided with a spike.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val results = SparkEntry.queries.toSeq
       .sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
