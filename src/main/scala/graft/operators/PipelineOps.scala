@@ -86,5 +86,40 @@ object PipelineOps extends QueryModule {
              ORDER BY doc_id"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(cleanCorpus)
+  /** Deterministic stratified sampling — carving eval/holdout sets from a
+    * corpus with per-stratum rates. The sample decision is a pure
+    * function of the key (Knuth multiplicative hash mod 100), not an RNG:
+    * re-running at any partitioning, scale, or engine selects the SAME
+    * rows — which is what makes a holdout set reproducible and an oracle
+    * comparison possible at all (Spark's seeded `sample`/`sampleBy` is
+    * partition-dependent and engine-specific). At 100 TB this is a
+    * stateless scan predicate: no shuffle, full pushdown. (key·c fits in
+    * 64 bits for keys < ~3.4e9; hash the key first for larger domains —
+    * DuckDB errors on BIGINT overflow where Spark wraps.)
+    */
+  private val rates = Seq("en" -> 50, "de" -> 20, "es" -> 20, "fr" -> 10, "zh" -> 10)
+
+  private val stratifiedSample = DeclaredQuery(
+    "stratified_sample",
+    (s, d) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      val rate = rates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+        when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      documents(s, d)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < rate)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rateSql = rates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+      s"""SELECT doc_id, lang, (doc_id * 2654435761) % 100 AS bucket
+         FROM documents
+         WHERE (doc_id * 2654435761) % 100 < (CASE $rateSql ELSE 0 END)
+         ORDER BY doc_id"""
+    },
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(cleanCorpus, stratifiedSample)
 }
