@@ -28,17 +28,22 @@ object Bench {
       .sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); false }
+          val secs = (System.nanoTime() - t0) / 1e9
+          // a failed rep aborts early — its elapsed time is not a
+          // measurement and must not win the min
+          if (ok) Some(secs) else None
         }
-        name -> times.min
+        // -1 marks an all-reps-failed query (NaN would break JSON parsing)
+        name -> (if (times.nonEmpty) times.min else -1.0)
       }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -94,6 +94,10 @@ case class GramHashes(child: Expression) extends UnaryExpression {
       )
   }
 
+  // null on null input OR any null element (a shingle over a null word is
+  // undefined — registered functions must not NPE on adversarial input)
+  override def nullable: Boolean = true
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_gram_hashes"
 
@@ -104,7 +108,10 @@ case class GramHashes(child: Expression) extends UnaryExpression {
     nullSafeCodeGen(
       ctx,
       ev,
-      a => s"${ev.value} = graft.functions.GramHashesUtil.compute($a);",
+      a => s"""
+         |${ev.value} = graft.functions.GramHashesUtil.compute($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin,
     )
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -116,6 +123,7 @@ object GramHashesUtil {
 
   /** Word array → distinct trigram hashes (first-occurrence order;
     * downstream consumers are order-insensitive aggregations/joins).
+    * Returns null when any element is null.
     */
   def compute(ws: org.apache.spark.sql.catalyst.util.ArrayData)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
@@ -126,6 +134,7 @@ object GramHashesUtil {
     val p = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (ws.isNullAt(i)) return null
       val s = ws.getUTF8String(i).toString
       var hh = 0L
       var pp = 1L

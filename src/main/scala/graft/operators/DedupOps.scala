@@ -133,7 +133,7 @@ object DedupOps extends QueryModule {
     * reject anyway (a shingle shared by everyone carries no similarity
     * signal). DfCapSpec measures the candidate reduction.
     */
-  private[operators] def capByDf(e: DataFrame, maxDf: Long): DataFrame = {
+  private[graft] def capByDf(e: DataFrame, maxDf: Long): DataFrame = {
     val df = e.groupBy("gh").agg(count(lit(1)).as("df"))
     e.join(broadcast(df.filter(col("df") > maxDf).select("gh")), Seq("gh"), "left_anti")
   }

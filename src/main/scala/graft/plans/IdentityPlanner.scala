@@ -100,7 +100,7 @@ object IdentityPlanner {
     val ranked = demand.withColumn("rn", row_number().over(w))
     // Per-shard free list: shard-local candidate pool minus taken ids.
     // The pool window is sized by nd + (taken ids inside this shard's
-    // range): the window [lo, lo+nd+nt] holds nd+nt+1 candidates of which
+    // range): the window [lo, lo+nd+nt-1] holds nd+nt candidates of which
     // at most nt are taken, so >= nd are always free — a fixed slack would
     // silently drop demand rows once more than that many ids were taken.
     val perShard = demand.groupBy("shard").agg(count(lit(1)).as("nd"))
@@ -121,7 +121,7 @@ object IdentityPlanner {
         explode(
           sequence(
             lo,
-            when(col("nd") + col("nt") < capacity, lo + col("nd") + col("nt"))
+            when(col("nd") + col("nt") <= capacity, lo + col("nd") + col("nt") - 1)
               .otherwise(
                 raise_error(
                   format_string(

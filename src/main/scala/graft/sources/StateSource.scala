@@ -106,6 +106,9 @@ class StateScanBuilder(rows: Long, slices: Int, batchRows: Long = Long.MaxValue)
   private var required: StructType = StateSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // v+1 must saturate, not wrap: a consumed filter is never re-applied
+    // by Spark, so an overflowed bound would silently drop every row
+    def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     val (pushed, residual) = filters.partition {
       case EqualTo("id", _: Long) => true
       case GreaterThan("id", _: Long) => true
@@ -116,11 +119,11 @@ class StateScanBuilder(rows: Long, slices: Int, batchRows: Long = Long.MaxValue)
     }
     pushed.foreach {
       case EqualTo("id", v: Long) =>
-        lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+        lo = math.max(lo, v); if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+      case GreaterThan("id", v: Long) => lo = math.max(lo, incr(v))
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) => if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case _ =>
     }
     accepted = pushed
@@ -175,9 +178,10 @@ final case class StateOffset(v: Long) extends Offset {
   * the checkpointed offset range and the emitted rows agree — capping
   * inside planInputPartitions instead would checkpoint offsets that were
   * never read (silent data loss on the paged tail). Batches split into
-  * `slices` partitions exactly like the batch scan. (Demo limitation:
-  * the page cursor restarts at `lo` on recovery; a production source
-  * would recover it from the checkpointed start offset.)
+  * `slices` partitions exactly like the batch scan. On recovery the page
+  * cursor is re-seeded from the checkpointed offsets (deserializeOffset),
+  * so a restart resumes at the committed watermark instead of re-emitting
+  * committed pages.
   */
 class StateMicroBatchStream(
     lo: Long,
@@ -196,7 +200,16 @@ class StateMicroBatchStream(
     StateOffset(cursor)
   }
 
-  override def deserializeOffset(json: String): Offset = StateOffset(json.toLong)
+  /** Recovery path: checkpointed offsets flow through here before any new
+    * batch is planned — advancing the cursor to the recovered watermark
+    * prevents latestOffset from regressing below the committed offset and
+    * re-emitting already-committed rows after a restart.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    cursor = math.max(cursor, v)
+    StateOffset(v)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[StateOffset].v

@@ -27,10 +27,9 @@ class DfCapSpec extends SparkSpec {
       val e0 = df
         .withColumn("ghs", expr("graft_gram_hashes(split(text, ' '))"))
         .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
-      val e = maxDf.fold(e0)(cap => {
-        val dfc = e0.groupBy("gh").agg(count(lit(1)).as("df"))
-        e0.join(broadcast(dfc.filter(col("df") > cap).select("gh")), Seq("gh"), "left_anti")
-      })
+      // the PRODUCTION cap, not a reimplementation — a regression in
+      // capByDf must fail this spec
+      val e = maxDf.fold(e0)(cap => graft.operators.DedupOps.capByDf(e0, cap))
       val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
       val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
       x.join(y, x("gh") === y("gh2") && x("da") < y("db"))

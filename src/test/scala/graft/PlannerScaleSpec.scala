@@ -61,6 +61,25 @@ class PlannerScaleSpec extends SparkSpec {
     assert(ids.head == 1000500L && ids.last == 1000599L, "ids pack right after the taken block")
   }
 
+  test("sharded allocation fills a shard to exactly its capacity") {
+    // nd + nt == capacity is feasible (the window holds exactly nd+nt
+    // candidates) — an off-by-one guard would refuse it
+    val demand = spark
+      .range(0, 50)
+      .select(
+        concat(lit("n"), col("id")).as("name"),
+        col("id").cast("int").as("seq"),
+        lit(0L).as("shard"),
+      )
+    val taken = spark.range(0, 50).select((col("id") * 2 + 1000L).as("id")) // evens taken
+    val got = IdentityPlanner
+      .allocateIdsSharded(demand, taken, start = 1000L, capacity = 100L)
+      .collect()
+    assert(got.length == 50)
+    val ids = got.map(_.getAs[Long]("id")).sorted
+    assert(ids.head == 1001L && ids.last == 1099L && ids.forall(_ % 2 == 1))
+  }
+
   test("sharded allocation refuses overflow past a shard's capacity") {
     val demand = spark
       .range(0, 60)
