@@ -153,49 +153,69 @@ object SimilarityOps extends QueryModule {
   /** Embedding-space near-dup pairs: exact all-pairs cosine at a
     * threshold. Exact (no LSH prefilter) because at this threshold the
     * angular distance is too wide for short sign codes to prune without
-    * recall loss. The a<b join formulation materializes O(n²) rows each
-    * carrying two 64-double arrays (~1 KB/row — measured 7.7 s at 2000
-    * vectors), so this is the one operator on the documented
-    * `mapPartitions` last-resort path: broadcast the (1 MB) vector
-    * matrix — exactly what a broadcast join build would ship — and loop
-    * the pair space in JVM code, partitioned by left index. Accumulation
-    * stays a sequential index-order fold and rounding is the same
-    * HALF_UP Spark's round() uses, so results are bit-identical to the
-    * expression formulation and the oracle.
+    * recall loss.
+    *
+    * Fully distributed block pair-join (block-matmul shape): each vector
+    * lands in block `vec_id mod B` and is replicated to the B block-pair
+    * groups it participates in; each of the B(B+1)/2 groups computes its
+    * pair space locally inside `flatMapGroups`. Nothing is collected to
+    * the driver and no full-matrix broadcast exists — shuffle volume is
+    * n·B vectors (not n² pairs), and per-group memory is 2n/B vectors.
+    * At 100 TB you size B ≈ √(cluster cores) · (n / rows-per-task) so
+    * each group's O((n/B)²) dot-product loop fits a task; the quadratic
+    * total work is inherent to exact all-pairs, but it is spread evenly
+    * over B(B+1)/2 independent tasks with no driver bottleneck.
+    * Accumulation stays a sequential index-order fold and rounding is
+    * the same HALF_UP Spark's round() uses, so results are bit-identical
+    * to the expression formulation and the oracle.
     */
+  private val NearDupBlocks = 8
+
   private val cosineNearDup = DeclaredQuery(
     "cosine_near_dup",
     (s, d) => {
       import s.implicits._
-      val vecs: Array[(Long, Array[Double])] = embeddings(s, d)
+      val b = NearDupBlocks
+      val replicated = embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvec"))
-        .as[(Long, Array[Double])]
-        .collect()
-        .sortBy(_._1)
-      val bc = s.sparkContext.broadcast(vecs)
-      val n = vecs.length
-      s.createDataset(0 until n)
-        .repartition(s.sparkContext.defaultParallelism)
-        .mapPartitions { idxs =>
-          val vs = bc.value
-          val norms = vs.map { case (_, v) =>
+        .withColumn("blk", pmod(col("vec_id"), lit(b.toLong)).cast("int"))
+        .withColumn("other", explode(sequence(lit(0), lit(b - 1))))
+        .select(
+          least(col("blk"), col("other")).as("ba"),
+          greatest(col("blk"), col("other")).as("bb"),
+          col("blk"),
+          col("vec_id"),
+          col("dvec"),
+        )
+        .as[(Int, Int, Int, Long, Array[Double])]
+      replicated
+        .groupByKey { case (ba, bb, _, _, _) => (ba, bb) }
+        .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double])]) =>
+          val sameBlock = key._1 == key._2
+          val all = it.toArray.sortBy(_._4) // ascending vec_id → pair (i<j) is id-ordered
+          val norms = all.map { case (_, _, _, _, v) =>
             var acc = 0.0; var i = 0
             while (i < v.length) { acc += v(i) * v(i); i += 1 }
             math.sqrt(acc)
           }
-          idxs.flatMap { i =>
-            val (ia, va) = vs(i)
-            (i + 1 until vs.length).iterator.flatMap { j =>
-              val (ib, vb) = vs(j)
-              var dot = 0.0; var k = 0
-              val len = math.min(va.length, vb.length)
-              while (k < len) { dot += va(k) * vb(k); k += 1 }
-              val sim = dot / (norms(i) * norms(j))
-              val rounded = java.math.BigDecimal
-                .valueOf(sim)
-                .setScale(6, java.math.RoundingMode.HALF_UP)
-                .doubleValue()
-              if (rounded >= 0.4) Some((ia, ib, rounded)) else None
+          (0 until all.length).iterator.flatMap { i =>
+            val (_, _, blkA, ia, va) = all(i)
+            (i + 1 until all.length).iterator.flatMap { j =>
+              val (_, _, blkB, ib, vb) = all(j)
+              // a pair belongs to exactly one group: (ba,bb) for the cross
+              // pairs of two distinct blocks, (b,b) for within-block pairs
+              if (!sameBlock && blkA == blkB) None
+              else {
+                var dot = 0.0; var k = 0
+                val len = math.min(va.length, vb.length)
+                while (k < len) { dot += va(k) * vb(k); k += 1 }
+                val sim = dot / (norms(i) * norms(j))
+                val rounded = java.math.BigDecimal
+                  .valueOf(sim)
+                  .setScale(6, java.math.RoundingMode.HALF_UP)
+                  .doubleValue()
+                if (rounded >= 0.4) Some((ia, ib, rounded)) else None
+              }
             }
           }
         }

@@ -60,6 +60,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(windows >= 1, p.take(500))
   }
 
+  test("cosine_near_dup is distributed: parquet-fed block pair-join, no collect/broadcast") {
+    val df = SparkEntry.queries("cosine_near_dup")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the pair space is computed inside flatMapGroups, fed directly by the
+    // parquet scan — a driver collect would surface as a LocalTableScan
+    assert(p.contains("MapGroups"), p.take(800))
+    assert(p.toLowerCase.contains("scan parquet") || p.contains("FileScan"), p.take(800))
+    assert(!p.contains("LocalTableScan"), "no driver-collected relation may feed the pair join")
+    assert(!p.contains("BroadcastExchange"), "no broadcast of the vector matrix")
+    assert(!p.contains("CartesianProduct"), "no all-pairs cross join")
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
