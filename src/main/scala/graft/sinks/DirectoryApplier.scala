@@ -1,0 +1,110 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.attribute.PosixFilePermission
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.DataFrame
+
+/** The live apply path for `directory_plan` — the effect side of the
+  * reference's `Creator.create_directories` loop (directories.py:62-86):
+  * per directory, mkdir (already-exists tolerated), chmod, chown, in that
+  * order. Here the target is a real filesystem root instead of a OneFS
+  * REST endpoint: mkdir and the 9-bit mode are applied natively;
+  * owner/group (and the full mode incl. setuid/sticky bits, which the JVM
+  * POSIX view cannot express) live in a `.graft_meta` sidecar per
+  * directory — the same shape as any idempotent external target.
+  *
+  * Idempotence is observable, not assumed: every effect is
+  * check-then-apply, and only effects that *changed* state count in
+  * [[ApplyStats]] (via accumulators, so the contract holds distributed).
+  * Re-applying an applied plan therefore reports zero actions — the
+  * reference's re-run semantics (mkdir already-exists warning, chmod/chown
+  * to identical values) proven at the effect level, not just the plan
+  * level.
+  *
+  * Ordering: the reference applies rows sequentially so parents precede
+  * children; a distributed apply has no global order, so mkdir uses
+  * create-parents semantics (`Files.createDirectories`) and every row's
+  * own metadata write touches only that row's path — tasks never contend
+  * on the same file. Rows go through [[RetryingSink.foreachRowWithRetry]],
+  * so a transient target error retries per-row without restarting the
+  * task.
+  */
+object DirectoryApplier {
+
+  /** Count of state-changing effects in one apply pass. */
+  final case class ApplyStats(mkdirs: Long, chmods: Long, chowns: Long) {
+    def total: Long = mkdirs + chmods + chowns
+  }
+
+  private val MetaFile = ".graft_meta"
+
+  private def permsOf(mode: Int): java.util.Set[PosixFilePermission] = {
+    import PosixFilePermission._
+    val bits = Seq(
+      OWNER_READ -> 0x100, OWNER_WRITE -> 0x80, OWNER_EXECUTE -> 0x40,
+      GROUP_READ -> 0x20, GROUP_WRITE -> 0x10, GROUP_EXECUTE -> 0x8,
+      OTHERS_READ -> 0x4, OTHERS_WRITE -> 0x2, OTHERS_EXECUTE -> 0x1,
+    )
+    val s = new java.util.HashSet[PosixFilePermission]()
+    bits.foreach { case (p, b) => if ((mode & b) != 0) s.add(p) }
+    s
+  }
+
+  /** Current sidecar metadata of `dir`, or "" when never applied. */
+  private def readMeta(dir: Path): String = {
+    val f = dir.resolve(MetaFile)
+    if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8) else ""
+  }
+
+  /** Apply a `directory_plan` DataFrame onto filesystem root `root`.
+    * Expects the plan's (path, mode_octal, owner, group) columns; `path`
+    * is zone-relative (leading slash) and lands under `root`.
+    */
+  def applyPlan(
+      plan: DataFrame,
+      root: String,
+      maxRetries: Int = 5,
+      backoffMs: Long = 10L,
+  ): ApplyStats = {
+    val sc = plan.sparkSession.sparkContext
+    val mkdirs = sc.longAccumulator("graft.apply.mkdirs")
+    val chmods = sc.longAccumulator("graft.apply.chmods")
+    val chowns = sc.longAccumulator("graft.apply.chowns")
+    val rows = plan.select("path", "mode_octal", "owner", "group")
+    RetryingSink.foreachRowWithRetry(rows, maxRetries, backoffMs) { row =>
+      val rel = row.getAs[String]("path").dropWhile(_ == '/')
+      val modeOctal = row.getAs[String]("mode_octal")
+      val owner = row.getAs[String]("owner")
+      val group = row.getAs[String]("group")
+      val dir = Paths.get(root).resolve(rel)
+
+      // mkdir — create-parents, already-exists tolerated (directories.py:66-71)
+      if (!Files.isDirectory(dir)) {
+        Files.createDirectories(dir)
+        mkdirs.add(1)
+      }
+
+      // chmod — real 9-bit perms + full octal recorded in the sidecar
+      // (directories.py:73-74); only a differing mode counts as an action
+      val mode = Integer.parseInt(modeOctal, 8)
+      val wantPerms = permsOf(mode & 0x1ff)
+      val meta = readMeta(dir)
+      val wantMode = s"mode=$modeOctal"
+      if (Files.getPosixFilePermissions(dir) != wantPerms || !meta.contains(wantMode)) {
+        Files.setPosixFilePermissions(dir, wantPerms)
+        chmods.add(1)
+      }
+
+      // chown — sidecar owner:group (directories.py:75-86)
+      val wantOwn = s"own=$owner:$group"
+      if (!meta.contains(wantOwn)) chowns.add(1)
+
+      val newMeta = s"$wantMode $wantOwn"
+      if (meta != newMeta)
+        Files.write(dir.resolve(MetaFile), newMeta.getBytes(UTF_8))
+    }
+    ApplyStats(mkdirs.value, chmods.value, chowns.value)
+  }
+}

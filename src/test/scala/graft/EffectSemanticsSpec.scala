@@ -66,6 +66,40 @@ class EffectSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("C2 live: directory_plan applies to a filesystem target; re-apply is a no-op") {
+    import graft.sinks.DirectoryApplier
+    val plan = SparkEntry.queries("directory_plan")(spark, sfDir)
+    val n = plan.count()
+    val root = java.nio.file.Files.createTempDirectory("graft-apply").toString
+
+    val first = DirectoryApplier.applyPlan(plan, root, backoffMs = 1L)
+    // every row chmods+chowns on first contact; mkdirs may be fewer only if
+    // a parent was created implicitly before its own row arrived
+    assert(first.chmods == n && first.chowns == n, first.toString)
+    assert(first.mkdirs > 0 && first.mkdirs <= n, first.toString)
+    // state really landed: spot-check a known row's perms + sidecar
+    plan.collect().foreach { r =>
+      val dir = java.nio.file.Paths.get(root, r.getAs[String]("path").dropWhile(_ == '/'))
+      assert(java.nio.file.Files.isDirectory(dir), s"missing $dir")
+      assert(java.nio.file.Files.exists(dir.resolve(".graft_meta")), s"no meta at $dir")
+    }
+
+    // the reference's re-run: mkdir already-exists, chmod/chown to identical
+    // values — zero state-changing actions
+    val second = DirectoryApplier.applyPlan(plan, root, backoffMs = 1L)
+    assert(second.total == 0, s"re-apply must be a no-op, got $second")
+
+    // drift repair: an out-of-band chmod on one directory is healed by the
+    // next apply, and ONLY that action fires
+    val drifted = java.nio.file.Paths.get(root, "hadoop")
+    java.nio.file.Files.setPosixFilePermissions(
+      drifted,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"),
+    )
+    val third = DirectoryApplier.applyPlan(plan, root, backoffMs = 1L)
+    assert(third == DirectoryApplier.ApplyStats(0, 1, 0), third.toString)
+  }
+
   test("script sink writes the deterministic artifact") {
     val plan = SparkEntry.queries("identity_plan")(spark, sfDir)
     val out = java.nio.file.Files.createTempDirectory("script").toString + "/plan"
