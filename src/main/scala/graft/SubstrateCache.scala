@@ -1,0 +1,57 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central registry for persisted per-dataset substrates (dedup shingle
+  * table, Jaccard pair table, MinHash/SimHash signatures, LSH codes,
+  * scaled IVF embeddings). One working set per session: requesting a
+  * substrate for dataset `d` first evicts (unpersists + drops) every
+  * substrate the session holds for *other* datasets, so block-manager
+  * memory is bounded by one dataset's substrates no matter how many scale
+  * factors a long-lived JVM walks through — the round-2 caches keyed
+  * (session, sfDir) grew without bound instead.
+  *
+  * At 100 TB the durable form of a substrate is a parquet table persisted
+  * between pipeline stages; this cache is the in-session tier that keeps
+  * Bench reps and multi-query runs from recomputing signatures, not a
+  * cross-dataset store.
+  */
+object SubstrateCache {
+
+  private val entries = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Get-or-build the persisted, materialized substrate `tag` for
+    * (session, dataset). Builds run `persist()` + `count()` so the first
+    * caller pays the materialization and later callers read cached
+    * partitions.
+    */
+  def substrate(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    evictOthers(s, d)
+    entries.getOrElseUpdate(
+      (s, d, tag), {
+        val df = build.persist()
+        df.count()
+        df
+      },
+    )
+  }
+
+  /** Unpersist and drop every substrate of `s` cached for a dataset other
+    * than `d`.
+    */
+  def evictOthers(s: SparkSession, d: String): Unit =
+    entries.keySet.toList.foreach { k =>
+      if ((k._1 eq s) && k._2 != d)
+        entries.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
+  /** Datasets this session currently holds substrates for (spec hook). */
+  def liveDatasets(s: SparkSession): Set[String] =
+    entries.keySet.collect { case (ss, d, _) if ss eq s => d }.toSet
+
+  /** Live substrate count for a session (spec hook). */
+  def liveCount(s: SparkSession): Int =
+    entries.keySet.count(_._1 eq s)
+}

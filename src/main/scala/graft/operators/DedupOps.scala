@@ -82,31 +82,12 @@ object DedupOps extends QueryModule {
     * higher-order-function lambdas (measured 20× faster at sf0.1); the
     * shuffle carries (doc_id, a few longs), never the text.
     */
-  private val substrateCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def gramRows(s: SparkSession, d: String): DataFrame =
-    substrateCache.getOrElseUpdate(
-      (s, d), {
-        graft.functions.GraftFunctions.register(s)
-        val df = hashedGrams(documents(s, d))
-          .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
-          .persist()
-        df.count()
-        df
-      },
-    )
-
-  /** Materialize a signature table before self-joining on it: both join
-    * sides then read the computed partitions instead of re-running the
-    * signature aggregation. Signatures are tiny relative to the corpus
-    * (docs × a few longs), so this is memory-safe at any scale.
-    */
-  private def materialized(df: DataFrame): DataFrame = {
-    val cached = df.persist()
-    cached.count()
-    cached
-  }
+    graft.SubstrateCache.substrate(s, d, "gram-rows") {
+      graft.functions.GraftFunctions.register(s)
+      hashedGrams(documents(s, d))
+        .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
+    }
 
   private[operators] val hashedGramsDuck =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -138,33 +119,25 @@ object DedupOps extends QueryModule {
     e.join(broadcast(df.filter(col("df") > maxDf).select("gh")), Seq("gh"), "left_anti")
   }
 
-  private val pairsCache =
-    scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Double, Option[Long]), DataFrame]
-
   private[operators] def jaccardPairs(
       s: SparkSession,
       d: String,
       minJ: Double,
       maxDf: Option[Long] = None,
   ): DataFrame =
-    pairsCache.getOrElseUpdate(
-      (s, d, minJ, maxDf), {
-        val e = maxDf.fold(gramRows(s, d))(cap => capByDf(gramRows(s, d), cap))
-        val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
-        val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
-        materialized(
-          x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
-            .groupBy("da", "db", "na", "nb")
-            .agg(count(lit(1)).as("shared"))
-            .withColumn(
-              "j",
-              col("shared").cast("double") / (col("na") + col("nb") - col("shared")),
-            )
-            .filter(col("j") >= minJ),
+    graft.SubstrateCache.substrate(s, d, s"jaccard-pairs:$minJ:${maxDf.getOrElse(-1L)}") {
+      val e = maxDf.fold(gramRows(s, d))(cap => capByDf(gramRows(s, d), cap))
+      val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+      val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
+      x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn(
+          "j",
+          col("shared").cast("double") / (col("na") + col("nb") - col("shared")),
         )
-      },
-    )
+        .filter(col("j") >= minJ)
+    }
 
   /** The matching DuckDB pair CTE (expects the hashedGramsDuck CTEs). */
   private[operators] def jaccardPairsDuck(minJ: Double): String =
@@ -207,13 +180,13 @@ object DedupOps extends QueryModule {
           s"named_struct('band', $b, 'sig', concat_ws(',', $sig))"
         }
         .mkString("inline(array(", ", ", "))")
-      val banded = materialized(
+      val banded = graft.SubstrateCache.substrate(s, d, "minhash-banded") {
         gramRows(s, d)
           .groupBy("doc_id")
           .agg(minCols.head, minCols.tail: _*)
           .withColumn("mhs", array((0 until 16).map(i => col(s"m$i")): _*))
-          .select(col("doc_id"), col("mhs"), expr(bandsExpr)),
-      )
+          .select(col("doc_id"), col("mhs"), expr(bandsExpr))
+      }
       val l = banded.select(col("doc_id").as("da"), col("mhs").as("ma"), col("band"), col("sig"))
       val r = banded
         .select(col("doc_id").as("db"), col("mhs").as("mb"), col("band").as("band2"), col("sig").as("sig2"))
@@ -271,13 +244,13 @@ object DedupOps extends QueryModule {
       val simCol = (0 until 30)
         .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
         .reduce(_ + _)
-      val sigs = materialized(
+      val sigs = graft.SubstrateCache.substrate(s, d, "simhash-sigs") {
         gramRows(s, d)
           .groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"), simCol.as("sim"))
-          .select(col("doc_id"), col("sim"), expr(chunksExpr)),
-      )
+          .select(col("doc_id"), col("sim"), expr(chunksExpr))
+      }
       val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
       val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
       l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))

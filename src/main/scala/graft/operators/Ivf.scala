@@ -42,29 +42,25 @@ object Ivf extends QueryModule {
   private val TopK = 5
   private val NQueries = 8
 
-  /** Scaled-embedding table cached per (session, dataset) — repeated
-    * invocations (Bench reps, Verify) reuse one persisted copy instead of
-    * stacking duplicates in the block manager.
+  /** Scaled-embedding table cached per (session, dataset) via
+    * [[graft.SubstrateCache]] — repeated invocations (Bench reps, Verify)
+    * reuse one persisted copy, and switching datasets evicts the old one
+    * instead of stacking duplicates in the block manager.
     */
-  private val embCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, Long)]
-
-  private def scaledEmbeddings(s: SparkSession, d: String): (DataFrame, Long) =
-    embCache.getOrElseUpdate(
-      (s, d), {
-        val e = graft.Tables
-          .embeddings(s, d)
-          .select(
-            col("vec_id"),
-            expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("dvec"),
-            expr(
-              "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))",
-            ).as("sv"),
-          )
-          .persist()
-        (e, e.count())
-      },
-    )
+  private def scaledEmbeddings(s: SparkSession, d: String): (DataFrame, Long) = {
+    val e = graft.SubstrateCache.substrate(s, d, "ivf-scaled") {
+      graft.Tables
+        .embeddings(s, d)
+        .select(
+          col("vec_id"),
+          expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("dvec"),
+          expr(
+            "transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))",
+          ).as("sv"),
+        )
+    }
+    (e, e.count()) // count on the persisted substrate is a cheap cached scan
+  }
 
   private val ivfAnn = DeclaredQuery(
     "ivf_ann",

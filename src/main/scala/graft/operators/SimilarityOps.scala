@@ -111,9 +111,10 @@ object SimilarityOps extends QueryModule {
             .reduce(_ + _)
             .as("code"),
         )
-      // materialize once: both sides of the query/candidate join reuse it
-      val e = e0.join(codes, "vec_id").persist()
-      e.count()
+      // materialize once per (session, dataset): both sides of the
+      // query/candidate join reuse it, and repeated invocations don't
+      // stack persisted copies
+      val e = graft.SubstrateCache.substrate(s, d, "lsh-codes")(e0.join(codes, "vec_id"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("code").as("qc"))
       val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("code").as("cc"))
