@@ -25,17 +25,28 @@ object SubstrateCache {
   /** Get-or-build the persisted, materialized substrate `tag` for
     * (session, dataset). Builds run `persist()` + `count()` so the first
     * caller pays the materialization and later callers read cached
-    * partitions.
+    * partitions. Builds are serialized per-key under a lock: a concurrent
+    * `getOrElseUpdate` could otherwise run the side-effecting build twice
+    * and strand the losing persist() in the block manager.
     */
   def substrate(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    evictStopped()
     evictOthers(s, d)
-    entries.getOrElseUpdate(
-      (s, d, tag), {
-        val df = build.persist()
-        df.count()
-        df
-      },
-    )
+    val key = (s, d, tag)
+    entries.get(key) match {
+      case Some(df) => df
+      case None =>
+        synchronized {
+          entries.get(key) match {
+            case Some(df) => df
+            case None =>
+              val df = build.persist()
+              df.count()
+              entries.put(key, df)
+              df
+          }
+        }
+    }
   }
 
   /** Unpersist and drop every substrate of `s` cached for a dataset other
@@ -45,6 +56,24 @@ object SubstrateCache {
     entries.keySet.toList.foreach { k =>
       if ((k._1 eq s) && k._2 != d)
         entries.remove(k).foreach(_.unpersist(blocking = true))
+    }
+
+  /** Drop every substrate of session `s` (call on session stop). */
+  def evictSession(s: SparkSession): Unit =
+    entries.keySet.toList.foreach { k =>
+      if (k._1 eq s)
+        entries.remove(k).foreach { df =>
+          if (!s.sparkContext.isStopped) df.unpersist(blocking = true)
+        }
+    }
+
+  /** Release map entries of stopped/replaced sessions so a churned session
+    * never pins its DataFrames (their cached blocks died with the context,
+    * but the strong map key would otherwise keep the plans on the heap).
+    */
+  private def evictStopped(): Unit =
+    entries.keySet.toList.foreach { k =>
+      if (k._1.sparkContext.isStopped) entries.remove(k)
     }
 
   /** Datasets this session currently holds substrates for (spec hook). */

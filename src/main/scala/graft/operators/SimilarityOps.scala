@@ -162,21 +162,30 @@ object SimilarityOps extends QueryModule {
     * pair space locally inside `flatMapGroups`. Nothing is collected to
     * the driver and no full-matrix broadcast exists — shuffle volume is
     * n·B vectors (not n² pairs), and per-group memory is 2n/B vectors.
-    * At 100 TB you size B ≈ √(cluster cores) · (n / rows-per-task) so
-    * each group's O((n/B)²) dot-product loop fits a task; the quadratic
+    * B is sized from the data, not hardcoded: enough blocks that a
+    * group's ≤ 2·(n/B) vectors fit the per-task row budget
+    * (`spark.graft.neardup.rowsPerTask`, default 4096), and never so few
+    * that the B(B+1)/2 groups can't occupy the cluster. The quadratic
     * total work is inherent to exact all-pairs, but it is spread evenly
     * over B(B+1)/2 independent tasks with no driver bottleneck.
     * Accumulation stays a sequential index-order fold and rounding is
     * the same HALF_UP Spark's round() uses, so results are bit-identical
     * to the expression formulation and the oracle.
     */
-  private val NearDupBlocks = 8
+  private def nearDupBlocks(s: SparkSession, n: Long): Int = {
+    val budget = s.conf.get("spark.graft.neardup.rowsPerTask", "4096").toLong
+    val forMemory = math.ceil(n.toDouble / budget.toDouble).toInt
+    val p = s.sparkContext.defaultParallelism
+    // smallest B with B(B+1)/2 >= defaultParallelism
+    val forParallelism = math.ceil((math.sqrt(8.0 * p + 1) - 1) / 2).toInt
+    math.max(1, math.max(forMemory, forParallelism))
+  }
 
   private val cosineNearDup = DeclaredQuery(
     "cosine_near_dup",
     (s, d) => {
       import s.implicits._
-      val b = NearDupBlocks
+      val b = nearDupBlocks(s, embeddings(s, d).count())
       val replicated = embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvec"))
         .withColumn("blk", pmod(col("vec_id"), lit(b.toLong)).cast("int"))
@@ -192,30 +201,49 @@ object SimilarityOps extends QueryModule {
       replicated
         .groupByKey { case (ba, bb, _, _, _) => (ba, bb) }
         .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Long, Array[Double])]) =>
-          val sameBlock = key._1 == key._2
-          val all = it.toArray.sortBy(_._4) // ascending vec_id → pair (i<j) is id-ordered
-          val norms = all.map { case (_, _, _, _, v) =>
+          // dot's k-order fold and the norm product are operand-symmetric at
+          // the bit level, so pair orientation never changes the value
+          def simOf(va: Array[Double], na: Double, vb: Array[Double], nb: Double): Double = {
+            var dot = 0.0; var k = 0
+            val len = math.min(va.length, vb.length)
+            while (k < len) { dot += va(k) * vb(k); k += 1 }
+            java.math.BigDecimal
+              .valueOf(dot / (na * nb))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .doubleValue()
+          }
+          def normOf(v: Array[Double]): Double = {
             var acc = 0.0; var i = 0
             while (i < v.length) { acc += v(i) * v(i); i += 1 }
             math.sqrt(acc)
           }
-          (0 until all.length).iterator.flatMap { i =>
-            val (_, _, blkA, ia, va) = all(i)
-            (i + 1 until all.length).iterator.flatMap { j =>
-              val (_, _, blkB, ib, vb) = all(j)
-              // a pair belongs to exactly one group: (ba,bb) for the cross
-              // pairs of two distinct blocks, (b,b) for within-block pairs
-              if (!sameBlock && blkA == blkB) None
-              else {
-                var dot = 0.0; var k = 0
-                val len = math.min(va.length, vb.length)
-                while (k < len) { dot += va(k) * vb(k); k += 1 }
-                val sim = dot / (norms(i) * norms(j))
-                val rounded = java.math.BigDecimal
-                  .valueOf(sim)
-                  .setScale(6, java.math.RoundingMode.HALF_UP)
-                  .doubleValue()
-                if (rounded >= 0.4) Some((ia, ib, rounded)) else None
+          val all = it.toArray.sortBy(_._4) // ascending vec_id → pair (i<j) is id-ordered
+          if (key._1 == key._2) {
+            // within-block pairs of the diagonal group
+            val norms = all.map { case (_, _, _, _, v) => normOf(v) }
+            (0 until all.length).iterator.flatMap { i =>
+              val (_, _, _, ia, va) = all(i)
+              (i + 1 until all.length).iterator.flatMap { j =>
+                val (_, _, _, ib, vb) = all(j)
+                val sim = simOf(va, norms(i), vb, norms(j))
+                if (sim >= 0.4) Some((ia, ib, sim)) else None
+              }
+            }
+          } else {
+            // cross pairs only — a pair of two distinct blocks belongs to
+            // exactly this (ba,bb) group; its same-block pairs belong to the
+            // diagonal groups, so a split A×B loop visits each pair once
+            val as = all.filter(_._3 == key._1)
+            val bs = all.filter(_._3 == key._2)
+            val normsA = as.map { case (_, _, _, _, v) => normOf(v) }
+            val normsB = bs.map { case (_, _, _, _, v) => normOf(v) }
+            (0 until as.length).iterator.flatMap { i =>
+              val (_, _, _, ia, va) = as(i)
+              (0 until bs.length).iterator.flatMap { j =>
+                val (_, _, _, ib, vb) = bs(j)
+                val sim = simOf(va, normsA(i), vb, normsB(j))
+                if (sim >= 0.4) Some((math.min(ia, ib), math.max(ia, ib), sim))
+                else None
               }
             }
           }

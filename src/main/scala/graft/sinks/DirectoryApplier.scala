@@ -40,6 +40,11 @@ object DirectoryApplier {
 
   private val MetaFile = ".graft_meta"
 
+  /** A plan row whose path would land outside the apply root — a permanent
+    * error (never retried): the plan is wrong, not the target.
+    */
+  final class PathEscapesRootError(message: String) extends RuntimeException(message)
+
   private def permsOf(mode: Int): java.util.Set[PosixFilePermission] = {
     import PosixFilePermission._
     val bits = Seq(
@@ -52,10 +57,23 @@ object DirectoryApplier {
     s
   }
 
-  /** Current sidecar metadata of `dir`, or "" when never applied. */
-  private def readMeta(dir: Path): String = {
+  /** Current sidecar metadata of `dir` as exact `k=v` fields ("mode",
+    * "own"), empty when never applied. Field-wise equality, never substring
+    * matching: `own=bob:staff2` must NOT satisfy a want of `own=bob:staff`.
+    */
+  private def readMeta(dir: Path): Map[String, String] = {
     val f = dir.resolve(MetaFile)
-    if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8) else ""
+    if (!Files.exists(f)) Map.empty
+    else
+      new String(Files.readAllBytes(f), UTF_8)
+        .split("\\s+")
+        .iterator
+        .filter(_.contains('='))
+        .map { tok =>
+          val i = tok.indexOf('=')
+          tok.substring(0, i) -> tok.substring(i + 1)
+        }
+        .toMap
   }
 
   /** Apply a `directory_plan` DataFrame onto filesystem root `root`.
@@ -73,17 +91,29 @@ object DirectoryApplier {
     val chmods = sc.longAccumulator("graft.apply.chmods")
     val chowns = sc.longAccumulator("graft.apply.chowns")
     val rows = plan.select("path", "mode_octal", "owner", "group")
+    // java.nio Path is not serializable — ship the normalized string
+    val rootStr = Paths.get(root).toAbsolutePath.normalize().toString
     RetryingSink.foreachRowWithRetry(rows, maxRetries, backoffMs) { row =>
+      val rootPath = Paths.get(rootStr)
       val rel = row.getAs[String]("path").dropWhile(_ == '/')
       val modeOctal = row.getAs[String]("mode_octal")
       val owner = row.getAs[String]("owner")
       val group = row.getAs[String]("group")
-      val dir = Paths.get(root).resolve(rel)
+      val dir = rootPath.resolve(rel).normalize()
+      // `..` segments (or an absolute override) must never write outside the
+      // target root — permanent error, the plan row is malformed
+      if (!dir.startsWith(rootPath))
+        throw new PathEscapesRootError(s"plan path '$rel' resolves outside apply root $rootPath")
+
+      // Effects are counted only after the whole row (including its sidecar
+      // write) completed, so a TransientError mid-row never double-counts
+      // the already-applied effects on retry.
+      var dMkdir, dChmod, dChown = 0L
 
       // mkdir — create-parents, already-exists tolerated (directories.py:66-71)
       if (!Files.isDirectory(dir)) {
         Files.createDirectories(dir)
-        mkdirs.add(1)
+        dMkdir = 1
       }
 
       // chmod — real 9-bit perms + full octal recorded in the sidecar
@@ -91,19 +121,20 @@ object DirectoryApplier {
       val mode = Integer.parseInt(modeOctal, 8)
       val wantPerms = permsOf(mode & 0x1ff)
       val meta = readMeta(dir)
-      val wantMode = s"mode=$modeOctal"
-      if (Files.getPosixFilePermissions(dir) != wantPerms || !meta.contains(wantMode)) {
+      if (Files.getPosixFilePermissions(dir) != wantPerms || !meta.get("mode").contains(modeOctal)) {
         Files.setPosixFilePermissions(dir, wantPerms)
-        chmods.add(1)
+        dChmod = 1
       }
 
       // chown — sidecar owner:group (directories.py:75-86)
-      val wantOwn = s"own=$owner:$group"
-      if (!meta.contains(wantOwn)) chowns.add(1)
+      val wantOwn = s"$owner:$group"
+      if (!meta.get("own").contains(wantOwn)) dChown = 1
 
-      val newMeta = s"$wantMode $wantOwn"
-      if (meta != newMeta)
+      val newMeta = s"mode=$modeOctal own=$wantOwn"
+      if (meta != Map("mode" -> modeOctal, "own" -> wantOwn))
         Files.write(dir.resolve(MetaFile), newMeta.getBytes(UTF_8))
+
+      mkdirs.add(dMkdir); chmods.add(dChmod); chowns.add(dChown)
     }
     ApplyStats(mkdirs.value, chmods.value, chowns.value)
   }

@@ -100,6 +100,34 @@ class EffectSemanticsSpec extends SparkSpec {
     assert(third == DirectoryApplier.ApplyStats(0, 1, 0), third.toString)
   }
 
+  test("apply rejects plan paths that escape the target root") {
+    import graft.sinks.DirectoryApplier
+    val root = java.nio.file.Files.createTempDirectory("graft-escape").toString
+    val evil = Seq(("/../outside", "0755", "bob", "staff")).toDF("path", "mode_octal", "owner", "group")
+    val e = intercept[org.apache.spark.SparkException] {
+      DirectoryApplier.applyPlan(evil, root, backoffMs = 1L)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[DirectoryApplier.PathEscapesRootError]), e.toString)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root).getParent.resolve("outside")))
+  }
+
+  test("sidecar comparison is field-exact: own=bob:staff2 does not satisfy bob:staff") {
+    import graft.sinks.DirectoryApplier
+    val root = java.nio.file.Files.createTempDirectory("graft-fields").toString
+    val plan = Seq(("/d1", "0755", "bob", "staff")).toDF("path", "mode_octal", "owner", "group")
+    assert(DirectoryApplier.applyPlan(plan, root, backoffMs = 1L).total == 3)
+    // drift the sidecar to a value that CONTAINS the wanted one as a prefix
+    val meta = java.nio.file.Paths.get(root, "d1", ".graft_meta")
+    java.nio.file.Files.write(meta, "mode=0755 own=bob:staff2".getBytes("UTF-8"))
+    val heal = DirectoryApplier.applyPlan(plan, root, backoffMs = 1L)
+    assert(heal == DirectoryApplier.ApplyStats(0, 0, 1), s"ownership change must count: $heal")
+    assert(new String(java.nio.file.Files.readAllBytes(meta), "UTF-8") == "mode=0755 own=bob:staff")
+    // and the healed state re-applies as a true no-op
+    assert(DirectoryApplier.applyPlan(plan, root, backoffMs = 1L).total == 0)
+  }
+
   test("script sink writes the deterministic artifact") {
     val plan = SparkEntry.queries("identity_plan")(spark, sfDir)
     val out = java.nio.file.Files.createTempDirectory("script").toString + "/plan"
