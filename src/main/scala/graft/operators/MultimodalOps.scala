@@ -112,8 +112,20 @@ object MultimodalOps extends QueryModule {
       ).as("frame_idx"),
     )
 
-  /** Resize: a decoder-level transform — real pixel work needs a codec
-    * (stubbed like NativeDecoder); the deterministic fake scales the
+  /** Real image resize: decode → nearest-neighbor resample → re-encode,
+    * payload to payload, inside `mapPartitions` (zero shuffle; the output
+    * record is a valid PPM that any downstream decode stage reads again).
+    * Pure-JVM pixel work via [[MediaCodecs.Ppm]] — no native libs.
+    */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val out = MediaCodecs.Ppm.encode(MediaCodecs.Ppm.resize(MediaCodecs.Ppm.decode(r.data), w, h))
+      r.copy(kind = s"${r.kind};${w}x$h", n_bytes = out.length.toLong, data = out)
+    })
+  }
+
+  /** Resize stub for codec-less formats: the deterministic fake scales the
     * feature chunks so the plumbing (metadata update + feature rescale)
     * is testable. Output metadata carries the target box.
     */

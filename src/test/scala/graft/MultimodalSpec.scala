@@ -59,6 +59,102 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // --- real pure-JVM codecs (MediaCodecs): actual pixel/sample decode ---
+
+  import graft.operators.MediaCodecs
+  import graft.operators.MediaCodecs.{JvmDecoder, Ppm, PpmImage, Wav, WavAudio}
+
+  /** Deterministic fixtures, TESTDATA-style: a horizontal R-gradient PPM
+    * and a square-wave PCM16 WAV, built from their formulas.
+    */
+  private def gradientPpm(w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = 3 * (y * w + x)
+      rgb(o) = (x * 255 / math.max(1, w - 1)).toByte // R ramps 0..255
+      rgb(o + 1) = 64.toByte // G constant
+      rgb(o + 2) = (y * 255 / math.max(1, h - 1)).toByte // B ramps down rows
+    }
+    Ppm.encode(PpmImage(w, h, 255, rgb))
+  }
+
+  private def squareWav(rate: Int, n: Int, amp: Short): Array[Byte] =
+    Wav.encode(WavAudio(rate, 1, Array.tabulate(n)(i => if (i % 2 == 0) amp else (-amp).toShort)))
+
+  test("JVM decoder decodes real PPM pixels distributed over partitions") {
+    val payload = gradientPpm(5, 3)
+    val media = (0L until 8L).map(i => MediaRecord(i, "image/x-ppm", payload.length.toLong, payload))
+    val ds = spark.createDataset(media).repartition(4)
+    val got = MultimodalOps.decodeFeatures(ds, JvmDecoder).collect().sortBy(_.doc_id)
+    assert(got.length == 8)
+    got.foreach { f =>
+      assert(f.kind == "image/x-ppm")
+      // R mean: ramp 0,63,127,191,255 per row -> mean 127.4; /255
+      assert(math.abs(f.f0 - (0 + 63 + 127 + 191 + 255) / 5.0 / 255.0) < 1e-12)
+      assert(math.abs(f.f1 - 64.0 / 255.0) < 1e-12) // G constant
+      assert(math.abs(f.f3 - 5.0 / 3.0) < 1e-12) // aspect
+    }
+  }
+
+  test("JVM decoder decodes real WAV samples; header fields survive") {
+    val bytes = squareWav(rate = 16000, n = 16000, amp = 16384)
+    val f = JvmDecoder.decode(MediaRecord(7L, "audio/wav", bytes.length.toLong, bytes))
+    assert(f.kind == "audio/wav")
+    assert(math.abs(f.f0 - 16000.0 / 48000.0) < 1e-12)
+    assert(math.abs(f.f1 - 0.5) < 1e-12) // |±16384|/32768
+    assert(math.abs(f.f2 - 0.5) < 1e-12) // rms of a square wave == |amp|
+    assert(math.abs(f.f3 - 1.0) < 1e-12) // 16000 samples at 16 kHz mono
+  }
+
+  test("WAV chunk walker skips non-data chunks and rejects malformed payloads") {
+    // splice a LIST chunk between fmt and data
+    val plain = squareWav(8000, 8, 1000)
+    val buf = java.nio.ByteBuffer.allocate(plain.length + 12)
+    buf.put(plain, 0, 36)
+    buf.put("LIST".getBytes("US-ASCII")).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4)
+    buf.put("INFO".getBytes("US-ASCII"))
+    buf.put(plain, 36, plain.length - 36)
+    val spliced = buf.array()
+    assert(Wav.decode(spliced).samples.length == 8)
+    intercept[MalformedStateError](Wav.decode("RIFFxxxxNOPE".getBytes))
+    intercept[MalformedStateError](Ppm.decode("P6\n2 2\n255\n".getBytes)) // short payload
+    intercept[MalformedStateError](
+      JvmDecoder.decode(MediaRecord(1L, "x", 3L, Array[Byte](1, 2, 3))))
+  }
+
+  test("real resize is nearest-neighbor pixel work, payload to payload") {
+    // 4x4 checkerboard: 2x2 blocks of white/black
+    val rgb = new Array[Byte](3 * 16)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val v = if (((x / 2) + (y / 2)) % 2 == 0) 255.toByte else 0.toByte
+      val o = 3 * (y * 4 + x); rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+    }
+    val payload = Ppm.encode(PpmImage(4, 4, 255, rgb))
+    val ds = spark.createDataset(Seq(MediaRecord(1L, "image/x-ppm", payload.length.toLong, payload)))
+    val out = MultimodalOps.resizeImages(ds, 2, 2).collect().head
+    assert(out.kind == "image/x-ppm;2x2")
+    val img = Ppm.decode(out.data)
+    // nearest-neighbor at half scale samples the top-left of each block
+    assert(img.pixel(0, 0) == ((255, 255, 255)))
+    assert(img.pixel(1, 0) == ((0, 0, 0)))
+    assert(img.pixel(0, 1) == ((0, 0, 0)))
+    assert(img.pixel(1, 1) == ((255, 255, 255)))
+    // and the resized payload is itself decodable by the feature path
+    val f = JvmDecoder.decode(out)
+    assert(math.abs(f.f0 - 0.5) < 1e-12)
+  }
+
+  test("ppm round-trip: encode(decode(x)) == x, comments tolerated") {
+    val bytes = gradientPpm(3, 2)
+    assert(Ppm.encode(Ppm.decode(bytes)).sameElements(bytes))
+    val commented = ("P6\n# a comment line\n3 2\n255\n").getBytes("US-ASCII") ++
+      bytes.drop("P6\n3 2\n255\n".length)
+    assert(Ppm.decode(commented).rgb.sameElements(Ppm.decode(bytes).rgb))
+    val wav = squareWav(44100, 100, 2000)
+    assert(Wav.encode(Wav.decode(wav)).sameElements(wav))
+    MediaCodecs // touch import
+  }
+
   test("features depend on payload bytes") {
     val r1 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a b".getBytes))
     val r2 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a c".getBytes))
