@@ -28,7 +28,7 @@ object Ivf extends QueryModule {
   }
 
   /** Oracle-backed IVF search (`ivf_ann`): deterministic end-to-end —
-    * stride seeds, ONE Lloyd refinement whose centroids are exact means
+    * stride seeds, TWO Lloyd refinements whose centroids are exact means
     * of integer-scaled vectors (the [[AggregatorOps]] trick: Long sums
     * are partitioning-invariant, so the refined centroids are
     * bit-identical to the oracle's single-threaded build), then
@@ -89,15 +89,18 @@ object Ivf extends QueryModule {
           )
           .filter(col("rk") === 1)
           .select("vec_id", "cid")
-      // one Lloyd step with EXACT integer-scaled means
-      val refined = argmaxCell(e.select("vec_id", "dvec"), seeds)
-        .join(e.select(col("vec_id"), col("sv")), Seq("vec_id"))
-        .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(sum("v").as("sv2"), count(lit(1)).as("m"))
-        .withColumn("c", col("sv2").cast("double") / (col("m") * lit(1000000.0)))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      // Lloyd steps with EXACT integer-scaled means (each step is one
+      // assignment pass + one partitioning-invariant Long-sum mean)
+      def lloydStep(cents: DataFrame): DataFrame =
+        argmaxCell(e.select("vec_id", "dvec"), cents)
+          .join(e.select(col("vec_id"), col("sv")), Seq("vec_id"))
+          .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(sum("v").as("sv2"), count(lit(1)).as("m"))
+          .withColumn("c", col("sv2").cast("double") / (col("m") * lit(1000000.0)))
+          .groupBy("cid")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+      val refined = lloydStep(lloydStep(seeds))
       val assigned = argmaxCell(e.select("vec_id", "dvec"), refined)
       val q = e
         .filter(col("vec_id") < NQueries)
@@ -145,7 +148,17 @@ object Ivf extends QueryModule {
                     FROM asg0 a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
              cm AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex GROUP BY 1, 2),
              cent AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm GROUP BY cid),
-             cn AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent),
+             cn0 AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent),
+             am AS (SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
+                    FROM e CROSS JOIN cn0 c),
+             asgm AS (SELECT vec_id, cid FROM am WHERE rk = 1),
+             ex2 AS (SELECT a.cid, u.pos, u.v
+                     FROM asgm a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
+             cm2 AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex2 GROUP BY 1, 2),
+             cent2 AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm2 GROUP BY cid),
+             cn AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent2),
              a1 AS (SELECT e.vec_id, c.cid,
                            row_number() OVER (PARTITION BY e.vec_id
                              ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
@@ -214,6 +227,68 @@ object Ivf extends QueryModule {
       )
       .filter(col("rk") === 1)
       .select("vec_id", "cid", "csim")
+
+  /** Persist the index in its durable 100 TB layout: one directory per
+    * cell (`partitionBy(cid)`), each vector riding beside its assignment.
+    * This is the disk twin of the in-session assignment join — pay the
+    * assignment shuffle once at write time; every later probe reads only
+    * its cells' directories.
+    */
+  def writeCellLayout(
+      s: SparkSession,
+      e: DataFrame,
+      centroids: DataFrame,
+      dir: String,
+  ): Unit =
+    assign(s, e, centroids)
+      .select(col("vec_id"), col("cid"))
+      .join(e, "vec_id")
+      .select(col("cid"), col("vec_id"), col("dvec"))
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("cid")
+      .parquet(dir)
+
+  /** Search against a [[writeCellLayout]] index, reading ONLY the probed
+    * cells: per-query cell ranks come from the tiny centroid table; the
+    * union of probed cell ids (≤ queries·nprobe ints — driver-safe at any
+    * corpus size, it scales with k not n) becomes a LITERAL predicate on
+    * the partition column, so the scan prunes to those directories at
+    * planning time (`PartitionFilters`, not just row-group pushdown).
+    */
+  def searchCellLayout(
+      s: SparkSession,
+      indexDir: String,
+      centroids: DataFrame,
+      queries: DataFrame,
+      nprobe: Int,
+      topk: Int,
+  ): DataFrame = {
+    val cells = queries
+      .join(broadcast(centroids))
+      .withColumn("csim", sim(s, "qvec", "cvec"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))),
+      )
+      .filter(col("rk") <= nprobe)
+      .select("qid", "qvec", "cid")
+    val probedCells = cells.select("cid").distinct().collect().map(_.getInt(0))
+    val probedScan = s.read
+      .parquet(indexDir)
+      .filter(col("cid").isin(probedCells.map(Integer.valueOf): _*))
+    cells
+      .join(probedScan.withColumnRenamed("dvec", "cand_vec"), "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", sim(s, "qvec", "cand_vec"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+      )
+      .filter(col("rank") <= topk)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("vec_id").as("cid"), col("sim"))
+      .orderBy("qid", "rank")
+  }
 
   /** Search: per query, rank cells by centroid similarity, take `nprobe`,
     * then exact top-k within the probed cells.
