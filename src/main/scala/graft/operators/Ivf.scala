@@ -100,8 +100,15 @@ object Ivf extends QueryModule {
           .withColumn("c", col("sv2").cast("double") / (col("m") * lit(1000000.0)))
           .groupBy("cid")
           .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
-      val refined = lloydStep(lloydStep(seeds))
-      val assigned = argmaxCell(e.select("vec_id", "dvec"), refined)
+      // the refined-centroid lineage feeds BOTH the corpus assignment and
+      // the query probe — materialize it once (k rows) instead of running
+      // the two-step Lloyd chain per consumer; same for the assignment
+      val refined = graft.SubstrateCache.substrate(s, d, "ivf-centroids") {
+        lloydStep(lloydStep(seeds))
+      }
+      val assigned = graft.SubstrateCache.substrate(s, d, "ivf-assigned") {
+        argmaxCell(e.select("vec_id", "dvec"), refined)
+      }
       val q = e
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
