@@ -217,11 +217,94 @@ object TextOps extends QueryModule {
             FROM t ORDER BY doc_id"""),
   )
 
+  /** Gopher-style repetition filter signal: the fraction of duplicate
+    * word 2-grams / 3-grams per document (1 − distinct/total). Gram
+    * arrays come from `zip_with` over shifted `slice`s — never per-index
+    * `element_at` inside a lambda, which CollapseProject would inline
+    * into an O(words²) split per document (the round-2 GramHashes
+    * lesson). Everything is array-local per row: no shuffle at all
+    * beyond the output sort.
+    */
+  private val repetitionRatio = DeclaredQuery(
+    "repetition_ratio",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn(
+          "g2",
+          expr("""IF(size(ws) >= 2,
+                    zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+                             (a, b) -> concat(a, ' ', b)),
+                    array())"""),
+        )
+        .withColumn(
+          "g3",
+          expr("""IF(size(ws) >= 3,
+                    zip_with(slice(ws, 1, size(ws) - 2),
+                             zip_with(slice(ws, 2, size(ws) - 2), slice(ws, 3, size(ws) - 2),
+                                      (b, c) -> concat(b, ' ', c)),
+                             (a, bc) -> concat(a, ' ', bc)),
+                    array())"""),
+        )
+        .select(
+          col("doc_id"),
+          size(col("g2")).cast("long").as("n_2grams"),
+          expr("""round(IF(size(g2) = 0, 0.0D,
+                           1.0D - CAST(size(array_distinct(g2)) AS DOUBLE) / size(g2)), 4)""")
+            .as("dup_2gram_frac"),
+          expr("""round(IF(size(g3) = 0, 0.0D,
+                           1.0D - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3)), 4)""")
+            .as("dup_3gram_frac"),
+        )
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            g AS (SELECT doc_id,
+                         list_transform(range(1, greatest(len(ws), 1)),
+                                        i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+                         list_transform(range(1, greatest(len(ws) - 1, 1)),
+                                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS g3
+                  FROM t)
+            SELECT doc_id,
+                   CAST(len(g2) AS BIGINT) AS n_2grams,
+                   round(CASE WHEN len(g2) = 0 THEN 0.0
+                              ELSE 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) END, 4) AS dup_2gram_frac,
+                   round(CASE WHEN len(g3) = 0 THEN 0.0
+                              ELSE 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) END, 4) AS dup_3gram_frac
+            FROM g ORDER BY doc_id"""),
+  )
+
+  /** Corpus heavy hitters: global top-20 regex tokens by frequency. The
+    * plan is the scalable one — partial hash agg (map-side combine over
+    * exploded tokens) → final agg → `TakeOrderedAndProject` for the
+    * top-k (never a global sort of the vocabulary); the rank window runs
+    * over the 20 survivors only.
+    */
+  private val tokenTopk = DeclaredQuery(
+    "token_topk",
+    (s, d) =>
+      documents(s, d)
+        .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+        .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("token"))))
+        .select(col("rank").cast("long").as("rank"), col("token"), col("n"))
+        .orderBy("rank"),
+    Some("""WITH tok AS (SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS token
+                         FROM documents),
+            c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+            r AS (SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+            SELECT CAST(rank AS BIGINT) AS rank, token, n FROM r WHERE rank <= 20 ORDER BY rank"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textStats,
     tokenCount,
     langId,
     docFingerprint,
     exactDedupDocs,
+    repetitionRatio,
+    tokenTopk,
   )
 }
