@@ -72,6 +72,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no all-pairs cross join")
   }
 
+  test("token_topk never sorts the vocabulary: TakeOrderedAndProject over final agg") {
+    val p = planOf("token_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "map-side partial count must exist")
+  }
+
+  test("repetition_ratio and embedding_quantize stay array-local: one shuffle (output sort)") {
+    for (name <- Seq("repetition_ratio", "embedding_quantize")) {
+      val p = planOf(name)
+      assert(!p.contains("Join"), s"$name must not join")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$name: only the presentation sort may shuffle, got $exchanges")
+      // the per-vector scale must be computed once per row, not inlined
+      // into every lambda element (the CollapseProject quadratic trap)
+      if (name == "embedding_quantize")
+        assert("array_max".r.findAllIn(p).size <= 3,
+          "scale expression duplicated into lambdas — quadratic per-row work")
+    }
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
