@@ -270,5 +270,68 @@ object DedupOps extends QueryModule {
              ORDER BY da, db"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(ngramJaccard, minhashNearDup, simhashNearDup)
+  /** Connected components over the near-dup pair graph — the step that
+    * turns pairwise matches into dedup groups (keep min-id per cluster,
+    * drop the rest). Pregel-style min-label propagation: every node
+    * starts labeled with itself; each round pushes labels across edges
+    * and keeps the per-node min; converged when no label changed. Rounds
+    * are O(log(component diameter)) — near-dup clusters are shallow, so
+    * this is 2-4 rounds in practice. The driver-side loop only runs the
+    * convergence COUNT per round (a scalar); all label movement is
+    * distributed joins. At 100 TB the refinement of this same skeleton is
+    * the large-star/small-star algorithm; the iteration structure and
+    * shuffle shape (edges ⋈ labels, groupBy-min) are identical.
+    *
+    * The oracle states the fixpoint declaratively: a recursive CTE walks
+    * label reachability and takes the per-node min — same semantics, so
+    * the result hash-matches the iterative plan.
+    */
+  private val MaxCcRounds = 20
+
+  private val dedupClusters = DeclaredQuery(
+    "dedup_clusters",
+    (s, d) => {
+      // the converged label table is itself a substrate: intermediates are
+      // unpersisted inside the loop, the survivor is owned (and eventually
+      // evicted) by the cache registry instead of leaking per invocation
+      val converged = graft.SubstrateCache.substrate(s, d, "cc-labels:0.3") {
+        val pairs = jaccardPairs(s, d, 0.3).select(col("da"), col("db"))
+        val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+        var labels = documents(s, d).select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        var changed = 1L
+        var round = 0
+        while (changed > 0 && round < MaxCcRounds) {
+          val prop = edges
+            .join(labels, edges("da") === labels("node"))
+            .select(col("db").as("node"), col("lbl"))
+          val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).persist()
+          changed = next
+            .join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(col("lbl") =!= col("old"))
+            .count()
+          labels.unpersist()
+          labels = next
+          round += 1
+        }
+        assert(changed == 0, s"label propagation did not converge in $MaxCcRounds rounds")
+        labels
+      }
+      converged
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3)},
+             edges AS (SELECT da AS src, db AS dst FROM p
+                       UNION ALL SELECT db, da FROM p),
+             reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+                       UNION
+                       SELECT e.dst AS node, r.lbl
+                       FROM reach r JOIN edges e ON r.node = e.src)
+             SELECT node AS doc_id, min(lbl) AS cluster_id
+             FROM reach GROUP BY node ORDER BY doc_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters)
 }

@@ -74,4 +74,29 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(rs.forall(_.getAs[Double]("sim") <= exact(q) + 1e-9))
     }
   }
+
+  test("dedup_clusters: connected components are transitive and min-labeled") {
+    val labels = SparkEntry
+      .queries("dedup_clusters")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    val pairs = SparkEntry.queries("ngram_jaccard")(spark, sfDir).collect()
+    assert(pairs.nonEmpty, "need near-dup pairs for clustering to mean anything")
+    // both endpoints of every near-dup pair share a cluster (transitivity
+    // is implied: the pair relation's closure IS the component)
+    pairs.foreach { p =>
+      assert(labels(p.getAs[Long]("da")) == labels(p.getAs[Long]("db")))
+    }
+    // a cluster is labeled by its minimum member, and members agree on it
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keysIterator.min == cid, s"cluster $cid not min-labeled")
+    }
+    // docs with no pair stay singletons
+    val inPairs =
+      pairs.flatMap(p => Seq(p.getAs[Long]("da"), p.getAs[Long]("db"))).toSet
+    labels.foreach { case (doc, cid) =>
+      if (!inPairs(doc)) assert(cid == doc, s"singleton $doc relabeled to $cid")
+    }
+  }
 }
