@@ -58,7 +58,13 @@ object Cli {
   final case class UsageError(message: String) extends RuntimeException(message)
 
   /** argparse-style parse: flags in any order, one required positional. */
+  val Version = "4.0" // _scripts.py:41-45 --version parity
+
+  /** Raised by --version: handled as print-and-exit-0 (argparse action). */
+  final case class VersionRequested() extends RuntimeException
+
   def parse(argv: Seq[String]): Config = {
+    if (argv.contains("--version")) throw VersionRequested()
     if (argv.isEmpty || !Commands.contains(argv.head))
       throw UsageError(s"expected a command of ${Commands.mkString("|")}")
     var c = Config(command = argv.head)
@@ -195,8 +201,19 @@ object Cli {
       }
       0
     } catch {
+      case VersionRequested() => println(s"graft v$Version"); 0
       case UsageError(m) => System.err.println(s"usage error: $m"); 2
       case e: GraftError => System.err.println(s"[ERROR] ${e.getMessage}"); 1
+      case e: org.apache.spark.SparkException =>
+        // a GraftError raised inside a job surfaces wrapped — unwrap it for
+        // the reference's catches() exit-1 contract, rethrow anything else
+        Iterator
+          .iterate[Throwable](e)(_.getCause)
+          .takeWhile(_ != null)
+          .collectFirst { case g: GraftError => g } match {
+          case Some(g) => System.err.println(s"[ERROR] ${g.getMessage}"); 1
+          case None => throw e
+        }
     }
 
   def main(args: Array[String]): Unit = {

@@ -140,6 +140,7 @@ object MediaCodecs {
           throw new MalformedStateError(s"wav chunk $id overruns payload")
         id match {
           case "fmt " =>
+            if (size < 16) throw new MalformedStateError(s"wav fmt chunk too short: $size")
             val fmt = buf.getShort()
             channels = buf.getShort().toInt
             rate = buf.getInt()

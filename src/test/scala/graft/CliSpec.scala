@@ -77,6 +77,11 @@ class CliSpec extends SparkSpec {
     assert(second.contains("applied: mkdirs=0 chmods=0 chowns=0"), second)
   }
 
+  test("--version prints and exits 0 from anywhere in the argv") {
+    assert(Cli.run(Seq("create-users", "--version"), spark) == 0)
+    assert(Cli.run(Seq("--version"), spark) == 0)
+  }
+
   test("usage errors exit 2; bad dist is rejected like argparse choices") {
     assert(Cli.run(Seq("create-users", "--zone", "z", "--dist", "nope", "t"), spark) == 2)
     assert(Cli.run(Seq("frobnicate"), spark) == 2)
