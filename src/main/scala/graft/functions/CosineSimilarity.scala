@@ -135,6 +135,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[GramHashes].getName, "graft_gram_hashes"),
         (children: Seq[Expression]) => GramHashes(children(0)),
       ),
+      (
+        FunctionIdentifier("graft_int_dot"),
+        new ExpressionInfo(classOf[IntDot].getName, "graft_int_dot"),
+        (children: Seq[Expression]) => IntDot(children(0), children(1)),
+      ),
     )
 
   /** Imperative per-session registration (idempotent) — usable from any

@@ -80,8 +80,9 @@ object QuantizeOps extends QueryModule {
         col("scale").as("cscale"))
       broadcast(q)
         .join(c, col("qid") =!= col("cid"))
-        // exact BIGINT code dot — the coarse score's ordering key
-        .withColumn("qdot", expr("aggregate(zip_with(qqv, cqv, (a, b) -> a * b), 0L, (s2, x) -> s2 + x)"))
+        // exact BIGINT code dot — the coarse score's ordering key; native
+        // codegen kernel (graft.functions.IntDot), not an interpreted HOF
+        .withColumn("qdot", expr("graft_int_dot(qqv, cqv)"))
         .withColumn(
           "crank",
           row_number().over(Window.partitionBy("qid").orderBy(col("qdot").desc, col("cid"))),

@@ -32,6 +32,32 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(diffs == 0L, "codegen loop must reproduce the sequential fold exactly")
   }
 
+  test("graft_int_dot equals the HOF integer fold and handles nulls/mismatches") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val e = Tables
+      .embeddings(spark, sfDir)
+      .withColumn("qv", expr(
+        "transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 100 + 0.5) AS BIGINT))"))
+    val pairs = e
+      .select(col("vec_id").as("ia"), col("qv").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("qv").as("b")))
+      .filter(col("ia") < col("ib") && col("ia") < 20)
+    val diffs = pairs
+      .select((expr("graft_int_dot(a, b)") -
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, v) -> s + v)")).as("delta"))
+      .filter(col("delta") =!= 0L)
+      .count()
+    assert(diffs == 0L, "codegen integer dot must equal the fold exactly")
+    val nul = Seq((Seq(1L, 2L), Option.empty[Seq[Long]]))
+      .toDF("a", "b").select(expr("graft_int_dot(a, b)")).collect().head
+    assert(nul.isNullAt(0))
+    intercept[Exception] {
+      Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+        .select(expr("graft_int_dot(a, b)")).collect()
+    }
+  }
+
   test("null inputs yield null, mismatched types are rejected") {
     GraftFunctions.register(spark)
     import spark.implicits._

@@ -155,6 +155,40 @@ class MultimodalSpec extends SparkSpec {
     MediaCodecs // touch import
   }
 
+  test("property: PPM and WAV round-trip for arbitrary geometries and samples") {
+    import org.scalacheck.Gen
+    val rnd = new scala.util.Random(42)
+    // images: random w×h up to 17×13, random pixel bytes
+    Gen
+      .listOfN(40, Gen.zip(Gen.choose(1, 17), Gen.choose(1, 13)))
+      .sample
+      .get
+      .foreach { case (w, h) =>
+        val rgb = Array.fill[Byte](3 * w * h)(rnd.nextInt(256).toByte)
+        val img = PpmImage(w, h, 255, rgb)
+        val back = Ppm.decode(Ppm.encode(img))
+        assert(back.width == w && back.height == h && back.rgb.sameElements(rgb))
+        // resize to the same box is identity under nearest-neighbor
+        val same = Ppm.resize(img, w, h)
+        assert(same.rgb.sameElements(rgb), "identity resize must not move pixels")
+        // any resize target yields pixels drawn from the source image
+        val r2 = Ppm.resize(img, math.max(1, w / 2 + 1), math.max(1, h / 2 + 1))
+        assert(r2.rgb.length == 3 * r2.width * r2.height)
+      }
+    // audio: random rates/channels/sample vectors
+    Gen
+      .listOfN(40, Gen.zip(Gen.choose(8000, 48000), Gen.choose(1, 2), Gen.choose(1, 300)))
+      .sample
+      .get
+      .foreach { case (rate, ch, n) =>
+        val samples = Array.fill[Short]((n * ch).toInt)(rnd.nextInt(65536).toShort)
+        val a = WavAudio(rate, ch, samples)
+        val back = Wav.decode(Wav.encode(a))
+        assert(back.sampleRate == rate && back.channels == ch)
+        assert(back.samples.sameElements(samples))
+      }
+  }
+
   test("features depend on payload bytes") {
     val r1 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a b".getBytes))
     val r2 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a c".getBytes))
