@@ -75,6 +75,25 @@ object EventStream {
   def dedupedEvents(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
 
+  /** Windowed per-type counts — the streaming substrate for heavy-hitter
+    * ranking (the `token_topk` pattern on a stream). Append-mode streams
+    * cannot sort-and-limit inside the query (rank needs the closed
+    * window), so the standard production split applies: the stream keeps
+    * the watermark-bounded windowed counts; top-k ranks each closed
+    * window on the sink table. State is (#open windows × #types) —
+    * bounded by the watermark, independent of stream length.
+    */
+  def typeCountsWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        col("n"),
+      )
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -48,6 +48,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming windowed counts + sink-side rank equal the batch heavy-hitters") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStream.readEvents(spark, eventsDir)
+    runToMemory(EventStream.typeCountsWindowed(stream), "type_counts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour")
+      .orderBy(col("n").desc, col("event_type"))
+    val streamed = spark
+      .table("type_counts")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("hour", "rk")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val batch = Tables
+      .events(spark, sfDir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy("hour", "rk")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("watermarked dedup preserves unique event_ids") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val deduped = EventStream.dedupedEvents(stream).groupBy().count()
