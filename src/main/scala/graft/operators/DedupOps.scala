@@ -334,4 +334,42 @@ object DedupOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters)
+
+  /** Incremental near-dup check: a NEW batch of documents against an
+    * existing corpus (plus the batch itself) — the shape production
+    * ingestion actually runs: the corpus side is the persisted signature
+    * substrate (built once, reused every batch), only the new batch pays
+    * fresh shingle hashing, and the inverted-index join is asymmetric
+    * (new × (corpus ∪ new)), so per-batch cost scales with the batch — a
+    * full-corpus re-dedup per ingest would be O(corpus) every time.
+    * Emits (new_id, other_id, shared, j) with `other_id` from either
+    * side; pairs inside the new batch appear once (da < db).
+    *
+    * Both inputs are (doc_id, text) frames; ids must be disjoint.
+    */
+  def nearDupsAgainst(
+      corpus: DataFrame,
+      newDocs: DataFrame,
+      minJ: Double,
+  ): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    def grams(df: DataFrame): DataFrame =
+      hashedGrams(df)
+        .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
+    val newG = grams(newDocs)
+    val allG = grams(corpus).unionByName(newG)
+    val isNew = newDocs.select(col("doc_id").as("db_id")).distinct()
+    val x = newG.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+    val y = allG.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
+    x.join(y, x("gh") === y("gh2") && x("da") =!= y("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
+      .filter(col("j") >= minJ)
+      // new-new pairs would otherwise appear in both orientations
+      .join(broadcast(isNew), col("db") === col("db_id"), "left")
+      .filter(col("db_id").isNull || col("da") < col("db"))
+      .select(col("da").as("new_id"), col("db").as("other_id"), col("shared"), col("j"))
+  }
 }

@@ -75,6 +75,30 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup equals the full run restricted to the new batch") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // split: ids >= 400 arrive as the "new batch"
+    val corpus = docs.filter(col("doc_id") < 400)
+    val fresh = docs.filter(col("doc_id") >= 400)
+    val inc = graft.operators.DedupOps
+      .nearDupsAgainst(corpus, fresh, minJ = 0.3)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("other_id"),
+        math.min(r.getAs[Long]("new_id"), r.getAs[Long]("other_id")) ->
+          math.max(r.getAs[Long]("new_id"), r.getAs[Long]("other_id"))))
+      .map(_._3)
+      .toSet
+    val full = SparkEntry
+      .queries("ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+      .filter { case (a, b) => a >= 400 || b >= 400 }
+      .toSet
+    assert(inc == full, s"incremental=${inc.size} full-restricted=${full.size}")
+    assert(inc.nonEmpty, "split must cross at least one planted near-dup pair")
+  }
+
   test("dedup_clusters: connected components are transitive and min-labeled") {
     val labels = SparkEntry
       .queries("dedup_clusters")(spark, sfDir)

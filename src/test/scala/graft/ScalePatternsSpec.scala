@@ -81,4 +81,62 @@ class ScalePatternsSpec extends SparkSpec {
       )
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // force the shuffle-join path (bloom filters don't apply to broadcasts)
+    // and lower the creation thresholds to testdata size
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // testdata is far below the 10GB production probe-side threshold
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = Tables.lineitem(spark, sfDir)
+      val sel = Tables
+        .orders(spark, sfDir)
+        .filter(col("o_totalprice") > 500000) // selective build side
+        .select("o_orderkey")
+      val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(
+        plan.contains("bloom_filter_agg") || plan.contains("BloomFilter"),
+        s"selective join must inject a runtime bloom filter:\n${plan.take(900)}",
+      )
+      // the filter is a pure pruning optimization — results are unchanged
+      val expected = li
+        .join(broadcast(sel), li("l_orderkey") === sel("o_orderkey"))
+        .count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
+  test("approx_percentile tracks the exact percentile within its accuracy bound") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB knob: exact percentile shuffles every value to one
+    // reducer per group; approx_percentile is a mergeable sketch
+    // (partial+final agg) with a declared error bound
+    val rows = Tables
+      .events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.5)").as("exact"),
+        expr("approx_percentile(value, 0.5, 10000)").as("approx"),
+        expr("min(value)").as("lo"),
+        expr("max(value)").as("hi"),
+      )
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val span = r.getAs[Double]("hi") - r.getAs[Double]("lo")
+      val err = math.abs(r.getAs[Double]("exact") - r.getAs[Double]("approx"))
+      assert(err <= span * 0.01 + 1e-9, s"sketch drifted: $r")
+    }
+  }
 }
