@@ -332,8 +332,39 @@ object DedupOps extends QueryModule {
              FROM reach GROUP BY node ORDER BY doc_id"""),
   )
 
+  /** Declared form of [[nearDupsAgainst]]: docs below id 400 are the
+    * standing corpus, the rest arrive as the new batch — the per-ingest
+    * near-dup check a production pipeline runs on every batch.
+    */
+  private val IncrementalSplit = 400L
+
+  private val incrementalDedup = DeclaredQuery(
+    "incremental_dedup",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      nearDupsAgainst(
+        docs.filter(col("doc_id") < IncrementalSplit),
+        docs.filter(col("doc_id") >= IncrementalSplit),
+        minJ = 0.3,
+      )
+        .select(col("new_id"), col("other_id"), col("shared"), round(col("j"), 3).as("j"))
+        .orderBy("new_id", "other_id")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             e AS (SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gram FROM h),
+             x AS (SELECT * FROM e WHERE doc_id >= $IncrementalSplit),
+             p0 AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
+                    FROM x JOIN e y ON x.gram = y.gram AND x.doc_id <> y.doc_id
+                    GROUP BY 1, 2, 3, 4),
+             p AS (SELECT da, db, shared, shared::DOUBLE / (na + nb - shared) AS j
+                   FROM p0 WHERE shared::DOUBLE / (na + nb - shared) >= 0.3)
+             SELECT da AS new_id, db AS other_id, shared, round(j, 3) AS j
+             FROM p WHERE db < $IncrementalSplit OR da < db
+             ORDER BY new_id, other_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters)
+    Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, incrementalDedup)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
