@@ -298,6 +298,64 @@ object TextOps extends QueryModule {
             SELECT CAST(rank AS BIGINT) AS rank, token, n FROM r WHERE rank <= 20 ORDER BY rank"""),
   )
 
+  /** PII scrubbing — the redaction pass every pretraining pipeline runs
+    * before text leaves the ingest tier: emails, IPv4s, and long digit
+    * runs replaced by typed placeholder tokens, with per-doc match counts
+    * for audit. The corpus is synthetic word salad, so the query plants
+    * deterministic PII-shaped fields derived from doc_id (the ip_unpack
+    * trick) and scrubs them — both engines construct then redact the
+    * identical string, and the regex subset used (classes, bounded
+    * repetition, no backrefs) behaves the same under Java regex and RE2.
+    * Scrub order is fixed (emails → IPs → digit runs) since each pass
+    * can destroy later patterns' matches.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "(\\d{1,3}\\.){3}\\d{1,3}"
+  private val LongNumRe = "\\d{9,}"
+
+  private val piiScrub = DeclaredQuery(
+    "pii_scrub",
+    (s, d) =>
+      documents(s, d)
+        .withColumn(
+          "raw",
+          concat(
+            col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com via 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+            lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+            lit(" ref "), (col("doc_id") * 987654321L + 123456789L).cast("string"),
+          ),
+        )
+        .select(
+          col("doc_id"),
+          // function API, not expr(): a SQL string literal would eat the
+          // \d escapes (escapedStringLiterals=false default)
+          size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+          size(regexp_extract_all(col("raw"), lit(LongNumRe), lit(0))).cast("long").as("n_longnums"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+              Ipv4Re, "<IP>"),
+            LongNumRe, "<NUM>").as("scrubbed"),
+        )
+        .orderBy("doc_id"),
+    Some(s"""WITH r AS (SELECT doc_id,
+                               text || ' contact user' || doc_id || '@example.com via 10.0.' ||
+                               (doc_id % 256) || '.' || (doc_id * 7 % 256) || ' ref ' ||
+                               (doc_id * 987654321 + 123456789) AS raw
+                        FROM documents)
+             SELECT doc_id,
+                    CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+                    CAST(len(regexp_extract_all(raw, '$Ipv4Re')) AS BIGINT) AS n_ips,
+                    CAST(len(regexp_extract_all(raw, '$LongNumRe')) AS BIGINT) AS n_longnums,
+                    regexp_replace(regexp_replace(regexp_replace(raw,
+                      '$EmailRe', '<EMAIL>', 'g'),
+                      '$Ipv4Re', '<IP>', 'g'),
+                      '$LongNumRe', '<NUM>', 'g') AS scrubbed
+             FROM r ORDER BY doc_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textStats,
     tokenCount,
@@ -306,5 +364,6 @@ object TextOps extends QueryModule {
     exactDedupDocs,
     repetitionRatio,
     tokenTopk,
+    piiScrub,
   )
 }
