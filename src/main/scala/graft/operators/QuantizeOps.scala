@@ -17,37 +17,84 @@ import graft.Tables._
   */
 object QuantizeOps extends QueryModule {
 
+  /** The SQ8 code table — (vec_id, dvec, scale, qv) — materialized ONCE
+    * per (session, dataset) via [[graft.SubstrateCache]] and shared by
+    * every quantized consumer (`embedding_quantize`, `quantized_topk`,
+    * `ivf_quantized_topk`), matching the other ANN tiers' substrates.
+    *
+    * This is also the structural fix for the CollapseProject O(d²) trap:
+    * a downstream query that prunes columns can leave `scale`
+    * single-referenced, at which point the optimizer inlines
+    * `array_max(transform(dvec, abs))` into the quantize lambda and
+    * re-evaluates it PER ELEMENT. Behind the persisted substrate the
+    * codes are computed exactly once at materialization (where `scale`
+    * is multi-referenced — build plan keeps it a separate Project), and
+    * consumers read cached rows, never the quantize expression.
+    *
+    * The scale is floored at 1e-12 so an all-zero vector quantizes to
+    * all-zero codes instead of NaN (0/0) — guarded identically in the
+    * oracles, since CAST(NaN) diverges between engines.
+    */
+  private[operators] def sq8Codes(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    graft.SubstrateCache.substrate(s, d, "sq8-codes")(sq8Build(s, d))
+
+  private def sq8Build(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    embeddings(s, d)
+      .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn(
+        "scale",
+        expr("greatest(array_max(transform(dvec, v -> abs(v))) / 127.0D, 1e-12D)"),
+      )
+      .withColumn("qv", expr("transform(dvec, v -> CAST(floor(v / scale + 0.5D) AS BIGINT))"))
+      .select("vec_id", "dvec", "scale", "qv")
+
+  /** Optimized plan of the (unpersisted) substrate build — spec hook for
+    * asserting the scale stays single-computed (never lambda-inlined).
+    */
+  def sq8CodesBuildPlan(s: org.apache.spark.sql.SparkSession, d: String): String =
+    sq8Build(s, d).queryExecution.optimizedPlan.toString
+
+  /** The oracle-side twin of [[sq8Codes]], spliced into each consumer's
+    * SQL so the quantization definition can never drift between the
+    * Spark substrate and the DuckDB oracles.
+    */
+  private[operators] val Sq8OracleCte =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec FROM embeddings),
+       sc AS (SELECT vec_id, dvec,
+                     greatest(list_max(list_transform(dvec, v -> abs(v))) / 127.0, 1e-12) AS scale
+              FROM e),
+       qz AS (SELECT vec_id, dvec, scale,
+                     list_transform(dvec, v -> CAST(floor(v / scale + 0.5) AS BIGINT)) AS qv
+              FROM sc)"""
+
   private val embeddingQuantize = DeclaredQuery(
     "embedding_quantize",
     (s, d) =>
-      embeddings(s, d)
-        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("scale", expr("array_max(transform(dvec, v -> abs(v))) / 127.0D"))
-        .withColumn("q", expr("transform(dvec, v -> CAST(floor(v / scale + 0.5D) AS INT))"))
+      sq8Codes(s, d)
         .select(
           col("vec_id"),
           round(col("scale"), 6).as("scale"),
-          expr("array_min(q)").as("q_min"),
-          expr("array_max(q)").as("q_max"),
-          expr("""round(aggregate(zip_with(dvec, q, (v, qq) -> abs(v - qq * scale)),
+          expr("CAST(array_min(qv) AS INT)").as("q_min"),
+          expr("CAST(array_max(qv) AS INT)").as("q_max"),
+          expr("""round(aggregate(zip_with(dvec, qv, (v, qq) -> abs(v - qq * scale)),
                                   0.0D, (a, x) -> a + x) / size(dvec), 6)""")
             .as("mean_abs_err"),
         )
         .orderBy("vec_id"),
-    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec FROM embeddings),
-            sc AS (SELECT vec_id, dvec,
-                          list_max(list_transform(dvec, v -> abs(v))) / 127.0 AS scale
-                   FROM e),
-            q AS (SELECT vec_id, dvec, scale,
-                         list_transform(dvec, v -> CAST(floor(v / scale + 0.5) AS INT)) AS qv
-                  FROM sc)
+    Some(s"""WITH $Sq8OracleCte
             SELECT vec_id, round(scale, 6) AS scale,
-                   list_min(qv) AS q_min, list_max(qv) AS q_max,
+                   CAST(list_min(qv) AS INT) AS q_min, CAST(list_max(qv) AS INT) AS q_max,
                    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
                            list_transform(range(1, len(dvec) + 1),
                                           i -> abs(dvec[i] - qv[i] * scale))),
                          (a, x) -> a + x) / len(dvec), 6) AS mean_abs_err
-            FROM q ORDER BY vec_id"""),
+            FROM qz ORDER BY vec_id"""),
   )
 
   /** Quantized search with exact rescoring (the SQ8-then-rescore pattern
@@ -68,16 +115,11 @@ object QuantizeOps extends QueryModule {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       graft.functions.GraftFunctions.register(s)
-      val qz = embeddings(s, d)
-        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-        .withColumn("scale", expr("array_max(transform(dvec, v -> abs(v))) / 127.0D"))
-        .withColumn("qv", expr("transform(dvec, v -> CAST(floor(v / scale + 0.5D) AS BIGINT))"))
+      val qz = sq8Codes(s, d)
       val q = qz
         .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("dvec").as("qvec"), col("qv").as("qqv"),
-          col("scale").as("qscale"))
-      val c = qz.select(col("vec_id").as("cid"), col("dvec").as("cvec"), col("qv").as("cqv"),
-        col("scale").as("cscale"))
+        .select(col("vec_id").as("qid"), col("dvec").as("qvec"), col("qv").as("qqv"))
+      val c = qz.select(col("vec_id").as("cid"), col("dvec").as("cvec"), col("qv").as("cqv"))
       broadcast(q)
         .join(c, col("qid") =!= col("cid"))
         // exact BIGINT code dot — the coarse score's ordering key; native
@@ -98,22 +140,16 @@ object QuantizeOps extends QueryModule {
           col("qdot"), col("sim"))
         .orderBy("qid", "rank")
     },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
-                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-                        FROM embeddings),
-             sc AS (SELECT vec_id, dvec, nrm,
-                           list_max(list_transform(dvec, v -> abs(v))) / 127.0 AS scale
-                    FROM e),
-             qz AS (SELECT vec_id, dvec, nrm,
-                           list_transform(range(1, len(dvec) + 1),
-                                          i -> CAST(floor(dvec[i] / scale + 0.5) AS BIGINT)) AS qv
-                    FROM sc),
+    Some(s"""WITH $Sq8OracleCte,
+             en AS (SELECT vec_id, dvec, qv,
+                           sqrt(list_inner_product(dvec, dvec)) AS nrm
+                    FROM qz),
              p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
                           list_reduce(list_prepend(CAST(0 AS BIGINT),
                             list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])),
                             (s2, x) -> s2 + x) AS qdot,
                           q.dvec AS qvec, q.nrm AS qnrm, c.dvec AS cvec, c.nrm AS cnrm
-                   FROM qz q JOIN qz c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+                   FROM en q JOIN en c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
              cr AS (SELECT qid, cid, qdot, qvec, qnrm, cvec, cnrm,
                            row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS crank
                     FROM p),

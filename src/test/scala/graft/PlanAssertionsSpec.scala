@@ -92,6 +92,24 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("SQ8 consumers read the shared code substrate; coarse dot is the native kernel") {
+    for (name <- Seq("embedding_quantize", "quantized_topk")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read sq8-codes from the substrate cache, not requantize")
+    }
+    val topk = planOf("quantized_topk")
+    assert(topk.contains("graft_int_dot"), "coarse score must be the codegen IntDot kernel")
+    assert(!topk.contains("zip_with"), "no interpreted HOF dot in the coarse pass")
+    // the quantize expression lives only in the substrate BUILD, where the
+    // multi-referenced scale stays a separate Project: array_max appears
+    // exactly once (never inlined per element = the O(d²) trap)
+    val build = graft.operators.QuantizeOps
+      .sq8CodesBuildPlan(spark, sfDir)
+    assert("array_max".r.findAllIn(build).size == 1,
+      s"scale must be computed once in the substrate build:\n$build")
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
