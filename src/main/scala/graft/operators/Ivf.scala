@@ -62,13 +62,43 @@ object Ivf extends QueryModule {
     (e, e.count()) // count on the persisted substrate is a cheap cached scan
   }
 
-  private val ivfAnn = DeclaredQuery(
-    "ivf_ann",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      graft.functions.GraftFunctions.register(s)
-      val (e, n) = scaledEmbeddings(s, d)
-      val stride = math.max(n / K, 1L)
+  /** One window-argmax nearest-centroid pass: (vec_id, cid). */
+  private def argmaxCell(s: SparkSession, vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", sim(s, "dvec", "cvec"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid")),
+        ),
+      )
+      .filter(col("rk") === 1)
+      .select("vec_id", "cid")
+
+  /** One Lloyd step with EXACT integer-scaled means (one assignment pass
+    * + one partitioning-invariant Long-sum mean).
+    */
+  private def lloydStep(s: SparkSession, e: DataFrame, cents: DataFrame): DataFrame =
+    argmaxCell(s, e.select("vec_id", "dvec"), cents)
+      .join(e.select(col("vec_id"), col("sv")), Seq("vec_id"))
+      .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(sum("v").as("sv2"), count(lit(1)).as("m"))
+      .withColumn("c", col("sv2").cast("double") / (col("m") * lit(1000000.0)))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
+
+  /** The twice-refined centroid table (K rows), materialized once per
+    * dataset — it feeds the corpus assignment and every consumer's query
+    * probe (`ivf_ann`, `ivf_quantized_topk`), so it must never re-run the
+    * two-step Lloyd chain per consumer.
+    */
+  private[operators] def refinedCentroids(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (e, n) = scaledEmbeddings(s, d)
+    val stride = math.max(n / K, 1L)
+    graft.SubstrateCache.substrate(s, d, "ivf-centroids") {
       val seeds = e
         .filter(col("vec_id") % stride === 0)
         .orderBy("vec_id")
@@ -77,38 +107,61 @@ object Ivf extends QueryModule {
           (row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
           col("dvec").as("cvec"),
         )
-      def argmaxCell(vecs: DataFrame, cents: DataFrame): DataFrame =
-        vecs
-          .crossJoin(broadcast(cents))
-          .withColumn("csim", sim(s, "dvec", "cvec"))
-          .withColumn(
-            "rk",
-            row_number().over(
-              Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid")),
-            ),
-          )
-          .filter(col("rk") === 1)
-          .select("vec_id", "cid")
-      // Lloyd steps with EXACT integer-scaled means (each step is one
-      // assignment pass + one partitioning-invariant Long-sum mean)
-      def lloydStep(cents: DataFrame): DataFrame =
-        argmaxCell(e.select("vec_id", "dvec"), cents)
-          .join(e.select(col("vec_id"), col("sv")), Seq("vec_id"))
-          .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy("cid", "pos")
-          .agg(sum("v").as("sv2"), count(lit(1)).as("m"))
-          .withColumn("c", col("sv2").cast("double") / (col("m") * lit(1000000.0)))
-          .groupBy("cid")
-          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cvec"))
-      // the refined-centroid lineage feeds BOTH the corpus assignment and
-      // the query probe — materialize it once (k rows) instead of running
-      // the two-step Lloyd chain per consumer; same for the assignment
-      val refined = graft.SubstrateCache.substrate(s, d, "ivf-centroids") {
-        lloydStep(lloydStep(seeds))
-      }
-      val assigned = graft.SubstrateCache.substrate(s, d, "ivf-assigned") {
-        argmaxCell(e.select("vec_id", "dvec"), refined)
-      }
+      lloydStep(s, e, lloydStep(s, e, seeds))
+    }
+  }
+
+  /** Final corpus→cell assignment under the refined centroids. */
+  private[operators] def cellAssignment(s: SparkSession, d: String): DataFrame = {
+    val (e, _) = scaledEmbeddings(s, d)
+    graft.SubstrateCache.substrate(s, d, "ivf-assigned") {
+      argmaxCell(s, e.select("vec_id", "dvec"), refinedCentroids(s, d))
+    }
+  }
+
+  /** Shared oracle text — the deterministic seeding, two exact Lloyd
+    * refinements, refined centroid table `cn(cid, cvec, cnrm)` and final
+    * assignment `asg1(vec_id, cid)` — over a prior CTE
+    * `e(vec_id, dvec, sv, nrm, ...)`. Spliced into both IVF oracles so
+    * the clustering definition can never drift between them.
+    */
+  private val LloydOracleCte =
+    s"""st AS (SELECT greatest(count(*) // $K, 1) AS stride FROM e),
+             seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
+                       FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT $K),
+             a0 AS (SELECT e.vec_id, s.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.dvec, s.dvec) / (e.nrm * s.nrm) DESC, s.cid) AS rk
+                    FROM e CROSS JOIN seeds s),
+             asg0 AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
+             ex AS (SELECT a.cid, u.pos, u.v
+                    FROM asg0 a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
+             cm AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex GROUP BY 1, 2),
+             cent AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm GROUP BY cid),
+             cn0 AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent),
+             am AS (SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
+                    FROM e CROSS JOIN cn0 c),
+             asgm AS (SELECT vec_id, cid FROM am WHERE rk = 1),
+             ex2 AS (SELECT a.cid, u.pos, u.v
+                     FROM asgm a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
+             cm2 AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex2 GROUP BY 1, 2),
+             cent2 AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm2 GROUP BY cid),
+             cn AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent2),
+             a1 AS (SELECT e.vec_id, c.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
+                    FROM e CROSS JOIN cn c),
+             asg1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1)"""
+
+  private val ivfAnn = DeclaredQuery(
+    "ivf_ann",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val (e, _) = scaledEmbeddings(s, d)
+      val refined = refinedCentroids(s, d)
+      val assigned = cellAssignment(s, d)
       val q = e
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
@@ -143,34 +196,7 @@ object Ivf extends QueryModule {
                                list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                         FROM embeddings),
-             st AS (SELECT greatest(count(*) // $K, 1) AS stride FROM e),
-             seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
-                       FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT $K),
-             a0 AS (SELECT e.vec_id, s.cid,
-                           row_number() OVER (PARTITION BY e.vec_id
-                             ORDER BY list_inner_product(e.dvec, s.dvec) / (e.nrm * s.nrm) DESC, s.cid) AS rk
-                    FROM e CROSS JOIN seeds s),
-             asg0 AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
-             ex AS (SELECT a.cid, u.pos, u.v
-                    FROM asg0 a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
-             cm AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex GROUP BY 1, 2),
-             cent AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm GROUP BY cid),
-             cn0 AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent),
-             am AS (SELECT e.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY e.vec_id
-                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
-                    FROM e CROSS JOIN cn0 c),
-             asgm AS (SELECT vec_id, cid FROM am WHERE rk = 1),
-             ex2 AS (SELECT a.cid, u.pos, u.v
-                     FROM asgm a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
-             cm2 AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex2 GROUP BY 1, 2),
-             cent2 AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm2 GROUP BY cid),
-             cn AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent2),
-             a1 AS (SELECT e.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY e.vec_id
-                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
-                    FROM e CROSS JOIN cn c),
-             asg1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1),
+             $LloydOracleCte,
              q AS (SELECT vec_id AS qid, dvec AS qvec, nrm AS qnrm FROM e WHERE vec_id < $NQueries),
              qc AS (SELECT q.qid, q.qvec, q.qnrm, c.cid,
                            row_number() OVER (PARTITION BY q.qid
@@ -189,7 +215,134 @@ object Ivf extends QueryModule {
              FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(ivfAnn)
+  /** Durable SQ8 cell layout — THE production 100 TB ANN shape: one
+    * directory per IVF cell (`partitionBy(cid)`), each vector carrying
+    * its int8 codes beside the full-precision copy, so a probe reads
+    * only its cells' directories (planning-time `PartitionFilters`) and
+    * ranks them with the 4×-smaller integer codes before any float work.
+    * Written once per (JVM, dataset) into a fresh temp directory — the
+    * in-repo stand-in for the parquet table a pipeline would persist
+    * between stages.
+    */
+  private val quantizedLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[operators] def quantizedCellLayout(s: SparkSession, d: String): String =
+    quantizedLayouts.synchronized {
+      quantizedLayouts.getOrElseUpdate(
+        d, {
+          val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sq8").toString
+          cellAssignment(s, d)
+            .join(QuantizeOps.sq8Codes(s, d), Seq("vec_id"))
+            .select(col("cid"), col("vec_id"), col("dvec"), col("qv"))
+            .write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .partitionBy("cid")
+            .parquet(dir)
+          dir
+        },
+      )
+    }
+
+  /** SQ8-inside-IVF search (`ivf_quantized_topk`): per query, rank cells
+    * by centroid cosine and keep `NProbe`; prune the durable layout scan
+    * to those cells (literal isin on the partition column → the scan
+    * never opens other directories); coarse-rank the probed cells'
+    * vectors with the native BIGINT code dot ([[graft.functions.IntDot]]
+    * — exact, so the candidate cut is bit-deterministic across engines);
+    * exact-rescore only the per-query top-`RescoreQ` survivors. At
+    * 100 TB each tier shrinks the touched bytes ~an order of magnitude:
+    * cells prune the corpus to nprobe/K, codes quarter the scan bytes,
+    * and full-precision floats are read for queries×RescoreQ rows only.
+    */
+  private val RescoreQ = 20
+
+  private val ivfQuantizedTopk = DeclaredQuery(
+    "ivf_quantized_topk",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val refined = refinedCentroids(s, d)
+      val q = QuantizeOps
+        .sq8Codes(s, d)
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qvec"), col("qv").as("qqv"))
+      val cells = q
+        .crossJoin(broadcast(refined))
+        .withColumn("csim", sim(s, "qvec", "cvec"))
+        .withColumn(
+          "rk",
+          row_number().over(Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))),
+        )
+        .filter(col("rk") <= NProbe)
+        .select("qid", "qvec", "qqv", "cid")
+      // ≤ queries·nprobe ints — scales with K, not the corpus
+      val probedCells = cells.select("cid").distinct().collect().map(_.getInt(0))
+      val scan = s.read
+        .parquet(quantizedCellLayout(s, d))
+        .filter(col("cid").isin(probedCells.map(Integer.valueOf): _*))
+      broadcast(cells)
+        .join(scan, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("qdot", expr("graft_int_dot(qqv, qv)"))
+        .withColumn(
+          "crank",
+          row_number().over(Window.partitionBy("qid").orderBy(col("qdot").desc, col("vec_id"))),
+        )
+        .filter(col("crank") <= RescoreQ)
+        .withColumn("sim", round(expr("cosine_similarity(qvec, dvec)"), 6))
+        .withColumn(
+          "rank",
+          row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+        )
+        .filter(col("rank") <= TopK)
+        .select(
+          col("qid"),
+          col("rank").cast("long").as("rank"),
+          col("vec_id").as("cand_id"),
+          col("qdot"),
+          col("sim"),
+        )
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             e1 AS (SELECT vec_id, dvec, sv, nrm,
+                           greatest(list_max(list_transform(dvec, v -> abs(v))) / 127.0, 1e-12) AS scale
+                    FROM e0),
+             e AS (SELECT vec_id, dvec, sv, nrm,
+                          list_transform(dvec, v -> CAST(floor(v / scale + 0.5) AS BIGINT)) AS qv
+                   FROM e1),
+             $LloydOracleCte,
+             q AS (SELECT vec_id AS qid, dvec AS qvec, nrm AS qnrm, qv AS qqv
+                   FROM e WHERE vec_id < $NQueries),
+             qc AS (SELECT q.qid, c.cid,
+                           row_number() OVER (PARTITION BY q.qid
+                             ORDER BY list_inner_product(q.qvec, c.cvec) / (q.qnrm * c.cnrm) DESC, c.cid) AS rk
+                    FROM q CROSS JOIN cn c),
+             probe AS (SELECT qid, cid FROM qc WHERE rk <= $NProbe),
+             cand AS (SELECT p.qid, a.vec_id
+                      FROM probe p JOIN asg1 a USING (cid) WHERE a.vec_id <> p.qid),
+             coarse AS (SELECT c.qid, c.vec_id,
+                               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(range(1, len(q.qqv) + 1), i -> q.qqv[i] * z.qv[i])),
+                                 (s2, x) -> s2 + x) AS qdot
+                        FROM cand c JOIN q ON q.qid = c.qid JOIN e z ON z.vec_id = c.vec_id),
+             cr AS (SELECT qid, vec_id, qdot,
+                           row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS crank
+                    FROM coarse),
+             rs AS (SELECT cr.qid, cr.vec_id, cr.qdot,
+                           round(list_inner_product(q.qvec, z.dvec) / (q.qnrm * z.nrm), 6) AS sim
+                    FROM cr JOIN q ON q.qid = cr.qid JOIN e z ON z.vec_id = cr.vec_id
+                    WHERE cr.crank <= $RescoreQ),
+             r AS (SELECT qid, vec_id, qdot, sim,
+                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+                   FROM rs)
+             SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cand_id, qdot, sim
+             FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(ivfAnn, ivfQuantizedTopk)
 
   /** k deterministic seeds refined by `iters` Lloyd iterations.
     * @param e (vec_id, dvec: array<double>)

@@ -8,6 +8,48 @@ import graft.operators.Ivf
   */
 class IvfSpec extends SparkSpec {
 
+  test("SQ8-inside-IVF recovers most of the exact top-5 through both lossy tiers") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry
+      .queries("ivf_quantized_topk")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view
+      .mapValues(_.map(_.getAs[Long]("cand_id")).toSet)
+      .toMap
+    val exact = SparkEntry
+      .queries("cosine_topk")(spark, sfDir)
+      .filter(col("rank") <= 5)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view
+      .mapValues(_.map(_.getAs[Long]("cid")).toSet)
+      .toMap
+    val recalls = exact.map { case (q, ex) => got.getOrElse(q, Set.empty).count(ex).toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    info(f"ivf+sq8 mean recall@5 vs exact (k=8, nprobe=2, rescore=20): $mean%.3f at $sfDir")
+    // two lossy tiers compound: the cell probe bounds recall (nprobe=2 of
+    // 8 cells) and SQ8 only reorders within it — vs-exact recall is the
+    // probe's number, so the floor here is loose
+    assert(mean >= 0.4, s"mean recall@5 $mean too low for the quantized IVF path")
+    // isolate the SQ8 tier: against the full-precision search of the SAME
+    // probed cells (ivf_ann), the 4x rescore buffer must recover nearly
+    // every neighbor — quantization may not add meaningful loss
+    val fullPrec = SparkEntry
+      .queries("ivf_ann")(spark, sfDir)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view
+      .mapValues(_.map(_.getAs[Long]("cand_id")).toSet)
+      .toMap
+    val vsFull = fullPrec.map { case (q, fp) =>
+      got.getOrElse(q, Set.empty).count(fp).toDouble / fp.size
+    }
+    val meanVsFull = vsFull.sum / vsFull.size
+    info(f"ivf+sq8 mean recall@5 vs full-precision same-probe: $meanVsFull%.3f at $sfDir")
+    assert(meanVsFull >= 0.9, s"SQ8 tier lost $meanVsFull of the full-precision probe result")
+  }
+
   private lazy val e = Tables
     .embeddings(spark, sfDir)
     .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))

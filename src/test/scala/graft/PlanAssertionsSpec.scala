@@ -110,6 +110,16 @@ class PlanAssertionsSpec extends SparkSpec {
       s"scale must be computed once in the substrate build:\n$build")
   }
 
+  test("quantized IVF prunes cells at planning time and coarse-ranks with IntDot") {
+    val df = SparkEntry.queries("ivf_quantized_topk")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_int_dot"), "coarse rank must be the codegen IntDot kernel")
+    assert(
+      "PartitionFilters: \\[cid[^\\]]* IN \\(".r.findFirstIn(p).isDefined,
+      "probed cells must prune the layout scan at planning time:\n" + p.take(1200),
+    )
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
