@@ -223,7 +223,12 @@ object Cli {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", false)
       .getOrCreate()
-    try sys.exit(run(args.toIndexedSeq, spark))
-    finally spark.stop()
+    // sys.exit halts the JVM without unwinding the stack — a
+    // `try ... finally` around it would never run the finally. Compute
+    // the code, stop Spark explicitly, then exit.
+    val code =
+      try run(args.toIndexedSeq, spark)
+      finally spark.stop()
+    sys.exit(code)
   }
 }

@@ -24,3 +24,12 @@ final class DuplicateIdentityError(kind: String)
 
 /** onefs.py:297-315 MalformedAPIError shape. */
 final class MalformedStateError(what: String) extends GraftError(s"Malformed state: $what")
+
+/** An iterative fixpoint (e.g. connected-components label propagation)
+  * hit its round bound before converging — returning the unconverged
+  * state would silently diverge from the declarative oracle, so this is
+  * a typed error, never an `assert` (asserts elide under
+  * `-Xdisable-assertions`).
+  */
+final class ConvergenceError(what: String, rounds: Int)
+    extends GraftError(s"$what did not converge within $rounds rounds")

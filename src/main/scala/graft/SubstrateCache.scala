@@ -22,12 +22,19 @@ object SubstrateCache {
 
   private val entries = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  // One lock object per key: long builds (the CC fixpoint runs whole Spark
+  // jobs) must not block unrelated substrate builds behind a global
+  // monitor; only same-key callers serialize.
+  private val locks = TrieMap.empty[(SparkSession, String, String), Object]
+
   /** Get-or-build the persisted, materialized substrate `tag` for
     * (session, dataset). Builds run `persist()` + `count()` so the first
     * caller pays the materialization and later callers read cached
-    * partitions. Builds are serialized per-key under a lock: a concurrent
+    * partitions. Builds are serialized PER KEY: a concurrent
     * `getOrElseUpdate` could otherwise run the side-effecting build twice
-    * and strand the losing persist() in the block manager.
+    * and strand the losing persist() in the block manager, while a single
+    * global monitor would stall every other session/dataset behind one
+    * slow build.
     */
   def substrate(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     evictStopped()
@@ -36,7 +43,8 @@ object SubstrateCache {
     entries.get(key) match {
       case Some(df) => df
       case None =>
-        synchronized {
+        val lock = locks.getOrElseUpdate(key, new Object)
+        lock.synchronized {
           entries.get(key) match {
             case Some(df) => df
             case None =>
@@ -54,17 +62,21 @@ object SubstrateCache {
     */
   def evictOthers(s: SparkSession, d: String): Unit =
     entries.keySet.toList.foreach { k =>
-      if ((k._1 eq s) && k._2 != d)
+      if ((k._1 eq s) && k._2 != d) {
         entries.remove(k).foreach(_.unpersist(blocking = true))
+        locks.remove(k)
+      }
     }
 
   /** Drop every substrate of session `s` (call on session stop). */
   def evictSession(s: SparkSession): Unit =
     entries.keySet.toList.foreach { k =>
-      if (k._1 eq s)
+      if (k._1 eq s) {
         entries.remove(k).foreach { df =>
           if (!s.sparkContext.isStopped) df.unpersist(blocking = true)
         }
+        locks.remove(k)
+      }
     }
 
   /** Release map entries of stopped/replaced sessions so a churned session
@@ -73,7 +85,10 @@ object SubstrateCache {
     */
   private def evictStopped(): Unit =
     entries.keySet.toList.foreach { k =>
-      if (k._1.sparkContext.isStopped) entries.remove(k)
+      if (k._1.sparkContext.isStopped) {
+        entries.remove(k)
+        locks.remove(k)
+      }
     }
 
   /** Datasets this session currently holds substrates for (spec hook). */

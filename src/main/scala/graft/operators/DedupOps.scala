@@ -286,7 +286,16 @@ object DedupOps extends QueryModule {
     * label reachability and takes the per-node min — same semantics, so
     * the result hash-matches the iterative plan.
     */
-  private val MaxCcRounds = 20
+  /** Round bound for the CC fixpoint — a conf knob
+    * (`spark.graft.cc.maxRounds`) because the needed rounds scale with
+    * the component structure of the corpus, not a code constant: plain
+    * min-label propagation needs O(component diameter) rounds (NOT
+    * O(log): a label crosses one edge per round), while the
+    * large-star/small-star rewiring below contracts deep components in
+    * O(log n) rounds.
+    */
+  private def maxCcRounds(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.get("spark.graft.cc.maxRounds", "20").toInt
 
   private val dedupClusters = DeclaredQuery(
     "dedup_clusters",
@@ -297,10 +306,11 @@ object DedupOps extends QueryModule {
       val converged = graft.SubstrateCache.substrate(s, d, "cc-labels:0.3") {
         val pairs = jaccardPairs(s, d, 0.3).select(col("da"), col("db"))
         val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+        val rounds = maxCcRounds(s)
         var labels = documents(s, d).select(col("doc_id").as("node"), col("doc_id").as("lbl"))
         var changed = 1L
         var round = 0
-        while (changed > 0 && round < MaxCcRounds) {
+        while (changed > 0 && round < rounds) {
           val prop = edges
             .join(labels, edges("da") === labels("node"))
             .select(col("db").as("node"), col("lbl"))
@@ -313,7 +323,10 @@ object DedupOps extends QueryModule {
           labels = next
           round += 1
         }
-        assert(changed == 0, s"label propagation did not converge in $MaxCcRounds rounds")
+        if (changed != 0) {
+          labels.unpersist()
+          throw new graft.ConvergenceError("dedup_clusters label propagation", rounds)
+        }
         labels
       }
       converged

@@ -93,7 +93,14 @@ object DirectoryApplier {
     val rows = plan.select("path", "mode_octal", "owner", "group")
     // java.nio Path is not serializable — ship the normalized string
     val rootStr = Paths.get(root).toAbsolutePath.normalize().toString
-    RetryingSink.foreachRowWithRetry(rows, maxRetries, backoffMs) { row =>
+    // Per-row set-only flags, threaded ACROSS retry attempts: an effect
+    // performed on an attempt that later failed transiently stays
+    // recorded (the retry sees it already applied and would otherwise
+    // report nothing), and commit adds each row's deltas exactly once.
+    final class RowDeltas { var mkdir, chmod, chown = false }
+    RetryingSink.foreachRowWithRetryStateful(rows, maxRetries, backoffMs)(() =>
+      new RowDeltas,
+    ) { (row, deltas) =>
       val rootPath = Paths.get(rootStr)
       val rel = row.getAs[String]("path").dropWhile(_ == '/')
       val modeOctal = row.getAs[String]("mode_octal")
@@ -105,15 +112,10 @@ object DirectoryApplier {
       if (!dir.startsWith(rootPath))
         throw new PathEscapesRootError(s"plan path '$rel' resolves outside apply root $rootPath")
 
-      // Effects are counted only after the whole row (including its sidecar
-      // write) completed, so a TransientError mid-row never double-counts
-      // the already-applied effects on retry.
-      var dMkdir, dChmod, dChown = 0L
-
       // mkdir — create-parents, already-exists tolerated (directories.py:66-71)
       if (!Files.isDirectory(dir)) {
         Files.createDirectories(dir)
-        dMkdir = 1
+        deltas.mkdir = true
       }
 
       // chmod — real 9-bit perms + full octal recorded in the sidecar
@@ -123,18 +125,20 @@ object DirectoryApplier {
       val meta = readMeta(dir)
       if (Files.getPosixFilePermissions(dir) != wantPerms || !meta.get("mode").contains(modeOctal)) {
         Files.setPosixFilePermissions(dir, wantPerms)
-        dChmod = 1
+        deltas.chmod = true
       }
 
       // chown — sidecar owner:group (directories.py:75-86)
       val wantOwn = s"$owner:$group"
-      if (!meta.get("own").contains(wantOwn)) dChown = 1
+      if (!meta.get("own").contains(wantOwn)) deltas.chown = true
 
       val newMeta = s"mode=$modeOctal own=$wantOwn"
       if (meta != Map("mode" -> modeOctal, "own" -> wantOwn))
         Files.write(dir.resolve(MetaFile), newMeta.getBytes(UTF_8))
-
-      mkdirs.add(dMkdir); chmods.add(dChmod); chowns.add(dChown)
+    } { deltas =>
+      if (deltas.mkdir) mkdirs.add(1L)
+      if (deltas.chmod) chmods.add(1L)
+      if (deltas.chown) chowns.add(1L)
     }
     ApplyStats(mkdirs.value, chmods.value, chowns.value)
   }

@@ -28,12 +28,30 @@ object RetryingSink {
       maxRetries: Int = 5,
       backoffMs: Long = 2000L,
   )(effect: Row => Unit): Unit =
+    foreachRowWithRetryStateful[Unit](plan, maxRetries, backoffMs)(() => ())((row, _) =>
+      effect(row),
+    )(_ => ())
+
+  /** Retry variant that threads a mutable per-row state through every
+    * attempt and commits it exactly once after the row succeeds. The
+    * state is where the effect records what it OBSERVED PERFORMING
+    * (set-only flags): an effect applied on an attempt that later threw
+    * a TransientError stays recorded, so stats neither double-count
+    * (commit happens once) nor undercount (a retry that finds the
+    * effect already applied doesn't erase the first attempt's record).
+    */
+  def foreachRowWithRetryStateful[A](
+      plan: DataFrame,
+      maxRetries: Int = 5,
+      backoffMs: Long = 2000L,
+  )(init: () => A)(effect: (Row, A) => Unit)(commit: A => Unit): Unit =
     plan.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { row =>
+        val state = init()
         var attempt = 0
         var done = false
         while (!done) {
-          try { effect(row); done = true }
+          try { effect(row, state); done = true }
           catch {
             case e: TransientError =>
               attempt += 1
@@ -41,6 +59,7 @@ object RetryingSink {
               Thread.sleep(backoffMs)
           }
         }
+        commit(state)
       }
     }
 }

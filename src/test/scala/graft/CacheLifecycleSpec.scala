@@ -10,6 +10,9 @@ class CacheLifecycleSpec extends SparkSpec {
   private val dB = "/root/testdata/sf0.01"
 
   test("switching datasets evicts the previous dataset's substrates") {
+    // hermetic start: other suites sharing this session may have left
+    // substrates for dA, which would inflate countA vs countB
+    SubstrateCache.evictSession(spark)
     // populate several substrates for dataset A
     SparkEntry.queries("ngram_jaccard")(spark, dA).count()
     SparkEntry.queries("minhash_near_dup")(spark, dA).count()

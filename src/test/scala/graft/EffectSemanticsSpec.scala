@@ -66,6 +66,31 @@ class EffectSemanticsSpec extends SparkSpec {
     }
   }
 
+  test("C1 stats: an effect performed before a transient failure is counted exactly once") {
+    val plan = spark.range(0, 10).toDF("id")
+    val performed = spark.sparkContext.longAccumulator("performed")
+    EffectSemanticsSpec.attempts.clear()
+    RetryingSink.foreachRowWithRetryStateful(plan, maxRetries = 3, backoffMs = 1L)(() =>
+      new java.util.concurrent.atomic.AtomicBoolean(false),
+    ) { (row, did) =>
+      val id = row.getLong(0)
+      val attempts = EffectSemanticsSpec.attempts
+      attempts.add(id)
+      val firstAttempt = java.util.Collections.frequency(attempts, id) == 1
+      // the "mkdir": performed only when not already applied — i.e. on the
+      // first attempt — and the failure fires AFTER it was applied
+      if (firstAttempt) did.set(true)
+      if (id % 2 == 0 && firstAttempt)
+        throw new RetryingSink.TransientError(s"flaky after effect $id")
+    } { did =>
+      if (did.get) performed.add(1L)
+    }
+    // every row performed its effect once: the retried rows' first-attempt
+    // observation must survive the retry (no undercount), and the commit
+    // runs once per row (no double count)
+    assert(performed.value == 10L, s"expected 10 performed effects, got ${performed.value}")
+  }
+
   test("C2 live: directory_plan applies to a filesystem target; re-apply is a no-op") {
     import graft.sinks.DirectoryApplier
     val plan = SparkEntry.queries("directory_plan")(spark, sfDir)
