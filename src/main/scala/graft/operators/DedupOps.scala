@@ -139,23 +139,48 @@ object DedupOps extends QueryModule {
         .filter(col("j") >= minJ)
     }
 
-  /** The matching DuckDB pair CTE (expects the hashedGramsDuck CTEs). */
-  private[operators] def jaccardPairsDuck(minJ: Double): String =
-    s"""e AS (SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gram FROM h),
+  /** The matching DuckDB pair CTE (expects the hashedGramsDuck CTEs).
+    * With `maxDf`, mirrors [[capByDf]] exactly: hot shingles are dropped
+    * before the self-join, while the Jaccard denominators keep the FULL
+    * per-doc gram counts — only candidate generation and `shared` see
+    * the cap, in both engines.
+    */
+  private[operators] def jaccardPairsDuck(minJ: Double, maxDf: Option[Long] = None): String = {
+    val eCte = maxDf match {
+      case Some(cap) =>
+        s"""e0 AS (SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gram FROM h),
+           |hot AS (SELECT gram FROM e0 GROUP BY gram HAVING count(*) > $cap),
+           |e AS (SELECT e0.doc_id, e0.n, e0.gram FROM e0
+           |      LEFT JOIN hot ON e0.gram = hot.gram WHERE hot.gram IS NULL)""".stripMargin
+      case None => "e AS (SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gram FROM h)"
+    }
+    s"""$eCte,
        |p0 AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
        |       FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
        |       GROUP BY 1, 2, 3, 4),
        |p AS (SELECT da, db, shared, shared::DOUBLE / (na + nb - shared) AS j
        |      FROM p0 WHERE shared::DOUBLE / (na + nb - shared) >= $minJ)""".stripMargin
+  }
+
+  /** df cap shipped in every declared Jaccard consumer (`ngram_jaccard`,
+    * `dedup_clusters`, `clean_corpus` — one shared capped pair
+    * substrate): a shingle in more than this many documents is
+    * boilerplate, not signal — it can only create O(df²) candidate pairs
+    * whose similarity a 0.3 Jaccard threshold rejects anyway. 100 is
+    * ≥ 20% of every test corpus (no-op on the fixtures) yet caps the
+    * viral-shingle blow-up at its production value; each oracle restates
+    * the identical cap.
+    */
+  private[operators] val DefaultMaxDf = 100L
 
   private val ngramJaccard = DeclaredQuery(
     "ngram_jaccard",
     (s, d) =>
-      jaccardPairs(s, d, 0.3)
+      jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf))
         .select(col("da"), col("db"), col("shared"), round(col("j"), 3).as("j"))
         .orderBy("da", "db"),
     Some(s"""WITH $hashedGramsDuck,
-             ${jaccardPairsDuck(0.3)}
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))}
              SELECT da, db, shared, round(j, 3) AS j
              FROM p ORDER BY da, db"""),
   )
@@ -303,8 +328,8 @@ object DedupOps extends QueryModule {
       // the converged label table is itself a substrate: intermediates are
       // unpersisted inside the loop, the survivor is owned (and eventually
       // evicted) by the cache registry instead of leaking per invocation
-      val converged = graft.SubstrateCache.substrate(s, d, "cc-labels:0.3") {
-        val pairs = jaccardPairs(s, d, 0.3).select(col("da"), col("db"))
+      val converged = graft.SubstrateCache.substrate(s, d, s"cc-labels:0.3:df$DefaultMaxDf") {
+        val pairs = jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf)).select(col("da"), col("db"))
         val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
         val rounds = maxCcRounds(s)
         var labels = documents(s, d).select(col("doc_id").as("node"), col("doc_id").as("lbl"))
@@ -334,7 +359,7 @@ object DedupOps extends QueryModule {
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $hashedGramsDuck,
-             ${jaccardPairsDuck(0.3)},
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
              edges AS (SELECT da AS src, db AS dst FROM p
                        UNION ALL SELECT db, da FROM p),
              reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents

@@ -51,7 +51,7 @@ object PipelineOps extends QueryModule {
         )
         .filter(col("keep"))
       val nearDupLosers = DedupOps
-        .jaccardPairs(s, d, MinJ)
+        .jaccardPairs(s, d, MinJ, maxDf = Some(DedupOps.DefaultMaxDf))
         .select(col("db").as("doc_id"))
         .distinct()
       deduped
@@ -66,7 +66,7 @@ object PipelineOps extends QueryModule {
         .orderBy("doc_id")
     },
     Some(s"""WITH ${DedupOps.hashedGramsDuck},
-             ${DedupOps.jaccardPairsDuck(MinJ)},
+             ${DedupOps.jaccardPairsDuck(MinJ, Some(DedupOps.DefaultMaxDf))},
              losers AS (SELECT DISTINCT db AS doc_id FROM p),
              q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
              q2 AS (SELECT doc_id, lang, text, ws,
