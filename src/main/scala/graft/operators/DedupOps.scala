@@ -423,19 +423,44 @@ object DedupOps extends QueryModule {
       corpus: DataFrame,
       newDocs: DataFrame,
       minJ: Double,
+  ): DataFrame = nearDupsAgainstGrams(gramRowsOf(corpus), newDocs, minJ)
+
+  /** [[nearDupsAgainst]] with the corpus side already reduced to gram
+    * rows `(doc_id, n, gh)` — the per-batch entry the streaming ingest
+    * loop ([[graft.streaming.DocIngest]]) calls: only the new batch pays
+    * shingle hashing; the corpus grams are the persisted signature
+    * substrate (or its parquet twin at 100 TB), built once and appended
+    * to per batch.
+    */
+  def nearDupsAgainstGrams(
+      corpusGrams: DataFrame,
+      newDocs: DataFrame,
+      minJ: Double,
   ): DataFrame = {
-    val s = corpus.sparkSession
-    graft.functions.GraftFunctions.register(s)
-    def grams(df: DataFrame): DataFrame =
-      hashedGrams(df)
-        .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
-    val newG = grams(newDocs).withColumn("is_new", lit(true))
+    val newG = gramRowsOf(newDocs).withColumn("is_new", lit(true))
     nearDupsFromGrams(
       newG,
-      grams(corpus).withColumn("is_new", lit(false)).unionByName(newG),
+      corpusGrams
+        .select("doc_id", "n", "gh")
+        .withColumn("is_new", lit(false))
+        .unionByName(newG),
       minJ,
     )
   }
+
+  /** `(doc_id, n, gh)` gram rows for arbitrary `(doc_id, text)` docs —
+    * the state-append hook of the streaming ingest loop.
+    */
+  def gramRowsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    hashedGrams(docs)
+      .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
+  }
+
+  /** The standing corpus' gram rows served from the shared per-dataset
+    * substrate — the initial state of the streaming ingest twin.
+    */
+  private[graft] def corpusGramRows(s: SparkSession, d: String): DataFrame = gramRows(s, d)
 
   /** Core of the incremental check over pre-built gram rows — lets the
     * declared query serve both sides from the shared cached substrate

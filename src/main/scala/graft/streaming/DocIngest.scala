@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.DedupOps
+
+/** Streaming twin of the per-ingest near-dup check (`incremental_dedup`):
+  * document micro-batches arrive on a file stream, each batch is checked
+  * against the STANDING corpus' persisted signature substrate via
+  * `foreachBatch`, and the batch's own gram rows are appended to the
+  * standing state afterwards — so a batch pairs with everything ingested
+  * before it plus itself, and per-batch cost scales with the batch,
+  * never the corpus.
+  *
+  * State handling follows the substrate lesson: each appended generation
+  * is persisted and materialized before the previous one is unpersisted,
+  * so no batch recomputes the corpus-side hash pass and the block
+  * manager holds exactly one generation. At 100 TB the standing grams
+  * are a parquet table the loop appends to; the in-session persist chain
+  * is the test-scale stand-in with identical dataflow.
+  */
+object DocIngest {
+
+  /** File-stream the documents table layout, one parquet file per
+    * micro-batch (production ingests land as files; `maxFilesPerTrigger`
+    * makes each one its own batch).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+
+  /** Run the ingest loop over `docs` until no files remain
+    * (`Trigger.AvailableNow`). `onPairs` receives each batch's pair
+    * table (new_id, other_id, shared, j) and must consume it before
+    * returning (the standing state it reads from is rotated right
+    * after).
+    */
+  /** A running ingest loop; `close()` releases the final standing
+    * generation once the query terminated.
+    */
+  final case class Ingest(query: StreamingQuery, standing: AtomicReference[DataFrame]) {
+    def close(): Unit = standing.get().unpersist()
+  }
+
+  def start(
+      docs: DataFrame,
+      initialCorpusGrams: DataFrame,
+      minJ: Double,
+      checkpointDir: String,
+  )(onPairs: DataFrame => Unit): Ingest = {
+    val initial = initialCorpusGrams.select("doc_id", "n", "gh").persist()
+    initial.count()
+    val standing = new AtomicReference[DataFrame](initial)
+    val query = docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val corpus = standing.get()
+        onPairs(DedupOps.nearDupsAgainstGrams(corpus, batch, minJ))
+        val appended = corpus.unionByName(DedupOps.gramRowsOf(batch)).persist()
+        appended.count()
+        corpus.unpersist()
+        standing.set(appended)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    Ingest(query, standing)
+  }
+}

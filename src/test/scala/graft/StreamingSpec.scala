@@ -134,6 +134,72 @@ class StreamingSpec extends SparkSpec {
     )
   }
 
+  test("streaming ingest near-dup equals the batch incremental check") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01" // 500 docs; the suite default is too small to pair
+    val split = 400L
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") < split)
+    val incoming = docs.filter(col("doc_id") >= split)
+
+    // stage the new docs as TWO parquet files so maxFilesPerTrigger=1
+    // yields two micro-batches — cross-batch pairs must still appear,
+    // via the standing-state append between batches
+    val streamDir = Files.createTempDirectory("doc-ingest").toString
+    incoming.filter(col("doc_id") < split + 50).coalesce(1).write.mode("append").parquet(streamDir)
+    incoming.filter(col("doc_id") >= split + 50).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    var batches = 0
+    val ingest = graft.streaming.DocIngest.start(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      graft.operators.DedupOps.corpusGramRows(spark, d).filter(col("doc_id") < split),
+      minJ = 0.3,
+      checkpointDir = Files.createTempDirectory("ck-ingest").toString,
+    ) { pairs =>
+      collected.synchronized {
+        batches += 1
+        collected ++= pairs
+          .collect()
+          .map(r =>
+            (
+              r.getAs[Long]("new_id"),
+              r.getAs[Long]("other_id"),
+              r.getAs[Long]("shared"),
+              r.getAs[Double]("j"),
+            ),
+          )
+      }
+    }
+    ingest.query.awaitTermination(180000)
+    assert(!ingest.query.isActive)
+    ingest.close()
+    assert(batches >= 2, s"expected one micro-batch per staged file, got $batches")
+
+    // canonical unordered-pair form: a cross-batch pair streams as
+    // (later new doc, earlier doc) while the one-shot batch check
+    // orients new-new pairs da < db
+    def canon(t: (Long, Long, Long, Double)) =
+      (math.min(t._1, t._2), math.max(t._1, t._2), t._3, math.round(t._4 * 1000))
+    val streamed = collected.map(canon).toSet
+    val batch = graft.operators.DedupOps
+      .nearDupsAgainst(corpus, incoming, 0.3)
+      .collect()
+      .map(r =>
+        canon(
+          (
+            r.getAs[Long]("new_id"),
+            r.getAs[Long]("other_id"),
+            r.getAs[Long]("shared"),
+            r.getAs[Double]("j"),
+          ),
+        ),
+      )
+      .toSet
+    assert(batch.nonEmpty, "fixture must contain near-dup pairs across the split")
+    assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
+  }
+
   test("watermarked hourly agg is a valid streaming plan") {
     val stream = EventStream.readEvents(spark, eventsDir)
     // analysis-time validation: watermark + window agg resolves in append mode
