@@ -80,11 +80,26 @@ object DirectoryApplier {
     * Expects the plan's (path, mode_octal, owner, group) columns; `path`
     * is zone-relative (leading slash) and lands under `root`.
     */
+  /** Post-apply epilogue — the reference's auth-cache flush
+    * (onefs.py:1037-1070, invoked exactly once after ALL identities are
+    * created, identities.py:185-186): applied state must become visible
+    * to later readers that may hold cached views of the target. The
+    * Spark-native analog drops every cached file-listing/data view under
+    * the apply root, so a subsequent `spark.read` observes the
+    * post-apply world instead of a stale FileIndex. Dry-run (plan
+    * logging) never applies, hence never flushes — mirroring the
+    * reference's `_flush_auth_cache=lambda: None` in `log_identities`
+    * (identities.py:196).
+    */
+  def flushTargetCaches(plan: DataFrame, root: String): Unit =
+    plan.sparkSession.catalog.refreshByPath(root)
+
   def applyPlan(
       plan: DataFrame,
       root: String,
       maxRetries: Int = 5,
       backoffMs: Long = 10L,
+      epilogue: Option[(DataFrame, String) => Unit] = None,
   ): ApplyStats = {
     val sc = plan.sparkSession.sparkContext
     val mkdirs = sc.longAccumulator("graft.apply.mkdirs")
@@ -140,6 +155,9 @@ object DirectoryApplier {
       if (deltas.chmod) chmods.add(1L)
       if (deltas.chown) chowns.add(1L)
     }
+    // C6 epilogue: fires exactly once per apply, strictly after every row
+    // (foreachPartition blocked until all partitions completed)
+    epilogue.getOrElse(flushTargetCaches _)(plan, rootStr)
     ApplyStats(mkdirs.value, chmods.value, chowns.value)
   }
 }

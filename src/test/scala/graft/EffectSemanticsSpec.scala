@@ -125,6 +125,38 @@ class EffectSemanticsSpec extends SparkSpec {
     assert(third == DirectoryApplier.ApplyStats(0, 1, 0), third.toString)
   }
 
+  test("C6: the post-apply epilogue fires exactly once, after every row landed") {
+    import graft.sinks.DirectoryApplier
+    val plan = SparkEntry.queries("directory_plan")(spark, sfDir)
+    val paths = plan.collect().map(_.getAs[String]("path").dropWhile(_ == '/'))
+    val root = java.nio.file.Files.createTempDirectory("graft-epilogue").toString
+
+    var fires = 0
+    var allRowsAppliedAtFire = false
+    DirectoryApplier.applyPlan(
+      plan,
+      root,
+      backoffMs = 1L,
+      epilogue = Some { (_, appliedRoot) =>
+        fires += 1
+        // ordering contract: when the epilogue runs, EVERY planned row
+        // must already be applied (the reference flushes the auth cache
+        // only after iterate_identities finished, identities.py:185-186)
+        allRowsAppliedAtFire = paths.forall { p =>
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(appliedRoot, p))
+        }
+      },
+    )
+    assert(fires == 1, s"epilogue must fire exactly once per apply, fired $fires times")
+    assert(allRowsAppliedAtFire, "epilogue ran before all rows were applied")
+
+    // re-apply fires it again (once per apply, not once ever), and the
+    // default refresh-by-path epilogue is valid on a real target
+    DirectoryApplier.applyPlan(plan, root, backoffMs = 1L, epilogue = Some((_, _) => fires += 1))
+    assert(fires == 2, s"each apply pass flushes once, got $fires")
+    DirectoryApplier.applyPlan(plan, root, backoffMs = 1L) // default epilogue must not throw
+  }
+
   test("apply rejects plan paths that escape the target root") {
     import graft.sinks.DirectoryApplier
     val root = java.nio.file.Files.createTempDirectory("graft-escape").toString
