@@ -297,30 +297,134 @@ object DedupOps extends QueryModule {
 
   /** Connected components over the near-dup pair graph — the step that
     * turns pairwise matches into dedup groups (keep min-id per cluster,
-    * drop the rest). Pregel-style min-label propagation: every node
-    * starts labeled with itself; each round pushes labels across edges
-    * and keeps the per-node min; converged when no label changed. Rounds
-    * are O(log(component diameter)) — near-dup clusters are shallow, so
-    * this is 2-4 rounds in practice. The driver-side loop only runs the
-    * convergence COUNT per round (a scalar); all label movement is
-    * distributed joins. At 100 TB the refinement of this same skeleton is
-    * the large-star/small-star algorithm; the iteration structure and
-    * shuffle shape (edges ⋈ labels, groupBy-min) are identical.
+    * drop the rest). Two interchangeable engines, both pure DataFrame
+    * loops with a driver-side scalar per round:
     *
-    * The oracle states the fixpoint declaratively: a recursive CTE walks
-    * label reachability and takes the per-node min — same semantics, so
-    * the result hash-matches the iterative plan.
+    *  - [[minLabelPropagation]]: every node starts labeled with itself,
+    *    each round pushes labels across edges and keeps the per-node
+    *    min. O(component diameter) rounds — a label crosses ONE edge per
+    *    round — fine for shallow near-dup clusters.
+    *  - [[starContract]] (the shipping engine): alternating
+    *    large-star/small-star edge rewiring (Kiveris et al., "Connected
+    *    Components in MapReduce and Beyond") — each round hangs nodes
+    *    directly onto their neighborhood minimum, contracting deep
+    *    components in O(log n) rounds; the fixpoint is a star per
+    *    component centered at its min. This is the 100 TB path: a
+    *    10⁶-deep chain converges in ~20 rounds instead of 10⁶.
+    *
+    * CcSpec property-tests the two engines equal on generated graphs
+    * (chains, stars, random unions) and pins the log-round bound on a
+    * 1000-node chain. The oracle states the fixpoint declaratively: a
+    * recursive CTE walks label reachability and takes the per-node min —
+    * same semantics, so the result hash-matches the iterative plans.
     */
   /** Round bound for the CC fixpoint — a conf knob
     * (`spark.graft.cc.maxRounds`) because the needed rounds scale with
-    * the component structure of the corpus, not a code constant: plain
-    * min-label propagation needs O(component diameter) rounds (NOT
-    * O(log): a label crosses one edge per round), while the
-    * large-star/small-star rewiring below contracts deep components in
-    * O(log n) rounds.
+    * the component structure of the corpus, not a code constant. The
+    * default 20 covers star-contraction on any component up to ~2²⁰
+    * nodes; exhausting it raises [[graft.ConvergenceError]] rather than
+    * caching unconverged labels.
     */
-  private def maxCcRounds(s: org.apache.spark.sql.SparkSession): Int =
+  private def maxCcRounds(s: SparkSession): Int =
     s.conf.get("spark.graft.cc.maxRounds", "20").toInt
+
+  /** Min-label propagation CC (the reference engine for CcSpec's
+    * equivalence property). `nodes` = (node); `pairs` = (da, db).
+    * Returns the persisted (node, lbl) fixpoint.
+    */
+  private[graft] def minLabelPropagation(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int,
+  ): DataFrame = {
+    val edges = pairs
+      .select(col("da"), col("db"))
+      .union(pairs.select(col("db").as("da"), col("da").as("db")))
+    // loop state is localCheckpoint'ed, not persisted: each round's plan
+    // must start from a LEAF, or the logical plan doubles per round and
+    // analysis itself goes quadratic-to-OOM on deep graphs (on a real
+    // cluster use checkpoint() with a reliable dir instead)
+    var labels = nodes.select(col("node"), col("node").as("lbl")).localCheckpoint()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val prop = edges
+        .join(labels, edges("da") === labels("node"))
+        .select(col("db").as("node"), col("lbl"))
+      val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint()
+      changed = next
+        .join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old"))
+        .count()
+      labels = next
+      round += 1
+    }
+    if (changed != 0)
+      throw new graft.ConvergenceError("min-label propagation", maxRounds)
+    labels
+  }
+
+  /** Large-star/small-star CC. Each round:
+    *  - large-star: over the symmetric edge view, every neighbor LARGER
+    *    than u is re-hung onto min(Γ(u) ∪ u);
+    *  - small-star: on the resulting (u > v)-oriented list, u and every
+    *    smaller neighbor are pointed at min(Γ(u)).
+    * Converged when the canonical edge set is stable; the survivor is a
+    * star per component, so labels read directly off the edges (isolated
+    * nodes label themselves). Returns (persisted labels, rounds run).
+    */
+  private[graft] def starContract(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      maxRounds: Int,
+  ): (DataFrame, Int) = {
+    // loop state is localCheckpoint'ed (leaf per round) — see
+    // minLabelPropagation's note on lineage growth
+    var edges = pairs
+      .select(greatest(col("da"), col("db")).as("u"), least(col("da"), col("db")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym
+        .groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym
+        .join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val next = ls
+        .join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // stability check: two anti-join COUNTs (scalars) — never edge data
+      // on the driver
+      val changed =
+        next.join(edges, Seq("u", "v"), "left_anti").count() +
+          edges.join(next, Seq("u", "v"), "left_anti").count()
+      edges = next
+      round += 1
+      converged = changed == 0
+    }
+    if (!converged)
+      throw new graft.ConvergenceError("large-star/small-star contraction", maxRounds)
+    val labels = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("lbl")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      .persist()
+    labels.count()
+    (labels, round)
+  }
 
   private val dedupClusters = DeclaredQuery(
     "dedup_clusters",
@@ -330,29 +434,8 @@ object DedupOps extends QueryModule {
       // evicted) by the cache registry instead of leaking per invocation
       val converged = graft.SubstrateCache.substrate(s, d, s"cc-labels:0.3:df$DefaultMaxDf") {
         val pairs = jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf)).select(col("da"), col("db"))
-        val edges = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
-        val rounds = maxCcRounds(s)
-        var labels = documents(s, d).select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-        var changed = 1L
-        var round = 0
-        while (changed > 0 && round < rounds) {
-          val prop = edges
-            .join(labels, edges("da") === labels("node"))
-            .select(col("db").as("node"), col("lbl"))
-          val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).persist()
-          changed = next
-            .join(labels.withColumnRenamed("lbl", "old"), "node")
-            .filter(col("lbl") =!= col("old"))
-            .count()
-          labels.unpersist()
-          labels = next
-          round += 1
-        }
-        if (changed != 0) {
-          labels.unpersist()
-          throw new graft.ConvergenceError("dedup_clusters label propagation", rounds)
-        }
-        labels
+        val nodes = documents(s, d).select(col("doc_id").as("node"))
+        starContract(nodes, pairs, maxCcRounds(s))._1
       }
       converged
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
