@@ -100,6 +100,38 @@ class PlannerScaleSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("exceeds capacity")), msgs(ex).mkString(" | "))
   }
 
+  test("sharded allocation at 10x demand parallelizes: no single-partition exchange") {
+    // 100k demand rows over 32 shards — the global-sequence allocator
+    // funnels this through ONE partition (the price of global
+    // contiguity); the sharded variant must keep every window and
+    // aggregation partitioned by shard
+    val demand = spark
+      .range(0, 100000)
+      .select(
+        concat(lit("n"), col("id")).as("name"),
+        col("id").cast("int").as("seq"),
+        (col("id") % 32).as("shard"),
+      )
+    val taken = spark.range(0, 500).select((col("id") * 11 + 1000000L).as("id"))
+    val df = IdentityPlanner
+      .allocateIdsSharded(demand, taken, start = 1000000L, capacity = 100000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(
+      !plan.contains("SinglePartition"),
+      "per-shard ranking must never funnel through one partition:\n" + plan.take(1200),
+    )
+    assert(plan.contains("hashpartitioning(shard"), plan.take(1200))
+
+    val t0 = System.nanoTime()
+    val got = df.collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.length == 100000)
+    assert(got.map(_.getAs[String]("name")).distinct.length == 100000)
+    val takenSet = (0 until 500).map(i => i * 11 + 1000000L).toSet
+    got.foreach(r => assert(!takenSet.contains(r.getAs[Long]("id"))))
+    info(f"sharded allocation of 100k ids across 32 shards in $secs%.1f s")
+  }
+
   test("sharded allocation: disjoint per-shard ranges, contiguous within shard") {
     import org.apache.spark.sql.functions._
     val demand = spark
