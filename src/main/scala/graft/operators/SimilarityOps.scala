@@ -117,11 +117,37 @@ object SimilarityOps extends QueryModule {
       val e = graft.SubstrateCache.substrate(s, d, "lsh-codes")(e0.join(codes, "vec_id"))
       val q = e.filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("code").as("qc"))
-      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("code").as("cc"))
-      broadcast(q)
-        .join(c, col("qid") =!= col("cid"))
+      // Banded candidate generation (the bucketed code space named in
+      // SCALE.md): split the 16-bit code into 4 four-bit bands — a pair
+      // within hamming ≤ 3 MUST agree exactly on ≥ 1 band (pigeonhole:
+      // 3 bit errors cannot touch all 4 bands), so an equi-join on
+      // (band, value) finds every qualifying pair without ever comparing
+      // a query against the full corpus. The exact hamming filter then
+      // discards band-collision false positives, so the result set is
+      // IDENTICAL to the all-pairs formulation the oracle states. The
+      // band shuffle carries (id, code, 2 small ints) — never vectors.
+      def bandRows(df: org.apache.spark.sql.DataFrame, code: String) =
+        df.select(
+          col("*"),
+          posexplode(
+            array((0 until 4).map(b => expr(s"shiftright($code, ${4 * b}) & 15")): _*),
+          ).as(Seq("band", "bv")),
+        )
+      val qBands = bandRows(q.select(col("qid"), col("qc")), "qc")
+      val cBands = bandRows(e.select(col("vec_id").as("cid"), col("code").as("cc")), "cc")
+      val cand = broadcast(qBands)
+        .join(cBands, Seq("band", "bv"))
+        .filter(col("qid") =!= col("cid"))
         .withColumn("code_hd", expr("CAST(bit_count(qc ^ cc) AS BIGINT)"))
         .filter(col("code_hd") <= 3)
+        .select("qid", "cid", "code_hd")
+        .dropDuplicates("qid", "cid")
+      // only confirmed candidates pay the float work: vectors join back
+      // AFTER banding + hamming, queries broadcast, corpus side served
+      // from the same substrate
+      cand
+        .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
+        .join(e.select(col("vec_id").as("cid"), col("dvec").as("cv")), Seq("cid"))
         .withColumn("sim", round(simExpr(s), 6))
         .withColumn(
           "rank",

@@ -110,6 +110,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"scale must be computed once in the substrate build:\n$build")
   }
 
+  test("LSH ANN generates candidates by band equi-join, never an all-pairs compare") {
+    val p = planOf("cosine_lsh_ann")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "code comparison must ride the band equi-join, not a q x n non-equi join")
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
   test("quantized IVF prunes cells at planning time and coarse-ranks with IntDot") {
     val df = SparkEntry.queries("ivf_quantized_topk")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
