@@ -47,6 +47,45 @@ object DocIngest {
     def close(): Unit = standing.get().unpersist()
   }
 
+  /** Durable variant: the standing gram state is a parquet signature
+    * table on disk — seeded from the corpus once, read at each batch,
+    * appended with the batch's own gram rows after the check. This is
+    * the 100 TB shape verbatim (the signature store persists BETWEEN
+    * pipeline runs, survives restarts, and is shared by other dedup
+    * stages); [[start]] is its in-session stand-in with identical
+    * dataflow. Each batch's read lists the directory fresh, so appended
+    * files from earlier batches are always visible.
+    */
+  def startDurable(
+      docs: DataFrame,
+      sigDir: String,
+      minJ: Double,
+      checkpointDir: String,
+  )(onPairs: DataFrame => Unit): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val corpus = spark.read.parquet(sigDir)
+        onPairs(DedupOps.nearDupsAgainstGrams(corpus, batch, minJ))
+        DedupOps
+          .gramRowsOf(batch)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(sigDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Seed a durable signature table from a standing corpus (once). */
+  def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
+    DedupOps
+      .gramRowsOf(corpus)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(sigDir)
+
   def start(
       docs: DataFrame,
       initialCorpusGrams: DataFrame,

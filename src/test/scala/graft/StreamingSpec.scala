@@ -200,6 +200,70 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
   }
 
+  test("durable ingest: parquet signature table equals the in-session twin") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val split = 400L
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") < split)
+    val incoming = docs.filter(col("doc_id") >= split)
+
+    val streamDir = Files.createTempDirectory("doc-ingest-dur").toString
+    incoming.filter(col("doc_id") < split + 50).coalesce(1).write.mode("append").parquet(streamDir)
+    incoming.filter(col("doc_id") >= split + 50).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val sigDir = Files.createTempDirectory("sig-store").toString + "/grams"
+    graft.streaming.DocIngest.seedSignatures(corpus, sigDir)
+    val seededRows = spark.read.parquet(sigDir).count()
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    val q = graft.streaming.DocIngest.startDurable(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      sigDir,
+      minJ = 0.3,
+      checkpointDir = Files.createTempDirectory("ck-ingest-dur").toString,
+    ) { pairs =>
+      collected.synchronized {
+        collected ++= pairs
+          .collect()
+          .map(r =>
+            (
+              r.getAs[Long]("new_id"),
+              r.getAs[Long]("other_id"),
+              r.getAs[Long]("shared"),
+              r.getAs[Double]("j"),
+            ),
+          )
+      }
+    }
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+
+    def canon(t: (Long, Long, Long, Double)) =
+      (math.min(t._1, t._2), math.max(t._1, t._2), t._3, math.round(t._4 * 1000))
+    val batch = graft.operators.DedupOps
+      .nearDupsAgainst(corpus, incoming, 0.3)
+      .collect()
+      .map(r =>
+        canon(
+          (
+            r.getAs[Long]("new_id"),
+            r.getAs[Long]("other_id"),
+            r.getAs[Long]("shared"),
+            r.getAs[Double]("j"),
+          ),
+        ),
+      )
+      .toSet
+    assert(collected.map(canon).toSet == batch, "durable ingest must equal the batch check")
+
+    // the signature store grew by exactly the ingested docs' gram rows —
+    // the state a NEXT run (or another pipeline stage) would start from
+    val finalRows = spark.read.parquet(sigDir).count()
+    val incomingGramRows = graft.operators.DedupOps.gramRowsOf(incoming).count()
+    assert(finalRows == seededRows + incomingGramRows, s"$seededRows + $incomingGramRows != $finalRows")
+  }
+
   test("watermarked hourly agg is a valid streaming plan") {
     val stream = EventStream.readEvents(spark, eventsDir)
     // analysis-time validation: watermark + window agg resolves in append mode
