@@ -82,7 +82,7 @@ object DedupOps extends QueryModule {
     * higher-order-function lambdas (measured 20× faster at sf0.1); the
     * shuffle carries (doc_id, a few longs), never the text.
     */
-  private def gramRows(s: SparkSession, d: String): DataFrame =
+  private[operators] def gramRows(s: SparkSession, d: String): DataFrame =
     graft.SubstrateCache.substrate(s, d, "gram-rows") {
       graft.functions.GraftFunctions.register(s)
       hashedGrams(documents(s, d))

@@ -226,11 +226,27 @@ object Ivf extends QueryModule {
     */
   private val quantizedLayouts = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Temp layouts are per-JVM scratch; without this a long-lived session
+    * (repeated test/bench runs in one container) accumulates one
+    * directory per dataset forever.
+    */
+  private def deleteRecursivelyOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = Path.of(dir)
+      if (Files.exists(root)) {
+        val all = Files.walk(root).iterator().asScala.toSeq
+        all.sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+      }
+    }))
+
   private[operators] def quantizedCellLayout(s: SparkSession, d: String): String =
     quantizedLayouts.synchronized {
       quantizedLayouts.getOrElseUpdate(
         d, {
           val dir = java.nio.file.Files.createTempDirectory("graft-ivf-sq8").toString
+          deleteRecursivelyOnExit(dir)
           cellAssignment(s, d)
             .join(QuantizeOps.sq8Codes(s, d), Seq("vec_id"))
             .select(col("cid"), col("vec_id"), col("dvec"), col("qv"))

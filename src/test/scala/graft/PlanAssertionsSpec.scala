@@ -128,6 +128,21 @@ class PlanAssertionsSpec extends SparkSpec {
     )
   }
 
+  test("contamination_check broadcasts the benchmark shingle set — corpus never shuffle-joins") {
+    val p = planOf("contamination_check")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "benchmark set + source dim must broadcast; the corpus side stays in place")
+  }
+
+  test("tfidf_keywords broadcasts the vocabulary df table and the count scalar") {
+    val p = planOf("tfidf_keywords")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "df is vocabulary-sized and must broadcast back onto tf")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "tf needs map-side partial agg")
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
