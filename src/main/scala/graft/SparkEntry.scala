@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] =
     Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps,
       SimilarityOps, PlanOps, MultimodalOps, PipelineOps, TemporalOps,
-      AggregatorOps, SourceOps, ScalePatterns, Ivf, QuantizeOps, RetrievalOps)
+      AggregatorOps, SourceOps, ScalePatterns, Ivf, QuantizeOps, RetrievalOps,
+      PqOps)
 
   private val declared: Seq[DeclaredQuery] = modules.flatMap(_.queries)
 

@@ -47,7 +47,7 @@ object Ivf extends QueryModule {
     * reuse one persisted copy, and switching datasets evicts the old one
     * instead of stacking duplicates in the block manager.
     */
-  private def scaledEmbeddings(s: SparkSession, d: String): (DataFrame, Long) = {
+  private[operators] def scaledEmbeddings(s: SparkSession, d: String): (DataFrame, Long) = {
     val e = graft.SubstrateCache.substrate(s, d, "ivf-scaled") {
       graft.Tables
         .embeddings(s, d)
@@ -125,7 +125,7 @@ object Ivf extends QueryModule {
     * `e(vec_id, dvec, sv, nrm, ...)`. Spliced into both IVF oracles so
     * the clustering definition can never drift between them.
     */
-  private val LloydOracleCte =
+  private[operators] val LloydOracleCte =
     s"""st AS (SELECT greatest(count(*) // $K, 1) AS stride FROM e),
              seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
                        FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT $K),
@@ -230,7 +230,7 @@ object Ivf extends QueryModule {
     * (repeated test/bench runs in one container) accumulates one
     * directory per dataset forever.
     */
-  private def deleteRecursivelyOnExit(dir: String): Unit =
+  private[operators] def deleteRecursivelyOnExit(dir: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import scala.jdk.CollectionConverters._

@@ -143,6 +143,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "tf needs map-side partial agg")
   }
 
+  test("pq_topk scores codes via the broadcast ADC table with partial top-k") {
+    val p = planOf("pq_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the 8-query ADC table must broadcast against the code scan")
+    assert(p.contains("WindowGroupLimit"),
+      "the coarse rescore cut must partial-top-k before the exchange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
+  test("ivf_pq_topk prunes cells at planning time and coarse-ranks with ADC lookups") {
+    val p = planOf("ivf_pq_topk")
+    assert(
+      "PartitionFilters: \\[cid[^\\]]* IN \\(".r.findFirstIn(p).isDefined,
+      "probed cells must prune the layout scan at planning time:\n" + p.take(1200),
+    )
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
