@@ -138,7 +138,10 @@ object PqOps extends QueryModule {
     * fp[sub·K + cid + 1] = floor(1e6·⟨q_sub, c_{sub,cid}⟩ + 0.5). Tiny
     * (queries × 128 longs); broadcast by every consumer.
     */
-  private def queryAdcTable(s: SparkSession, d: String): DataFrame = {
+  private def queryAdcTable(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "pq-qtable")(queryAdcTableBuild(s, d))
+
+  private def queryAdcTableBuild(s: SparkSession, d: String): DataFrame = {
     val (e, _) = Ivf.scaledEmbeddings(s, d)
     e.filter(col("vec_id") < NQueries)
       .withColumn("sub", explode(expr(s"sequence(0, ${NSub - 1})")))
