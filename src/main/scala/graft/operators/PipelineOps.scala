@@ -121,5 +121,42 @@ object PipelineOps extends QueryModule {
     },
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(cleanCorpus, stratifiedSample)
+  /** Deterministic corpus rebalancing ("data mixing"): downsample every
+    * language slice to the rarest language's share, with the rate
+    * COMPUTED from corpus counts rather than declared (the
+    * mixing-weights shape of a pretraining pipeline: weights come from
+    * corpus statistics; the keep/drop decision must still be a pure row
+    * predicate so re-runs and engines agree). The comparison
+    * `bucket·cnt_l < 1000·min_cnt` stays in exact BIGINT arithmetic —
+    * no rate division ever happens, so there is no float to disagree
+    * on. (Keyed by `lang` because the fixture's `source` column is
+    * exactly uniform — a filter that never fires proves nothing.)
+    *
+    * At 100 TB: one count aggregation (tiny result, broadcast back) +
+    * a stateless scan predicate — the fact table crosses the wire zero
+    * times. Rebalancing to arbitrary target weights is the same plan
+    * with `min_cnt` replaced by a per-source target row count.
+    */
+  private val mixSources = DeclaredQuery(
+    "mix_sources",
+    (s, d) => {
+      val cnts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("cnt"))
+      val minCnt = cnts.agg(min(col("cnt")).as("min_cnt"))
+      documents(s, d)
+        .join(broadcast(cnts), Seq("lang"))
+        .crossJoin(broadcast(minCnt)) // 1-row count scalar
+        .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000L)))
+        .filter(col("bucket") * col("cnt") < lit(1000L) * col("min_cnt"))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+            m AS (SELECT min(cnt) AS min_cnt FROM c)
+            SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+            FROM documents JOIN c USING (lang) CROSS JOIN m
+            WHERE (doc_id * 2654435761) % 1000 * cnt < 1000 * min_cnt
+            ORDER BY doc_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(cleanCorpus, stratifiedSample, mixSources)
 }

@@ -40,7 +40,47 @@ object RetrievalOps extends QueryModule {
     * the synthetic fixtures src0 is 5% of documents at every sf — the
     * right shape (benchmark ≪ corpus) for the broadcast plan.
     */
-  private val BenchmarkSource = "src0"
+  private[graft] val BenchmarkSource = "src0"
+
+  /** The benchmark slice's distinct shingle-hash set — small by
+    * construction (an eval suite), broadcast by every consumer. Derived
+    * from the shared gram substrate, so repeated screens (batch query,
+    * streaming ingest batches) never re-hash the benchmark.
+    */
+  private[graft] def benchmarkGrams(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    DedupOps
+      .gramRows(s, d)
+      .join(broadcast(src), Seq("doc_id"))
+      .filter(col("source") === BenchmarkSource)
+      .select("gh")
+      .distinct()
+  }
+
+  /** Per-doc leaked-shingle counts of `grams` (doc_id, n, gh — distinct
+    * per doc) against a benchmark shingle set: the screening tail shared
+    * by the declared batch query and the streaming ingest screen
+    * ([[graft.streaming.DocIngest.startScreen]]), so the decontamination
+    * definition cannot drift between the two paths.
+    */
+  private[graft] def leakedCounts(
+      grams: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame =
+    grams
+      .join(broadcast(bench), Seq("gh"))
+      .groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_leaked"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_grams"),
+        col("n_leaked"),
+        (col("n_leaked").cast("double") / col("n")).as("contamination"),
+      )
+      .orderBy("doc_id")
 
   /** Benchmark decontamination: flag every non-benchmark document that
     * shares at least one word-trigram shingle with the benchmark slice,
@@ -57,20 +97,11 @@ object RetrievalOps extends QueryModule {
     "contamination_check",
     (s, d) => {
       val src = documents(s, d).select(col("doc_id"), col("source"))
-      val g = DedupOps.gramRows(s, d).join(broadcast(src), Seq("doc_id"))
-      val bench =
-        g.filter(col("source") === BenchmarkSource).select("gh").distinct()
-      g.filter(col("source") =!= BenchmarkSource)
-        .join(broadcast(bench), Seq("gh"))
-        .groupBy("doc_id", "n")
-        .agg(count(lit(1)).as("n_leaked"))
-        .select(
-          col("doc_id"),
-          col("n").cast("long").as("n_grams"),
-          col("n_leaked"),
-          (col("n_leaked").cast("double") / col("n")).as("contamination"),
-        )
-        .orderBy("doc_id")
+      val corpusGrams = DedupOps
+        .gramRows(s, d)
+        .join(broadcast(src), Seq("doc_id"))
+        .filter(col("source") =!= BenchmarkSource)
+      leakedCounts(corpusGrams, benchmarkGrams(s, d))
     },
     Some(s"""WITH ${DedupOps.hashedGramsDuck},
              e AS (SELECT h.doc_id, d.source, len(ghs) AS n, unnest(ghs) AS gh

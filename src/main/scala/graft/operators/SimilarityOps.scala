@@ -286,5 +286,63 @@ object SimilarityOps extends QueryModule {
             SELECT va, vb, sim FROM p WHERE sim >= 0.4 ORDER BY va, vb"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(cosineTopk, cosineLshAnn, cosineNearDup)
+  /** SemDeDup-style semantic deduplication: cluster embeddings (the IVF
+    * cell assignment — k-means by another name), then WITHIN each
+    * cluster drop every vector that has cosine ≥ τ with a lower-id
+    * vector of the same cluster; the min-id member of each near-dup
+    * chain survives as the representative. This is the published
+    * cluster-then-prune recipe: clustering bounds the pair space to
+    * Σ n_c² instead of n², which is what makes semantic dedup feasible
+    * at corpus scale — the within-cluster join IS the algorithm's cost
+    * model.
+    *
+    * At 100 TB the cluster count is tens of thousands (cells ≪ corpus,
+    * pair work per cell bounded); here k=8 from the shared IVF
+    * substrate, so the 8-key equi-join is skewed by construction — AQE
+    * skew-split handles it, and the scaladoc'd production knob is
+    * simply more cells. Similarities are the native codegen cosine,
+    * rounded to 6 dp BEFORE the threshold compare in both engines
+    * (the cosine_near_dup convention).
+    */
+  private val SemTau = 0.4
+
+  private val semanticDedup = DeclaredQuery(
+    "semantic_dedup",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val (e, _) = Ivf.scaledEmbeddings(s, d)
+      val asg = Ivf.cellAssignment(s, d)
+      val withVec = asg.join(e.select(col("vec_id"), col("dvec")), Seq("vec_id"))
+      val a = withVec.select(col("cid"), col("vec_id").as("u"), col("dvec").as("du"))
+      val b = withVec.select(col("cid"), col("vec_id").as("v"), col("dvec").as("dv"))
+      val dropped = a
+        .join(b, Seq("cid"))
+        .filter(col("u") < col("v"))
+        .filter(round(expr("cosine_similarity(du, dv)"), 6) >= SemTau)
+        .select(col("v"))
+        .distinct()
+      asg
+        .join(dropped, asg("vec_id") === dropped("v"), "left_anti")
+        .select(col("vec_id"), col("cid").cast("long").as("cid"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ${Ivf.LloydOracleCte},
+             pr AS (SELECT a.vec_id AS u, b.vec_id AS v
+                    FROM asg1 a JOIN asg1 b USING (cid)
+                         JOIN e ea ON ea.vec_id = a.vec_id
+                         JOIN e eb ON eb.vec_id = b.vec_id
+                    WHERE a.vec_id < b.vec_id
+                      AND round(list_inner_product(ea.dvec, eb.dvec) / (ea.nrm * eb.nrm), 6) >= $SemTau),
+             dropped AS (SELECT DISTINCT v FROM pr)
+             SELECT a.vec_id, a.cid
+             FROM asg1 a LEFT JOIN dropped dr ON a.vec_id = dr.v
+             WHERE dr.v IS NULL ORDER BY a.vec_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup)
 }

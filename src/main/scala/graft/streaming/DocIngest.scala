@@ -78,6 +78,31 @@ object DocIngest {
       .start()
   }
 
+  /** Streaming decontamination screen — the ingest-time twin of the
+    * `contamination_check` batch query: every document micro-batch is
+    * hashed to gram rows and checked against a STANDING benchmark
+    * shingle set (an eval suite — small, persisted by the caller,
+    * broadcast per batch), and `onFlags` receives the batch's per-doc
+    * leaked counts. Unlike the near-dup ingest loop the state here is
+    * read-only — the benchmark never grows with ingest — so batches are
+    * embarrassingly independent and per-batch cost scales with the
+    * batch alone. Both paths share [[graft.operators.RetrievalOps
+    * .leakedCounts]], so the screening definition cannot drift.
+    */
+  def startScreen(
+      docs: DataFrame,
+      benchGrams: DataFrame,
+      checkpointDir: String,
+  )(onFlags: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        onFlags(
+          graft.operators.RetrievalOps.leakedCounts(DedupOps.gramRowsOf(batch), benchGrams))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Seed a durable signature table from a standing corpus (once). */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
     DedupOps

@@ -161,6 +161,23 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("semantic_dedup bounds the pair space to the cell equi-join") {
+    val p = planOf("semantic_dedup")
+    assert(!p.contains("CartesianProduct"),
+      "the pair space must ride the within-cell equi-join, never all-pairs")
+    // the pair-generating join must be keyed on the cell id (the
+    // embedded substrate-build plans legitimately contain broadcast-K
+    // centroid cross joins, so BNLJ in general is NOT forbidden here)
+    assert("Join \\[cid#".r.findFirstIn(p).isDefined,
+      "within-cell pairs must come from a cid-keyed hash join:\n" + p.take(800))
+  }
+
+  test("mix_sources is a stateless scan predicate over broadcast counts") {
+    val p = planOf("mix_sources")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "the count tables must broadcast")
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))

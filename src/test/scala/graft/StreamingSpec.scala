@@ -200,6 +200,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
   }
 
+  test("streaming decontamination screen equals the batch contamination check") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val incoming = docs.filter(col("source") =!= graft.operators.RetrievalOps.BenchmarkSource)
+
+    // two parquet files → two micro-batches; the screen is stateless per
+    // batch (the benchmark set is read-only), so their union must equal
+    // the one-shot batch query exactly
+    val streamDir = Files.createTempDirectory("doc-screen").toString
+    incoming.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    incoming.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val bench = graft.operators.RetrievalOps.benchmarkGrams(spark, d).persist()
+    bench.count()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var batches = 0
+    val q = graft.streaming.DocIngest.startScreen(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      bench,
+      checkpointDir = Files.createTempDirectory("ck-screen").toString,
+    ) { flags =>
+      collected.synchronized {
+        batches += 1
+        collected ++= flags
+          .collect()
+          .map(r =>
+            (
+              r.getAs[Long]("doc_id"),
+              r.getAs[Long]("n_grams"),
+              r.getAs[Long]("n_leaked"),
+              math.round(r.getAs[Double]("contamination") * 1e6),
+            ),
+          )
+      }
+    }
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    bench.unpersist()
+    assert(batches >= 2, s"expected one micro-batch per staged file, got $batches")
+
+    val batch = SparkEntry
+      .queries("contamination_check")(spark, d)
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_grams"),
+          r.getAs[Long]("n_leaked"),
+          math.round(r.getAs[Double]("contamination") * 1e6),
+        ),
+      )
+      .toSet
+    assert(batch.nonEmpty, "fixture must contain contaminated documents")
+    assert(collected.toSet == batch, s"streamed screen must equal the batch check")
+  }
+
   test("durable ingest: parquet signature table equals the in-session twin") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"
