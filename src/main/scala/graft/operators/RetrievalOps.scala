@@ -169,6 +169,83 @@ object RetrievalOps extends QueryModule {
              FROM r WHERE rk <= $TopKeywords ORDER BY doc_id, rk"""),
   )
 
+  /** BM25 ranked search for a literal keyword query — the lexical
+    * retrieval scorer beside [[tfidfKeywords]]'s per-doc extraction.
+    * k1=1.2, b=0.75, idf = ln((N − df + ½)/(df + ½) + 1) (the
+    * always-positive Lucene form).
+    *
+    * Cross-engine determinism: every per-(doc, term) contribution is a
+    * chain of double ops over exactly-agreed integer inputs (tf, df,
+    * len, N, Σlen), stated as the IDENTICAL expression text in both
+    * engines — same parse, same IEEE op order, bit-equal result — then
+    * scaled to BIGINT via `floor(x·1e9 + 0.5)`. Only those exact
+    * integers cross the per-term aggregation, so the final ranking
+    * cannot drift with partitioning or engine. (avgdl is the one
+    * corpus-wide float: computed as one division of two exact BIGINTs,
+    * not a distributed `avg`.)
+    *
+    * At 100 TB: the doc-length table is a narrow projection of the
+    * corpus scan; tf touches only query-term postings (the `isin`
+    * prunes at the scan); df/N/Σlen are tiny broadcast scalars; the
+    * final ranking is a global top-k (`TakeOrderedAndProject`-shaped).
+    */
+  private val QueryTerms = Seq("scan", "filter", "join")
+  private val BmTopK = 20
+
+  private def bm25Contrib(nDocs: String, sumLen: String): String =
+    s"CAST(floor(ln((CAST($nDocs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)" +
+      s" * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / (CAST($sumLen AS DOUBLE) / $nDocs)))" +
+      " * 1000000000.0 + 0.5) AS BIGINT)"
+
+  private val bm25Rank = DeclaredQuery(
+    "bm25_rank",
+    (s, d) => {
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = words
+        .filter(col("term").isin(QueryTerms: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val lens = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+      tf.join(broadcast(dfT), Seq("term"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats)) // 1-row corpus scalars
+        .withColumn("contrib", expr(bm25Contrib("n_docs", "sum_len")))
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("score"))
+        // global top-k as sort+limit (TakeOrderedAndProject — never a
+        // single-partition window over every matching doc); the rank
+        // window then runs over k rows only
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(BmTopK)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))),
+        )
+        .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+                 WHERE term IN ($termList) GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+          sc AS (SELECT doc_id,
+                        ${bm25Contrib("n_docs", "sum_len")} AS contrib
+                 FROM tf JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          tot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM sc GROUP BY 1),
+          r AS (SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tot)
+          SELECT doc_id, score, rank FROM r WHERE rank <= $BmTopK ORDER BY rank"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
-    Seq(contaminationCheck, tfidfKeywords)
+    Seq(contaminationCheck, tfidfKeywords, bm25Rank)
 }

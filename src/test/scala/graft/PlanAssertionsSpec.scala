@@ -172,6 +172,12 @@ class PlanAssertionsSpec extends SparkSpec {
       "within-cell pairs must come from a cid-keyed hash join:\n" + p.take(800))
   }
 
+  test("bm25_rank takes the global top-k via TakeOrderedAndProject, not a global window") {
+    val p = planOf("bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "tf/score aggs need map-side partials")
+  }
+
   test("mix_sources is a stateless scan predicate over broadcast counts") {
     val p = planOf("mix_sources")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
