@@ -75,5 +75,62 @@ object ScalePatterns extends QueryModule {
             FROM events GROUP BY event_type ORDER BY event_type"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(saltedAgg)
+  /** Cardinality estimation by LINEAR COUNTING (Whang et al.): hash each
+    * key into an m-bucket space and estimate n ≈ −m·ln(1 − v/m) from the
+    * count of OCCUPIED buckets v. Chosen over HLL because it is exactly
+    * reproducible across engines: the bucket function is shared integer
+    * arithmetic and v is an exact distinct count bounded by m — so the
+    * estimate is the same double in Spark and DuckDB, unlike
+    * `approx_count_distinct`/`approx_quantile` whose sketch internals
+    * differ per engine and can never be oracle-compared.
+    *
+    * At 100 TB: the partial aggregation dedupes buckets map-side, so at
+    * most m values per group reach the shuffle regardless of corpus
+    * size — that bounded-state property is the whole point of a
+    * cardinality sketch. The `exact_distinct` column exists to exhibit
+    * the estimator's error on the fixture (≈2%) and is what production
+    * would drop. The `least(v, m−1)` guard keeps the saturated case
+    * (v = m, estimator undefined) finite identically in both engines.
+    */
+  private val SketchM = 8192L
+
+  /** The bucket function must AVALANCHE: a bare multiplicative residue
+    * is a low-discrepancy rotation (dense sequential ids collide FAR
+    * less than uniformly-random balls — measured v = n exactly on the
+    * fixture), which silently breaks the estimator's collision model.
+    * The xor-shift between two multiplications is the standard
+    * nonlinearity; all stages stay below 2⁶³ (DuckDB errors on BIGINT
+    * overflow where Spark wraps). Spark `^`/`shiftright` ≡ DuckDB
+    * `xor`/`>>` — different spellings, identical integer semantics.
+    */
+  private val distinctSketch = DeclaredQuery(
+    "distinct_sketch",
+    (s, d) =>
+      graft.Tables
+        .events(s, d)
+        .withColumn("a", (col("user_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn("bkt", expr(s"(((a ^ shiftright(a, 7)) * 97381) % 2147483647) % $SketchM"))
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("bkt")).as("v"),
+          countDistinct(col("user_id")).as("exact_distinct"),
+        )
+        .withColumn(
+          "est",
+          expr(
+            s"CAST(floor(-$SketchM.0 * ln(1.0 - least(v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)"),
+        )
+        .orderBy("event_type"),
+    Some(s"""WITH b AS (SELECT event_type, user_id,
+                               (user_id * 2654435761) % 2147483647 AS a FROM events),
+             c AS (SELECT event_type, user_id,
+                          ((xor(a, a >> 7) * 97381) % 2147483647) % $SketchM AS bkt FROM b)
+             SELECT event_type,
+                    count(DISTINCT bkt) AS v,
+                    count(DISTINCT user_id) AS exact_distinct,
+                    CAST(floor(-$SketchM.0 * ln(1.0 - least(count(DISTINCT bkt), ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT) AS est
+             FROM c GROUP BY 1 ORDER BY 1"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(saltedAgg, distinctSketch)
 }
