@@ -41,6 +41,10 @@ object TextOps extends QueryModule {
       |  list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
       |  (a, c) -> (a * 31 + c) % 1000000007)""".stripMargin
 
+  /** The same DuckDB hash over an arbitrary column/expression name. */
+  def wordHashDuckOf(column: String): String =
+    wordHashDuck.replace("string_split(w, '')", s"string_split($column, '')")
+
   /** Length / stopword / uniqueness quality stats — the "quality scoring"
     * signal a pretraining pipeline filters on.
     */
@@ -356,6 +360,84 @@ object TextOps extends QueryModule {
              FROM r ORDER BY doc_id"""),
   )
 
+  /** Count-min sketch heavy hitters — the bounded-state frequency twin
+    * of [[tokenTopk]] (exact) and the cardinality sketch
+    * (`distinct_sketch`): token counts are folded into D=4 rows of W=32
+    * counters via independent avalanche hashes, and a token's estimate
+    * is the MIN over its 4 counters — the classic ε-overestimate bound
+    * with memory that never grows with the vocabulary. Every stage is
+    * exact integer arithmetic (the shared polynomial token hash, the
+    * xor-shift avalanche, BIGINT counter sums), so unlike library CMS
+    * implementations the whole sketch is bit-reproducible across
+    * engines and oracle-checkable. W=32 is deliberately small for the
+    * ~50-token fixture vocabulary so collisions (and the one-sided
+    * overestimate, est ≥ exact) are actually exercised; at scale W
+    * takes the memory budget and D stays 3-5.
+    *
+    * At 100 TB: the counter table is D·W cells regardless of corpus —
+    * the groupBy(i, bkt) gets map-side partial aggregation, so each
+    * partition ships at most D·W partial counters; the probe side joins
+    * the broadcast counter table.
+    */
+  private val CmsD = 4
+  private val CmsW = 32
+  private val CmsRowSeeds = Seq(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  private def cmsBucket(seedExpr: String): String =
+    s"((($seedExpr) ^ shiftright($seedExpr, 7)) * 97381) % 2147483647 % $CmsW"
+
+  private def cmsBucketDuck(seedExpr: String): String =
+    s"((xor($seedExpr, ($seedExpr) >> 7) * 97381) % 2147483647) % $CmsW"
+
+  private val cmsHeavyHitters = DeclaredQuery(
+    "cms_heavy_hitters",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val seedArr = CmsRowSeeds.mkString("array(", "L, ", "L)")
+      val toks = documents(s, d)
+        .select(explode(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).as("token"))
+        .withColumn("h", expr("graft_poly_hash(token)"))
+      val hashed = toks
+        .withColumn("i", explode(expr(s"sequence(0, ${CmsD - 1})")))
+        .withColumn("a", expr(s"(h * element_at($seedArr, i + 1)) % 2147483647"))
+        .withColumn("bkt", expr(cmsBucket("a")))
+      val counters = hashed.groupBy("i", "bkt").agg(count(lit(1)).as("cnt"))
+      val exactTop = toks
+        .groupBy("token", "h")
+        .agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("token"))
+        .limit(20)
+      val probes = exactTop
+        .withColumn("i", explode(expr(s"sequence(0, ${CmsD - 1})")))
+        .withColumn("a", expr(s"(h * element_at($seedArr, i + 1)) % 2147483647"))
+        .withColumn("bkt", expr(cmsBucket("a")))
+      probes
+        .join(broadcast(counters), Seq("i", "bkt"))
+        .groupBy("token", "exact")
+        .agg(min("cnt").as("est"))
+        .select(col("token"), col("exact"), col("est"))
+        .orderBy(col("exact").desc, col("token"))
+    },
+    Some {
+      val seedList = CmsRowSeeds.mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS token
+                       FROM documents),
+          th AS (SELECT token, ${wordHashDuckOf("token")} AS h FROM tok),
+          rows_ AS (SELECT token, h, unnest(range(0, $CmsD)) AS i FROM th),
+          hb AS (SELECT token, h, i, (h * ($seedList)[i + 1]) % 2147483647 AS a FROM rows_),
+          hashed AS (SELECT token, i, ${cmsBucketDuck("a")} AS bkt FROM hb),
+          counters AS (SELECT i, bkt, count(*) AS cnt FROM hashed GROUP BY 1, 2),
+          exact_top AS (SELECT token, h, count(*) AS exact FROM th GROUP BY 1, 2
+                        ORDER BY exact DESC, token LIMIT 20),
+          p0 AS (SELECT token, exact, h, unnest(range(0, $CmsD)) AS i FROM exact_top),
+          p1 AS (SELECT token, exact, i, (h * ($seedList)[i + 1]) % 2147483647 AS a FROM p0),
+          probes AS (SELECT token, exact, i, ${cmsBucketDuck("a")} AS bkt FROM p1)
+          SELECT p.token, p.exact, CAST(min(c.cnt) AS BIGINT) AS est
+          FROM probes p JOIN counters c USING (i, bkt)
+          GROUP BY 1, 2 ORDER BY exact DESC, token"""
+    },
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textStats,
     tokenCount,
@@ -365,5 +447,6 @@ object TextOps extends QueryModule {
     repetitionRatio,
     tokenTopk,
     piiScrub,
+    cmsHeavyHitters,
   )
 }

@@ -184,6 +184,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "the count tables must broadcast")
   }
 
+  test("sketches aggregate with map-side partials (bounded per-partition state)") {
+    for (q <- Seq("distinct_sketch", "cms_heavy_hitters")) {
+      val p = planOf(q)
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q must ship partial aggregates, not raw rows:\n" + p.take(500))
+      assert(!p.contains("CartesianProduct"), p.take(500))
+    }
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
