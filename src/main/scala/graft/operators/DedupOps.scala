@@ -426,31 +426,96 @@ object DedupOps extends QueryModule {
     (labels, round)
   }
 
+  /** The converged (node, lbl) label table, served from the substrate
+    * cache: intermediates are unpersisted inside the loop, the survivor
+    * is owned (and eventually evicted) by the cache registry instead of
+    * leaking per invocation. Shared by `dedup_clusters` (the raw labels)
+    * and `cluster_keeper` (the quality-keeper policy over them) — the CC
+    * fixpoint runs ONCE per dataset no matter how many downstream
+    * policies consume it.
+    */
+  /** DuckDB twin of [[ccLabels]] as CTE text (expects the gram + pair
+    * CTEs `h`/`p` in scope, yields `lbl(doc_id, cluster_id)`): reachable
+    * labels walked recursively, per-node minimum taken — the same
+    * fixpoint the iterative engines converge to.
+    */
+  private val ccLabelsDuck: String =
+    """edges AS (SELECT da AS src, db AS dst FROM p
+      |          UNION ALL SELECT db, da FROM p),
+      |reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+      |          UNION
+      |          SELECT e.dst AS node, r.lbl
+      |          FROM reach r JOIN edges e ON r.node = e.src),
+      |lbl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+      |        FROM reach GROUP BY node)""".stripMargin
+
+  private def ccLabels(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, s"cc-labels:0.3:df$DefaultMaxDf") {
+      val pairs = jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf)).select(col("da"), col("db"))
+      val nodes = documents(s, d).select(col("doc_id").as("node"))
+      starContract(nodes, pairs, maxCcRounds(s))._1
+    }
+
   private val dedupClusters = DeclaredQuery(
     "dedup_clusters",
     (s, d) => {
-      // the converged label table is itself a substrate: intermediates are
-      // unpersisted inside the loop, the survivor is owned (and eventually
-      // evicted) by the cache registry instead of leaking per invocation
-      val converged = graft.SubstrateCache.substrate(s, d, s"cc-labels:0.3:df$DefaultMaxDf") {
-        val pairs = jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf)).select(col("da"), col("db"))
-        val nodes = documents(s, d).select(col("doc_id").as("node"))
-        starContract(nodes, pairs, maxCcRounds(s))._1
-      }
-      converged
+      ccLabels(s, d)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE $hashedGramsDuck,
              ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
-             edges AS (SELECT da AS src, db AS dst FROM p
-                       UNION ALL SELECT db, da FROM p),
-             reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
-                       UNION
-                       SELECT e.dst AS node, r.lbl
-                       FROM reach r JOIN edges e ON r.node = e.src)
-             SELECT node AS doc_id, min(lbl) AS cluster_id
-             FROM reach GROUP BY node ORDER BY doc_id"""),
+             $ccLabelsDuck
+             SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id"""),
+  )
+
+  /** Quality-aware canonical selection: one KEEPER per near-dup cluster —
+    * the document with the most distinct words (min doc_id breaking ties,
+    * an integer-exact policy so both engines pick the same row) — plus the
+    * member count that says how much the cluster collapses. This is the
+    * step a production dedup actually ships: `dedup_clusters` finds the
+    * groups, this picks which copy survives. Runs entirely off the shared
+    * cc-labels substrate (the CC fixpoint is NOT re-run) plus one
+    * per-cluster window — at 100 TB the added cost is one shuffle of
+    * (doc_id, cluster_id, score) triples, never the text.
+    */
+  private val clusterKeeper = DeclaredQuery(
+    "cluster_keeper",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val quality = documents(s, d).select(
+        col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_words"),
+      )
+      val w = Window
+        .partitionBy("cluster_id")
+        .orderBy(col("n_distinct_words").desc, col("doc_id"))
+      ccLabels(s, d)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(quality, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("keeper_id"),
+          max(when(col("rk") === 1, col("n_distinct_words"))).as("keeper_distinct"),
+        )
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck,
+             q AS (SELECT doc_id,
+                          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+                   FROM documents),
+             r AS (SELECT l.cluster_id, l.doc_id, q.n_distinct_words,
+                          row_number() OVER (PARTITION BY l.cluster_id
+                                             ORDER BY q.n_distinct_words DESC, l.doc_id) AS rk
+                   FROM lbl l JOIN q USING (doc_id))
+             SELECT cluster_id, count(*) AS n_members,
+                    max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_id,
+                    max(CASE WHEN rk = 1 THEN n_distinct_words END) AS keeper_distinct
+             FROM r GROUP BY 1 ORDER BY 1"""),
   )
 
   /** Declared form of [[nearDupsAgainst]]: docs below id 400 are the
@@ -488,7 +553,8 @@ object DedupOps extends QueryModule {
   )
 
   val queries: Seq[DeclaredQuery] =
-    Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, incrementalDedup)
+    Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
+      incrementalDedup)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

@@ -131,5 +131,114 @@ object TemporalOps extends QueryModule {
              FROM z GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(asofJoin, sessionize)
+  /** Bin width for the interval join — equal to the window length, so
+    * every interval covers at most TWO bins and the fan-out factor is a
+    * hard constant, not data-dependent.
+    */
+  private val IntervalBinUs = 604800000000L // 7 days in µs
+
+  /** Interval (range) join by BINNING — the missing-native-operator case:
+    * Spark has no range-join strategy, so `probe.t BETWEEN w.start AND
+    * w.end` alone plans as a BroadcastNestedLoopJoin — O(n·m) comparisons,
+    * the classic 100 TB scale-killer. Binning restores an equi-join: both
+    * sides key on `floor(t / binWidth)`, each window explodes into the ≤2
+    * bins it covers (bin width = window length), and the exact range
+    * predicate filters the equi-matched candidates. Cost: one shuffle of
+    * (rows + 2·windows) keyed rows — the same plan a Databricks-style
+    * range-join hint produces, expressed with stock operators.
+    *
+    * Semantics here: for each high-value order, count the line items
+    * shipped (corpus-wide) in the 7 days from its order date. Timestamps
+    * compare in exact integer microseconds; quantity sums go through
+    * DECIMAL so both engines agree bit-for-bit.
+    */
+  private val intervalJoinBinned = DeclaredQuery(
+    "interval_join_binned",
+    (s, d) => {
+      val win = orders(s, d)
+        .filter(col("o_totalprice") > 450000)
+        // orderdate/shipdate land as TIMESTAMP_NTZ from parquet; session TZ
+        // is UTC so the cast to TIMESTAMP is wall-clock identity and
+        // unix_micros ≡ DuckDB epoch_us
+        .select(col("o_orderkey"), unix_micros(col("o_orderdate").cast("timestamp")).as("s_us"))
+        .withColumn("e_us", col("s_us") + lit(IntervalBinUs))
+        .withColumn(
+          "bin",
+          explode(sequence(
+            expr(s"s_us div $IntervalBinUs"),
+            expr(s"(e_us - 1) div $IntervalBinUs"),
+          )),
+        )
+      val probe = lineitem(s, d)
+        .select(unix_micros(col("l_shipdate").cast("timestamp")).as("t_us"), col("l_quantity"))
+        .withColumn("bin", expr(s"t_us div $IntervalBinUs"))
+      win
+        .join(probe, Seq("bin"))
+        .filter(col("t_us") >= col("s_us") && col("t_us") < col("e_us"))
+        .groupBy("o_orderkey")
+        .agg(
+          count(lit(1)).as("n_shipped"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+        )
+        .orderBy("o_orderkey")
+    },
+    Some(s"""SELECT o.o_orderkey, count(*) AS n_shipped,
+                    CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+             FROM orders o JOIN lineitem l
+               ON epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+              AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + $IntervalBinUs
+             WHERE o.o_totalprice > 450000
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Funnel window: purchase within 6 h after the click. */
+  private[graft] val FunnelGapUs = 21600000000L // 6 h in µs
+
+  /** Event-pair (funnel) join: ALL (click, purchase) pairs for the same
+    * user within a bounded time window — the batch twin of a Structured
+    * Streaming stream-stream join (graft.streaming.EventStream.funnelPairs
+    * runs the identical semantics with watermarks; StreamingSpec proves
+    * parity). The user key makes this an EQUI join — one shuffle per side,
+    * with the range predicate applied post-match — so unlike a pure
+    * interval join there is no candidate blowup to bin away: per-key pair
+    * count is bounded by activity within the window, exactly the state
+    * bound the streaming twin's watermark enforces.
+    */
+  private val eventPairJoin = DeclaredQuery(
+    "event_pair_join",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("click_us"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("t_us").as("purchase_us"))
+      clicks
+        .join(purchases, Seq("user_id"))
+        .filter(
+          col("purchase_us") > col("click_us") &&
+            col("purchase_us") - col("click_us") <= lit(FunnelGapUs),
+        )
+        .select(
+          col("click_id"),
+          col("purchase_id"),
+          col("user_id"),
+          (col("purchase_us") - col("click_us")).as("gap_us"),
+        )
+        .orderBy("click_id", "purchase_id")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events)
+             SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+                    p.t_us - c.t_us AS gap_us
+             FROM ev c JOIN ev p
+               ON c.user_id = p.user_id
+              AND c.event_type = 'click' AND p.event_type = 'purchase'
+              AND p.t_us > c.t_us AND p.t_us - c.t_us <= $FunnelGapUs
+             ORDER BY click_id, purchase_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin)
 }

@@ -94,6 +94,47 @@ object EventStream {
         col("n"),
       )
 
+  /** Stream-stream funnel join — the streaming twin of the declared
+    * `event_pair_join` (TemporalOps): every (click, purchase) pair for
+    * the same user with the purchase inside `gapSeconds` after the click.
+    * A genuine two-sided stateful join: each side buffers rows until the
+    * other side's watermark passes the join range, so state per side is
+    * bounded by (watermark + gap) of events, never the stream's history —
+    * the streaming mirror of the batch query's per-key pair bound. The
+    * range condition lives on the EVENT-TIME columns (not derived
+    * integers) because that is what lets Spark derive the state watermark
+    * for eviction. Inner joins emit on match, so AvailableNow over a
+    * bounded directory reproduces the batch result exactly
+    * (StreamingSpec's parity case).
+    */
+  def funnelPairs(events: DataFrame, gapSeconds: Long = 21600L): DataFrame = {
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"),
+      )
+      .withWatermark("purchase_ts", "1 hour")
+    clicks
+      .join(
+        purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $gapSeconds SECONDS"),
+      )
+      .select(
+        col("click_id"),
+        col("purchase_id"),
+        col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"),
+      )
+  }
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

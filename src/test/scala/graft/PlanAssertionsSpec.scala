@@ -193,6 +193,34 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("interval join runs as a binned equi-join, never a nested loop") {
+    val p = planOf("interval_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the range predicate must ride the bin equi-join:\n" + p.take(800))
+    assert(p.contains("Join [bin") || "Join \\[bin#".r.findFirstIn(p).isDefined,
+      "candidates must be keyed on the bin column:\n" + p.take(800))
+  }
+
+  test("event_pair_join is an equi-join on user with a residual time range") {
+    val p = planOf("event_pair_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the user key must make this an equi-join:\n" + p.take(800))
+  }
+
+  test("bucketed join + agg run without any hash-partitioning exchange") {
+    val p = planOf("bucketed_join_agg")
+    assert(p.contains("SortMergeJoin"), "the merge hint must keep the bucket-aligned SMJ:\n" + p.take(800))
+    assert(!p.contains("Exchange hashpartitioning"),
+      "bucketed layout must satisfy both the join and the agg distribution:\n" + p.take(1200))
+  }
+
+  test("cluster_keeper reuses the cc substrate (no contraction loop in the plan)") {
+    val p = planOf("cluster_keeper")
+    // the label table arrives via InMemoryTableScan from the substrate
+    // cache; only the quality join + window + agg run per invocation
+    assert(p.contains("InMemoryTableScan"), p.take(800))
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))

@@ -76,6 +76,35 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("stream-stream funnel join equals the batch event_pair_join") {
+    val stream = EventStream.readEvents(spark, eventsDir)
+    val q = EventStream
+      .funnelPairs(stream)
+      .writeStream
+      .format("memory")
+      .queryName("funnel")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-funnel").toString)
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark
+      .table("funnel")
+      .select("click_id", "purchase_id", "user_id", "gap_us")
+      .orderBy("click_id", "purchase_id")
+      .collect()
+      .map(canon)
+    val batch = SparkEntry
+      .queries("event_pair_join")(spark, sfDir)
+      .select("click_id", "purchase_id", "user_id", "gap_us")
+      .collect()
+      .map(canon)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("watermarked dedup preserves unique event_ids") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val deduped = EventStream.dedupedEvents(stream).groupBy().count()
