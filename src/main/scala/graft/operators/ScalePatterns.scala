@@ -220,5 +220,73 @@ object ScalePatterns extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(saltedAgg, distinctSketch, bucketedJoinAgg)
+  // One date-partitioned layout per dataset per JVM, like bucketLayouts.
+  private val dayLayouts =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Write events into a `partitionBy(day)` directory tree — the #1
+    * physical layout of every production fact table: one directory per
+    * day, so a date-range predicate prunes at PLANNING time and untouched
+    * days are never opened. The µs-truncated timestamp round-trips
+    * losslessly through the layout, so queries over it are exactly
+    * queries over the source table.
+    */
+  private[operators] def dayPartitionedEvents(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String =
+    dayLayouts.synchronized {
+      dayLayouts.getOrElseUpdate(
+        (s, d), {
+          val dir = java.nio.file.Files.createTempDirectory("graft-events-byday").toString
+          Ivf.deleteRecursivelyOnExit(dir)
+          graft.Tables
+            .events(s, d)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+            .write
+            .mode(SaveMode.Overwrite)
+            .partitionBy("day")
+            .parquet(dir)
+          dir
+        },
+      )
+    }
+
+  /** Week-2 window over the 30-day synthetic stream. ISO date strings
+    * compare lexicographically, so the pruning predicate is a plain
+    * string range on the partition column.
+    */
+  private val PruneFrom = "2024-01-08"
+  private val PruneTo = "2024-01-14"
+
+  /** Declared pruned scan: per-type counts and value sums over one week
+    * of the date-partitioned layout. The range predicate on the partition
+    * column becomes `PartitionFilters` (PlanAssertionsSpec pins it): the
+    * scan LISTS 7 of 30 directories and never opens the rest — at 100 TB
+    * the difference between reading 23 TB and 0.5 TB for the same query.
+    * The oracle reads the PLAIN parquet with the equivalent timestamp
+    * range: layout changes the bytes touched, never the answer.
+    */
+  private val partitionedScanPrune = DeclaredQuery(
+    "partitioned_scan_prune",
+    (s, d) =>
+      s.read
+        .parquet(dayPartitionedEvents(s, d))
+        .filter(col("day") >= PruneFrom && col("day") <= PruneTo)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        )
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type, count(*) AS n,
+                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             FROM events
+             WHERE CAST(ts AS DATE) >= DATE '$PruneFrom'
+               AND CAST(ts AS DATE) <= DATE '$PruneTo'
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune)
 }

@@ -438,6 +438,57 @@ object TextOps extends QueryModule {
     },
   )
 
+  /** Unigram LM quality score — the proxy for the perplexity filter a
+    * pretraining pipeline runs (CCNet-style): train unigram frequencies
+    * on the corpus itself, then score each document by its mean token
+    * surprisal −ln p(token). The per-token surprisal is integer-scaled
+    * (×10⁶, floor(x+0.5)) BEFORE the per-document sum, so the distributed
+    * aggregation is an exact BIGINT sum — reorderable across any
+    * partitioning, hash-identical in DuckDB — and only the final mean
+    * divides back to a double. At 100 TB: the vocabulary aggregate is a
+    * partial+final hash agg (map-side combine collapses each partition to
+    * its distinct tokens), the frequency table is broadcast (real-corpus
+    * vocabularies are millions of rows — still broadcastable; past that,
+    * a shuffled join on the token works unchanged), and the text never
+    * shuffles — only (doc_id, cost) pairs do.
+    */
+  private val unigramLogprob = DeclaredQuery(
+    "unigram_logprob",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val costed = vocab
+        .crossJoin(broadcast(total)) // 1×1 scalar join
+        .withColumn(
+          "cost",
+          expr("CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)"),
+        )
+        .select("tok", "cost")
+      toks
+        .join(broadcast(costed), Seq("tok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("cost").as("cost_sum"))
+        .withColumn(
+          "mean_surprisal",
+          round(col("cost_sum").cast("double") / col("n_tokens") / 1e6, 4),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+            costed AS (SELECT tok,
+                              CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT) AS cost
+                       FROM vocab, tot)
+            SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(c.cost) AS BIGINT) AS cost_sum,
+                   round(CAST(sum(c.cost) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS mean_surprisal
+            FROM toks t JOIN costed c USING (tok)
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textStats,
     tokenCount,
@@ -448,5 +499,6 @@ object TextOps extends QueryModule {
     tokenTopk,
     piiScrub,
     cmsHeavyHitters,
+    unigramLogprob,
   )
 }

@@ -221,6 +221,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p.take(800))
   }
 
+  test("date-partitioned layout prunes directories at planning time") {
+    val p = planOf("partitioned_scan_prune")
+    assert("PartitionFilters: \\[[^\\]]*day".r.findFirstIn(p).isDefined,
+      "the day range must prune partitions, not filter rows:\n" + p.take(900))
+  }
+
+  test("unigram_logprob broadcasts the frequency table; sums stay integer") {
+    val p = planOf("unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "vocab/doc aggs need map-side partials")
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
