@@ -552,9 +552,54 @@ object DedupOps extends QueryModule {
              ORDER BY new_id, other_id"""),
   )
 
+  /** Entity-resolution fuzzy join via DELETION-NEIGHBORHOOD blocking
+    * (the SymSpell idea, distributed): lev(u,v) ≤ 1 ⟺ the single-deletion
+    * neighborhoods D₁(u) ∩ D₁(v) ≠ ∅, where D₁ includes the string
+    * itself (equality → the self key; substitution at i → delete i from
+    * both; insert/delete → deleting the extra char reaches the other
+    * string verbatim). So an equi-join on exploded deletion keys is a
+    * COMPLETE candidate generator for distance ≤ 1, and the exact
+    * `levenshtein` residual removes the (lev = 2) collisions the blocking
+    * admits. The oracle states the all-pairs O(n²) semantics directly —
+    * blocked physical plan, declarative oracle, same rows.
+    *
+    * At 100 TB: candidates are (name × (len+1)) key rows — linear in the
+    * corpus with a length-bounded constant — against the quadratic
+    * all-pairs a naive fuzzy join runs. Hot keys (a deletion shared by
+    * many names) take the same df-cap treatment as hot shingles.
+    */
+  private val fuzzyNameJoin = DeclaredQuery(
+    "fuzzy_name_join",
+    (s, d) => {
+      val sup = supplier(s, d).select(col("s_suppkey").as("id"), col("s_name").as("name"))
+      val keys = sup.withColumn(
+        "k",
+        explode(expr(
+          """transform(sequence(0, length(name)),
+            |  i -> IF(i = 0, name,
+            |          concat(substring(name, 1, i - 1),
+            |                 substring(name, i + 1, length(name)))))""".stripMargin,
+        )),
+      )
+      val a = keys.select(col("id").as("da"), col("name").as("na"), col("k"))
+      val b = keys.select(col("id").as("db"), col("name").as("nb"), col("k").as("k2"))
+      a.join(b, a("k") === b("k2") && a("da") < b("db"))
+        .select("da", "db", "na", "nb")
+        .distinct()
+        .filter(levenshtein(col("na"), col("nb")) <= 1)
+        .select(col("da"), col("db"), levenshtein(col("na"), col("nb")).cast("long").as("dist"))
+        .orderBy("da", "db")
+    },
+    Some("""SELECT a.s_suppkey AS da, b.s_suppkey AS db,
+                   CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+            FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(a.s_name, b.s_name) <= 1
+            ORDER BY da, db"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
-      incrementalDedup)
+      incrementalDedup, fuzzyNameJoin)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

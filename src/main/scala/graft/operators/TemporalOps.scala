@@ -169,16 +169,31 @@ object TemporalOps extends QueryModule {
             expr(s"(e_us - 1) div $IntervalBinUs"),
           )),
         )
+      // Push the aggregation THROUGH the join: windows overlap densely
+      // (every probe falls in many windows), so joining raw probes emits
+      // |matches| ≈ probes × windows-per-bin rows. Probe timestamps
+      // repeat heavily (ship DATES), so pre-aggregating by exact t_us
+      // shrinks the probe side ~250× and the join emits one row per
+      // (window, distinct-instant) instead of per (window, probe row).
+      // Counts are integers and the quantity partials are DECIMAL, so
+      // the recombination is exact — same rows, same hash. When
+      // timestamps don't repeat the pre-agg is a no-op pass-through,
+      // never a pessimization.
       val probe = lineitem(s, d)
         .select(unix_micros(col("l_shipdate").cast("timestamp")).as("t_us"), col("l_quantity"))
+        .groupBy("t_us")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_part"),
+        )
         .withColumn("bin", expr(s"t_us div $IntervalBinUs"))
       win
         .join(probe, Seq("bin"))
         .filter(col("t_us") >= col("s_us") && col("t_us") < col("e_us"))
         .groupBy("o_orderkey")
         .agg(
-          count(lit(1)).as("n_shipped"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("cnt")).as("n_shipped"),
+          sum(col("qty_part")).cast("double").as("qty"),
         )
         .orderBy("o_orderkey")
     },

@@ -233,6 +233,14 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "vocab/doc aggs need map-side partials")
   }
 
+  test("fuzzy join blocks on deletion keys — an equi-join, never all-pairs") {
+    val p = planOf("fuzzy_name_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidates must come from the deletion-key equi-join:\n" + p.take(800))
+    assert("Join \\[k#|Join.*\\[k".r.findFirstIn(p).isDefined || p.contains("k#"),
+      "join must be keyed on the deletion key:\n" + p.take(800))
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
