@@ -42,6 +42,21 @@ object ScalePatterns extends QueryModule {
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Range-partitioned sorted write — the layout for 100 TB output that
+    * downstream consumers range-scan (time-series, key-range serving):
+    * `repartitionByRange` samples the key distribution so files get
+    * EQUAL ROW COUNTS (not equal key ranges — skew lands evenly), and
+    * the within-partition sort makes every file a non-overlapping sorted
+    * run whose parquet min/max footer prunes range reads.
+    * ScalePatternsSpec proves the non-overlap property from the data.
+    */
+  def writeSortedByRange(df: DataFrame, dir: String, key: String, files: Int): Unit =
+    df.repartitionByRange(files, col(key))
+      .sortWithinPartitions(key)
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(dir)
+
   /** Salted two-phase aggregation: when one group key is hot enough to
     * overflow a reducer, aggregate (key, salt) first — spreading the hot
     * key over `salts` reducers — then combine the partials. Counts and

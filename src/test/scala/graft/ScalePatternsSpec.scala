@@ -117,6 +117,90 @@ class ScalePatternsSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import org.apache.spark.sql.functions._
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ).map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // testdata-sized skew thresholds: a partition is "skewed" past 2KB
+      // and 1× the median, split into ~1KB advisory chunks (production
+      // leaves the 256MB/5× defaults — the MECHANISM is what's pinned)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      // collapse two thirds of the fact keys onto key 0 — a classic hot
+      // key. The repartition(8) matters: AQE splits a skewed reduce
+      // partition at MAP-OUTPUT boundaries, so the single-file testdata
+      // scan (one mapper) must fan out before the join shuffle or the
+      // hot partition is one indivisible chunk.
+      val left = Tables
+        .lineitem(spark, sfDir)
+        .repartition(8)
+        .select(
+          when(col("l_orderkey") % 3 =!= 0, lit(0L)).otherwise(col("l_orderkey")).as("k"),
+          col("l_quantity"),
+        )
+      val right = Tables
+        .orders(spark, sfDir)
+        .select(col("o_orderkey").as("k2"), col("o_totalprice"))
+      val j = left.join(right, col("k") === col("k2"))
+      // execute THIS DataFrame's QueryExecution (count() would plan a
+      // separate query and leave j's adaptive plan unexecuted)
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE must mark and split the hot partition:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("range-partitioned sorted write yields non-overlapping sorted files") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sorted-layout").toString
+    ScalePatterns.writeSortedByRange(Tables.orders(spark, sfDir), dir, "o_orderkey", 8)
+    val ranges = spark.read
+      .parquet(dir)
+      .select(input_file_name().as("f"), col("o_orderkey"))
+      .groupBy("f")
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(ranges.length > 1, "range partitioning must produce multiple files")
+    ranges.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a._2 < b._1, s"file ranges overlap: $a vs $b")
+      case _ =>
+    }
+    // row counts stay balanced (±50%): range sampling absorbs key skew
+    val ns = ranges.map(_._3)
+    assert(ns.max <= math.max(2 * ns.min, 2L),
+      s"sorted files should balance rows, got ${ns.toSeq}")
+  }
+
+  test("approx_count_distinct tracks the exact cardinality within its rsd bound") {
+    import org.apache.spark.sql.functions._
+    val row = Tables
+      .events(spark, sfDir)
+      .agg(
+        countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx"),
+      )
+      .collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    // HLL++ rsd 2%; allow 5σ
+    assert(math.abs(approx - exact) <= math.max(1, math.ceil(5 * 0.02 * exact).toLong),
+      s"approx=$approx exact=$exact")
+  }
+
   test("approx_percentile tracks the exact percentile within its accuracy bound") {
     import org.apache.spark.sql.functions._
     // the 100 TB knob: exact percentile shuffles every value to one
