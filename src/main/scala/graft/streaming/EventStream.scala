@@ -135,6 +135,25 @@ object EventStream {
       )
   }
 
+  /** Stream events into the date-partitioned parquet layout — the ingest
+    * half of `partitioned_scan_prune`'s serving story: micro-batches
+    * append files under `day=YYYY-MM-DD/` directories, so the layout a
+    * date-range query prunes at planning time is BUILT continuously by
+    * the stream, not by a nightly rewrite. Exactly-once lands via the
+    * parquet sink's write-ahead file log (the checkpoint the caller
+    * attaches). Caller sets trigger + checkpoint and starts.
+    */
+  def writePartitionedByDay(
+      events: DataFrame,
+      dir: String,
+  ): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", dir)
+      .partitionBy("day")
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -105,6 +105,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming ingest builds the date-partitioned serving layout") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("byday-stream").toString
+    val q = EventStream
+      .writePartitionedByDay(EventStream.readEvents(spark, eventsDir), out)
+      .option("checkpointLocation", Files.createTempDirectory("ck-byday").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    // one directory per day — the prunable layout
+    val days = new java.io.File(out).listFiles.map(_.getName).filter(_.startsWith("day="))
+    assert(days.length >= 25, s"expected ~30 day dirs, got ${days.toSeq.sorted}")
+    // the streamed layout serves the same pruned week aggregate as the
+    // batch-built layout behind the declared query
+    def canon(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getDouble(2))
+    val streamed = spark.read
+      .parquet(out)
+      .filter(col("day") >= "2024-01-08" && col("day") <= "2024-01-14")
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+      )
+      .orderBy("event_type")
+      .collect()
+      .map(canon)
+    val batch = SparkEntry
+      .queries("partitioned_scan_prune")(spark, sfDir)
+      .collect()
+      .map(canon)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermarked dedup preserves unique event_ids") {
     val stream = EventStream.readEvents(spark, eventsDir)
     val deduped = EventStream.dedupedEvents(stream).groupBy().count()
