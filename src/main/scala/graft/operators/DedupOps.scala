@@ -565,8 +565,12 @@ object DedupOps extends QueryModule {
     *
     * At 100 TB: candidates are (name × (len+1)) key rows — linear in the
     * corpus with a length-bounded constant — against the quadratic
-    * all-pairs a naive fuzzy join runs. Hot keys (a deletion shared by
-    * many names) take the same df-cap treatment as hot shingles.
+    * all-pairs a naive fuzzy join runs. Unlike shingles (whose document
+    * frequency is corpus-bounded, hence the df-cap), a deletion key's
+    * fan-in has a HARD structural bound: a string of length L−1 is the
+    * deletion of at most |Σ|·L + 1 distinct strings (insert any alphabet
+    * char at any position, or the string itself), so per-key join width
+    * is alphabet × length — never corpus-scale — and no cap is needed.
     */
   private val fuzzyNameJoin = DeclaredQuery(
     "fuzzy_name_join",
