@@ -254,6 +254,72 @@ object TemporalOps extends QueryModule {
              ORDER BY click_id, purchase_id"""),
   )
 
+  /** Time-series resample with forward-fill: densify each user's event
+    * history to a daily grid (days with no events appear with
+    * n_events = 0) and carry the last known daily value forward — the
+    * gap-filling step that precedes any fixed-step model input or
+    * day-over-day comparison. The grid comes from exploding a data-derived
+    * date sequence PER USER (never a users × calendar cross-join node),
+    * the bounds ride a 1×1 broadcast, and the fill is one
+    * partition-by-user window — so the cost is one shuffle of the daily
+    * aggregates, with per-user state bounded by the span in days. Daily
+    * values aggregate through DECIMAL; the fill picks among exact
+    * decimals, so both engines carry identical values forward.
+    */
+  private val resampleFfill = DeclaredQuery(
+    "resample_ffill",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      val daily = ev
+        .groupBy("user_id", "day")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("day_value"),
+        )
+      val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      val grid = daily
+        .select("user_id")
+        .distinct()
+        .crossJoin(broadcast(bounds)) // 1×1 bounds scalar
+        .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("filled", last(col("day_value"), ignoreNulls = true).over(w))
+        .select(
+          col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("filled"), lit(0).cast("decimal(18,2)")).cast("double").as("filled_value"),
+        )
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+            daily AS (SELECT user_id, day, count(*) AS n,
+                             sum(CAST(value AS DECIMAL(18,2))) AS dv
+                      FROM ev GROUP BY 1, 2),
+            b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+            days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+            grid AS (SELECT u.user_id, d.day
+                     FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d),
+            j AS (SELECT g.user_id, g.day, dl.n, dl.dv
+                  FROM grid g LEFT JOIN daily dl USING (user_id, day)),
+            f AS (SELECT user_id, day, coalesce(n, 0) AS n_events,
+                         coalesce(last_value(dv IGNORE NULLS)
+                                    OVER (PARTITION BY user_id ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING),
+                                  0) AS filled
+                  FROM j)
+            SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+                   CAST(n_events AS BIGINT) AS n_events,
+                   CAST(filled AS DOUBLE) AS filled_value
+            FROM f ORDER BY user_id, day"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin)
+    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill)
 }

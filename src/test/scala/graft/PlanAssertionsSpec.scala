@@ -241,6 +241,13 @@ class PlanAssertionsSpec extends SparkSpec {
       "join must be keyed on the deletion key:\n" + p.take(800))
   }
 
+  test("resample_ffill densifies via per-user explode, fills in one window") {
+    val p = planOf("resample_ffill")
+    assert(!p.contains("CartesianProduct"),
+      "the grid must explode a per-user sequence, never cross-join a calendar:\n" + p.take(800))
+    assert(p.contains("Generate explode"), p.take(800))
+  }
+
   test("V2 source consumes the id range; kind stays residual (state_scan)") {
     val p = planOf("state_scan")
     assert(p.contains("graft_state"), p.take(500))
