@@ -227,6 +227,26 @@ class PlanAssertionsSpec extends SparkSpec {
       "the day range must prune partitions, not filter rows:\n" + p.take(900))
   }
 
+  test("the pruned scan physically reads 7 of 30 day partitions (metric, not plan text)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = SparkEntry.queries("partitioned_scan_prune")(spark, sfDir)
+    df.collect()
+    // AQE hides executed subtrees: the adaptive root holds the final plan,
+    // and each materialized stage is a QueryStageExec LEAF wrapping its
+    // real subtree — descend through both to reach the file scans
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+    }.flatten
+    val scan = scans(df.queryExecution.executedPlan)
+      .find(_.metadata.getOrElse("Location", "").contains("graft-events-byday"))
+      .getOrElse(fail("no scan over the day layout found"))
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead == 7, s"week query must open exactly 7 day directories, read $partsRead")
+  }
+
   test("unigram_logprob broadcasts the frequency table; sums stay integer") {
     val p = planOf("unigram_logprob")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
