@@ -430,7 +430,108 @@ object RelationalOps extends QueryModule {
              ORDER BY 1, 2"""),
   )
 
+  /** Per-group Pearson correlation from EXACT sums — the distributed
+    * moments pattern: every aggregated quantity (Σx, Σy, Σx², Σy², Σxy)
+    * is a DECIMAL sum of per-row DECIMAL products, so the shuffle
+    * carries exact partials that re-associate identically under any
+    * partitioning; only the FINAL correlation expression divides in
+    * doubles, once, from identical inputs in both engines. Spark's own
+    * `corr` aggregates doubles with merge-order-dependent rounding and
+    * could never hash-match an oracle — this is the reproducible twin.
+    */
+  private val corrStats = DeclaredQuery(
+    "corr_stats",
+    (s, d) =>
+      lineitem(s, d)
+        .select(
+          col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("x"),
+          col("l_extendedprice").cast("decimal(18,2)").as("y"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"),
+        )
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          round(
+            expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
+            6,
+          ).as("corr_qty_price"),
+        )
+        .orderBy("l_returnflag"),
+    Some("""WITH t AS (SELECT l_returnflag,
+                              CAST(l_quantity AS DECIMAL(18,2)) AS x,
+                              CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+                       FROM lineitem),
+            a AS (SELECT l_returnflag, count(*) AS n,
+                         sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                  FROM t GROUP BY 1)
+            SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                         6) AS corr_qty_price
+            FROM a ORDER BY l_returnflag"""),
+  )
+
+  /** 3σ outlier screen per event type — data cleaning's robust-stats
+    * step. Mean and sample variance come from the same exact-DECIMAL
+    * moment sums as [[corrStats]] (one aggregation pass), broadcast back
+    * as per-type scalars, and the flag predicate is a stateless row
+    * function — the corpus crosses the wire zero times, mirroring
+    * `mix_sources`' derive-then-filter shape.
+    */
+  private val outlierFilter = DeclaredQuery(
+    "outlier_filter",
+    (s, d) => {
+      val ev = events(s, d).select(col("event_type"), col("value").cast("decimal(18,2)").as("v"))
+      val stats = ev
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"), sum(col("v") * col("v")).as("svv"))
+        .select(
+          col("event_type"),
+          col("n"),
+          expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("mean"),
+          expr("""sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))""").as("sd"),
+        )
+      ev.join(broadcast(stats), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          max(col("n")).as("n"),
+          sum(when(abs(col("v").cast("double") - col("mean")) > lit(3.0) * col("sd"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+        )
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v FROM events),
+            st AS (SELECT event_type, count(*) AS n, sum(v) AS sv, sum(v * v) AS svv
+                   FROM ev GROUP BY 1),
+            sc AS (SELECT event_type, n,
+                          CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                          sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd
+                   FROM st)
+            SELECT e.event_type, CAST(max(s.n) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN abs(CAST(e.v AS DOUBLE) - s.mean) > 3.0 * s.sd
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM ev e JOIN sc s USING (event_type)
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    corrStats,
+    outlierFilter,
     histogramQuantile,
     quantileStats,
     rangeFrameAgg,
