@@ -20,6 +20,12 @@ class QueriesSmokeSpec extends SparkSpec {
       val df = fn(spark, sfDir)
       assert(df.columns.nonEmpty)
       assert(df.count() > 0, s"$name returned 0 rows")
+      // engine-wide codegen invariant: no interpreted UDF node may appear
+      // in ANY declared plan — every scalar stays a Catalyst expression
+      // (built-in or native graft kernel) eligible for whole-stage codegen
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"$name contains an interpreted UDF node")
     }
   }
 }
