@@ -91,4 +91,41 @@ class TemporalOpsSpec extends SparkSpec {
         )
       }
   }
+
+  test("bin-join identity: binned interval join equals the naive range join on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    // the production invariant behind interval_join_binned: with bin
+    // width = window length, [floor(s/W), floor((s+W-1)/W)] covers every
+    // bin a probe t ∈ [s, s+W) can land in, so bin-equi-join + exact
+    // residual ≡ the naive range predicate — for ARBITRARY windows and
+    // probes, not just the date-aligned fixture
+    val W = 100L
+    val gen = for {
+      starts <- Gen.listOfN(25, Gen.choose(0L, 1000L))
+      probes <- Gen.listOfN(60, Gen.choose(0L, 1100L))
+    } yield (starts, probes)
+    val p = Prop.forAll(gen) { case (starts, probes) =>
+      val win = starts.zipWithIndex
+        .toDF("s", "wid")
+        .withColumn("e", col("s") + W)
+        .withColumn("bin", explode(expr(s"sequence(s div $W, (e - 1) div $W)")))
+      val pr = probes.toDF("t").withColumn("bin", expr(s"t div $W"))
+      val binned = win
+        .join(pr, Seq("bin"))
+        .filter(col("t") >= col("s") && col("t") < col("e"))
+        .select("wid", "t")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sorted
+        .toSeq
+      val naive = (for {
+        (s, wid) <- starts.zipWithIndex
+        t <- probes if t >= s && t < s + W
+      } yield (wid, t)).sorted
+      binned == naive
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(r.passed, r.status.toString)
+  }
 }
