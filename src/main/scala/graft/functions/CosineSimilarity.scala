@@ -155,8 +155,12 @@ object GraftFunctions {
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` wiring for
-  * sessions built from config (clusters, spark-submit).
+  * sessions built from config (clusters, spark-submit): the native
+  * expression kernels plus the range-join binning optimizer rule.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.BinRangeJoin)
+  }
 }

@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.LongType
+
+/** Catalyst optimizer rule: rewrite a pure range join
+  * `probe.t >= win.s AND probe.t < win.s + W` (W a positive Long literal)
+  * into the binned equi-join `interval_join_binned` builds by hand —
+  * Spark has no range-join strategy, so the naive form plans as a
+  * BroadcastNestedLoopJoin (O(n·m) compares); after the rewrite it plans
+  * as a hash/sort-merge join on `floor(x / W)` with the original range
+  * predicate kept as the exact residual.
+  *
+  * This is the (c)-tier extension path from SURVEY §2.11 — a
+  * `Rule[LogicalPlan]` injected via [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions`) or `spark.experimental.extraOptimizations` —
+  * used where composing existing operators can't help because the fix
+  * must apply to plans the USER wrote naively, not plans the library
+  * authored.
+  *
+  * Semantics-preserving by the bin-cover identity (property-tested in
+  * TemporalOpsSpec, rule-tested in BinRangeJoinSpec): with bin width = W,
+  * every probe t matching a window [s, s+W) satisfies
+  * floor(t/W) ∈ [floor(s/W), floor((s+W−1)/W)], so the exploded ≤2 bins
+  * per window cover all candidates and the residual keeps exactness.
+  * Floor division is `(x − pmod(x, W)) div W` — correct for negative
+  * values too, where bare integral division truncates toward zero.
+  *
+  * Scope guards: inner joins whose condition is EXACTLY the two range
+  * comparisons (a join that already has an equi key hash-partitions
+  * fine without help); both bound expressions must be LongType and each
+  * must reference exactly one distinct side. The rewrite introduces an
+  * equality on the new bin columns, so a second optimizer pass no longer
+  * matches — the rule is idempotent under fixed-point batches.
+  */
+object BinRangeJoin extends Rule[LogicalPlan] {
+
+  /** Matches `(t >= s AND t < s + W)` in any operand arrangement;
+    * returns (t, s, W).
+    */
+  private def extractRange(cond: Expression): Option[(Expression, Expression, Long)] = {
+    val sides = cond match {
+      case And(a, b) =>
+        (a, b) match {
+          case (GreaterThanOrEqual(t1, s1), lt: LessThan) => Some((t1, s1, lt))
+          case (lt: LessThan, GreaterThanOrEqual(t1, s1)) => Some((t1, s1, lt))
+          case (LessThanOrEqual(s1, t1), lt: LessThan) => Some((t1, s1, lt))
+          case (lt: LessThan, LessThanOrEqual(s1, t1)) => Some((t1, s1, lt))
+          case _ => None
+        }
+      case _ => None
+    }
+    sides.flatMap { case (t1, s1, LessThan(t2, upper)) =>
+      val w = upper match {
+        case Add(s2, Literal(ww: Long, LongType), _) if s2.semanticEquals(s1) => Some(ww)
+        case Add(Literal(ww: Long, LongType), s2, _) if s2.semanticEquals(s1) => Some(ww)
+        case _ => None
+      }
+      w match {
+        case Some(ww)
+            if ww > 0 && t1.semanticEquals(t2) &&
+              t1.dataType == LongType && s1.dataType == LongType =>
+          Some((t1, s1, ww))
+        case _ => None
+      }
+    }
+  }
+
+  /** Sign-correct floor(x / w) for Long x: pmod is non-negative, so
+    * subtracting it always rounds DOWN before the exact division.
+    */
+  private def floorBin(x: Expression, w: Long): Expression =
+    IntegralDivide(Subtract(x, Pmod(x, Literal(w))), Literal(w))
+
+  private def rewrite(
+      j: Join,
+      winSide: LogicalPlan,
+      probeSide: LogicalPlan,
+      t: Expression,
+      s: Expression,
+      w: Long,
+  ): LogicalPlan = {
+    // window side: explode the ≤2 covered bins
+    // Sequence is TimeZoneAwareExpression: without an explicit zone id it
+    // reports unresolved and fails optimizer plan validation, even for
+    // integral sequences
+    val binsAlias = Alias(
+      new Sequence(
+        floorBin(s, w),
+        floorBin(Add(s, Literal(w - 1)), w),
+        None,
+        Some(conf.sessionLocalTimeZone),
+      ),
+      "graft_bins",
+    )()
+    val winProj = Project(winSide.output :+ binsAlias, winSide)
+    val binW = AttributeReference("graft_bin_w", LongType)()
+    val gen = Generate(
+      Explode(binsAlias.toAttribute),
+      unrequiredChildIndex = Seq(winSide.output.size), // the bins array itself
+      outer = false,
+      qualifier = None,
+      generatorOutput = Seq(binW),
+      child = winProj,
+    )
+    // probe side: one bin per row
+    val binP = Alias(floorBin(t, w), "graft_bin_p")()
+    val probeProj = Project(probeSide.output :+ binP, probeSide)
+    val newCond = And(EqualTo(binW, binP.toAttribute), j.condition.get)
+    Project(j.output, Join(gen, probeProj, Inner, Some(newCond), j.hint))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), _) =>
+      extractRange(cond) match {
+        case Some((t, s, w))
+            if t.references.subsetOf(right.outputSet) && t.references.nonEmpty &&
+              s.references.subsetOf(left.outputSet) && s.references.nonEmpty =>
+          rewrite(j, winSide = left, probeSide = right, t, s, w)
+        case Some((t, s, w))
+            if t.references.subsetOf(left.outputSet) && t.references.nonEmpty &&
+              s.references.subsetOf(right.outputSet) && s.references.nonEmpty =>
+          rewrite(j, winSide = right, probeSide = left, t, s, w)
+        case _ => j
+      }
+  }
+}
