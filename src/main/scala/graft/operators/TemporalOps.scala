@@ -320,6 +320,51 @@ object TemporalOps extends QueryModule {
             FROM f ORDER BY user_id, day"""),
   )
 
+  /** Funnel abandonment — the NEGATION of [[eventPairJoin]]: clicks with
+    * NO purchase by the same user inside the window, as a LEFT ANTI join
+    * on the user key with the time range as the join's residual
+    * condition (Spark evaluates the extra condition inside the anti
+    * join, so a click survives only if NO purchase row satisfies key AND
+    * range — exactly NOT EXISTS). Same single-shuffle equi shape as the
+    * pair join; the oracle states the existential directly.
+    */
+  private val funnelAbandon = DeclaredQuery(
+    "funnel_abandon",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("t_us").as("click_us"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("t_us").as("purchase_us"))
+      clicks
+        .join(
+          purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_us") > col("click_us") &&
+            col("purchase_us") - col("click_us") <= lit(FunnelGapUs),
+          "left_anti",
+        )
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_abandoned"))
+        .orderBy("user_id")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us FROM events),
+             c AS (SELECT user_id, event_id AS click_id, t_us AS click_us
+                   FROM ev WHERE event_type = 'click'),
+             p AS (SELECT user_id, t_us AS purchase_us FROM ev WHERE event_type = 'purchase')
+             SELECT c.user_id, count(*) AS n_abandoned
+             FROM c
+             WHERE NOT EXISTS (
+               SELECT 1 FROM p
+               WHERE p.user_id = c.user_id
+                 AND p.purchase_us > c.click_us
+                 AND p.purchase_us - c.click_us <= $FunnelGapUs)
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill)
+    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon)
 }

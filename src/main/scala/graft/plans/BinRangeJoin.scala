@@ -32,7 +32,11 @@ import org.apache.spark.sql.types.LongType
   * Scope guards: inner joins whose condition is EXACTLY the two range
   * comparisons (a join that already has an equi key hash-partitions
   * fine without help); both bound expressions must be LongType and each
-  * must reference exactly one distinct side. The rewrite introduces an
+  * must reference exactly one distinct side. INNER only by necessity,
+  * not caution: under an outer join the exploded ≤2 bins would emit one
+  * null-extended row PER UNMATCHED BIN (duplicating unmatched windows),
+  * so an outer rewrite needs a post-join dedup the rule cannot add
+  * without changing row identity. The rewrite introduces an
   * equality on the new bin columns, so a second optimizer pass no longer
   * matches — the rule is idempotent under fixed-point batches.
   */
