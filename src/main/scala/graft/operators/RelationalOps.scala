@@ -529,7 +529,51 @@ object RelationalOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Audience overlap — set similarity between event-type audiences
+    * (which behaviors share users), as the co-occurrence inverted-index
+    * pattern: distinct (type, user) memberships self-join ON THE USER
+    * (each user contributes only their own type-pairs — candidate rows
+    * are Σ_user |types(u)|², bounded by the type-count constant), then
+    * Jaccard from exact co-occurrence and audience counts. The same
+    * shape as `ngram_jaccard` over a different domain — the inverted
+    * index is THE set-similarity plan whatever the sets contain.
+    */
+  private val audienceOverlap = DeclaredQuery(
+    "audience_overlap",
+    (s, d) => {
+      val m = events(s, d).select(col("event_type"), col("user_id")).distinct()
+      val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
+      val a = m.select(col("event_type").as("ta"), col("user_id"))
+      val b = m.select(col("event_type").as("tb"), col("user_id").as("uid2"))
+      val co = a
+        .join(b, a("user_id") === b("uid2") && a("ta") < b("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("co"))
+      co
+        .join(sizes.select(col("event_type").as("ta"), col("sz").as("na")), Seq("ta"))
+        .join(sizes.select(col("event_type").as("tb"), col("sz").as("nb")), Seq("tb"))
+        .select(
+          col("ta"),
+          col("tb"),
+          col("co"),
+          round(col("co").cast("double") / (col("na") + col("nb") - col("co")), 4).as("jaccard"),
+        )
+        .orderBy("ta", "tb")
+    },
+    Some("""WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+            sz AS (SELECT event_type, count(*) AS sz FROM m GROUP BY 1),
+            co AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS co
+                   FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+            SELECT co.ta, co.tb, co.co,
+                   round(co.co::DOUBLE / (x.sz + y.sz - co.co), 4) AS jaccard
+            FROM co JOIN sz x ON x.event_type = co.ta
+                    JOIN sz y ON y.event_type = co.tb
+            ORDER BY ta, tb"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    audienceOverlap,
     corrStats,
     outlierFilter,
     histogramQuantile,

@@ -365,6 +365,77 @@ object TemporalOps extends QueryModule {
              GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Retention cohorts — the canonical product-analytics matrix: users
+    * grouped by FIRST-ACTIVE day, counted on each later active day as
+    * days-since-cohort. Two aggregations and one join, all keyed on
+    * user/cohort: distinct (user, day) activity (shuffle #1, map-side
+    * distinct), min-day cohorts (same shuffle partitioning reused), a
+    * user-keyed equi-join, and the final (cohort, days_since) count —
+    * at 100 TB nothing here is wider than (users × active days) rows of
+    * three small columns.
+    */
+  private val retentionCohort = DeclaredQuery(
+    "retention_cohort",
+    (s, d) => {
+      val act = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val cohorts = act.groupBy("user_id").agg(min("day").as("cohort"))
+      act
+        .join(cohorts, Seq("user_id"))
+        .withColumn("days_since", datediff(col("day"), col("cohort")).cast("long"))
+        .groupBy("cohort", "days_since")
+        .agg(count(lit(1)).as("n_users"))
+        .select(
+          date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("days_since"),
+          col("n_users"),
+        )
+        .orderBy("cohort", "days_since")
+    },
+    Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+            c AS (SELECT user_id, min(day) AS cohort FROM act GROUP BY 1)
+            SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort,
+                   CAST(date_diff('day', c.cohort, a.day) AS BIGINT) AS days_since,
+                   count(*) AS n_users
+            FROM act a JOIN c USING (user_id)
+            GROUP BY c.cohort, date_diff('day', c.cohort, a.day)
+            ORDER BY cohort, days_since"""),
+  )
+
+  /** First-order event-transition matrix (the Markov view of the event
+    * stream): per user, each event's type paired with its predecessor's
+    * via `lag` inside one partition-by-user sort, then global
+    * (prev, next) counts and the per-prev row share. The share divides
+    * two exact BIGINTs once — deterministic in both engines. One
+    * shuffle by user for the lag, one aggregation — never a self-join.
+    */
+  private val eventTransitions = DeclaredQuery(
+    "event_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val wp = Window.partitionBy("prev")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n").cast("double") / sum(col("n")).over(wp), 4))
+        .orderBy("prev", "next")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+            x AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+                  FROM ev),
+            t AS (SELECT prev, event_type AS next, count(*) AS n
+                  FROM x WHERE prev IS NOT NULL GROUP BY 1, 2)
+            SELECT prev, next, n,
+                   round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 4) AS share
+            FROM t ORDER BY prev, next"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon)
+    Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
+      retentionCohort, eventTransitions)
 }
