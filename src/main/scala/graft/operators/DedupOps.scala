@@ -572,9 +572,14 @@ object DedupOps extends QueryModule {
     * char at any position, or the string itself), so per-key join width
     * is alphabet × length — never corpus-scale — and no cap is needed.
     */
-  private val fuzzyNameJoin = DeclaredQuery(
-    "fuzzy_name_join",
-    (s, d) => {
+  /** The lev ≤ 1 pair table (da < db, dist), substrate-cached: built by
+    * the deletion-neighborhood blocked join once per dataset and shared
+    * by `fuzzy_name_join` (the pairs) and `fuzzy_triangles` (the graph
+    * over them) — the same one-build-many-consumers pattern as the gram
+    * and cc-label substrates.
+    */
+  private def fuzzyPairs(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "fuzzy-pairs:1") {
       val sup = supplier(s, d).select(col("s_suppkey").as("id"), col("s_name").as("name"))
       val keys = sup.withColumn(
         "k",
@@ -592,8 +597,11 @@ object DedupOps extends QueryModule {
         .distinct()
         .filter(levenshtein(col("na"), col("nb")) <= 1)
         .select(col("da"), col("db"), levenshtein(col("na"), col("nb")).cast("long").as("dist"))
-        .orderBy("da", "db")
-    },
+    }
+
+  private val fuzzyNameJoin = DeclaredQuery(
+    "fuzzy_name_join",
+    (s, d) => fuzzyPairs(s, d).orderBy("da", "db"),
     Some("""SELECT a.s_suppkey AS da, b.s_suppkey AS db,
                    CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
             FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
@@ -601,9 +609,43 @@ object DedupOps extends QueryModule {
             ORDER BY da, db"""),
   )
 
+  /** Triangle counting over the fuzzy-match graph — graph analytics past
+    * connected components: per node, how many (a < b < c) triangles it
+    * participates in. The (da < db)-oriented edge table makes the
+    * two-hop join count each triangle exactly once, candidates bounded
+    * by Σ_b in-degree(b)·out-degree(b) — the wedge bound; at real scale
+    * the standard upgrade is degree-ordered orientation, which caps the
+    * same join by the graph's arboricity instead of its hottest hub. All
+    * three joins key on node ids; the closing-edge join is a semi
+    * predicate on (a, c).
+    */
+  private val fuzzyTriangles = DeclaredQuery(
+    "fuzzy_triangles",
+    (s, d) => {
+      val e = fuzzyPairs(s, d).select("da", "db")
+      val ab = e.select(col("da").as("a"), col("db").as("b"))
+      val bc = e.select(col("da").as("b2"), col("db").as("c"))
+      val ac = e.select(col("da").as("a3"), col("db").as("c3"))
+      ab.join(bc, col("b") === col("b2"))
+        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
+        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_tri"))
+        .orderBy("node")
+    },
+    Some("""WITH p AS (SELECT a.s_suppkey AS da, b.s_suppkey AS db
+                       FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+                       WHERE levenshtein(a.s_name, b.s_name) <= 1),
+            t AS (SELECT e1.da AS a, e1.db AS b, e2.db AS c
+                  FROM p e1 JOIN p e2 ON e1.db = e2.da
+                  JOIN p e3 ON e3.da = e1.da AND e3.db = e2.db),
+            n AS (SELECT unnest([a, b, c]) AS node FROM t)
+            SELECT node, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
-      incrementalDedup, fuzzyNameJoin)
+      incrementalDedup, fuzzyNameJoin, fuzzyTriangles)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
