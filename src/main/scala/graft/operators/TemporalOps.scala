@@ -367,22 +367,27 @@ object TemporalOps extends QueryModule {
 
   /** Retention cohorts — the canonical product-analytics matrix: users
     * grouped by FIRST-ACTIVE day, counted on each later active day as
-    * days-since-cohort. Two aggregations and one join, all keyed on
-    * user/cohort: distinct (user, day) activity (shuffle #1, map-side
-    * distinct), min-day cohorts (same shuffle partitioning reused), a
-    * user-keyed equi-join, and the final (cohort, days_since) count —
-    * at 100 TB nothing here is wider than (users × active days) rows of
-    * three small columns.
+    * days-since-cohort. ONE data shuffle serves the whole chain: the
+    * explicit `repartition(user_id)` satisfies the (user, day) distinct
+    * (hash partitioning on a SUBSET of the clustering keys co-locates
+    * all duplicates) AND the min-over-user window that derives the
+    * cohort — deriving it with a window instead of the natural
+    * groupBy+self-join matters, because the self-join would recompute
+    * the activity subtree on both sides and shuffle each copy (Spark
+    * shares no subtrees without an explicit cache). Only the final
+    * small (cohort, days_since) count re-partitions, over
+    * cohort-matrix-sized data. At 100 TB nothing wider than
+    * (users × active days) rows of three small columns crosses the
+    * wire, once.
     */
   private val retentionCohort = DeclaredQuery(
     "retention_cohort",
     (s, d) => {
-      val act = events(s, d)
+      events(s, d)
         .select(col("user_id"), to_date(col("ts")).as("day"))
+        .repartition(col("user_id"))
         .distinct()
-      val cohorts = act.groupBy("user_id").agg(min("day").as("cohort"))
-      act
-        .join(cohorts, Seq("user_id"))
+        .withColumn("cohort", min("day").over(Window.partitionBy("user_id")))
         .withColumn("days_since", datediff(col("day"), col("cohort")).cast("long"))
         .groupBy("cohort", "days_since")
         .agg(count(lit(1)).as("n_users"))

@@ -261,6 +261,13 @@ class PlanAssertionsSpec extends SparkSpec {
       "join must be keyed on the deletion key:\n" + p.take(800))
   }
 
+  test("retention_cohort moves the data once: no join, single user shuffle") {
+    val p = planOf("retention_cohort")
+    assert(!p.contains("Join"), "cohort must come from the window, never a self-join")
+    val dataShuffles = "REPARTITION_BY_COL".r.findAllIn(p).size
+    assert(dataShuffles == 1, s"expected the one explicit user shuffle, got $dataShuffles:\n${p.take(800)}")
+  }
+
   test("resample_ffill densifies via per-user explode, fills in one window") {
     val p = planOf("resample_ffill")
     assert(!p.contains("CartesianProduct"),
