@@ -541,7 +541,16 @@ object RelationalOps extends QueryModule {
   private val audienceOverlap = DeclaredQuery(
     "audience_overlap",
     (s, d) => {
-      val m = events(s, d).select(col("event_type"), col("user_id")).distinct()
+      // user-partitioning satisfies BOTH the (type, user) distinct (subset
+      // of the clustering keys) and the user-keyed self-join, so each
+      // side of the join costs one exchange instead of two — the same
+      // single-shuffle trick as retention_cohort, applied per branch
+      // (the self-join recomputes the subtree; without a cache the two
+      // branches are separate pipelines)
+      val m = events(s, d)
+        .select(col("event_type"), col("user_id"))
+        .repartition(col("user_id"))
+        .distinct()
       val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
       val a = m.select(col("event_type").as("ta"), col("user_id"))
       val b = m.select(col("event_type").as("tb"), col("user_id").as("uid2"))
