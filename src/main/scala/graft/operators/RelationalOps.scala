@@ -581,8 +581,65 @@ object RelationalOps extends QueryModule {
             ORDER BY ta, tb"""),
   )
 
+  /** Snapshot reconciliation — the diff every periodically-rebuilt
+    * corpus needs: classify every key across two table versions as
+    * added / removed / changed / unchanged via ONE full-outer join on
+    * the key, then count per class. The "new" snapshot is derived
+    * deterministically from the same table (keys ≡ 0 mod 11 deleted,
+    * ≡ 0 mod 7 mutated, a mod-13 slice re-keyed as inserts), so the
+    * oracle rebuilds the identical pair of versions. At 100 TB this is
+    * the canonical merge shape: both sides shuffle once by the key,
+    * per-key state is one row per side, and the classification is a
+    * stateless projection — compare full corpus versions without ever
+    * materializing a third copy.
+    */
+  private val snapshotDiff = DeclaredQuery(
+    "snapshot_diff",
+    (s, d) => {
+      val old = customer(s, d).select(col("c_custkey").as("k"), col("c_mktsegment").as("v"))
+      val newSnap = old
+        .filter(pmod(col("k"), lit(11)) =!= 0)
+        .withColumn(
+          "v",
+          when(pmod(col("k"), lit(7)) === 0, concat(col("v"), lit("*"))).otherwise(col("v")),
+        )
+        .unionByName(
+          old
+            .filter(pmod(col("k"), lit(13)) === 0)
+            .select((col("k") + 100000L).as("k"), col("v")),
+        )
+      old
+        .select(col("k"), col("v").as("v_old"))
+        .join(newSnap.select(col("k"), col("v").as("v_new")), Seq("k"), "full_outer")
+        .withColumn(
+          "change_class",
+          when(col("v_old").isNull, "added")
+            .when(col("v_new").isNull, "removed")
+            .when(col("v_old") =!= col("v_new"), "changed")
+            .otherwise("unchanged"),
+        )
+        .groupBy("change_class")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+        .orderBy("change_class")
+    },
+    Some("""WITH old AS (SELECT c_custkey AS k, c_mktsegment AS v FROM customer),
+            new AS (SELECT k, CASE WHEN k % 7 = 0 THEN v || '*' ELSE v END AS v
+                    FROM old WHERE k % 11 <> 0
+                    UNION ALL
+                    SELECT k + 100000 AS k, v FROM old WHERE k % 13 = 0),
+            j AS (SELECT coalesce(o.k, n.k) AS k, o.v AS v_old, n.v AS v_new
+                  FROM old o FULL OUTER JOIN new n ON o.k = n.k)
+            SELECT CASE WHEN v_old IS NULL THEN 'added'
+                        WHEN v_new IS NULL THEN 'removed'
+                        WHEN v_old <> v_new THEN 'changed'
+                        ELSE 'unchanged' END AS change_class,
+                   count(*) AS n, min(k) AS min_key, max(k) AS max_key
+            FROM j GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     audienceOverlap,
+    snapshotDiff,
     corrStats,
     outlierFilter,
     histogramQuantile,
