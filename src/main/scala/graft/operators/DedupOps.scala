@@ -610,25 +610,57 @@ object DedupOps extends QueryModule {
   )
 
   /** Triangle counting over the fuzzy-match graph — graph analytics past
-    * connected components: per node, how many (a < b < c) triangles it
-    * participates in. The (da < db)-oriented edge table makes the
-    * two-hop join count each triangle exactly once, candidates bounded
-    * by Σ_b in-degree(b)·out-degree(b) — the wedge bound; at real scale
-    * the standard upgrade is degree-ordered orientation, which caps the
-    * same join by the graph's arboricity instead of its hottest hub. All
-    * three joins key on node ids; the closing-edge join is a semi
-    * predicate on (a, c).
+    * connected components: per node, how many triangles it participates
+    * in. Edges are oriented by DEGREE order — u→v iff
+    * (deg(u), u) < (deg(v), v) — so every node's out-degree is bounded
+    * by O(√m) (more precisely the graph's arboricity/degeneracy), and
+    * the wedge join over pairs of out-neighbors generates
+    * Σ_u out-deg(u)² ≤ O(m^1.5) candidates WHATEVER the degree skew: a
+    * celebrity hub with degree d contributes out-edges only toward
+    * higher-degree nodes, of which there are ≤ 2m/d, killing the O(d²)
+    * blowup an id-ordered orientation suffers. Each triangle is counted
+    * exactly once, at its lowest-rank apex, because the closing edge
+    * between the two rank-ordered out-neighbors — if present — is
+    * necessarily oriented low-rank→high-rank. Counts are
+    * orientation-invariant, so the all-pairs oracle is unchanged. All
+    * joins key on node ids; the degree table is node-sized (≪ edges)
+    * and broadcasts.
     */
   private val fuzzyTriangles = DeclaredQuery(
     "fuzzy_triangles",
     (s, d) => {
-      val e = fuzzyPairs(s, d).select("da", "db")
-      val ab = e.select(col("da").as("a"), col("db").as("b"))
-      val bc = e.select(col("da").as("b2"), col("db").as("c"))
-      val ac = e.select(col("da").as("a3"), col("db").as("c3"))
-      ab.join(bc, col("b") === col("b2"))
-        .join(ac, col("a") === col("a3") && col("c") === col("c3"))
-        .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      // substrate-cached: the oriented table feeds BOTH wedge sides and the
+      // closing-edge probe — uncached, each of the three references would
+      // re-run the degree aggregation and both degree joins
+      val o = graft.SubstrateCache.substrate(s, d, "fuzzy-oriented:1") {
+        val e = fuzzyPairs(s, d).select("da", "db")
+        val deg = e
+          .select(col("da").as("node"))
+          .unionByName(e.select(col("db").as("node")))
+          .groupBy("node")
+          .agg(count(lit(1)).as("deg"))
+        val ed = e
+          .join(deg.select(col("node").as("da"), col("deg").as("dega")), Seq("da"))
+          .join(deg.select(col("node").as("db"), col("deg").as("degb")), Seq("db"))
+        val aFirst =
+          col("dega") < col("degb") || (col("dega") === col("degb") && col("da") < col("db"))
+        // oriented edge (u → v) with rank(u) < rank(v); carry deg(v) so the
+        // wedge join can rank-order the out-neighbor pair without a re-join
+        ed.select(
+          when(aFirst, col("da")).otherwise(col("db")).as("u"),
+          when(aFirst, col("db")).otherwise(col("da")).as("v"),
+          when(aFirst, col("degb")).otherwise(col("dega")).as("degv"),
+        )
+      }
+      val w2 = o.select(col("u").as("u2"), col("v").as("w"), col("degv").as("degw"))
+      val closing = o.select(col("u").as("v3"), col("v").as("w3"))
+      o.join(
+        w2,
+        col("u") === col("u2") &&
+          (col("degv") < col("degw") || (col("degv") === col("degw") && col("v") < col("w"))),
+      )
+        .join(closing, col("v") === col("v3") && col("w") === col("w3"))
+        .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
         .groupBy("node")
         .agg(count(lit(1)).as("n_tri"))
         .orderBy("node")

@@ -604,9 +604,14 @@ object RelationalOps extends QueryModule {
           when(pmod(col("k"), lit(7)) === 0, concat(col("v"), lit("*"))).otherwise(col("v")),
         )
         .unionByName(
+          // insert keys rebased past max(k) via a 1-row broadcast scalar —
+          // a fixed offset would collide with retained keys once real keys
+          // outgrow it (SF ≳ 0.67 for +100000) and the full-outer join
+          // below would fan out on the duplicates
           old
             .filter(pmod(col("k"), lit(13)) === 0)
-            .select((col("k") + 100000L).as("k"), col("v")),
+            .crossJoin(broadcast(old.agg(max(col("k")).as("graft_max_k"))))
+            .select((col("k") + col("graft_max_k")).as("k"), col("v")),
         )
       old
         .select(col("k"), col("v").as("v_old"))
@@ -626,7 +631,7 @@ object RelationalOps extends QueryModule {
             new AS (SELECT k, CASE WHEN k % 7 = 0 THEN v || '*' ELSE v END AS v
                     FROM old WHERE k % 11 <> 0
                     UNION ALL
-                    SELECT k + 100000 AS k, v FROM old WHERE k % 13 = 0),
+                    SELECT k + (SELECT max(k) FROM old) AS k, v FROM old WHERE k % 13 = 0),
             j AS (SELECT coalesce(o.k, n.k) AS k, o.v AS v_old, n.v AS v_new
                   FROM old o FULL OUTER JOIN new n ON o.k = n.k)
             SELECT CASE WHEN v_old IS NULL THEN 'added'

@@ -153,14 +153,24 @@ object ScalePatterns extends QueryModule {
     */
   private val JoinBuckets = 8
 
-  // One bucket layout per dataset per JVM: saveAsTable is side-effecting,
-  // so the build is memoized exactly like Ivf's durable cell layouts.
+  // One bucket layout per dataset per SESSION: saveAsTable is
+  // side-effecting, so the build is memoized exactly like Ivf's durable
+  // cell layouts. Weak keys so a discarded session never pins its plans
+  // on the heap, and a per-session token in the catalog table names so
+  // two sessions sharing one catalog in a JVM can't overwrite each
+  // other's external bucket tables.
   private val bucketLayouts =
-    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), (String, String)]
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, (String, String)],
+    ]
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val sessionTokens =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]
 
   /** Write customer + orders bucketed and sorted by the shared key into
     * EXTERNAL tables under a temp location (one layout per dataset per
-    * JVM). This is the pay-once side of the trade the declared query
+    * session). This is the pay-once side of the trade the declared query
     * cashes in: the shuffle happens here, at layout time, and every
     * subsequent join/aggregation on the key runs exchange-free.
     */
@@ -169,9 +179,26 @@ object ScalePatterns extends QueryModule {
       d: String,
   ): (String, String) =
     bucketLayouts.synchronized {
-      bucketLayouts.getOrElseUpdate(
-        (s, d), {
-          val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val token = {
+        val t = sessionTokens.get(s)
+        if (t != null) t
+        else {
+          val t2 = "s" + sessionSeq.incrementAndGet()
+          sessionTokens.put(s, t2)
+          t2
+        }
+      }
+      val perSession = {
+        var m = bucketLayouts.get(s)
+        if (m == null) {
+          m = scala.collection.mutable.Map.empty[String, (String, String)]
+          bucketLayouts.put(s, m)
+        }
+        m
+      }
+      perSession.getOrElseUpdate(
+        d, {
+          val tag = token + "_" + d.replaceAll("[^a-zA-Z0-9]", "_")
           val base = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
           Ivf.deleteRecursivelyOnExit(base)
           val ct = s"graft_bkt_customer_$tag"

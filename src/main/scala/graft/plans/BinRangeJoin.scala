@@ -39,6 +39,13 @@ import org.apache.spark.sql.types.LongType
   * without changing row identity. The rewrite introduces an
   * equality on the new bin columns, so a second optimizer pass no longer
   * matches — the rule is idempotent under fixed-point batches.
+  *
+  * Overflow assumption: the upper-bin expression `floor((s + W − 1) / W)`
+  * wraps if s > Long.MaxValue − W under non-ANSI arithmetic, and the
+  * wrapped bin diverges from the (also-wrapping) original predicate. The
+  * rule targets epoch timestamps/sequence numbers, which sit ~1e9–1e18
+  * below Long.MaxValue, so no runtime guard is added; callers binning
+  * adversarial Long domains near MaxValue should disable the rule.
   */
 object BinRangeJoin extends Rule[LogicalPlan] {
 
@@ -86,6 +93,7 @@ object BinRangeJoin extends Rule[LogicalPlan] {
       t: Expression,
       s: Expression,
       w: Long,
+      swapped: Boolean,
   ): LogicalPlan = {
     // window side: explode the ≤2 covered bins
     // Sequence is TimeZoneAwareExpression: without an explicit zone id it
@@ -114,7 +122,11 @@ object BinRangeJoin extends Rule[LogicalPlan] {
     val binP = Alias(floorBin(t, w), "graft_bin_p")()
     val probeProj = Project(probeSide.output :+ binP, probeSide)
     val newCond = And(EqualTo(binW, binP.toAttribute), j.condition.get)
-    Project(j.output, Join(gen, probeProj, Inner, Some(newCond), j.hint))
+    // When the window side came from the original RIGHT child the new join
+    // has its children flipped, so per-side hints (e.g. broadcast) must flip
+    // with them or a user hint silently targets the wrong relation.
+    val hint = if (swapped) JoinHint(j.hint.rightHint, j.hint.leftHint) else j.hint
+    Project(j.output, Join(gen, probeProj, Inner, Some(newCond), hint))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -123,11 +135,11 @@ object BinRangeJoin extends Rule[LogicalPlan] {
         case Some((t, s, w))
             if t.references.subsetOf(right.outputSet) && t.references.nonEmpty &&
               s.references.subsetOf(left.outputSet) && s.references.nonEmpty =>
-          rewrite(j, winSide = left, probeSide = right, t, s, w)
+          rewrite(j, winSide = left, probeSide = right, t, s, w, swapped = false)
         case Some((t, s, w))
             if t.references.subsetOf(left.outputSet) && t.references.nonEmpty &&
               s.references.subsetOf(right.outputSet) && s.references.nonEmpty =>
-          rewrite(j, winSide = right, probeSide = left, t, s, w)
+          rewrite(j, winSide = right, probeSide = left, t, s, w, swapped = true)
         case _ => j
       }
   }

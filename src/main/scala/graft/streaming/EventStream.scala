@@ -106,12 +106,24 @@ object EventStream {
     * for eviction. Inner joins emit on match, so AvailableNow over a
     * bounded directory reproduces the batch result exactly
     * (StreamingSpec's parity case).
+    *
+    * `disorderSeconds` is the event-time disorder bound: rows arriving
+    * more than that out of order have their join state already evicted
+    * and are silently dropped (standard watermark semantics). It is a
+    * parameter — not a constant — because the safe value depends on the
+    * source's delivery skew, not on `gapSeconds`; the default covers an
+    * hour of disorder on top of the gap-bounded buffering.
     */
-  def funnelPairs(events: DataFrame, gapSeconds: Long = 21600L): DataFrame = {
+  def funnelPairs(
+      events: DataFrame,
+      gapSeconds: Long = 21600L,
+      disorderSeconds: Long = 3600L,
+  ): DataFrame = {
+    val wm = s"$disorderSeconds seconds"
     val clicks = events
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
+      .withWatermark("click_ts", wm)
     val purchases = events
       .filter(col("event_type") === "purchase")
       .select(
@@ -119,7 +131,7 @@ object EventStream {
         col("user_id").as("p_user_id"),
         col("ts").as("purchase_ts"),
       )
-      .withWatermark("purchase_ts", "1 hour")
+      .withWatermark("purchase_ts", wm)
     clicks
       .join(
         purchases,

@@ -261,6 +261,16 @@ class PlanAssertionsSpec extends SparkSpec {
       "join must be keyed on the deletion key:\n" + p.take(800))
   }
 
+  test("fuzzy_triangles orients edges by degree — wedge join bounded by arboricity") {
+    val p = planOf("fuzzy_triangles")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "wedges must come from the oriented-edge equi-join:\n" + p.take(800))
+    // the carried deg(v) column is what rank-orders out-neighbor pairs; its
+    // presence in the wedge join condition is the orientation's signature
+    assert(p.contains("degv"),
+      "wedge join must rank out-neighbors by the carried degree:\n" + p.take(800))
+  }
+
   test("retention_cohort moves the data once: no join, single user shuffle") {
     val p = planOf("retention_cohort")
     assert(!p.contains("Join"), "cohort must come from the window, never a self-join")
