@@ -57,5 +57,63 @@ object AggregatorOps extends QueryModule {
             FROM s ORDER BY label, pos"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(centroidAgg)
+  /** Misra–Gries capacity for the declared heavy-hitter query. The sketch
+    * is EXACT whenever a group's distinct-key count stays ≤ k (no reduce
+    * ever decrements, no merge ever truncates — merge order becomes
+    * irrelevant), and the events table carries 5 event types at every SF,
+    * so k = 8 makes the declared result deterministic and oracle-equal
+    * while still exercising the real bounded-state sketch path. With an
+    * adversarial key space the same query degrades gracefully to the
+    * n/(k+1) error contract pinned in MisraGriesSpec.
+    */
+  private[operators] val MgK = 8
+
+  /** Windowed heavy hitters via the mergeable Misra–Gries Aggregator —
+    * the DECLARED batch twin of the streaming top-k split
+    * (graft.streaming.EventStream.typeCountsWindowed feeds the same
+    * ranked cut; StreamingSpec proves parity). Per hour, the sketch
+    * aggregates event types in O(k) state per partial buffer, then the
+    * driver-free flatMap ranks each summary to its top 3.
+    *
+    * At 100 TB: shuffle bytes are O(k × hours × partitions) — the raw
+    * event stream never moves; partial summaries merge associatively up
+    * Spark's agg tree (Agarwal et al., mergeable summaries), which is
+    * exactly why this beats exact per-key counting once the key space
+    * stops fitting in an executor.
+    */
+  private val mgHeavyHitters = DeclaredQuery(
+    "mg_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val typed = events(s, d)
+        .select(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"),
+        )
+        .as[(String, String)]
+      val mg = new graft.functions.MisraGries(MgK)
+      typed
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(mg.toColumn.name("summary"))
+        .flatMap { case (hour, m) =>
+          m.toSeq
+            .sortBy { case (t, n) => (-n, t) }
+            .take(3)
+            .zipWithIndex
+            .map { case ((t, n), i) => (hour, t, n, (i + 1).toLong) }
+        }
+        .toDF("hour", "event_type", "n", "rnk")
+        .orderBy("hour", "rnk")
+    },
+    Some("""WITH c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                              event_type, count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT hour, event_type, n,
+                         row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rnk
+                  FROM c)
+            SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3 ORDER BY hour, rnk"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(centroidAgg, mgHeavyHitters)
 }

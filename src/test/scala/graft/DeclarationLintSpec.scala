@@ -17,7 +17,19 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 89, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 90, "declared-query count changed — update SURVEY.md §2.12")
+  }
+
+  test("SCALE.md and README.md carry the live declared-query count") {
+    val n = SparkEntry.queries.size
+    val scale = java.nio.file.Files.readString(java.nio.file.Paths.get("SCALE.md"))
+    assert(scale.contains(s"$n/$n declared queries"),
+      s"SCALE.md count drifted — expected '$n/$n declared queries'")
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    assert(readme.contains(s"$n declared queries"),
+      s"README.md count drifted — expected '$n declared queries'")
+    assert(readme.contains(s"$n/$n vs DuckDB"),
+      s"README.md gate line drifted — expected '$n/$n vs DuckDB'")
   }
 
   test("oracles reference only driver testdata tables") {

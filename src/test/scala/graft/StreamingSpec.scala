@@ -48,7 +48,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
-  test("streaming windowed counts + sink-side rank equal the batch heavy-hitters") {
+  test("streaming windowed counts + sink-side rank equal the DECLARED mg_heavy_hitters") {
     import org.apache.spark.sql.functions._
     val stream = EventStream.readEvents(spark, eventsDir)
     runToMemory(EventStream.typeCountsWindowed(stream), "type_counts")
@@ -61,18 +61,13 @@ class StreamingSpec extends SparkSpec {
       .filter(col("rk") <= 3)
       .orderBy("hour", "rk")
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val batch = Tables
-      .events(spark, sfDir)
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
-      .orderBy("hour", "rk")
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3).toLong))
+    // the oracle-checked batch twin: same ranked cut, computed through the
+    // mergeable Misra–Gries sketch instead of exact windowed counts
+    val batch = SparkEntry
+      .queries("mg_heavy_hitters")(spark, sfDir)
       .collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
