@@ -426,6 +426,63 @@ object DedupOps extends QueryModule {
     (labels, round)
   }
 
+  /** Incrementally maintain a CONVERGED min-label CC table under a batch
+    * of new nodes and new edges — the 100 TB ingest path: re-running the
+    * full fixpoint per micro-batch costs O(corpus · log n) every time,
+    * while this contracts the batch's edges on the QUOTIENT graph (each
+    * endpoint projected to its current component label), whose size is
+    * O(batch), and pushes the resulting relabel map back over the
+    * standing table with one broadcast join.
+    *
+    * Correct because converged labels are component minima: contracting
+    * a graph by its own components preserves connectivity, labels are
+    * original node ids, and min-of-mins = global min — so star
+    * contraction over (label(a), label(b)) edges yields exactly the
+    * labels a full recompute over (all old ∪ new) edges would
+    * (StreamingSpec proves the equivalence across multi-batch runs).
+    * Rounds scale with the number of components a single batch MERGES
+    * (typically O(1)), never with corpus depth.
+    *
+    * `prevLabels` = (node, lbl) converged; `newNodes` = (node) for the
+    * batch (unseen ids self-label); `newPairs` = (da, db) with endpoints
+    * old or new. Returns a materialized (localCheckpoint'ed) label table.
+    */
+  def incrementalCcLabels(
+      prevLabels: DataFrame,
+      newNodes: DataFrame,
+      newPairs: DataFrame,
+      maxRounds: Int,
+  ): DataFrame = {
+    val la = prevLabels.select(col("node").as("da"), col("lbl").as("la"))
+    val lb = prevLabels.select(col("node").as("db"), col("lbl").as("lb"))
+    val quotient = newPairs
+      .select("da", "db")
+      .join(la, Seq("da"), "left")
+      .join(lb, Seq("db"), "left")
+      .select(coalesce(col("la"), col("da")).as("da"), coalesce(col("lb"), col("db")).as("db"))
+      .filter(col("da") =!= col("db"))
+    val qNodes = quotient
+      .select(col("da").as("node"))
+      .union(quotient.select(col("db").as("node")))
+      .distinct()
+    val (relabel, _) = starContract(qNodes, quotient, maxRounds)
+    val withNew = prevLabels.unionByName(
+      newNodes
+        .join(prevLabels.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("lbl")),
+    )
+    val out = withNew
+      .join(
+        broadcast(relabel.select(col("node").as("lbl"), col("lbl").as("graft_new_lbl"))),
+        Seq("lbl"),
+        "left",
+      )
+      .select(col("node"), coalesce(col("graft_new_lbl"), col("lbl")).as("lbl"))
+      .localCheckpoint()
+    relabel.unpersist()
+    out
+  }
+
   /** The converged (node, lbl) label table, served from the substrate
     * cache: intermediates are unpersisted inside the loop, the survivor
     * is owned (and eventually evicted) by the cache registry instead of
@@ -479,29 +536,41 @@ object DedupOps extends QueryModule {
     * per-cluster window — at 100 TB the added cost is one shuffle of
     * (doc_id, cluster_id, score) triples, never the text.
     */
+  /** The keeper POLICY over an arbitrary converged (doc_id, cluster_id)
+    * label table — shared by the declared query (cc-labels substrate) and
+    * the incrementally-maintained ingest labels ([[incrementalCcLabels]];
+    * StreamingSpec serves the keeper off the maintained table and
+    * hash-compares it to the declared result), so the survival rule
+    * cannot drift between the batch and ingest paths.
+    */
+  def keeperTable(labels: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = docs.select(
+      col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_words"),
+    )
+    val w = Window
+      .partitionBy("cluster_id")
+      .orderBy(col("n_distinct_words").desc, col("doc_id"))
+    labels
+      .join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("keeper_id"),
+        max(when(col("rk") === 1, col("n_distinct_words"))).as("keeper_distinct"),
+      )
+      .orderBy("cluster_id")
+  }
+
   private val clusterKeeper = DeclaredQuery(
     "cluster_keeper",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val quality = documents(s, d).select(
-        col("doc_id"),
-        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_words"),
-      )
-      val w = Window
-        .partitionBy("cluster_id")
-        .orderBy(col("n_distinct_words").desc, col("doc_id"))
-      ccLabels(s, d)
-        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-        .join(quality, Seq("doc_id"))
-        .withColumn("rk", row_number().over(w))
-        .groupBy("cluster_id")
-        .agg(
-          count(lit(1)).as("n_members"),
-          max(when(col("rk") === 1, col("doc_id"))).as("keeper_id"),
-          max(when(col("rk") === 1, col("n_distinct_words"))).as("keeper_distinct"),
-        )
-        .orderBy("cluster_id")
-    },
+    (s, d) =>
+      keeperTable(
+        ccLabels(s, d).select(col("node").as("doc_id"), col("lbl").as("cluster_id")),
+        documents(s, d),
+      ),
     Some(s"""WITH RECURSIVE $hashedGramsDuck,
              ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
              $ccLabelsDuck,

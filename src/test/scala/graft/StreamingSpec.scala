@@ -258,6 +258,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed\nbatch=$batch")
   }
 
+  test("incremental CC labels across micro-batches equal the full recompute; keeper reads the maintained table") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val split = 400L
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") < split)
+    val incoming = docs.filter(col("doc_id") >= split)
+
+    // two staged files → two micro-batches, so labels must survive a
+    // batch-over-batch rewrite (merges can span batches)
+    val streamDir = Files.createTempDirectory("doc-ingest-lbl").toString
+    incoming.filter(col("doc_id") < split + 50).coalesce(1).write.mode("append").parquet(streamDir)
+    incoming.filter(col("doc_id") >= split + 50).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val base = Files.createTempDirectory("lbl-store").toString
+    val sigDir = base + "/grams"
+    val labelsDir = base + "/labels"
+    graft.streaming.DocIngest.seedSignatures(corpus, sigDir)
+    // bootstrap = batch 0 against an empty corpus, through the same pair
+    // definition the loop runs
+    val corpusPairs = graft.operators.DedupOps
+      .nearDupsAgainstGrams(graft.operators.DedupOps.gramRowsOf(corpus.limit(0)), corpus, 0.3)
+      .select(col("new_id").as("da"), col("other_id").as("db"))
+    graft.streaming.DocIngest.seedLabels(corpus, corpusPairs, labelsDir)
+
+    val q = graft.streaming.DocIngest.startDurableLabeled(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      sigDir,
+      labelsDir,
+      minJ = 0.3,
+      checkpointDir = Files.createTempDirectory("ck-ingest-lbl").toString,
+    )(_ => ())
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+
+    val maintained = spark.read.parquet(labelsDir)
+    assert(maintained.count() == docs.count(), "every doc must carry a label")
+
+    // full recompute over the SAME pair definition (df-cap is a no-op on
+    // this fixture: max shingle df = 7 << 100), one-shot star contraction
+    val allPairs = graft.operators.DedupOps
+      .nearDupsAgainstGrams(graft.operators.DedupOps.gramRowsOf(docs.limit(0)), docs, 0.3)
+      .select(col("new_id").as("da"), col("other_id").as("db"))
+    val (full, _) = graft.operators.DedupOps
+      .starContract(docs.select(col("doc_id").as("node")), allPairs, 20)
+    val fullSet = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.unpersist()
+    val maintainedSet = maintained.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("lbl"))).toSet
+    assert(maintainedSet == fullSet, "incremental labels must equal the full fixpoint")
+
+    // the keeper policy served off the MAINTAINED table equals the
+    // declared oracle-checked query (which reads the cc substrate)
+    val keeperInc = graft.operators.DedupOps
+      .keeperTable(
+        maintained.select(col("node").as("doc_id"), col("lbl").as("cluster_id")),
+        docs,
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val keeperDecl = SparkEntry
+      .queries("cluster_keeper")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(keeperInc.toSeq == keeperDecl.toSeq)
+  }
+
   test("streaming decontamination screen equals the batch contamination check") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"
