@@ -20,10 +20,12 @@ import graft.sinks.DirectoryApplier
   *                                 [--log-file F] [--log-level L] TARGET
   *
   * The positional TARGET plays the role of the reference's onefs_address:
-  * the effect destination. For create-users it is the directory receiving
-  * the generated provisioning script (identities.py:224-229 script
-  * artifact); for create-directories it is the filesystem root the plan is
-  * applied onto (directories.py:62-86 via [[DirectoryApplier]]). `--dry`
+  * the effect destination. For create-users it receives the generated
+  * provisioning script (identities.py:224-229 script artifact) AND the
+  * live-applied user-db sidecar at TARGET/userdb (identities.py:124-160
+  * via [[graft.sinks.IdentityApplier]]); for create-directories it is the
+  * filesystem root the plan is applied onto (directories.py:62-86 via
+  * [[DirectoryApplier]]). `--dry`
   * logs what would happen instead (_scripts.py DRY_RUN), `--no-verify` /
   * `--onefs-user` / `--onefs-password` / `--user-password` are accepted
   * for flag parity (no TLS endpoint exists here; they only shape logging).
@@ -168,9 +170,16 @@ object Cli {
             logger.info("The following actions would have populated it and the target:")
             plan.collect().foreach(r => logger.info(r.getAs[String]("shell_line")))
           } else {
+            // the reference applies to the cluster AND writes the replay
+            // script (identities.py:224-229); here the live target is the
+            // user-db sidecar under TARGET, the script lands beside it
             val path = s"${c.target}/$name.sh"
             IdentityPlanner.writeScript(plan, path)
             logger.info(s"wrote $path")
+            val stats = graft.sinks.IdentityApplier.applyPlan(plan, s"${c.target}/userdb")
+            logger.info(
+              s"applied: groups=${stats.groups} users=${stats.users} " +
+                s"members=${stats.members} proxies=${stats.proxies} burns=${stats.burns}")
           }
         case "create-directories" =>
           // resolve ids the way the reference queries them back from the

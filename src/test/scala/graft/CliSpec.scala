@@ -49,12 +49,25 @@ class CliSpec extends SparkSpec {
       spark,
     )
     assert(rc == 0)
-    val scripts = Files.list(Paths.get(target)).iterator()
-    assert(scripts.hasNext, "expected a .sh artifact")
-    val dir = scripts.next()
-    assert(dir.getFileName.toString.endsWith("-z1-cdh.sh"))
-    val lines = spark.read.textFile(dir.toString).collect()
+    import scala.jdk.CollectionConverters._
+    val entries = Files.list(Paths.get(target)).iterator().asScala.toSeq
+    val script = entries
+      .find(_.getFileName.toString.endsWith("-z1-cdh.sh"))
+      .getOrElse(fail(s"expected a .sh artifact among $entries"))
+    val lines = spark.read.textFile(script.toString).collect()
     assert(lines.head == "#!/usr/bin/env sh")
+    // non-dry also live-applies onto the user-db sidecar (IdentityApplier)
+    val db = s"$target/userdb"
+    assert(graft.sinks.IdentityApplier.groupsIn(db).nonEmpty, "userdb groups must be applied")
+    assert(graft.sinks.IdentityApplier.usersIn(db).nonEmpty, "userdb users must be applied")
+    // a second CLI run against the same target re-applies as a no-op (the
+    // db keeps one record per name; epoch proves the flush still fired)
+    val epoch = graft.sinks.IdentityApplier.authEpoch(db)
+    val sizeBefore = graft.sinks.IdentityApplier.usersIn(db).size
+    assert(
+      Cli.run(Seq("create-users", "--dist", "cdh", "--zone", "z1", "--quiet", target), spark) == 0)
+    assert(graft.sinks.IdentityApplier.usersIn(db).size == sizeBefore)
+    assert(graft.sinks.IdentityApplier.authEpoch(db) == epoch + 1)
   }
 
   test("create-directories applies; second run is a no-op") {

@@ -185,6 +185,97 @@ class EffectSemanticsSpec extends SparkSpec {
     assert(DirectoryApplier.applyPlan(plan, root, backoffMs = 1L).total == 0)
   }
 
+  test("C2 live: identity_plan applies to a user-db target; re-apply is a no-op") {
+    import graft.sinks.IdentityApplier
+    val plan = SparkEntry.queries("identity_plan")(spark, sfDir)
+    val db = java.nio.file.Files.createTempDirectory("graft-userdb").toString
+    val nGroups = plan.filter(col("action") === "create_group").count()
+    val nUsers = plan.filter(col("action") === "create_user").count()
+    val nMembers = plan.filter(col("action") === "add_member").count()
+    val nProxies = plan.filter(col("action") === "create_proxy_user").count()
+
+    val first = IdentityApplier.applyPlan(plan, db, backoffMs = 1L)
+    assert(first == IdentityApplier.ApplyStats(nGroups, nUsers, nMembers, nProxies, 0), first.toString)
+    // state really landed, with the PLANNED ids (no drift → no burns)
+    val plannedGroups = plan
+      .filter(col("action") === "create_group")
+      .collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("id"))
+      .toMap
+    assert(IdentityApplier.groupsIn(db) == plannedGroups)
+    assert(IdentityApplier.usersIn(db).size == nUsers)
+    // useradd resolved each user's pgid from the applied groups table
+    val planned = plan.filter(col("action") === "create_user").collect()
+    planned.foreach { r =>
+      val (uid, pgid) = IdentityApplier.usersIn(db)(r.getAs[String]("name"))
+      assert(uid == r.getAs[Long]("id"))
+      assert(pgid == plannedGroups(r.getAs[String]("arg")), s"pgid of ${r.getAs[String]("name")}")
+    }
+
+    // the reference's re-run: every name already exists → zero actions,
+    // but the auth cache still flushes once per apply
+    val second = IdentityApplier.applyPlan(plan, db, backoffMs = 1L)
+    assert(second.total == 0 && second.burns == 0, s"re-apply must be a no-op, got $second")
+    assert(IdentityApplier.authEpoch(db) == 2L, "flush must fire once per apply pass")
+  }
+
+  test("burn-on-collision: an out-of-band id squatter shifts creates forward, observably") {
+    import graft.sinks.IdentityApplier
+    val db = java.nio.file.Files.createTempDirectory("graft-burn").toString
+    // out-of-band state: gid 2000 and uid 3000/3001 already taken by strangers
+    val squat = Seq(
+      ("create_group", "squatter", "", 2000L),
+      ("create_group", "pg", "", 1999L),
+    ).toDF("action", "name", "arg", "id")
+    IdentityApplier.applyPlan(squat, db, backoffMs = 1L)
+    val squat2 = Seq(
+      ("create_user", "ghost1", "pg", 3000L),
+      ("create_user", "ghost2", "pg", 3001L),
+    ).toDF("action", "name", "arg", "id")
+    IdentityApplier.applyPlan(squat2, db, backoffMs = 1L)
+
+    // the plan wants gid 2000 and uid 3000 — both taken by OTHER names
+    val plan = Seq(
+      ("create_group", "hive", "", 2000L),
+      ("create_user", "alice", "hive", 3000L),
+      ("add_member", "alice", "hive", -1L),
+    ).toDF("action", "name", "arg", "id")
+    val stats = IdentityApplier.applyPlan(plan, db, backoffMs = 1L)
+    // group burned 2000 → 2001; user burned 3000 and 3001 → 3002 (the
+    // cascading allocator-advance the reference's while-loop produces)
+    assert(stats == IdentityApplier.ApplyStats(1, 1, 1, 0, 3), stats.toString)
+    assert(IdentityApplier.groupsIn(db)("hive") == 2001L)
+    assert(IdentityApplier.usersIn(db)("alice") == ((3002L, 2001L)))
+    assert(IdentityApplier.membersIn(db).contains(("alice", "hive")))
+
+    // healed state re-applies as a true no-op (existing names keep ids)
+    val again = IdentityApplier.applyPlan(plan, db, backoffMs = 1L)
+    assert(again.total == 0 && again.burns == 0, again.toString)
+  }
+
+  test("proxy duplicates are tolerated without update; unknown references are permanent errors") {
+    import graft.sinks.IdentityApplier
+    val db = java.nio.file.Files.createTempDirectory("graft-proxy").toString
+    val base = Seq(("create_proxy_user", "oozie", "hdfs (user)", -1L))
+      .toDF("action", "name", "arg", "id")
+    assert(IdentityApplier.applyPlan(base, db, backoffMs = 1L).proxies == 1L)
+    // duplicate create with DIFFERENT members: reference returns on the
+    // already-exists error without updating (identities.py:216-223)
+    val dup = Seq(("create_proxy_user", "oozie", "hbase (user)", -1L))
+      .toDF("action", "name", "arg", "id")
+    assert(IdentityApplier.applyPlan(dup, db, backoffMs = 1L).total == 0L)
+    assert(IdentityApplier.proxiesIn(db)("oozie") == "hdfs (user)")
+
+    // a membership naming an absent user is a plan bug: permanent, no retry
+    val evil = Seq(("add_member", "nobody", "nogroup", -1L)).toDF("action", "name", "arg", "id")
+    val e = intercept[org.apache.spark.SparkException] {
+      IdentityApplier.applyPlan(evil, db, backoffMs = 1L)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[IdentityApplier.UnknownIdentityError]), e.toString)
+  }
+
   test("script sink writes the deterministic artifact") {
     val plan = SparkEntry.queries("identity_plan")(spark, sfDir)
     val out = java.nio.file.Files.createTempDirectory("script").toString + "/plan"
