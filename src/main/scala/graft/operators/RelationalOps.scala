@@ -532,19 +532,32 @@ object RelationalOps extends QueryModule {
   /** Audience overlap — set similarity between event-type audiences
     * (which behaviors share users), as the co-occurrence inverted-index
     * pattern: distinct (type, user) memberships self-join ON THE USER
-    * (each user contributes only their own type-pairs — candidate rows
-    * are Σ_user |types(u)|², bounded by the type-count constant), then
-    * Jaccard from exact co-occurrence and audience counts. The same
-    * shape as `ngram_jaccard` over a different domain — the inverted
-    * index is THE set-similarity plan whatever the sets contain.
+    * (each user contributes only their own type-pairs), then Jaccard from
+    * exact co-occurrence and audience counts. The same shape as
+    * `ngram_jaccard` over a different domain — the inverted index is THE
+    * set-similarity plan whatever the sets contain.
+    *
+    * Skew cap (the df-cap of this domain): a user in k audiences emits
+    * O(k²) co-occurrence pairs, so one bot-like user in 10⁴ audiences
+    * would alone emit 10⁸ rows. Users above [[MaxAudiencesPerUser]]
+    * memberships are excluded from PAIR GENERATION in both engines —
+    * membership that broad carries no overlap signal (the stop-word
+    * argument) — while audience sizes keep the FULL counts, exactly like
+    * `capByDf` keeps full Jaccard denominators. The cap is a no-op on
+    * the fixtures (5 event types total) but bounds the worst user at
+    * production audience cardinalities; the hot-user list is aggregated
+    * on the already-user-partitioned branch (no extra shuffle) and
+    * broadcast into the anti-join.
     */
+  private[operators] val MaxAudiencesPerUser = 50L
+
   private val audienceOverlap = DeclaredQuery(
     "audience_overlap",
     (s, d) => {
-      // user-partitioning satisfies BOTH the (type, user) distinct (subset
-      // of the clustering keys) and the user-keyed self-join, so each
-      // side of the join costs one exchange instead of two — the same
-      // single-shuffle trick as retention_cohort, applied per branch
+      // user-partitioning satisfies the (type, user) distinct (subset
+      // of the clustering keys), the hot-user aggregation, and the
+      // user-keyed self-join, so each branch costs one exchange — the
+      // same single-shuffle trick as retention_cohort, applied per branch
       // (the self-join recomputes the subtree; without a cache the two
       // branches are separate pipelines)
       val m = events(s, d)
@@ -552,8 +565,14 @@ object RelationalOps extends QueryModule {
         .repartition(col("user_id"))
         .distinct()
       val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
-      val a = m.select(col("event_type").as("ta"), col("user_id"))
-      val b = m.select(col("event_type").as("tb"), col("user_id").as("uid2"))
+      val hot = m
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("ka"))
+        .filter(col("ka") > MaxAudiencesPerUser)
+        .select("user_id")
+      val mc = m.join(broadcast(hot), Seq("user_id"), "left_anti")
+      val a = mc.select(col("event_type").as("ta"), col("user_id"))
+      val b = mc.select(col("event_type").as("tb"), col("user_id").as("uid2"))
       val co = a
         .join(b, a("user_id") === b("uid2") && a("ta") < b("tb"))
         .groupBy("ta", "tb")
@@ -569,10 +588,13 @@ object RelationalOps extends QueryModule {
         )
         .orderBy("ta", "tb")
     },
-    Some("""WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
+    Some(s"""WITH m AS (SELECT DISTINCT event_type, user_id FROM events),
             sz AS (SELECT event_type, count(*) AS sz FROM m GROUP BY 1),
+            hot AS (SELECT user_id FROM m GROUP BY user_id HAVING count(*) > $MaxAudiencesPerUser),
+            mc AS (SELECT m.event_type, m.user_id FROM m
+                   LEFT JOIN hot ON m.user_id = hot.user_id WHERE hot.user_id IS NULL),
             co AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS co
-                   FROM m a JOIN m b ON a.user_id = b.user_id AND a.event_type < b.event_type
+                   FROM mc a JOIN mc b ON a.user_id = b.user_id AND a.event_type < b.event_type
                    GROUP BY 1, 2)
             SELECT co.ta, co.tb, co.co,
                    round(co.co::DOUBLE / (x.sz + y.sz - co.co), 4) AS jaccard

@@ -261,6 +261,17 @@ class PlanAssertionsSpec extends SparkSpec {
       "join must be keyed on the deletion key:\n" + p.take(800))
   }
 
+  test("audience_overlap excludes hot users from pair generation via a broadcast anti-join") {
+    val p = planOf("audience_overlap")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "the hot-user skew cap must be a broadcast anti-join on the pair branch:\n" + p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    // the one explicit user repartition feeds distinct, hot-agg, AND the
+    // self-join — no further hash exchange of membership rows may appear
+    val dataShuffles = "REPARTITION_BY_COL".r.findAllIn(p).size
+    assert(dataShuffles >= 1, "the explicit user shuffle must survive:\n" + p.take(600))
+  }
+
   test("fuzzy_triangles orients edges by degree — wedge join bounded by arboricity") {
     val p = planOf("fuzzy_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
