@@ -1,0 +1,62 @@
+package graft
+
+/** PLANS.md drift guard: the dump is hand-refreshed, so before this spec a
+  * plan regression could ship behind a stale artifact. Every query section
+  * in PLANS.md is regenerated live at the SAME scale factor the dump is
+  * generated at (sf0.1 — plan shape is size-dependent through broadcast
+  * thresholds, so comparing across SFs would be meaningless) and the
+  * structural tree lines are diffed. Node ids are normalized away (a pure
+  * renumbering from an unrelated subtree change is not a regression);
+  * operator names, ordering, and nesting must match exactly.
+  *
+  * On failure: if the change is INTENDED, regenerate the dump —
+  * `sbt "runMain graft.Explain /root/testdata/sf0.1 <names>"` — and
+  * re-wrap it under the PLANS.md header; if not, the diff in the failure
+  * message is the regression.
+  */
+class PlansDriftSpec extends SparkSpec {
+
+  private val PlanSf = "/root/testdata/sf0.1"
+
+  /** The tree block: lines after "== Physical Plan ==" up to the first
+    * blank line (node details below carry run-specific paths/ids and are
+    * covered by PlanAssertionsSpec's targeted pins instead).
+    */
+  private def treeOf(text: String): Seq[String] = {
+    val lines = text.linesIterator.toSeq
+    val start = lines.indexWhere(_.startsWith("== Physical Plan =="))
+    if (start < 0) Seq.empty
+    else lines.drop(start + 1).takeWhile(_.trim.nonEmpty)
+  }
+
+  private def normalize(l: String): String =
+    l.replaceAll("\\(\\d+\\)", "").replaceAll("\\s+$", "")
+
+  test("every PLANS.md tree matches a freshly generated plan at sf0.1") {
+    val md = java.nio.file.Files.readString(java.nio.file.Paths.get("PLANS.md"))
+    val sections = md.split("(?m)^########## ").toSeq.drop(1)
+    assert(sections.nonEmpty, "PLANS.md has no query sections")
+    val unknown = sections.map(_.takeWhile(_ != ' ')).filterNot(SparkEntry.queries.contains)
+    assert(unknown.isEmpty, s"PLANS.md names unknown queries: $unknown")
+    val drifted = sections.flatMap { sec =>
+      val name = sec.takeWhile(_ != ' ')
+      val dumped = treeOf(sec).map(normalize)
+      val fresh = treeOf(
+        SparkEntry
+          .queries(name)(spark, PlanSf)
+          .queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+      ).map(normalize)
+      if (fresh == dumped) None
+      else
+        Some(
+          s"== $name ==\nfresh:\n${fresh.mkString("\n")}\ndumped:\n${dumped.mkString("\n")}",
+        )
+    }
+    assert(
+      drifted.isEmpty,
+      s"${drifted.size} plan(s) drifted from the PLANS.md dump — regenerate it or fix the regression:\n" +
+        drifted.mkString("\n\n"),
+    )
+  }
+}
