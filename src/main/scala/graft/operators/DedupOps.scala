@@ -278,11 +278,15 @@ object DedupOps extends QueryModule {
       }
       val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
       val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
+      // hamming filter BEFORE the pair dedup: hd is a pure function of the
+      // candidate row, so filtering first is equivalent — and it turns the
+      // dedup's shuffle from every chunk-collision candidate (~1M rows at
+      // sf0.1) into the handful of true near-dups
       l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))
         .select("da", "db", "sa", "sb")
-        .dropDuplicates("da", "db")
         .withColumn("hd", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
         .filter(col("hd") <= 4)
+        .dropDuplicates("da", "db")
         .select("da", "db", "hd")
         .orderBy("da", "db")
     },
