@@ -158,5 +158,84 @@ object PipelineOps extends QueryModule {
             ORDER BY doc_id"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(cleanCorpus, stratifiedSample, mixSources)
+  /** Tokens per training sequence for [[sequencePack]] — a model-input
+    * constant (2048 matches a common context length); the packing shape
+    * is budget-independent.
+    */
+  private val PackBudget = 2048L
+
+  /** Sequence packing — the concat-and-split batching step every LLM
+    * pretraining pipeline runs between cleaning and training: documents
+    * are laid end-to-end in doc_id order and cut into fixed-token-budget
+    * training sequences; a document belongs to the pack its FIRST token
+    * falls in. Output is the pack manifest (doc count, token total,
+    * id range per pack) a loader would consume.
+    *
+    * The engine question is the GLOBAL RUNNING OFFSET: Spark's bare
+    * `Window.orderBy(cum)` with no partition moves the entire corpus to
+    * ONE task — the canonical accidental scale-killer. This plan computes
+    * the same prefix sum in two phases: range-repartition by doc_id, sum
+    * WITHIN each partition (parallel windows), then broadcast the
+    * #partitions-row per-partition totals back as offsets — every row
+    * crosses the wire a bounded number of times and no task ever holds
+    * more than its partition. The result is invariant to where the range
+    * boundaries land (prefix sums don't care how the line is cut), so
+    * the nondeterministic sampling inside repartitionByRange never
+    * reaches the answer, and the oracle can state the naive single-window
+    * cumsum declaratively.
+    */
+  private val sequencePack = DeclaredQuery(
+    "sequence_pack",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tok"),
+      )
+      val parts = t.repartitionByRange(col("doc_id")).withColumn("pid", spark_partition_id())
+      val local = parts.withColumn(
+        "cum_local",
+        sum("tok").over(Window.partitionBy("pid").orderBy("doc_id")),
+      )
+      // #partitions rows: the tiny global window here is the POINT — the
+      // corpus-sized one above stays partitioned
+      val offsets = local
+        .groupBy("pid")
+        .agg(sum(col("tok")).as("psum"))
+        .withColumn(
+          "offset",
+          coalesce(
+            sum("psum").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L),
+          ),
+        )
+        .select("pid", "offset")
+      local
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("cum", col("cum_local") + col("offset"))
+        .withColumn("pack_id", expr(s"(cum - tok) DIV $PackBudget"))
+        .groupBy("pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tok").as("tok_total"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+        )
+        .orderBy("pack_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+                        FROM documents),
+             c AS (SELECT doc_id, tok,
+                          sum(tok) OVER (ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM t),
+             p AS (SELECT doc_id, tok, CAST((cum - tok) // $PackBudget AS BIGINT) AS pack_id FROM c)
+             SELECT pack_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total,
+                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             FROM p GROUP BY 1 ORDER BY 1"""),
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack)
 }

@@ -272,6 +272,15 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(dataShuffles >= 1, "the explicit user shuffle must survive:\n" + p.take(600))
   }
 
+  test("sequence_pack's corpus-sized prefix sum stays partitioned; only offsets broadcast") {
+    val p = planOf("sequence_pack")
+    assert(p.contains("BroadcastHashJoin"),
+      "the #partitions-row offset table must broadcast back:\n" + p.take(800))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
+    val windows = "Window".r.findAllIn(p).size
+    assert(windows >= 2, s"expected the partitioned cumsum AND the tiny offset window, got $windows")
+  }
+
   test("fuzzy_triangles orients edges by degree — wedge join bounded by arboricity") {
     val p = planOf("fuzzy_triangles")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
