@@ -107,12 +107,15 @@ object EventStream {
     * bounded directory reproduces the batch result exactly
     * (StreamingSpec's parity case).
     *
-    * `disorderSeconds` is the event-time disorder bound: rows arriving
-    * more than that out of order have their join state already evicted
-    * and are silently dropped (standard watermark semantics). It is a
-    * parameter — not a constant — because the safe value depends on the
-    * source's delivery skew, not on `gapSeconds`; the default covers an
-    * hour of disorder on top of the gap-bounded buffering.
+    * `disorderSeconds` is the event-time disorder bound: once the
+    * watermark (max event time − bound) passes a click's join range its
+    * state is swept, and input below the watermark is late-filtered — so
+    * a pair whose purchase arrives more disordered than the bound is
+    * silently lost (StreamingSpec demonstrates both the loss and the
+    * recovery under a wider bound). It is a parameter — not a constant —
+    * because the safe value depends on the source's delivery skew, not
+    * on `gapSeconds`; the default covers an hour of disorder on top of
+    * the gap-bounded buffering.
     */
   def funnelPairs(
       events: DataFrame,

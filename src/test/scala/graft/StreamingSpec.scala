@@ -100,6 +100,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
   }
 
+  test("funnelPairs drops pairs beyond the disorder bound; a wider bound keeps them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // the documented watermark semantics of the disorderSeconds parameter:
+    // a purchase arriving more than that out of event-time order is late
+    // past the join watermark and silently dropped — widening the bound
+    // (not the gap) is what restores batch parity under disorder
+    def run(disorder: Long): Set[(Long, Long)] = {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val events = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+      val name = s"funnel_disorder_$disorder"
+      val q = EventStream
+        .funnelPairs(events, gapSeconds = 21600L, disorderSeconds = disorder)
+        .writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory(s"ck-$name").toString)
+        .start()
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      // batch 1 advances the watermark to 17:30 − disorder; with the 1 h
+      // bound that crosses 16:00 = click₁ + gap, so click₁'s join state is
+      // eligible for eviction
+      mem.addData((1L, 1L, t(10, 0), "click"), (2L, 2L, t(17, 30), "click"))
+      q.processAllAvailable()
+      // batch 2 (fresh purchase) runs under that watermark — its close is
+      // when the expired click state is actually swept
+      mem.addData((4L, 2L, t(17, 45), "purchase"))
+      q.processAllAvailable()
+      // batch 3: the 7 h-out-of-order purchase for click₁
+      mem.addData((3L, 1L, t(10, 30), "purchase"))
+      q.processAllAvailable()
+      q.stop()
+      spark
+        .table(name)
+        .select("click_id", "purchase_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+    }
+    // 1 h bound: the watermark (16:30) passed click₁ + gap, so its state is
+    // swept and the 10:30 purchase is late-filtered — the pair is lost
+    assert(run(3600L) == Set((2L, 4L)))
+    // 8 h bound covers the 7 h disorder: watermark 9:30 < the purchase's
+    // event time, click₁ still in state → both pairs, batch parity
+    assert(run(28800L) == Set((1L, 3L), (2L, 4L)))
+  }
+
   test("streaming ingest builds the date-partitioned serving layout") {
     import org.apache.spark.sql.functions._
     val out = Files.createTempDirectory("byday-stream").toString
