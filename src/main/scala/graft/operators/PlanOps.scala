@@ -147,5 +147,65 @@ object PlanOps extends QueryModule {
     },
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(identityPlan, directoryPlan)
+  /** Sharded-allocation scenario constants: 4 shards of capacity 10 000
+    * starting at 100 000; taken ids derive from supplier keys via a
+    * deterministic multiplicative spread so every shard range contains
+    * squatters the free-list must skip.
+    */
+  private val ShardStart = 100000L
+  private val ShardCapacity = 10000L
+  private val NShards = 4L
+
+  /** The 100 TB variant of the W1/W2 allocator, gate-visible: each shard
+    * allocates from its own disjoint id range, so the ranking window
+    * partitions by shard and parallelizes — the global-sequence
+    * bottleneck of `id_allocation` (inherent to the reference's
+    * contiguous semantics) disappears, at the price of contiguity being
+    * per-shard. Until now this path was spec-proven only
+    * (PlannerScaleSpec); this query makes the DuckDB oracle re-derive
+    * the same per-shard rank-to-rank join declaratively, so collision
+    * skipping inside every shard range is hash-checked per round.
+    */
+  private val shardedAlloc = DeclaredQuery(
+    "sharded_alloc",
+    (s, d) => {
+      val demand = graft.Tables
+        .part(s, d)
+        .select(
+          col("p_name").as("name"),
+          col("p_partkey").as("seq"),
+          pmod(col("p_partkey"), lit(NShards)).cast("long").as("shard"),
+        )
+      val taken = graft.Tables
+        .supplier(s, d)
+        .select((pmod(col("s_suppkey") * 97L, lit(NShards * ShardCapacity)) + ShardStart).as("id"))
+      IdentityPlanner
+        .allocateIdsSharded(demand, taken, ShardStart, ShardCapacity)
+        .orderBy("seq")
+    },
+    Some(s"""WITH demand AS (SELECT p_name AS name, p_partkey AS seq,
+                                    p_partkey % $NShards AS shard FROM part),
+             taken AS (SELECT (s_suppkey * 97) % ${NShards * ShardCapacity} + $ShardStart AS id
+                       FROM supplier),
+             dm AS (SELECT shard, count(*) AS nd FROM demand GROUP BY 1),
+             tk AS (SELECT (id - $ShardStart) // $ShardCapacity AS shard, count(*) AS nt
+                    FROM taken WHERE id >= $ShardStart GROUP BY 1),
+             pool AS (SELECT dm.shard,
+                             unnest(generate_series($ShardStart + dm.shard * $ShardCapacity,
+                                                    $ShardStart + dm.shard * $ShardCapacity
+                                                      + dm.nd + coalesce(tk.nt, 0) - 1)) AS id
+                      FROM dm LEFT JOIN tk USING (shard)),
+             free AS (SELECT shard, id, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+                      FROM (SELECT p.shard, p.id FROM pool p
+                            LEFT JOIN (SELECT DISTINCT id FROM taken) t ON p.id = t.id
+                            WHERE t.id IS NULL)),
+             rk AS (SELECT name, seq, shard,
+                           row_number() OVER (PARTITION BY shard ORDER BY seq) AS rn
+                    FROM demand)
+             SELECT rk.name, rk.seq, CAST(rk.shard AS BIGINT) AS shard, CAST(free.id AS BIGINT) AS id
+             FROM rk JOIN free USING (shard, rn)
+             ORDER BY seq"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(identityPlan, directoryPlan, shardedAlloc)
 }

@@ -272,6 +272,17 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(dataShuffles >= 1, "the explicit user shuffle must survive:\n" + p.take(600))
   }
 
+  test("sharded_alloc ranks inside shard partitions — no global-sequence window") {
+    val p = planOf("sharded_alloc")
+    // every ranking window must carry the shard in its partition spec; a
+    // bare Window.orderBy would single-task the whole allocation
+    assert(p.contains("windowspecdefinition(shard"),
+      "ranking windows must partition by shard:\n" + p.take(900))
+    assert(!p.contains("windowspecdefinition(seq#") || p.contains("windowspecdefinition(shard"),
+      p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
   test("sequence_pack's corpus-sized prefix sum stays partitioned; only offsets broadcast") {
     val p = planOf("sequence_pack")
     assert(p.contains("BroadcastHashJoin"),
