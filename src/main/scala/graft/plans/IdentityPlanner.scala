@@ -56,8 +56,23 @@ object IdentityPlanner {
       burnOnExisting: Boolean = false,
   ): DataFrame = {
     val ex = existing.select(col("name"), col("id").cast("long").as("eid"))
-    if (ex.groupBy("name").count().filter(col("count") > 1).limit(1).count() > 0)
-      throw new graft.DuplicateIdentityError(kind)
+    // Uniqueness assert: for driver-local state (literal catalogs, the CLI's
+    // empty frames) check in memory — the two Spark jobs the distributed
+    // count costs are pure overhead there; real (scanned) state keeps the
+    // distributed check.
+    val dup = existing.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val nameIdx = l.output.indexWhere(_.name == "name")
+        l.data.iterator
+          .filterNot(_.isNullAt(nameIdx))
+          .map(_.getString(nameIdx))
+          .toSeq
+          .groupBy(identity)
+          .exists(_._2.size > 1)
+      case _ =>
+        ex.groupBy("name").count().filter(col("count") > 1).limit(1).count() > 0
+    }
+    if (dup) throw new graft.DuplicateIdentityError(kind)
     val joined = demand.join(broadcast(ex), Seq("name"), "left")
     val hi = demand
       .agg(count(lit(1)).as("nd"))
