@@ -56,7 +56,9 @@ object Bench {
     // Ascending-cost order: if the driver's bounded tail window clips the
     // front of this line, it loses the cheapest queries — the expensive
     // ones (what a plan audit reads) sit at the end, nearest the total.
-    val qs = results.toSeq.sortBy { case (k, v) => (v, k) }
+    // All-reps-failed sentinels (-1) sort LAST of all: failure evidence
+    // must never be what truncation eats.
+    val qs = results.toSeq.sortBy { case (k, v) => (v < 0, v, k) }
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

@@ -174,16 +174,21 @@ object PipelineOps extends QueryModule {
     * The engine question is the GLOBAL RUNNING OFFSET: Spark's bare
     * `Window.orderBy(cum)` with no partition moves the entire corpus to
     * ONE task — the canonical accidental scale-killer. This plan computes
-    * the same prefix sum in two phases: range-repartition by doc_id, sum
-    * WITHIN each partition (parallel windows), then broadcast the
-    * #partitions-row per-partition totals back as offsets — every row
-    * crosses the wire a bounded number of times and no task ever holds
-    * more than its partition. The result is invariant to where the range
-    * boundaries land (prefix sums don't care how the line is cut), so
-    * the nondeterministic sampling inside repartitionByRange never
-    * reaches the answer, and the oracle can state the naive single-window
-    * cumsum declaratively.
+    * the same prefix sum in two phases: slice the doc_id line into
+    * [[PackShards]] contiguous ranges by ARITHMETIC on broadcast min/max
+    * bounds (not `repartitionByRange`, whose sampled boundaries are
+    * nondeterministic AND would have to be computed identically by the
+    * two plan branches that consume the sliced frame — a silent
+    * dependency on exchange reuse), sum WITHIN each slice (parallel
+    * windows), then broadcast the #slices-row per-slice totals back as
+    * offsets — every row crosses the wire a bounded number of times and
+    * no task ever holds more than its slice. The slicing is a pure row
+    * function of (doc_id, bounds), so both branches derive identical
+    * pids by construction and the oracle can state the naive
+    * single-window cumsum declaratively.
     */
+  private val PackShards = 32L
+
   private val sequencePack = DeclaredQuery(
     "sequence_pack",
     (s, d) => {
@@ -192,11 +197,17 @@ object PipelineOps extends QueryModule {
         col("doc_id"),
         size(split(col("text"), "\\s+")).cast("long").as("tok"),
       )
-      val parts = t.repartitionByRange(col("doc_id")).withColumn("pid", spark_partition_id())
-      val local = parts.withColumn(
-        "cum_local",
-        sum("tok").over(Window.partitionBy("pid").orderBy("doc_id")),
-      )
+      val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      val local = t
+        .crossJoin(broadcast(bounds)) // 1-row bounds scalar
+        .withColumn(
+          "pid",
+          expr(s"(doc_id - lo) DIV greatest((hi - lo + 1 + ${PackShards - 1}) DIV $PackShards, 1)"),
+        )
+        .withColumn(
+          "cum_local",
+          sum("tok").over(Window.partitionBy("pid").orderBy("doc_id")),
+        )
       // #partitions rows: the tiny global window here is the POINT — the
       // corpus-sized one above stays partitioned
       val offsets = local

@@ -61,11 +61,13 @@ object IdentityPlanner {
     // count costs are pure overhead there; real (scanned) state keeps the
     // distributed check.
     val dup = existing.queryExecution.optimizedPlan match {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        val nameIdx = l.output.indexWhere(_.name == "name")
+      // must mirror the distributed groupBy exactly: case-insensitive
+      // column resolution, and nulls form a (duplicable) group too
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.output.exists(_.name.equalsIgnoreCase("name")) =>
+        val nameIdx = l.output.indexWhere(_.name.equalsIgnoreCase("name"))
         l.data.iterator
-          .filterNot(_.isNullAt(nameIdx))
-          .map(_.getString(nameIdx))
+          .map(r => if (r.isNullAt(nameIdx)) null else r.getString(nameIdx))
           .toSeq
           .groupBy(identity)
           .exists(_._2.size > 1)

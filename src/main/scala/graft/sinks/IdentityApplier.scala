@@ -122,8 +122,10 @@ object IdentityApplier {
 
   /** Default epilogue: bump the auth-cache epoch counter (the observable
     * flush — identities.py:185-186 flushes exactly once after all rows).
+    * The read-modify-write takes the same db lock as every other mutation
+    * so concurrent applies cannot lose a flush record.
     */
-  def bumpAuthEpoch(db: Path): Unit = {
+  def bumpAuthEpoch(db: Path): Unit = withDbLock(db) {
     val f = db.resolve(".authcache_epoch")
     val cur = if (Files.exists(f)) new String(Files.readAllBytes(f), UTF_8).trim.toLong else 0L
     Files.write(f, (cur + 1L).toString.getBytes(UTF_8))
@@ -155,17 +157,29 @@ object IdentityApplier {
 
     final class RowDeltas { var applied = false; var burned = 0L }
 
+    // One task per phase, rows in plan (seq) order: every mutation takes
+    // the whole-db lock anyway, so parallel tasks would only race for it —
+    // and under a collision the burn outcome would then depend on task
+    // scheduling, diverging from the sequential reference and from the
+    // replay script written beside the db. The plan is catalog-sized;
+    // sequential apply is the faithful (and equally fast) choice.
     def phase(action: String)(
         effect: (org.apache.spark.sql.Row, Path, RowDeltas) => Unit,
-    )(commit: RowDeltas => Unit): Unit =
+    )(commit: RowDeltas => Unit): Unit = {
+      val filtered = plan.filter(plan("action") === action)
+      val rows =
+        if (plan.columns.contains("seq"))
+          filtered.select("seq", "name", "arg", "id").coalesce(1).sortWithinPartitions("seq")
+        else filtered.select("name", "arg", "id").coalesce(1)
       RetryingSink.foreachRowWithRetryStateful(
-        plan.filter(plan("action") === action).select("name", "arg", "id"),
+        rows,
         maxRetries,
         backoffMs,
       )(() => new RowDeltas) { (row, deltas) =>
         val db = Paths.get(dbStr)
         withDbLock(db)(effect(row, db, deltas))
       }(commit)
+    }
 
     // phase 1 — groups (identities.py:124-160)
     phase("create_group") { (row, db, deltas) =>

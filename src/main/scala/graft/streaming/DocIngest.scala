@@ -49,7 +49,9 @@ object DocIngest {
 
   /** Durable variant: the standing gram state is a parquet signature
     * table on disk — seeded from the corpus once, read at each batch,
-    * appended with the batch's own gram rows after the check. This is
+    * appended with the batch's own gram rows after the check.
+    * At-least-once under crash-replay (a replayed batch re-appends its
+    * grams); [[startDurableLabeled]] is the exactly-once form. This is
     * the 100 TB shape verbatim (the signature store persists BETWEEN
     * pipeline runs, survives restarts, and is shared by other dedup
     * stages); [[start]] is its in-session stand-in with identical
@@ -87,11 +89,17 @@ object DocIngest {
     * fresh labels after every micro-batch. Seed both stores first
     * ([[seedSignatures]], [[seedLabels]]).
     *
-    * Order inside a batch matters and is pinned here: pairs are
-    * materialized BEFORE the signature append (or the lazy re-read would
-    * see the batch on both sides and double-pair), and the label table
-    * is localCheckpoint-materialized before its overwrite (a lazy plan
-    * would read the directory it is replacing).
+    * CRASH-REPLAY IDEMPOTENCE (foreachBatch is at-least-once): each
+    * batch's gram rows land in their own `batch_<id>` directory with
+    * Overwrite (a replayed batch rewrites, never duplicates), and the
+    * corpus side reads every OTHER directory — so a replay whose
+    * previous attempt already wrote grams and/or labels recomputes the
+    * identical pair set (its own half-written grams are excluded from
+    * the corpus) and the label rewrite is a fixpoint (re-contracting
+    * already-merged components relabels nothing). The label table is
+    * localCheckpoint-materialized before its overwrite (a lazy plan
+    * would read the directory it is replacing). [[start]]/[[startDurable]]
+    * are the simpler at-least-once twins; this is the exactly-once form.
     */
   def startDurableLabeled(
       docs: DataFrame,
@@ -103,8 +111,17 @@ object DocIngest {
   )(onPairs: DataFrame => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val corpus = spark.read.parquet(sigDir)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val batchDir = s"$sigDir/batch_$batchId"
+        // corpus = seed part-files + every earlier batch dir; the CURRENT
+        // batch's dir is excluded so a replay never pairs the batch
+        // against its own previous half-write
+        val entries = Option(new java.io.File(sigDir).listFiles()).getOrElse(Array.empty)
+        val corpusPaths = entries.collect {
+          case f if f.isDirectory && f.getName != s"batch_$batchId" => f.toString
+          case f if f.isFile && f.getName.endsWith(".parquet") => f.toString
+        }
+        val corpus = spark.read.parquet(corpusPaths.toIndexedSeq: _*)
         val pairs = DedupOps.nearDupsAgainstGrams(corpus, batch, minJ).localCheckpoint()
         onPairs(pairs)
         val prev = spark.read.parquet(labelsDir)
@@ -121,8 +138,8 @@ object DocIngest {
         DedupOps
           .gramRowsOf(batch)
           .write
-          .mode(org.apache.spark.sql.SaveMode.Append)
-          .parquet(sigDir)
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(batchDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -266,10 +266,19 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "the hot-user skew cap must be a broadcast anti-join on the pair branch:\n" + p.take(900))
     assert(!p.contains("CartesianProduct"), p.take(500))
-    // the one explicit user repartition feeds distinct, hot-agg, AND the
-    // self-join — no further hash exchange of membership rows may appear
-    val dataShuffles = "REPARTITION_BY_COL".r.findAllIn(p).size
-    assert(dataShuffles >= 1, "the explicit user shuffle must survive:\n" + p.take(600))
+    // the explicit user repartition satisfies the (type,user) distinct,
+    // the hot-user aggregation, AND the self-join in every branch — the
+    // ONLY hash exchanges allowed are those user_id repartitions (one per
+    // uncached branch) plus the two type-keyed aggregations' tiny final
+    // exchanges; membership rows must never re-shuffle on another key
+    val hashExchanges = "Exchange hashpartitioning\\(([a-z_0-9#]+)".r
+      .findAllMatchIn(p)
+      .map(_.group(1).takeWhile(_ != '#'))
+      .toSeq
+    assert(hashExchanges.nonEmpty, p.take(600))
+    val offKey = hashExchanges.filterNot(k => Set("user_id", "ta", "tb", "event_type").contains(k))
+    assert(offKey.isEmpty,
+      s"membership rows re-shuffled on unexpected keys $offKey:\n" + p.take(900))
   }
 
   test("sharded_alloc ranks inside shard partitions — no global-sequence window") {
