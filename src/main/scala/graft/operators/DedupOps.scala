@@ -748,9 +748,97 @@ object DedupOps extends QueryModule {
             SELECT node, count(*) AS n_tri FROM n GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** PageRank scaling: ranks live as exact integers ×10¹² so the
+    * distributed per-node contribution sums are order-invariant BIGINT
+    * arithmetic (a raw double PageRank can never hash-match across
+    * engines/partitionings); 5 fixed iterations, damping 85/100 — all
+    * divisions are positive-integer floor division, identical in both
+    * engines.
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 5
+
+  /** PageRank over the fuzzy-match graph — centrality joins CC
+    * (`dedup_clusters`) and triangles (`fuzzy_triangles`) in the graph
+    * family: which records sit at the hubs of the match graph (a high-rank
+    * node in an entity-resolution graph is the canonical-record candidate,
+    * the link-analysis twin of `cluster_keeper`'s quality policy).
+    *
+    * Each iteration is one join (edges ⋈ ranks, keyed on the node) and one
+    * aggregation — the textbook Pregel round as two shuffles. Unlike the
+    * CC loop the round count is FIXED, so lineage is bounded and the whole
+    * computation stays one lazy plan (no per-round checkpoint
+    * materialization). Isolated suppliers are out of the graph by construction
+    * (nodes = edge endpoints), so every node has out-degree ≥ 1 in the
+    * symmetric edge view and no dangling-mass term is needed. The oracle
+    * UNROLLS the same 5 iterations as chained CTEs — DuckDB's recursive
+    * CTEs cannot aggregate over the recursive table, and unrolling states
+    * the identical integer arithmetic declaratively.
+    *
+    * At 100 TB: per-iteration cost is one hash join on node id + one
+    * partial+final agg; ranks are (node, long) pairs — the text never
+    * moves, and rounds are O(iterations), not data-dependent.
+    */
+  private val fuzzyPagerank = DeclaredQuery(
+    "fuzzy_pagerank",
+    (s, d) => {
+      val e = fuzzyPairs(s, d).select("da", "db")
+      val sym = e.unionByName(e.select(col("db").as("da"), col("da").as("db")))
+      // (src, dst, deg) edge table, built once and persisted for the loop
+      val ewd = graft.SubstrateCache.substrate(s, d, "fuzzy-sym-deg:1") {
+        sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
+      }
+      val nodes = ewd.select(col("da").as("node")).distinct()
+      // n is one scalar job on the node set (graph-sized, not corpus-sized)
+      // — folding it into literals removes a broadcast join per round
+      val n = nodes.count()
+      val base = (15L * PrScale) / (100L * n)
+      // FIXED iteration count ⇒ bounded lineage (depth 5), so the whole
+      // loop stays ONE lazy plan — no per-round checkpoint materialization.
+      // The CC fixpoint checkpoints because its round count is unbounded;
+      // a data-independent loop doesn't need the lesson.
+      var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
+      for (_ <- 1 to PrIters) {
+        // every node of the symmetric graph has in-degree ≥ 1, so the
+        // contribution aggregation already covers ALL nodes — no per-round
+        // re-join against the node set is needed
+        ranks = ewd
+          .join(ranks, ewd("da") === ranks("node"))
+          .select(col("db").as("node"), expr("r DIV deg").as("c"))
+          .groupBy("node")
+          .agg(sum(col("c")).as("sc"))
+          .select(col("node"), (lit(base) + expr("(85 * sc) DIV 100")).as("r"))
+      }
+      ranks.orderBy("node")
+    }, {
+      val base = s"(15 * $PrScale) // (100 * (SELECT n FROM nn))"
+      val steps = (1 to PrIters)
+        .map { i =>
+          s"""pr$i AS (SELECT nodes.node,
+             |               CAST($base + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS r
+             |        FROM nodes LEFT JOIN (
+             |          SELECT e.db AS node, sum(pr${i - 1}.r // deg.deg) AS sc
+             |          FROM e JOIN pr${i - 1} ON e.da = pr${i - 1}.node
+             |                 JOIN deg ON deg.da = e.da
+             |          GROUP BY e.db) s USING (node))""".stripMargin
+        }
+        .mkString(",\n")
+      Some(s"""WITH p AS (SELECT a.s_suppkey AS da, b.s_suppkey AS db
+               FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+               WHERE levenshtein(a.s_name, b.s_name) <= 1),
+               e AS (SELECT da, db FROM p UNION ALL SELECT db, da FROM p),
+               deg AS (SELECT da, count(*) AS deg FROM e GROUP BY 1),
+               nodes AS (SELECT DISTINCT da AS node FROM e),
+               nn AS (SELECT count(*) AS n FROM nodes),
+               pr0 AS (SELECT node, CAST($PrScale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+               $steps
+               SELECT node, r FROM pr$PrIters ORDER BY node""")
+    },
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
-      incrementalDedup, fuzzyNameJoin, fuzzyTriangles)
+      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
