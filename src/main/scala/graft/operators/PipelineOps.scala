@@ -20,8 +20,11 @@ import graft.Tables._
   *
   * Scale: stages 1–2 are scan + hash-window (no text shuffled, only
   * hashes); stage 3 reuses the inverted-index candidate join; stage 4 is
-  * a projection. The pair table is tiny (near-dups are rare), so the
-  * removal anti-join broadcasts it.
+  * a projection. The loser set is CORPUS-cardinality at web scale —
+  * published LLM pipelines drop 30–50% of documents as near-dups — so
+  * the removal anti-join carries no broadcast hint: AQE broadcasts it
+  * when it measures small and otherwise shuffles on doc_id, a key
+  * `deduped` already paid for its canonical-hash window.
   */
 object PipelineOps extends QueryModule {
 
@@ -55,7 +58,7 @@ object PipelineOps extends QueryModule {
         .select(col("db").as("doc_id"))
         .distinct()
       deduped
-        .join(broadcast(nearDupLosers), Seq("doc_id"), "left_anti")
+        .join(nearDupLosers, Seq("doc_id"), "left_anti") // no hint: losers are corpus-order at web scale
         .select(
           col("doc_id"),
           col("lang"),

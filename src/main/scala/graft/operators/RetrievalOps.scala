@@ -22,9 +22,14 @@ import graft.Tables._
   *    degrades gracefully to a shuffled semi-join on the 8-byte shingle
   *    hash (or a `bloom_filter_agg` prefilter with exact confirm); the
   *    corpus text itself never moves either way.
-  *  - `tfidf_keywords` shuffles (doc_id, term-hash) pairs for tf, then
-  *    the vocabulary-sized df table broadcasts back — corpus-sized data
-  *    crosses the wire once. The per-doc top-k window partitions by
+  *  - `tfidf_keywords` shuffles (doc_id, term) pairs for tf, then joins
+  *    the df table back on term with NO broadcast hint: the df table is
+  *    vocabulary-sized, and web-corpus vocabularies (typos, URLs,
+  *    unicode junk) run 10⁸–10¹⁰ terms — corpus-cardinality, not
+  *    dimension-cardinality. AQE broadcasts it when it measures small
+  *    and falls back to a shuffled join on `term` (a narrow two-column
+  *    table) when it doesn't; a pinned hint would instead force an
+  *    unbounded driver collect. The per-doc top-k window partitions by
   *    doc_id (uniform, no skew).
   *
   * Cross-engine determinism: idf is materialized as
@@ -47,18 +52,28 @@ object RetrievalOps extends QueryModule {
     * from the shared gram substrate, so repeated screens (batch query,
     * streaming ingest batches) never re-hash the benchmark.
     */
+  /** The benchmark slice's doc ids — the ONE relation in this family
+    * that is bounded by construction (an eval suite is thousands of
+    * documents, never corpus-sized), so it is the only thing this module
+    * ever pins under a `broadcast()` hint.
+    */
+  private[graft] def benchmarkDocIds(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .filter(col("source") === BenchmarkSource)
+      .select("doc_id")
+
   private[graft] def benchmarkGrams(
       s: org.apache.spark.sql.SparkSession,
       d: String,
-  ): org.apache.spark.sql.DataFrame = {
-    val src = documents(s, d).select(col("doc_id"), col("source"))
+  ): org.apache.spark.sql.DataFrame =
     DedupOps
       .gramRows(s, d)
-      .join(broadcast(src), Seq("doc_id"))
-      .filter(col("source") === BenchmarkSource)
+      .join(broadcast(benchmarkDocIds(s, d)), Seq("doc_id"), "left_semi")
       .select("gh")
       .distinct()
-  }
 
   /** Per-doc leaked-shingle counts of `grams` (doc_id, n, gh — distinct
     * per doc) against a benchmark shingle set: the screening tail shared
@@ -88,7 +103,10 @@ object RetrievalOps extends QueryModule {
     * placement: after near-dup removal, before export — exactly the
     * n-gram-overlap decontamination step of public LLM data recipes.
     *
-    * Physical shape: gram substrate → join doc→source (broadcast dim) →
+    * Physical shape: gram substrate → anti-join against the broadcast
+    * BENCHMARK doc-id set (the bounded-by-construction side — never the
+    * corpus-side (doc_id, source) dim, which after the `≠ benchmark`
+    * filter is 95% of the corpus and must not sit under a broadcast) →
     * distinct benchmark shingle set (broadcast) → equi-join + per-doc
     * count. The shingle hashes are already distinct per document in the
     * substrate, so `count(*)` per doc IS the distinct leaked-gram count.
@@ -96,11 +114,9 @@ object RetrievalOps extends QueryModule {
   private val contaminationCheck = DeclaredQuery(
     "contamination_check",
     (s, d) => {
-      val src = documents(s, d).select(col("doc_id"), col("source"))
       val corpusGrams = DedupOps
         .gramRows(s, d)
-        .join(broadcast(src), Seq("doc_id"))
-        .filter(col("source") =!= BenchmarkSource)
+        .join(broadcast(benchmarkDocIds(s, d)), Seq("doc_id"), "left_anti")
       leakedCounts(corpusGrams, benchmarkGrams(s, d))
     },
     Some(s"""WITH ${DedupOps.hashedGramsDuck},
@@ -135,8 +151,13 @@ object RetrievalOps extends QueryModule {
       val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      // NO broadcast hint on dfT: it is vocabulary-cardinality (grows
+      // with the corpus). AQE broadcasts it when it actually fits and
+      // shuffles on term otherwise — tf is already shuffled by
+      // (doc_id, term), so the fallback costs one extra exchange of a
+      // narrow (term, df) table, never a driver OOM.
       val scored = tf
-        .join(broadcast(dfT), Seq("term"))
+        .join(dfT, Seq("term"))
         .crossJoin(broadcast(nDocs)) // 1-row count scalar
         .withColumn(
           "idf_scaled",

@@ -447,10 +447,15 @@ object TextOps extends QueryModule {
     * partitioning, hash-identical in DuckDB — and only the final mean
     * divides back to a double. At 100 TB: the vocabulary aggregate is a
     * partial+final hash agg (map-side combine collapses each partition to
-    * its distinct tokens), the frequency table is broadcast (real-corpus
-    * vocabularies are millions of rows — still broadcastable; past that,
-    * a shuffled join on the token works unchanged), and the text never
-    * shuffles — only (doc_id, cost) pairs do.
+    * its distinct tokens), and the costed-vocab join carries NO broadcast
+    * hint — web-corpus vocabularies (typos, URLs, unicode junk) run
+    * 10⁸–10¹⁰ terms, corpus-cardinality, so a pinned broadcast is a
+    * forced driver OOM waiting for scale. AQE broadcasts the table when
+    * it measures small and otherwise shuffles on `tok` (a narrow
+    * two-column table; the token rows are shuffling for the groupBy
+    * anyway). A production CCNet-style variant would additionally
+    * df-prune the vocab tail before costing; the declared query keeps
+    * the full vocab so the oracle states the exact LM.
     */
   private val unigramLogprob = DeclaredQuery(
     "unigram_logprob",
@@ -467,7 +472,7 @@ object TextOps extends QueryModule {
         )
         .select("tok", "cost")
       toks
-        .join(broadcast(costed), Seq("tok"))
+        .join(costed, Seq("tok")) // no hint: vocab-cardinality side, AQE decides
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum("cost").as("cost_sum"))
         .withColumn(

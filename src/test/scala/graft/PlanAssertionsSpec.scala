@@ -128,18 +128,24 @@ class PlanAssertionsSpec extends SparkSpec {
     )
   }
 
-  test("contamination_check broadcasts the benchmark shingle set — corpus never shuffle-joins") {
+  test("contamination_check broadcasts only benchmark-bounded sets — corpus never broadcasts") {
     val p = planOf("contamination_check")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(p.contains("LeftAnti"),
+      "the corpus slice must come from an anti-join vs the broadcast BENCHMARK doc-id set")
     assert(!p.contains("SortMergeJoin"),
-      "benchmark set + source dim must broadcast; the corpus side stays in place")
+      "benchmark doc-id + shingle sets must broadcast; the corpus side stays in place")
   }
 
-  test("tfidf_keywords broadcasts the vocabulary df table and the count scalar") {
-    val p = planOf("tfidf_keywords")
+  test("tfidf_keywords: vocab df join is AQE's choice (no pin); scalar still broadcasts") {
+    val df = SparkEntry.queries("tfidf_keywords")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // at test scale AQE runtime-measures the df table small and converts
+    // the join to broadcast — proving the un-hinted plan still gets the
+    // fast join when it fits, while an oversized vocab would shuffle
+    // instead of OOMing the driver
     assert(p.contains("BroadcastHashJoin"), p.take(800))
-    assert(!p.contains("SortMergeJoin"),
-      "df is vocabulary-sized and must broadcast back onto tf")
     assert("HashAggregate".r.findAllIn(p).size >= 2, "tf needs map-side partial agg")
   }
 
@@ -247,10 +253,65 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(partsRead == 7, s"week query must open exactly 7 day directories, read $partsRead")
   }
 
-  test("unigram_logprob broadcasts the frequency table; sums stay integer") {
-    val p = planOf("unigram_logprob")
+  test("unigram_logprob: vocab join is AQE's choice (no pin); sums stay integer") {
+    val df = SparkEntry.queries("unigram_logprob")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // same contract as tfidf_keywords: AQE converts at test scale, a
+    // web-scale vocab would shuffle on tok instead of collecting to the
+    // driver
     assert(p.contains("BroadcastHashJoin"), p.take(800))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "vocab/doc aggs need map-side partials")
+  }
+
+  test("no corpus- or vocabulary-cardinality relation sits under a broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, ResolvedHint}
+    def hints(name: String): Seq[LogicalPlan] =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child
+      }
+    // a hinted subtree is bounded iff it is (a) a global scalar (grouping-
+    // empty aggregate), (b) cut to the benchmark slice (source = src0
+    // filter somewhere below — an eval suite is bounded by construction),
+    // or (c) a df-capped heavy-gram set (≤ Σocc/maxDf rows)
+    def bounded(p: LogicalPlan): Boolean = {
+      val scalar = p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.isEmpty => a
+      }.isDefined
+      val benchSlice = p.collectFirst {
+        case f: Filter if f.condition.toString.contains(
+          graft.operators.RetrievalOps.BenchmarkSource) => f
+      }.isDefined
+      val dfCap = p.collectFirst {
+        case f: Filter if f.condition.toString.contains("df#") &&
+          f.condition.toString.contains(">") => f
+      }.isDefined
+      scalar || benchSlice || dfCap
+    }
+    // the four r6-flagged queries: every remaining hint must be bounded
+    for (q <- Seq("tfidf_keywords", "unigram_logprob", "clean_corpus", "contamination_check"))
+      hints(q).foreach { h =>
+        assert(bounded(h), s"$q: unbounded relation under a broadcast hint:\n$h")
+      }
+    // and the vocabulary aggregates specifically must never be pinned:
+    // an Aggregate grouped by the term/token column IS the vocab table.
+    // Cardinality-aware walk: a grouping-empty Aggregate collapses its
+    // whole subtree to one row, so anything below it (e.g. the vocab agg
+    // feeding a Σcnt scalar) is NOT under the broadcast's cardinality
+    def unpruned(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case a: Aggregate if a.groupingExpressions.isEmpty => Seq(a)
+      case other => other +: other.children.flatMap(unpruned)
+    }
+    def vocabHinted(name: String, key: String): Boolean =
+      hints(name).exists(h => unpruned(h).exists {
+        case a: Aggregate => a.groupingExpressions.exists(_.toString.contains(key))
+        case _ => false
+      })
+    assert(!vocabHinted("tfidf_keywords", "term"), "df table must not be broadcast-pinned")
+    assert(!vocabHinted("unigram_logprob", "tok"), "costed vocab must not be broadcast-pinned")
+    // clean_corpus' loser set (distinct doc_id over near-dup pairs —
+    // corpus-order at web scale) must not be pinned either
+    assert(!vocabHinted("clean_corpus", "db"), "loser set must not be broadcast-pinned")
   }
 
   test("fuzzy join blocks on deletion keys — an equi-join, never all-pairs") {
