@@ -165,7 +165,7 @@ object PipelineOps extends QueryModule {
     * constant (2048 matches a common context length); the packing shape
     * is budget-independent.
     */
-  private val PackBudget = 2048L
+  private[graft] val PackBudget = 2048L
 
   /** Sequence packing — the concat-and-split batching step every LLM
     * pretraining pipeline runs between cleaning and training: documents
@@ -192,41 +192,56 @@ object PipelineOps extends QueryModule {
     */
   private val PackShards = 32L
 
+  /** (doc_id, tok, cum) with `cum` the GLOBAL running token total in
+    * doc_id order — the two-phase distributed prefix sum shared by both
+    * packing variants: arithmetic slicing on broadcast bounds, per-slice
+    * windows, broadcast per-slice offsets (see [[sequencePack]]'s
+    * scaladoc for why this shape and not a bare global window or
+    * `repartitionByRange`).
+    */
+  private def packedCum(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("tok"),
+    )
+    val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val local = t
+      .crossJoin(broadcast(bounds)) // 1-row bounds scalar
+      .withColumn(
+        "pid",
+        expr(s"(doc_id - lo) DIV greatest((hi - lo + 1 + ${PackShards - 1}) DIV $PackShards, 1)"),
+      )
+      .withColumn(
+        "cum_local",
+        sum("tok").over(Window.partitionBy("pid").orderBy("doc_id")),
+      )
+    // #partitions rows: the tiny global window here is the POINT — the
+    // corpus-sized one above stays partitioned
+    val offsets = local
+      .groupBy("pid")
+      .agg(sum(col("tok")).as("psum"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum("psum").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L),
+        ),
+      )
+      .select("pid", "offset")
+    local
+      .join(broadcast(offsets), Seq("pid"))
+      .withColumn("cum", col("cum_local") + col("offset"))
+      .select("doc_id", "tok", "cum")
+  }
+
   private val sequencePack = DeclaredQuery(
     "sequence_pack",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val t = documents(s, d).select(
-        col("doc_id"),
-        size(split(col("text"), "\\s+")).cast("long").as("tok"),
-      )
-      val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-      val local = t
-        .crossJoin(broadcast(bounds)) // 1-row bounds scalar
-        .withColumn(
-          "pid",
-          expr(s"(doc_id - lo) DIV greatest((hi - lo + 1 + ${PackShards - 1}) DIV $PackShards, 1)"),
-        )
-        .withColumn(
-          "cum_local",
-          sum("tok").over(Window.partitionBy("pid").orderBy("doc_id")),
-        )
-      // #partitions rows: the tiny global window here is the POINT — the
-      // corpus-sized one above stays partitioned
-      val offsets = local
-        .groupBy("pid")
-        .agg(sum(col("tok")).as("psum"))
-        .withColumn(
-          "offset",
-          coalesce(
-            sum("psum").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-            lit(0L),
-          ),
-        )
-        .select("pid", "offset")
-      local
-        .join(broadcast(offsets), Seq("pid"))
-        .withColumn("cum", col("cum_local") + col("offset"))
+      packedCum(s, d)
         .withColumn("pack_id", expr(s"(cum - tok) DIV $PackBudget"))
         .groupBy("pack_id")
         .agg(
@@ -250,6 +265,68 @@ object PipelineOps extends QueryModule {
              FROM p GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Boundary-splitting sequence packing — the production loader shape:
+    * a document that straddles a pack boundary is SPLIT, contributing its
+    * tokens to every pack it spans, so every pack's `tok_total` is
+    * exactly [[PackBudget]] (the last pack excepted). [[sequencePack]]
+    * assigns whole documents to their first-token pack and so can
+    * overflow the budget; real pretraining loaders split or truncate at
+    * the boundary — this variant is the split form.
+    *
+    * The span is derived arithmetically from the same two-phase prefix
+    * sum: a doc occupying global token interval [cum−tok, cum) touches
+    * packs ⌊(cum−tok)/B⌋ .. ⌊(cum−1)/B⌋ and is exploded into one row per
+    * touched pack via `explode(sequence(...))` — the range→rows pattern
+    * of X1 (reference onefs.py:1192-1196). Each slice's token count is
+    * interval intersection: `least(cum, (p+1)·B) − greatest(cum−tok, p·B)`.
+    * At 100 TB the explode fan-out is bounded: Σ spans = Σ tok/B + #docs
+    * rows, and no task holds more than its slice of the doc_id line —
+    * the same scale argument as [[sequencePack]], plus a per-row bounded
+    * generator. `n_docs` counts doc SLICES (a straddling doc counts in
+    * each pack it touches).
+    */
+  private val sequencePackSplit = DeclaredQuery(
+    "sequence_pack_split",
+    (s, d) => {
+      packedCum(s, d)
+        .withColumn(
+          "pack_id",
+          explode(expr(s"sequence((cum - tok) DIV $PackBudget, (cum - 1) DIV $PackBudget)")),
+        )
+        .withColumn(
+          "slice_tok",
+          expr(s"least(cum, (pack_id + 1) * $PackBudget)" +
+            s" - greatest(cum - tok, pack_id * $PackBudget)"),
+        )
+        .groupBy("pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("slice_tok").as("tok_total"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+        )
+        .orderBy("pack_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+                        FROM documents),
+             c AS (SELECT doc_id, tok,
+                          CAST(sum(tok) OVER (ORDER BY doc_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                   FROM t),
+             e AS (SELECT doc_id, tok, cum,
+                          unnest(range((cum - tok) // $PackBudget,
+                                       (cum - 1) // $PackBudget + 1)) AS pack_id
+                   FROM c),
+             sl AS (SELECT pack_id, doc_id,
+                           least(cum, (pack_id + 1) * $PackBudget)
+                           - greatest(cum - tok, pack_id * $PackBudget) AS slice_tok
+                    FROM e)
+             SELECT pack_id, count(*) AS n_docs, CAST(sum(slice_tok) AS BIGINT) AS tok_total,
+                    min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             FROM sl GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack)
+    Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit)
 }

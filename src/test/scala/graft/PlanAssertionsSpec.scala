@@ -354,12 +354,19 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("sequence_pack's corpus-sized prefix sum stays partitioned; only offsets broadcast") {
-    val p = planOf("sequence_pack")
-    assert(p.contains("BroadcastHashJoin"),
-      "the #partitions-row offset table must broadcast back:\n" + p.take(800))
-    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
-    val windows = "Window".r.findAllIn(p).size
-    assert(windows >= 2, s"expected the partitioned cumsum AND the tiny offset window, got $windows")
+    for (name <- Seq("sequence_pack", "sequence_pack_split")) {
+      val p = planOf(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: the #partitions-row offset table must broadcast back:\n" + p.take(800))
+      assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(500))
+      val windows = "Window".r.findAllIn(p).size
+      assert(windows >= 2,
+        s"$name: expected the partitioned cumsum AND the tiny offset window, got $windows")
+    }
+    // the split variant fans a doc out to its spanned packs with a bounded
+    // per-row generator, not a join
+    assert(planOf("sequence_pack_split").contains("Generate explode"),
+      "the pack span must come from explode(sequence(...))")
   }
 
   test("fuzzy_triangles orients edges by degree — wedge join bounded by arboricity") {
