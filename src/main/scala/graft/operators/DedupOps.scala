@@ -758,6 +758,101 @@ object DedupOps extends QueryModule {
   private val PrScale = 1000000000000L
   private val PrIters = 5
 
+  /** The symmetric-graph PageRank loop behind `fuzzy_pagerank`. `ewd` must
+    * be a (da, db, deg) edge table containing BOTH directions of every
+    * undirected pair (the declared query constructs this by unioning the
+    * reversed frame, so the invariant holds structurally). Under that
+    * invariant every node has out-degree ≥ 1 (no dangling mass to
+    * redistribute) and in-degree ≥ 1 (the contribution aggregation already
+    * covers all nodes), which is why this loop can skip both the
+    * dangling-mass term and the per-round node re-join. Pointing it at a
+    * DIRECTED edge list silently leaks rank mass — use [[pagerank]] for
+    * that, which carries the dangling term. An empty graph short-circuits
+    * to an empty (node, r) frame instead of dividing by zero.
+    */
+  private[graft] def pagerankSymmetric(ewd: DataFrame, iters: Int = PrIters): DataFrame = {
+    val nodes = ewd.select(col("da").as("node")).distinct()
+    // n is one scalar job on the node set (graph-sized, not corpus-sized)
+    // — folding it into literals removes a broadcast join per round
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
+    val base = (15L * PrScale) / (100L * n)
+    // FIXED iteration count ⇒ bounded lineage (depth `iters`), so the whole
+    // loop stays ONE lazy plan — no per-round checkpoint materialization.
+    // The CC fixpoint checkpoints because its round count is unbounded;
+    // a data-independent loop doesn't need the lesson.
+    var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = ewd
+        .join(ranks, ewd("da") === ranks("node"))
+        .select(col("db").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("sc"))
+        .select(col("node"), (lit(base) + expr("(85 * sc) DIV 100")).as("r"))
+    }
+    ranks.orderBy("node")
+  }
+
+  /** PageRank over an arbitrary DIRECTED edge list — the reusable form of
+    * the `fuzzy_pagerank` recurrence, safe on graphs the symmetric fast
+    * path is not. `edges`' first two columns are read as (src, dst). Two
+    * things the symmetric loop assumes away are handled here:
+    *
+    *  - nodes with out-degree 0 (dangling): their rank is redistributed
+    *    uniformly each round (`dshare = danglingSum DIV n`, one scalar row
+    *    cross-joined into the update). Without this term a directed graph
+    *    (web links, citations) silently leaks mass toward the teleport
+    *    floor.
+    *  - nodes with in-degree 0: they receive no contributions, so each
+    *    round left-joins the full node set and coalesces the sum to 0 —
+    *    the same shape the DuckDB oracle states for the declared query.
+    *
+    * Arithmetic is the same exact-integer recurrence (ranks ×10¹², floor
+    * division) so results stay order-invariant; on a symmetric edge view
+    * the dangling set is empty and in-degrees are all ≥ 1, so this reduces
+    * to [[pagerankSymmetric]]'s recurrence exactly. Empty input → empty
+    * (node, r) frame.
+    *
+    * At 100 TB: per round, one node-keyed hash join + agg for
+    * contributions, one left_anti + single-row aggregate for the dangling
+    * sum (a scalar, broadcast by the cross join), one left join against
+    * the node set. All state is (node, long) pairs.
+    */
+  def pagerank(edges: DataFrame, iters: Int = PrIters): DataFrame = {
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+    val ewd = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+    val nodes = e
+      .select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist()
+    val n = nodes.count()
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
+    val base = (15L * PrScale) / (100L * n)
+    val sources = e.select(col("src").as("node")).distinct()
+    var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ewd
+        .join(ranks, ewd("src") === ranks("node"))
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("sc"))
+      val dangShare = ranks
+        .join(sources, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dtot"))
+        .select(expr(s"dtot DIV $n").as("dshare"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(dangShare)
+        .select(
+          col("node"),
+          (lit(base) + expr("(85 * (coalesce(sc, 0) + dshare)) DIV 100")).as("r"),
+        )
+    }
+    ranks.orderBy("node")
+  }
+
   /** PageRank over the fuzzy-match graph — centrality joins CC
     * (`dedup_clusters`) and triangles (`fuzzy_triangles`) in the graph
     * family: which records sit at the hubs of the match graph (a high-rank
@@ -770,7 +865,8 @@ object DedupOps extends QueryModule {
     * computation stays one lazy plan (no per-round checkpoint
     * materialization). Isolated suppliers are out of the graph by construction
     * (nodes = edge endpoints), so every node has out-degree ≥ 1 in the
-    * symmetric edge view and no dangling-mass term is needed. The oracle
+    * symmetric edge view and no dangling-mass term is needed (directed
+    * graphs go through [[pagerank]], which carries it). The oracle
     * UNROLLS the same 5 iterations as chained CTEs — DuckDB's recursive
     * CTEs cannot aggregate over the recursive table, and unrolling states
     * the identical integer arithmetic declaratively.
@@ -788,28 +884,7 @@ object DedupOps extends QueryModule {
       val ewd = graft.SubstrateCache.substrate(s, d, "fuzzy-sym-deg:1") {
         sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
       }
-      val nodes = ewd.select(col("da").as("node")).distinct()
-      // n is one scalar job on the node set (graph-sized, not corpus-sized)
-      // — folding it into literals removes a broadcast join per round
-      val n = nodes.count()
-      val base = (15L * PrScale) / (100L * n)
-      // FIXED iteration count ⇒ bounded lineage (depth 5), so the whole
-      // loop stays ONE lazy plan — no per-round checkpoint materialization.
-      // The CC fixpoint checkpoints because its round count is unbounded;
-      // a data-independent loop doesn't need the lesson.
-      var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
-      for (_ <- 1 to PrIters) {
-        // every node of the symmetric graph has in-degree ≥ 1, so the
-        // contribution aggregation already covers ALL nodes — no per-round
-        // re-join against the node set is needed
-        ranks = ewd
-          .join(ranks, ewd("da") === ranks("node"))
-          .select(col("db").as("node"), expr("r DIV deg").as("c"))
-          .groupBy("node")
-          .agg(sum(col("c")).as("sc"))
-          .select(col("node"), (lit(base) + expr("(85 * sc) DIV 100")).as("r"))
-      }
-      ranks.orderBy("node")
+      pagerankSymmetric(ewd, PrIters)
     }, {
       val base = s"(15 * $PrScale) // (100 * (SELECT n FROM nn))"
       val steps = (1 to PrIters)
