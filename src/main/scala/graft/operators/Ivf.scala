@@ -38,6 +38,11 @@ object Ivf extends QueryModule {
     * algorithm hash-comparable across engines at all.
     */
   private val K = 8
+
+  /** The shared substrate's cell count — the default for every
+    * within-cell consumer; production tunes this up (see SCALE.md).
+    */
+  private[graft] val DefaultK: Int = K
   private val NProbe = 2
   private val TopK = 5
   private val NQueries = 8
@@ -94,15 +99,19 @@ object Ivf extends QueryModule {
     * probe (`ivf_ann`, `ivf_quantized_topk`), so it must never re-run the
     * two-step Lloyd chain per consumer.
     */
-  private[operators] def refinedCentroids(s: SparkSession, d: String): DataFrame = {
+  private[graft] def refinedCentroids(s: SparkSession, d: String, k: Int = K): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (e, n) = scaledEmbeddings(s, d)
-    val stride = math.max(n / K, 1L)
-    graft.SubstrateCache.substrate(s, d, "ivf-centroids") {
+    val stride = math.max(n / k, 1L)
+    // the default k keeps its historical cache key (and thus its plan
+    // fingerprint in PLANS.md); other cell counts — the production knob —
+    // get their own substrate entry
+    val key = if (k == K) "ivf-centroids" else s"ivf-centroids-k$k"
+    graft.SubstrateCache.substrate(s, d, key) {
       val seeds = e
         .filter(col("vec_id") % stride === 0)
         .orderBy("vec_id")
-        .limit(K)
+        .limit(k)
         .select(
           (row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
           col("dvec").as("cvec"),
@@ -111,11 +120,17 @@ object Ivf extends QueryModule {
     }
   }
 
-  /** Final corpus→cell assignment under the refined centroids. */
-  private[operators] def cellAssignment(s: SparkSession, d: String): DataFrame = {
+  /** Final corpus→cell assignment under the refined centroids. `k` is the
+    * cell-count knob (default = the shared substrate's K): more cells is
+    * the documented scale path for every within-cell consumer
+    * (`semantic_dedup` above all), so the assignment must be buildable at
+    * any k, not only the fixture's 8.
+    */
+  private[graft] def cellAssignment(s: SparkSession, d: String, k: Int = K): DataFrame = {
     val (e, _) = scaledEmbeddings(s, d)
-    graft.SubstrateCache.substrate(s, d, "ivf-assigned") {
-      argmaxCell(s, e.select("vec_id", "dvec"), refinedCentroids(s, d))
+    val key = if (k == K) "ivf-assigned" else s"ivf-assigned-k$k"
+    graft.SubstrateCache.substrate(s, d, key) {
+      argmaxCell(s, e.select("vec_id", "dvec"), refinedCentroids(s, d, k))
     }
   }
 
@@ -290,12 +305,19 @@ object Ivf extends QueryModule {
         )
         .filter(col("rk") <= NProbe)
         .select("qid", "qvec", "qqv", "cid")
-      // ≤ queries·nprobe ints — scales with K, not the corpus
-      val probedCells = cells.select("cid").distinct().collect().map(_.getInt(0))
+      // ≤ queries·nprobe rows — scales with K, not the corpus. Collected
+      // ONCE and reused two ways: the distinct cids become the literal
+      // isin pruning the layout scan at planning time, and the rows
+      // re-enter the plan as a LocalRelation so the centroid-ranking
+      // subtree isn't recomputed inside the main job.
+      val probedRows = cells.collect()
+      val probedCells = probedRows.map(_.getAs[Int]("cid")).distinct
+      val cellsLit =
+        s.createDataFrame(java.util.Arrays.asList(probedRows: _*), cells.schema)
       val scan = s.read
         .parquet(quantizedCellLayout(s, d))
-        .filter(col("cid").isin(probedCells.map(Integer.valueOf): _*))
-      broadcast(cells)
+        .filter(col("cid").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+      broadcast(cellsLit)
         .join(scan, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .withColumn("qdot", expr("graft_int_dot(qqv, qv)"))
@@ -449,11 +471,18 @@ object Ivf extends QueryModule {
       )
       .filter(col("rk") <= nprobe)
       .select("qid", "qvec", "cid")
-    val probedCells = cells.select("cid").distinct().collect().map(_.getInt(0))
+    // collected ONCE (≤ queries·nprobe rows) and reused two ways: the
+    // distinct cids prune the scan at planning time, and the rows re-enter
+    // the plan as a LocalRelation so the centroid-ranking subtree isn't
+    // recomputed inside the main job
+    val probedRows = cells.collect()
+    val probedCells = probedRows.map(_.getAs[Int]("cid")).distinct
+    val cellsLit =
+      s.createDataFrame(java.util.Arrays.asList(probedRows: _*), cells.schema)
     val probedScan = s.read
       .parquet(indexDir)
-      .filter(col("cid").isin(probedCells.map(Integer.valueOf): _*))
-    cells
+      .filter(col("cid").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+    cellsLit
       .join(probedScan.withColumnRenamed("dvec", "cand_vec"), "cid")
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("sim", sim(s, "qvec", "cand_vec"))

@@ -278,12 +278,19 @@ object PqOps extends QueryModule {
         )
         .filter(col("rk") <= IvfNProbe)
         .select("qid", "cid")
-      // ≤ queries·nprobe ints — scales with the cell count, not the corpus
-      val probedCells = cells.select("cid").distinct().collect().map(_.getInt(0))
+      // ≤ queries·nprobe rows — scales with the cell count, not the corpus.
+      // Collected ONCE and reused two ways: the distinct cids become the
+      // literal isin that prunes the layout scan at planning time, and the
+      // (qid, cid) pairs re-enter the plan as a LocalRelation so the
+      // centroid-ranking subtree isn't recomputed inside the main job.
+      val probedRows = cells.collect()
+      val probedCells = probedRows.map(_.getAs[Int]("cid")).distinct
+      val cellsLit =
+        s.createDataFrame(java.util.Arrays.asList(probedRows: _*), cells.schema)
       val scan = s.read
         .parquet(pqCellLayout(s, d))
-        .filter(col("cid").isin(probedCells.map(Integer.valueOf): _*))
-      val cands = broadcast(cells.join(broadcast(queryAdcTable(s, d)), Seq("qid")))
+        .filter(col("cid").isin(probedCells.map(Integer.valueOf).toSeq: _*))
+      val cands = broadcast(cellsLit.join(broadcast(queryAdcTable(s, d)), Seq("qid")))
         .join(scan, Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select("qid", "fp", "vec_id", "carr")

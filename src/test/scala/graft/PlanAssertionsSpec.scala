@@ -167,6 +167,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("IVF probes reuse the collected centroid ranking as a LocalRelation (computed once)") {
+    // the (qid, cid) probe rows are collected ONCE for the pruning
+    // literals and re-enter the plan as a LocalTableScan — the
+    // centroid-ranking window subtree must not ALSO be recomputed inside
+    // the main job (the round-7 1.64→1.03 s fix; the only ranking windows
+    // left in the plan are the top-k cuts and substrate builds)
+    // (ivf_ann probes the in-memory assignment substrate — no layout
+    // collect exists there to reuse)
+    for (q <- Seq("ivf_quantized_topk", "ivf_pq_topk")) {
+      val p = planOf(q)
+      assert(p.contains("LocalTableScan"),
+        s"$q: probe rows must enter the plan as a LocalRelation:\n" + p.take(800))
+    }
+  }
+
   test("semantic_dedup bounds the pair space to the cell equi-join") {
     val p = planOf("semantic_dedup")
     assert(!p.contains("CartesianProduct"),
