@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
@@ -306,26 +306,41 @@ object SimilarityOps extends QueryModule {
     */
   private val SemTau = 0.4
 
+  /** The SemDeDup core over ANY cell assignment: within each cell, drop
+    * every vector with cosine ≥ τ to a lower-id cell-mate; survivors are
+    * (vec_id, cid). The assignment is a parameter because the cell count
+    * IS the production knob — the declared query feeds it the shared
+    * k=8 substrate, SemanticDedupSpec feeds it k=32 and proves the drop
+    * decisions agree on every τ-chain that stays inside one cell in both
+    * clusterings (the invariance that makes "more cells" a cost knob,
+    * not a semantics change, wherever chains are cell-pure).
+    */
+  private[graft] def semanticSurvivors(
+      s: SparkSession,
+      d: String,
+      k: Int,
+      tau: Double = SemTau,
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (e, _) = Ivf.scaledEmbeddings(s, d)
+    val asg = Ivf.cellAssignment(s, d, k)
+    val withVec = asg.join(e.select(col("vec_id"), col("dvec")), Seq("vec_id"))
+    val a = withVec.select(col("cid"), col("vec_id").as("u"), col("dvec").as("du"))
+    val b = withVec.select(col("cid"), col("vec_id").as("v"), col("dvec").as("dv"))
+    val dropped = a
+      .join(b, Seq("cid"))
+      .filter(col("u") < col("v"))
+      .filter(round(expr("cosine_similarity(du, dv)"), 6) >= tau)
+      .select(col("v"))
+      .distinct()
+    asg
+      .join(dropped, asg("vec_id") === dropped("v"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+  }
+
   private val semanticDedup = DeclaredQuery(
     "semantic_dedup",
-    (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val (e, _) = Ivf.scaledEmbeddings(s, d)
-      val asg = Ivf.cellAssignment(s, d)
-      val withVec = asg.join(e.select(col("vec_id"), col("dvec")), Seq("vec_id"))
-      val a = withVec.select(col("cid"), col("vec_id").as("u"), col("dvec").as("du"))
-      val b = withVec.select(col("cid"), col("vec_id").as("v"), col("dvec").as("dv"))
-      val dropped = a
-        .join(b, Seq("cid"))
-        .filter(col("u") < col("v"))
-        .filter(round(expr("cosine_similarity(du, dv)"), 6) >= SemTau)
-        .select(col("v"))
-        .distinct()
-      asg
-        .join(dropped, asg("vec_id") === dropped("v"), "left_anti")
-        .select(col("vec_id"), col("cid").cast("long").as("cid"))
-        .orderBy("vec_id")
-    },
+    (s, d) => semanticSurvivors(s, d, Ivf.DefaultK).orderBy("vec_id"),
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
                                list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
