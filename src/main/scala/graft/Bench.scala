@@ -38,7 +38,7 @@ object Bench {
       for ((name, fn) <- suite)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
     for (_ <- 1 to reps; (name, fn) <- suite) {
       val t0 = System.nanoTime()
       val ok =
@@ -47,10 +47,19 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       // a failed rep aborts early — its elapsed time is not a
       // measurement and must not win the min
-      if (ok) best.updateWith(name)(p => Some(p.fold(secs)(math.min(_, secs))))
+      if (ok) times.updateWith(name)(p => Some(secs :: p.getOrElse(Nil)))
     }
     // -1 marks an all-reps-failed query (NaN would break JSON parsing)
-    val results = suite.map { case (name, _) => name -> best.getOrElse(name, -1.0) }.toMap
+    val results =
+      suite.map { case (name, _) => name -> times.get(name).fold(-1.0)(_.min) }.toMap
+    // Run-noise indicator: per-query spread = max/min over its successful
+    // reps; noise = p90 of those spreads. 1.0 = perfectly quiet box; the
+    // judge uses this to separate run-level drift from real regressions
+    // without re-deriving it from raw reps.
+    val spreads = times.values.collect { case ts if ts.size >= 2 => ts.max / ts.min }.toSeq.sorted
+    val noise =
+      if (spreads.isEmpty) 1.0
+      else spreads(math.min(spreads.size - 1, math.ceil(0.9 * spreads.size).toInt - 1))
     // Millisecond precision: full-precision doubles quadruple the line
     // length for digits that are pure noise next to the box's ±50% spikes.
     // Ascending-cost order: if the driver's bounded tail window clips the
@@ -68,7 +77,9 @@ object Bench {
     // short, fixed-size total line goes LAST — truncation can eat per-query
     // detail but never the headline metric.
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","noise":$noise%.2f,"queries":{},"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }
