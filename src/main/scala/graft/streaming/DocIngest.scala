@@ -98,8 +98,19 @@ object DocIngest {
     * the corpus) and the label rewrite is a fixpoint (re-contracting
     * already-merged components relabels nothing). The label table is
     * localCheckpoint-materialized before its overwrite (a lazy plan
-    * would read the directory it is replacing). [[start]]/[[startDurable]]
-    * are the simpler at-least-once twins; this is the exactly-once form.
+    * would read the directory it is replacing).
+    * StreamingSpec's crash-recovery case kills the loop between batches,
+    * simulates a fully-written-but-uncommitted attempt, restarts from
+    * the same checkpoint, and proves the resumed state equals the full
+    * recompute.
+    *
+    * SCOPE of the exactly-once claim: it covers the DURABLE STORES only
+    * (gram dirs + label table — replays rewrite them to identical
+    * content). `onPairs` itself fires AT-LEAST-ONCE: a replayed batch
+    * re-delivers its (identical) pair table, so a side-effecting
+    * consumer must dedup — the batch id is passed alongside the pairs
+    * exactly for that (idempotence key). [[start]]/[[startDurable]] are
+    * the simpler at-least-once-everywhere twins.
     */
   def startDurableLabeled(
       docs: DataFrame,
@@ -108,7 +119,7 @@ object DocIngest {
       minJ: Double,
       checkpointDir: String,
       maxRounds: Int = 20,
-  )(onPairs: DataFrame => Unit): StreamingQuery = {
+  )(onPairs: (DataFrame, Long) => Unit): StreamingQuery = {
     val spark = docs.sparkSession
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -123,7 +134,7 @@ object DocIngest {
         }
         val corpus = spark.read.parquet(corpusPaths.toIndexedSeq: _*)
         val pairs = DedupOps.nearDupsAgainstGrams(corpus, batch, minJ).localCheckpoint()
-        onPairs(pairs)
+        onPairs(pairs, batchId)
         val prev = spark.read.parquet(labelsDir)
         val updated = DedupOps.incrementalCcLabels(
           prev,

@@ -338,7 +338,7 @@ class StreamingSpec extends SparkSpec {
       labelsDir,
       minJ = 0.3,
       checkpointDir = Files.createTempDirectory("ck-ingest-lbl").toString,
-    )(_ => ())
+    )((_, _) => ())
     q.awaitTermination(180000)
     assert(!q.isActive)
 
@@ -371,6 +371,117 @@ class StreamingSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(keeperInc.toSeq == keeperDecl.toSeq)
+  }
+
+  test("durable labeled ingest resumes from a mid-stream kill and replays an uncommitted batch idempotently") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val split = 400L
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") < split)
+    val fileA = docs.filter(col("doc_id") >= split && col("doc_id") < split + 50)
+    val fileB = docs.filter(col("doc_id") >= split + 50)
+
+    // only file A staged before run 1: AvailableNow drains what exists and
+    // terminates — the "kill between batches" (batch 0 committed, nothing
+    // else started)
+    val streamDir = Files.createTempDirectory("doc-ingest-crash").toString
+    fileA.coalesce(1).write.mode("append").parquet(streamDir)
+
+    val base = Files.createTempDirectory("lbl-store-crash").toString
+    val sigDir = base + "/grams"
+    val labelsDir = base + "/labels"
+    graft.streaming.DocIngest.seedSignatures(corpus, sigDir)
+    val corpusPairs = graft.operators.DedupOps
+      .nearDupsAgainstGrams(graft.operators.DedupOps.gramRowsOf(corpus.limit(0)), corpus, 0.3)
+      .select(col("new_id").as("da"), col("other_id").as("db"))
+    graft.streaming.DocIngest.seedLabels(corpus, corpusPairs, labelsDir)
+
+    val ck = Files.createTempDirectory("ck-ingest-crash").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def canon(r: org.apache.spark.sql.Row) = (
+      math.min(r.getAs[Long]("new_id"), r.getAs[Long]("other_id")),
+      math.max(r.getAs[Long]("new_id"), r.getAs[Long]("other_id")),
+      r.getAs[Long]("shared"),
+      math.round(r.getAs[Double]("j") * 1000),
+    )
+    val delivered = scala.collection.mutable.Map.empty[Long, Set[(Long, Long, Long, Long)]]
+    def run(): Unit = {
+      val q = graft.streaming.DocIngest.startDurableLabeled(
+        graft.streaming.DocIngest.readDocs(spark, streamDir),
+        sigDir,
+        labelsDir,
+        minJ = 0.3,
+        checkpointDir = ck,
+      ) { (pairs, id) =>
+        seen.synchronized {
+          seen += id
+          delivered(id) = pairs.collect().map(canon).toSet
+        }
+      }
+      q.awaitTermination(180000)
+      assert(!q.isActive)
+    }
+    run()
+    assert(seen.toSeq == Seq(0L), s"run 1 must commit exactly batch 0, saw $seen")
+
+    // stage file B, then simulate a crashed second attempt that completed
+    // EVERY durable write (grams in batch_1, labels merged) but died
+    // before the checkpoint commit — the state the replay must be
+    // idempotent over, built through the same public ops the loop runs
+    fileB.coalesce(1).write.mode("append").parquet(streamDir)
+    def sigPaths(excludeDir: String): Seq[String] = {
+      val entries = Option(new java.io.File(sigDir).listFiles()).getOrElse(Array.empty)
+      entries.collect {
+        case f if f.isDirectory && f.getName != excludeDir => f.toString
+        case f if f.isFile && f.getName.endsWith(".parquet") => f.toString
+      }.toIndexedSeq
+    }
+    val crashPairs = graft.operators.DedupOps
+      .nearDupsAgainstGrams(spark.read.parquet(sigPaths("batch_1"): _*), fileB, 0.3)
+      .localCheckpoint()
+    val crashSet = crashPairs.collect().map(canon).toSet
+    val merged = graft.operators.DedupOps.incrementalCcLabels(
+      spark.read.parquet(labelsDir),
+      fileB.select(col("doc_id").as("node")),
+      crashPairs.select(col("new_id").as("da"), col("other_id").as("db")),
+      20,
+    )
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(labelsDir)
+    graft.operators.DedupOps
+      .gramRowsOf(fileB)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$sigDir/batch_1")
+
+    // run 2: restart from the SAME checkpoint — batch 1 runs over the
+    // already-written state (its own gram dir is excluded from the corpus,
+    // the label merge is a fixpoint)
+    run()
+    assert(seen.toSeq == Seq(0L, 1L), s"restart must replay exactly batch 1, saw $seen")
+    assert(
+      delivered(1L) == crashSet,
+      "replayed batch must recompute the identical pair set over the half-written state",
+    )
+
+    // resumed durable state equals the one-shot full recompute
+    val maintained = spark.read.parquet(labelsDir)
+    assert(maintained.count() == docs.count(), "exactly one label per doc after replay")
+    val allPairs = graft.operators.DedupOps
+      .nearDupsAgainstGrams(graft.operators.DedupOps.gramRowsOf(docs.limit(0)), docs, 0.3)
+      .select(col("new_id").as("da"), col("other_id").as("db"))
+    val (full, _) = graft.operators.DedupOps
+      .starContract(docs.select(col("doc_id").as("node")), allPairs, 20)
+    val fullSet = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.unpersist()
+    val maintainedSet =
+      maintained.collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("lbl"))).toSet
+    assert(maintainedSet == fullSet, "resumed incremental labels must equal the full fixpoint")
+
+    // gram store carries each doc's rows exactly once (Overwrite, never
+    // Append, under replay)
+    val gramTotal = spark.read.parquet(sigPaths(""): _*).count()
+    assert(gramTotal == graft.operators.DedupOps.gramRowsOf(docs).count())
   }
 
   test("streaming decontamination screen equals the batch contamination check") {
