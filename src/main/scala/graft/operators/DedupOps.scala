@@ -449,7 +449,14 @@ object DedupOps extends QueryModule {
     *
     * `prevLabels` = (node, lbl) converged; `newNodes` = (node) for the
     * batch (unseen ids self-label); `newPairs` = (da, db) with endpoints
-    * old or new. Returns a materialized (localCheckpoint'ed) label table.
+    * old or new. Every endpoint MUST appear in `prevLabels` or
+    * `newNodes` — a stray endpoint would silently get no output row (its
+    * relabel entry dangles), so the contract is enforced with a cheap
+    * guard: endpoints unmatched by `prevLabels` (already computed by the
+    * quotient's left joins) are anti-joined against the batch's nodes —
+    * O(batch) work — and a nonempty remainder raises
+    * [[graft.MalformedStateError]] instead of dropping labels. Returns a
+    * materialized (localCheckpoint'ed) label table.
     */
   def incrementalCcLabels(
       prevLabels: DataFrame,
@@ -459,10 +466,23 @@ object DedupOps extends QueryModule {
   ): DataFrame = {
     val la = prevLabels.select(col("node").as("da"), col("lbl").as("la"))
     val lb = prevLabels.select(col("node").as("db"), col("lbl").as("lb"))
-    val quotient = newPairs
+    val joined = newPairs
       .select("da", "db")
       .join(la, Seq("da"), "left")
       .join(lb, Seq("db"), "left")
+    val strays = joined
+      .filter(col("la").isNull)
+      .select(col("da").as("node"))
+      .union(joined.filter(col("lb").isNull).select(col("db").as("node")))
+      .distinct()
+      .join(newNodes.select("node"), Seq("node"), "left_anti")
+      .limit(5)
+      .collect()
+    if (strays.nonEmpty)
+      throw new graft.MalformedStateError(
+        s"incremental CC pair endpoints in neither prevLabels nor newNodes: " +
+          strays.map(_.get(0)).mkString(", "))
+    val quotient = joined
       .select(coalesce(col("la"), col("da")).as("da"), coalesce(col("lb"), col("db")).as("db"))
       .filter(col("da") =!= col("db"))
     val qNodes = quotient

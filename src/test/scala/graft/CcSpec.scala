@@ -89,4 +89,22 @@ class CcSpec extends SparkSpec {
       info(s"$name: ${star.values.toSet.size} components in $rounds star rounds")
     }
   }
+
+  test("incremental labels raise on a pair endpoint in neither prevLabels nor newNodes") {
+    val prev = Seq((1L, 1L), (2L, 1L)).toDF("node", "lbl")
+    val newNodes = Seq(10L).toDF("node")
+    // endpoint 99 is a contract violation: before the guard it silently
+    // produced no output row (a dangling relabel entry); now it must be a
+    // loud typed error instead of quietly missing labels
+    val bad = Seq((10L, 99L)).toDF("da", "db")
+    val e = intercept[graft.MalformedStateError] {
+      DedupOps.incrementalCcLabels(prev, newNodes, bad, 20)
+    }
+    assert(e.getMessage.contains("99"))
+    // the well-formed twin still works: both endpoints known
+    val ok = DedupOps
+      .incrementalCcLabels(prev, newNodes, Seq((10L, 2L)).toDF("da", "db"), 20)
+    val got = labelsOf(ok)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L))
+  }
 }
