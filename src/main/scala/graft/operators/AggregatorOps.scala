@@ -66,7 +66,7 @@ object AggregatorOps extends QueryModule {
     * adversarial key space the same query degrades gracefully to the
     * n/(k+1) error contract pinned in MisraGriesSpec.
     */
-  private[operators] val MgK = 8
+  private[graft] val MgK = 8
 
   /** Windowed heavy hitters via the mergeable Misra–Gries Aggregator —
     * the DECLARED batch twin of the streaming top-k split

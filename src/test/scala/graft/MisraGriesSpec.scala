@@ -68,4 +68,31 @@ class MisraGriesSpec extends SparkSpec {
       bounds(summary, stream, k)
     }
   }
+
+  /** `mg_heavy_hitters` is oracle-deterministic ONLY because every
+    * per-hour group's distinct key count stays ≤ MgK (the sketch is then
+    * exact and merge-order-free). If a fixture refresh ever adds event
+    * types past that, the declared result would go merge-order-dependent
+    * and the gate would flake with no pointer to the cause — so the
+    * exactness precondition is pinned here against BOTH the gate's SF
+    * (0.01) and the bench's (0.1).
+    */
+  test("fixture invariant: per-hour distinct event types stay within the MG capacity") {
+    import org.apache.spark.sql.functions._
+    for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val maxDistinct = Tables
+        .events(spark, d)
+        .groupBy(date_trunc("hour", col("ts")))
+        .agg(countDistinct(col("event_type")).as("n"))
+        .agg(max("n"))
+        .head()
+        .getLong(0)
+      assert(
+        maxDistinct <= graft.operators.AggregatorOps.MgK,
+        s"$d: $maxDistinct distinct event types in one hour exceeds MgK=" +
+          s"${graft.operators.AggregatorOps.MgK} — mg_heavy_hitters' exactness " +
+          "precondition no longer holds; raise MgK or fix the fixture",
+      )
+    }
+  }
 }
