@@ -136,6 +136,11 @@ object GraftFunctions {
         (children: Seq[Expression]) => GramHashes(children(0)),
       ),
       (
+        FunctionIdentifier("graft_gram_hashes_pos"),
+        new ExpressionInfo(classOf[GramHashesPos].getName, "graft_gram_hashes_pos"),
+        (children: Seq[Expression]) => GramHashesPos(children(0)),
+      ),
+      (
         FunctionIdentifier("graft_int_dot"),
         new ExpressionInfo(classOf[IntDot].getName, "graft_int_dot"),
         (children: Seq[Expression]) => IntDot(children(0), children(1)),

@@ -121,15 +121,14 @@ case class GramHashes(child: Expression) extends UnaryExpression {
 object GramHashesUtil {
   private val M = 1000000007L
 
-  /** Word array → distinct trigram hashes (first-occurrence order;
-    * downstream consumers are order-insensitive aggregations/joins).
-    * Returns null when any element is null.
+  /** ALL trigram hashes in position order (index i = shingle starting at
+    * word i), or null when any element is null. The positional form
+    * backs `repeated_spans` (span boundaries need every occurrence, not
+    * the set).
     */
-  def compute(ws: org.apache.spark.sql.catalyst.util.ArrayData)
-      : org.apache.spark.sql.catalyst.util.ArrayData = {
+  def computeAll(ws: org.apache.spark.sql.catalyst.util.ArrayData): Array[Long] = {
     val n = ws.numElements()
-    if (n < 3)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    if (n < 3) return Array.empty[Long]
     val h = new Array[Long](n)
     val p = new Array[Long](n)
     var i = 0
@@ -149,21 +148,80 @@ object GramHashesUtil {
       p(i) = pp
       i += 1
     }
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val out = new Array[Long](n - 2)
     var k = 0
     while (k <= n - 3) {
       var g = h(k)
       g = ((g * 31L + 32L) % M * p(k + 1) + h(k + 1)) % M
       g = ((g * 31L + 32L) % M * p(k + 2) + h(k + 2)) % M
-      seen.add(g)
+      out(k) = g
       k += 1
     }
+    out
+  }
+
+  /** Word array → distinct trigram hashes (first-occurrence order;
+    * downstream consumers are order-insensitive aggregations/joins).
+    * Returns null when any element is null.
+    */
+  def compute(ws: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val all = computeAll(ws)
+    if (all == null) return null
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var k = 0
+    while (k < all.length) { seen.add(all(k)); k += 1 }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var m = 0
     while (it.hasNext) { out(m) = it.next(); m += 1 }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** [[computeAll]] boxed for codegen call sites. */
+  def computePos(ws: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val all = computeAll(ws)
+    if (all == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(all)
+  }
+}
+
+/** Positional twin of [[GramHashes]]: array<string> words → array<long>
+  * of ALL trigram hashes in starting-word order (no distinct). Element i
+  * is the hash of words i..i+2, so `posexplode` yields (position, gram)
+  * rows — the substrate `repeated_spans` builds duplicated-span islands
+  * from. Same algebraic composition, same one-pass codegen shape.
+  */
+case class GramHashesPos(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${t.catalogString}",
+      )
+  }
+
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes_pos"
+
+  override def nullSafeEval(input: Any): Any =
+    GramHashesUtil.computePos(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(
+      ctx,
+      ev,
+      a => s"""
+         |${ev.value} = graft.functions.GramHashesUtil.computePos($a);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin,
+    )
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** 31^len(s) mod 1e9+7, len in code points — the composition factor of

@@ -49,10 +49,16 @@ object DedupOps extends QueryModule {
   private def stepDuck(acc: String, i: String): String =
     s"(((($acc) * 31 + 32) % $M * pws[$i] + hws[$i]) % $M)"
 
-  private val gramHashDuck = {
+  /** ALL trigram hashes in position order (element i = shingle at word
+    * i-1, 1-based list) — shared by the distinct set below and the
+    * positional `repeated_spans` oracle.
+    */
+  private val gramListDuck = {
     val g = stepDuck(stepDuck("hws[i]", "i + 1"), "i + 2")
-    s"list_distinct(list_transform(generate_series(1, len(hws) - 2), i -> $g))"
+    s"list_transform(generate_series(1, len(hws) - 2), i -> $g)"
   }
+
+  private val gramHashDuck = s"list_distinct($gramListDuck)"
 
   private val pow31Duck =
     """list_reduce(list_prepend(CAST(1 AS BIGINT),
@@ -931,9 +937,81 @@ object DedupOps extends QueryModule {
     },
   )
 
+  /** Positional gram substrate: one (doc_id, pos, gh) row per trigram
+    * OCCURRENCE (pos = starting word index, 0-based) — the distinct-set
+    * `gram-rows` substrate can't serve span queries because boundaries
+    * need every occurrence. Same row width and scale class: O(corpus
+    * tokens) narrow rows, text never leaves the scan.
+    */
+  private def gramPosRows(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "gram-pos-rows") {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d)
+        .withColumn("ghs", expr("graft_gram_hashes_pos(split(text, ' '))"))
+        .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+    }
+
+  /** Exact repeated-substring spans — the substring-level exact-dedup
+    * surface of published training-data pipelines (find every maximal
+    * span whose n-grams all occur elsewhere in the corpus; those spans
+    * are cut or used to drop documents). Reference analogue: the range
+    * enumeration pattern of onefs.py:1192-1196 — here the "ranges" are
+    * discovered, not declared.
+    *
+    * Shape: (1) mark duplicated gram occurrences — groupBy(gh) count
+    * with map-side partials, then an UN-hinted join back (the gram table
+    * is corpus-cardinality: never broadcast — the round-6 lesson; AQE
+    * absorbs hot-boilerplate skew); (2) coalesce consecutive duplicated
+    * positions per document into maximal islands with the classic
+    * pos − row_number() grouping — one doc-partitioned window bounded by
+    * document length. Two shuffles total (gh, then doc_id), both on
+    * narrow (long, int, long) rows. span_words = last − first + 3 covers
+    * the trailing trigram's words.
+    */
+  private val repeatedSpans = DeclaredQuery(
+    "repeated_spans",
+    (s, d) => {
+      val e = gramPosRows(s, d)
+      val dupGrams = e.groupBy("gh").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+      import org.apache.spark.sql.expressions.Window
+      val marked = e
+        .join(dupGrams.select("gh"), Seq("gh"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+      marked
+        .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+        .agg(
+          min("pos").cast("long").as("span_start"),
+          (max("pos") - min("pos") + lit(3)).cast("long").as("span_words"),
+          count(lit(1)).as("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_words", "n_grams")
+        .orderBy("doc_id", "span_start")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             hp AS (SELECT doc_id,
+                           list_transform(ws, w -> ${TextOps.wordHashDuck}) AS hws,
+                           list_transform(ws, w -> $pow31Duck) AS pws
+                    FROM t),
+             g AS (SELECT doc_id, unnest(gs) AS gh, generate_subscripts(gs, 1) - 1 AS pos
+                   FROM (SELECT doc_id, $gramListDuck AS gs FROM hp)),
+             dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+             m AS (SELECT g.doc_id, g.pos,
+                          row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
+                   FROM g JOIN dup ON g.gh = dup.gh)
+             SELECT doc_id,
+                    CAST(min(pos) AS BIGINT) AS span_start,
+                    CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_words,
+                    CAST(count(*) AS BIGINT) AS n_grams
+             FROM m GROUP BY doc_id, pos - rn
+             ORDER BY doc_id, span_start"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
-      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank)
+      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpans)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
