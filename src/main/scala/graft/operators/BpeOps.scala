@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Byte-pair-encoding trainer primitives over the `documents` table — the
+  * tokenizer-training stage of an LLM data pipeline, distributed the way
+  * the algorithm actually distributes: BPE statistics live on the VOCAB
+  * (distinct word, count), which the corpus reduces to with one
+  * partial+final hash agg; every merge round is then one pair-count
+  * aggregation over that vocabulary plus a per-row symbol rewrite. The
+  * corpus text is touched exactly once, no matter how many merge rounds
+  * run.
+  *
+  * Declared surface: `bpe_pair_counts` — the pair-statistics round (the
+  * distributed primitive every round repeats), oracle-checked. The
+  * iterative trainer ([[bpeTrain]]) is library surface: its per-round
+  * driver traffic is ONE argmax row (the winning pair), the vocabulary
+  * stays distributed, and per-round state is localCheckpoint-bounded
+  * (the CC-loop lineage lesson); BpeSpec proves 5 rounds equal a
+  * sequential reference implementation merge-for-merge.
+  *
+  * Scale notes (100 TB): the vocab aggregate is the same
+  * corpus-to-vocab reduction `unigram_logprob` ships (map-side combine
+  * collapses partitions to distinct words); pair rows per round are
+  * ≤ Σ|w|−1 over the vocab — vocabulary-cardinality, so nothing here is
+  * ever broadcast-hinted; the symbol rewrite is a per-row HOF fold
+  * inside codegen. Production trainers batch merges per round — the
+  * plumbing is identical, only the argmax takes top-k.
+  */
+object BpeOps extends QueryModule {
+
+  /** (w, wc) word-frequency vocabulary of the corpus. */
+  private[graft] def vocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("wc"))
+
+  /** Adjacent symbol pairs of an array column via zip_with over shifted
+    * slices — the documented escape from the CollapseProject per-index
+    * element_at trap.
+    */
+  private def adjacentPairs(syms: Column): Column =
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("a"), b.as("b")),
+    )
+
+  /** One greedy left-to-right merge application: fold the symbol array,
+    * fusing every non-overlapping (a, b) occurrence into a+b — exactly
+    * the reference BPE rewrite ("aaa" under (a,a) → ["aa", "a"]).
+    */
+  private[graft] def applyMerge(syms: Column, a: String, b: String): Column = {
+    val merged = lit(a + b)
+    aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) =>
+        // non-overlap falls out of the greedy fold: a just-fused element
+        // is a+b, which can never equal bare `a` again (b is nonempty)
+        when(
+          size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(merged)),
+        ).otherwise(concat(acc, array(x))),
+    )
+  }
+
+  /** Distributed BPE training: `rounds` merges over the corpus vocab.
+    * Returns the ordered merge list. Driver traffic per round = one
+    * (a, b, cnt) argmax row; ties break lexicographically so the result
+    * is deterministic at any partitioning.
+    */
+  private[graft] def bpeTrain(vocabDf: DataFrame, rounds: Int): Seq[(String, String)] = {
+    var syms = vocabDf
+      .select(
+        col("wc"),
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+      )
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val top = syms
+        .select(col("wc"), explode(adjacentPairs(col("syms"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += ((a, b))
+        val next = syms
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint()
+        syms.unpersist()
+        syms = next
+        r += 1
+      }
+    }
+    syms.unpersist()
+    merges.toSeq
+  }
+
+  /** The pair-statistics round as a declared, oracle-checked query: for
+    * every adjacent character pair inside a word, the corpus-wide
+    * occurrence count (weighted by word frequency) — the quantity whose
+    * argmax IS the next BPE merge. Top 20 by count (pair breaks ties).
+    */
+  private val bpePairCounts = DeclaredQuery(
+    "bpe_pair_counts",
+    (s, d) => {
+      vocab(s, d)
+        .select(
+          col("wc"),
+          explode(
+            expr(
+              """IF(char_length(w) >= 2,
+                    transform(sequence(1, char_length(w) - 1), i -> substring(w, i, 2)),
+                    array())""",
+            ),
+          ).as("pair"),
+        )
+        .groupBy("pair")
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+    Some("""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+            v AS (SELECT w, count(*) AS wc FROM w0 GROUP BY w),
+            p AS (SELECT wc,
+                         unnest(CASE WHEN length(w) >= 2
+                                THEN list_transform(generate_series(1, length(w) - 1),
+                                                    i -> substr(w, i, 2))
+                                ELSE []::VARCHAR[] END) AS pair
+                  FROM v),
+            c AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM p GROUP BY pair)
+            SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(bpePairCounts)
+}

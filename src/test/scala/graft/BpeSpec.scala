@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeOps
+
+/** The distributed BPE trainer against a sequential reference: same
+  * greedy left-to-right merge semantics, same lexicographic tie-break,
+  * merge-for-merge equal output and identical final symbol sequences.
+  * (The pair-statistics round itself is oracle-gated as
+  * `bpe_pair_counts`.)
+  */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Reference BPE on a (word -> count) map: pair counts weighted by word
+    * frequency, argmax with (count desc, pair asc) tie-break, greedy
+    * left-to-right non-overlapping application.
+    */
+  private def referenceTrain(
+      words: Map[String, Long],
+      rounds: Int,
+  ): (Seq[(String, String)], Map[String, Seq[String]]) = {
+    var syms: Map[String, Seq[String]] =
+      words.map { case (w, _) => w -> w.toSeq.map(_.toString) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    for (_ <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((w, ss) <- syms; i <- 0 until ss.length - 1)
+        counts((ss(i), ss(i + 1))) = counts.getOrElse((ss(i), ss(i + 1)), 0L) + words(w)
+      if (counts.nonEmpty) {
+        val (a, b) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+        merges += ((a, b))
+        syms = syms.map { case (w, ss) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          for (x <- ss)
+            if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+            else out += x
+          w -> out.toSeq
+        }
+      }
+    }
+    (merges.toSeq, syms)
+  }
+
+  test("5 distributed merge rounds equal the sequential reference merge-for-merge") {
+    val words = Map(
+      "low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L, "newer" -> 4L,
+    )
+    val vocabDf = words.toSeq.toDF("w", "wc")
+    val (refMerges, refSyms) = referenceTrain(words, 5)
+    val gotMerges = BpeOps.bpeTrain(vocabDf, 5)
+    assert(gotMerges == refMerges, s"got $gotMerges, reference $refMerges")
+
+    // applying the learned merges distributed reproduces the reference's
+    // final symbol sequences exactly
+    var df = vocabDf.select(
+      col("w"),
+      expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+    )
+    for ((a, b) <- gotMerges) df = df.withColumn("syms", BpeOps.applyMerge(col("syms"), a, b))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(got == refSyms, s"symbol sequences diverge:\n got=$got\n ref=$refSyms")
+  }
+
+  test("greedy fold handles overlapping occurrences like the reference (aaa under (a,a))") {
+    val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a")).toDF("syms")
+    val out = df
+      .select(BpeOps.applyMerge(col("syms"), "a", "a").as("m"))
+      .collect()
+      .map(_.getSeq[String](0).toSeq)
+    assert(out(0) == Seq("aa", "a"), s"non-overlapping left-to-right: ${out(0)}")
+    assert(out(1) == Seq("aa", "aa"), s"non-overlapping left-to-right: ${out(1)}")
+  }
+}
