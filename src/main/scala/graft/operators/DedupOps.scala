@@ -968,50 +968,125 @@ object DedupOps extends QueryModule {
     * narrow (long, int, long) rows. span_words = last − first + 3 covers
     * the trailing trigram's words.
     */
+  /** The maximal duplicated islands (doc_id, span_start, span_words,
+    * n_grams) — shared by `repeated_spans` (reporting) and `span_scrub`
+    * (cutting).
+    */
+  private def dupIslands(s: SparkSession, d: String): DataFrame = {
+    val e = gramPosRows(s, d)
+    val dupGrams = e.groupBy("gh").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+    import org.apache.spark.sql.expressions.Window
+    val marked = e
+      .join(dupGrams.select("gh"), Seq("gh"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+      )
+    marked
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + lit(3)).cast("long").as("span_words"),
+        count(lit(1)).as("n_grams"),
+      )
+      .select("doc_id", "span_start", "span_words", "n_grams")
+  }
+
+  /** DuckDB twin of [[dupIslands]] as CTE text, yielding
+    * `isl(doc_id, span_start, span_words, n_grams)` (and `t(doc_id, ws)`
+    * for consumers that need the positioned words).
+    */
+  private lazy val dupIslandsDuck =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |hp AS (SELECT doc_id,
+       |              list_transform(ws, w -> ${TextOps.wordHashDuck}) AS hws,
+       |              list_transform(ws, w -> $pow31Duck) AS pws
+       |       FROM t),
+       |g AS (SELECT doc_id, unnest(gs) AS gh, generate_subscripts(gs, 1) - 1 AS pos
+       |      FROM (SELECT doc_id, $gramListDuck AS gs FROM hp)),
+       |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+       |m AS (SELECT g.doc_id, g.pos,
+       |             row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
+       |      FROM g JOIN dup ON g.gh = dup.gh),
+       |isl AS (SELECT doc_id,
+       |               CAST(min(pos) AS BIGINT) AS span_start,
+       |               CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_words,
+       |               CAST(count(*) AS BIGINT) AS n_grams
+       |        FROM m GROUP BY doc_id, pos - rn)""".stripMargin
+
   private val repeatedSpans = DeclaredQuery(
     "repeated_spans",
+    (s, d) => dupIslands(s, d).orderBy("doc_id", "span_start"),
+    Some(s"""WITH $dupIslandsDuck
+             SELECT doc_id, span_start, span_words, n_grams
+             FROM isl ORDER BY doc_id, span_start"""),
+  )
+
+  /** Minimum island size (in grams) that `span_scrub` cuts: ≥2 grams =
+    * ≥4 words. The production analogue is the ≥50-token threshold of
+    * published substring-dedup; the fixture scale shrinks it so both cut
+    * and keep paths are exercised.
+    */
+  private val MinScrubGrams = 2
+
+  /** Cut the duplicated spans out of the text — the application half of
+    * `repeated_spans`, mirroring the published pipelines that REMOVE
+    * repeated substrings rather than just reporting them. Every word
+    * covered by a ≥[[MinScrubGrams]]-gram island is dropped and the
+    * document re-assembled in word order. Plan: covered word positions
+    * explode arithmetically from the island table (X1's
+    * `explode(sequence(...))` pattern; adjacent islands may overlap in
+    * WORD coverage, hence the distinct), the corpus' positioned words
+    * anti-join them on (doc_id, pos), and the rebuild aggregates
+    * per-document with a deterministic array_sort(struct(pos, w)) —
+    * the one text-carrying shuffle, inherent to re-assembling rewritten
+    * documents (same cost class as `pii_scrub`'s output). Documents
+    * whose every word is covered disappear from the output — stated by
+    * the oracle identically.
+    */
+  private val spanScrub = DeclaredQuery(
+    "span_scrub",
     (s, d) => {
-      val e = gramPosRows(s, d)
-      val dupGrams = e.groupBy("gh").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-      import org.apache.spark.sql.expressions.Window
-      val marked = e
-        .join(dupGrams.select("gh"), Seq("gh"))
-        .withColumn(
-          "rn",
-          row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+      val covered = dupIslands(s, d)
+        .filter(col("n_grams") >= MinScrubGrams)
+        .select(
+          col("doc_id"),
+          explode(
+            expr("sequence(CAST(span_start AS INT), CAST(span_start + span_words - 1 AS INT))"),
+          ).as("pos"),
         )
-      marked
-        .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+        .distinct()
+      documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
         .agg(
-          min("pos").cast("long").as("span_start"),
-          (max("pos") - min("pos") + lit(3)).cast("long").as("span_words"),
-          count(lit(1)).as("n_grams"),
+          count(lit(1)).as("n_kept"),
+          concat_ws(
+            " ",
+            expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          ).as("clean_text"),
         )
-        .select("doc_id", "span_start", "span_words", "n_grams")
-        .orderBy("doc_id", "span_start")
+        .orderBy("doc_id")
     },
-    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             hp AS (SELECT doc_id,
-                           list_transform(ws, w -> ${TextOps.wordHashDuck}) AS hws,
-                           list_transform(ws, w -> $pow31Duck) AS pws
-                    FROM t),
-             g AS (SELECT doc_id, unnest(gs) AS gh, generate_subscripts(gs, 1) - 1 AS pos
-                   FROM (SELECT doc_id, $gramListDuck AS gs FROM hp)),
-             dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
-             m AS (SELECT g.doc_id, g.pos,
-                          row_number() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS rn
-                   FROM g JOIN dup ON g.gh = dup.gh)
-             SELECT doc_id,
-                    CAST(min(pos) AS BIGINT) AS span_start,
-                    CAST(max(pos) - min(pos) + 3 AS BIGINT) AS span_words,
-                    CAST(count(*) AS BIGINT) AS n_grams
-             FROM m GROUP BY doc_id, pos - rn
-             ORDER BY doc_id, span_start"""),
+    Some(s"""WITH $dupIslandsDuck,
+             cov AS (SELECT DISTINCT doc_id, pos FROM (
+                       SELECT doc_id,
+                              unnest(generate_series(span_start, span_start + span_words - 1)) AS pos
+                       FROM isl WHERE n_grams >= $MinScrubGrams)),
+             wp AS (SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) - 1 AS pos FROM t),
+             k AS (SELECT wp.doc_id, wp.w, wp.pos
+                   FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+                   WHERE cov.doc_id IS NULL)
+             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                    string_agg(w, ' ' ORDER BY pos) AS clean_text
+             FROM k GROUP BY doc_id ORDER BY doc_id"""),
   )
 
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
-      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpans)
+      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpans,
+      spanScrub)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
