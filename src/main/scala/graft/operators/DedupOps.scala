@@ -970,9 +970,13 @@ object DedupOps extends QueryModule {
     */
   /** The maximal duplicated islands (doc_id, span_start, span_words,
     * n_grams) — shared by `repeated_spans` (reporting) and `span_scrub`
-    * (cutting).
+    * (cutting), so the gh-count + island window runs once per dataset
+    * (the signature-store pattern) no matter how many consumers read it.
     */
-  private def dupIslands(s: SparkSession, d: String): DataFrame = {
+  private def dupIslands(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "dup-islands")(dupIslandsBuild(s, d))
+
+  private def dupIslandsBuild(s: SparkSession, d: String): DataFrame = {
     val e = gramPosRows(s, d)
     val dupGrams = e.groupBy("gh").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
     import org.apache.spark.sql.expressions.Window
