@@ -937,19 +937,47 @@ object DedupOps extends QueryModule {
     },
   )
 
-  /** Positional gram substrate: one (doc_id, pos, gh) row per trigram
-    * OCCURRENCE (pos = starting word index, 0-based) — the distinct-set
+  /** Positional gram rows `(doc_id, pos, gh)` for arbitrary
+    * `(doc_id, text)` docs — one row per trigram OCCURRENCE (pos =
+    * starting word index, 0-based).
+    */
+  private[graft] def gramPosRowsOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("ghs", expr("graft_gram_hashes_pos(split(text, ' '))"))
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+  }
+
+  /** Positional gram substrate over the corpus — the distinct-set
     * `gram-rows` substrate can't serve span queries because boundaries
     * need every occurrence. Same row width and scale class: O(corpus
     * tokens) narrow rows, text never leaves the scan.
     */
   private def gramPosRows(s: SparkSession, d: String): DataFrame =
-    graft.SubstrateCache.substrate(s, d, "gram-pos-rows") {
-      graft.functions.GraftFunctions.register(s)
-      documents(s, d)
-        .withColumn("ghs", expr("graft_gram_hashes_pos(split(text, ' '))"))
-        .select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
-    }
+    graft.SubstrateCache.substrate(s, d, "gram-pos-rows")(gramPosRowsOf(documents(s, d)))
+
+  /** Maximal spans of `docs` whose every trigram also occurs in the
+    * STANDING gram set `corpusGhs` (a one-column `gh` frame, typically
+    * the persisted signature store's distinct hashes) — the ingest-time
+    * twin of `repeated_spans`: state is read-only, batches are
+    * embarrassingly independent, and the per-batch cost is one semi-join
+    * plus batch-local island windows. Both the batch query and the
+    * streaming screen ([[graft.streaming.DocIngest.startSpanScreen]])
+    * call THIS, so the span definition cannot drift.
+    */
+  def spansAgainst(corpusGhs: DataFrame, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    gramPosRowsOf(docs)
+      .join(corpusGhs.select("gh").distinct(), Seq("gh"), "left_semi")
+      .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + lit(3)).cast("long").as("span_words"),
+        count(lit(1)).as("n_grams"),
+      )
+      .select("doc_id", "span_start", "span_words", "n_grams")
+  }
 
   /** Exact repeated-substring spans — the substring-level exact-dedup
     * surface of published training-data pipelines (find every maximal

@@ -204,6 +204,29 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming repeated-span screen — the ingest-time twin of
+    * `repeated_spans`: each document micro-batch's positional grams are
+    * checked against a STANDING gram set (the signature store's distinct
+    * hashes — read-only here, so batches are embarrassingly independent
+    * like [[startScreen]]), and `onSpans` receives the batch's maximal
+    * spans whose every trigram already exists in the corpus — the spans
+    * an ingest pipeline would cut before admitting the document. Both
+    * paths share [[graft.operators.DedupOps.spansAgainst]], so the span
+    * definition cannot drift.
+    */
+  def startSpanScreen(
+      docs: DataFrame,
+      corpusGhs: DataFrame,
+      checkpointDir: String,
+  )(onSpans: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        onSpans(DedupOps.spansAgainst(corpusGhs, batch))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Seed a durable signature table from a standing corpus (once). */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
     DedupOps

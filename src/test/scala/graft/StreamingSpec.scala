@@ -484,6 +484,61 @@ class StreamingSpec extends SparkSpec {
     assert(gramTotal == graft.operators.DedupOps.gramRowsOf(docs).count())
   }
 
+  test("streaming repeated-span screen equals the one-shot batch span check") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val split = 400L
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter(col("doc_id") < split)
+    val incoming = docs.filter(col("doc_id") >= split)
+
+    // two files → two micro-batches; the standing gram set is read-only,
+    // so the union of per-batch spans must equal the one-shot check
+    val streamDir = Files.createTempDirectory("doc-span-screen").toString
+    incoming.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    incoming.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val ghs = graft.operators.DedupOps
+      .gramRowsOf(corpus)
+      .select("gh")
+      .distinct()
+      .persist()
+    ghs.count()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var batches = 0
+    val q = graft.streaming.DocIngest.startSpanScreen(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      ghs,
+      checkpointDir = Files.createTempDirectory("ck-span-screen").toString,
+    ) { spans =>
+      collected.synchronized {
+        batches += 1
+        collected ++= spans
+          .collect()
+          .map(r =>
+            (
+              r.getAs[Long]("doc_id"),
+              r.getAs[Long]("span_start"),
+              r.getAs[Long]("span_words"),
+              r.getAs[Long]("n_grams"),
+            ),
+          )
+      }
+    }
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(batches >= 2, s"expected one micro-batch per staged file, got $batches")
+
+    val batch = graft.operators.DedupOps
+      .spansAgainst(ghs, incoming)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    ghs.unpersist()
+    assert(batch.nonEmpty, "fixture must contain corpus-duplicated spans in the incoming slice")
+    assert(collected.toSet == batch, s"streamed=${collected.size} batch=${batch.size}")
+  }
+
   test("streaming decontamination screen equals the batch contamination check") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"
