@@ -484,6 +484,76 @@ class StreamingSpec extends SparkSpec {
     assert(gramTotal == graft.operators.DedupOps.gramRowsOf(docs).count())
   }
 
+  test("streamed IVF cell layout equals a one-shot build; replayed batches rewrite, not append") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, d)
+
+    // two files → two micro-batches of new embeddings
+    val streamDir = Files.createTempDirectory("embed-ingest").toString
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val cents = graft.operators.Ivf.refinedCentroids(spark, d)
+    val layoutStream = Files.createTempDirectory("cell-layout-stream").toString + "/idx"
+    val q = graft.streaming.EmbedIngest.startCellAppend(
+      graft.streaming.EmbedIngest.readEmbeddings(spark, streamDir),
+      cents,
+      layoutStream,
+      Files.createTempDirectory("ck-embed").toString,
+    )
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+
+    // assignment parity: the streamed layout carries exactly the batch
+    // assignment (both route through Ivf.assign under the same centroids)
+    val e = emb.select(
+      col("vec_id"),
+      expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("dvec"),
+    )
+    val streamed = spark.read
+      .parquet(layoutStream)
+      .select("vec_id", "cid")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid"))
+      .toMap
+    val batchAsg = graft.operators.Ivf
+      .assign(spark, e, cents)
+      .select("vec_id", "cid")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cid"))
+      .toMap
+    assert(streamed == batchAsg, "streamed assignments must equal the one-shot assignment")
+
+    // search parity: probing the streamed layout returns the identical
+    // top-k as probing a one-shot writeCellLayout build
+    val layoutOnce = Files.createTempDirectory("cell-layout-once").toString + "/idx"
+    graft.operators.Ivf.writeCellLayout(spark, e, cents, layoutOnce)
+    val queries = e
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+    def hits(dir: String) = graft.operators.Ivf
+      .searchCellLayout(spark, dir, cents, queries, nprobe = 2, topk = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(hits(layoutStream) == hits(layoutOnce))
+
+    // replay idempotence: re-running a batch's dynamic-partition
+    // overwrite rewrites its own b=<id> partitions instead of appending
+    val total = spark.read.parquet(layoutStream).count()
+    val rows1 = spark.read.parquet(layoutStream).filter(col("b") === 1)
+    assert(rows1.count() > 0, "second micro-batch must have written a b=1 generation")
+    rows1
+      .select(col("b"), col("cid"), col("vec_id"), col("dvec"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("b", "cid")
+      .parquet(layoutStream)
+    assert(spark.read.parquet(layoutStream).count() == total, "replay must rewrite, never duplicate")
+  }
+
   test("streaming repeated-span screen equals the one-shot batch span check") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"
