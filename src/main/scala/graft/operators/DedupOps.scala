@@ -617,6 +617,36 @@ object DedupOps extends QueryModule {
              FROM r GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Train/val assignment done at the dedup-CLUSTER level, not the
+    * document level — the leakage guard every published pipeline needs:
+    * splitting documents independently puts near-duplicate pairs on both
+    * sides of the split, leaking training text into eval verbatim.
+    * Assigning whole CC clusters (via the shared cc-labels substrate —
+    * no new fixpoint runs) makes straddling impossible by construction;
+    * DedupSimilaritySpec asserts that invariant directly over the pair
+    * table. The 80/20 rule is pure integer arithmetic on the cluster
+    * label (min doc id), so both engines state the identical assignment
+    * with no cross-engine hash to agree on. At 100 TB this is one
+    * broadcast-free projection over the label substrate.
+    */
+  private val leakageSafeSplit = DeclaredQuery(
+    "leakage_safe_split",
+    (s, d) =>
+      ccLabels(s, d)
+        .select(
+          col("node").as("doc_id"),
+          col("lbl").as("cluster_id"),
+          when(pmod(col("lbl"), lit(10)) < 8, lit("train")).otherwise(lit("val")).as("split"),
+        )
+        .orderBy("doc_id"),
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck
+             SELECT doc_id, cluster_id,
+                    CASE WHEN cluster_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+             FROM lbl ORDER BY doc_id"""),
+  )
+
   /** Declared form of [[nearDupsAgainst]]: docs below id 400 are the
     * standing corpus, the rest arrive as the new batch — the per-ingest
     * near-dup check a production pipeline runs on every batch.
@@ -1118,7 +1148,7 @@ object DedupOps extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpans,
-      spanScrub)
+      spanScrub, leakageSafeSplit)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

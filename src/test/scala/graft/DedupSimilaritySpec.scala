@@ -123,4 +123,31 @@ class DedupSimilaritySpec extends SparkSpec {
       if (!inPairs(doc)) assert(cid == doc, s"singleton $doc relabeled to $cid")
     }
   }
+
+  test("no near-dup pair straddles the leakage-safe train/val split") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val split = SparkEntry.queries("leakage_safe_split")(spark, d).select("doc_id", "split")
+    val pairs = SparkEntry.queries("ngram_jaccard")(spark, d).select("da", "db")
+    val straddling = pairs
+      .join(
+        split.withColumnRenamed("doc_id", "da").withColumnRenamed("split", "sa"),
+        Seq("da"),
+      )
+      .join(
+        split.withColumnRenamed("doc_id", "db").withColumnRenamed("split", "sb"),
+        Seq("db"),
+      )
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling == 0, s"$straddling near-dup pairs leak across the split")
+    val counts = split
+      .groupBy("split")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(counts.getOrElse("train", 0L) > 0 && counts.getOrElse("val", 0L) > 0,
+      s"both sides must be populated: $counts")
+  }
 }
