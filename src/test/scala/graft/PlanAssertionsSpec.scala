@@ -308,6 +308,12 @@ class PlanAssertionsSpec extends SparkSpec {
       hints(q).foreach { h =>
         assert(bounded(h), s"$q: unbounded relation under a broadcast hint:\n$h")
       }
+    // the round-7 corpus-facing queries carry NO hints at all — their gram
+    // count tables, island tables, vocab and label tables are all corpus-
+    // or vocabulary-cardinality, so every join is AQE's choice
+    for (q <- Seq("repeated_spans", "span_scrub", "bpe_pair_counts", "leakage_safe_split"))
+      assert(hints(q).isEmpty,
+        s"$q must not pin any broadcast — its relations grow with the corpus")
     // and the vocabulary aggregates specifically must never be pinned:
     // an Aggregate grouped by the term/token column IS the vocab table.
     // Cardinality-aware walk: a grouping-empty Aggregate collapses its
