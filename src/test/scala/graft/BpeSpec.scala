@@ -64,6 +64,29 @@ class BpeSpec extends SparkSpec {
     assert(got == refSyms, s"symbol sequences diverge:\n got=$got\n ref=$refSyms")
   }
 
+  test("random vocabularies: trainer equals reference across tie-breaks and repeats") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 3) {
+      // tiny alphabet forces heavy pair collisions, ties, and
+      // within-word repeats (the fold's edge cases)
+      val words = (1 to 12)
+        .map(_ => (1 to (2 + rnd.nextInt(5))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+        .groupBy(identity)
+        .map { case (w, ws) => w -> ws.size.toLong }
+      val vocabDf = words.toSeq.toDF("w", "wc")
+      val (refMerges, refSyms) = referenceTrain(words, 4)
+      val gotMerges = BpeOps.bpeTrain(vocabDf, 4)
+      assert(gotMerges == refMerges, s"trial $trial: got $gotMerges, reference $refMerges")
+      var df = vocabDf.select(
+        col("w"),
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+      )
+      for ((a, b) <- gotMerges) df = df.withColumn("syms", BpeOps.applyMerge(col("syms"), a, b))
+      val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+      assert(got == refSyms, s"trial $trial: symbol sequences diverge")
+    }
+  }
+
   test("greedy fold handles overlapping occurrences like the reference (aaa under (a,a))") {
     val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a")).toDF("syms")
     val out = df
