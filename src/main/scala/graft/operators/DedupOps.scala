@@ -986,19 +986,13 @@ object DedupOps extends QueryModule {
   private def gramPosRows(s: SparkSession, d: String): DataFrame =
     graft.SubstrateCache.substrate(s, d, "gram-pos-rows")(gramPosRowsOf(documents(s, d)))
 
-  /** Maximal spans of `docs` whose every trigram also occurs in the
-    * STANDING gram set `corpusGhs` (a one-column `gh` frame, typically
-    * the persisted signature store's distinct hashes) — the ingest-time
-    * twin of `repeated_spans`: state is read-only, batches are
-    * embarrassingly independent, and the per-batch cost is one semi-join
-    * plus batch-local island windows. Both the batch query and the
-    * streaming screen ([[graft.streaming.DocIngest.startSpanScreen]])
-    * call THIS, so the span definition cannot drift.
+  /** Coalesce marked gram positions `(doc_id, pos, ...)` into maximal
+    * islands via the pos − row_number() grouping — THE span definition,
+    * shared by [[dupIslands]] and [[spansAgainst]] so it cannot drift.
     */
-  def spansAgainst(corpusGhs: DataFrame, docs: DataFrame): DataFrame = {
+  private def islandsOf(marked: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    gramPosRowsOf(docs)
-      .join(corpusGhs.select("gh").distinct(), Seq("gh"), "left_semi")
+    marked
       .withColumn("rn", row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
       .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
       .agg(
@@ -1008,6 +1002,20 @@ object DedupOps extends QueryModule {
       )
       .select("doc_id", "span_start", "span_words", "n_grams")
   }
+
+  /** Maximal spans of `docs` whose every trigram also occurs in the
+    * STANDING gram set `corpusGhs` (a one-column `gh` frame, typically
+    * the persisted signature store's distinct hashes) — the ingest-time
+    * twin of `repeated_spans`: state is read-only, batches are
+    * embarrassingly independent, and the per-batch cost is one semi-join
+    * plus batch-local island windows. Both the batch query and the
+    * streaming screen ([[graft.streaming.DocIngest.startSpanScreen]])
+    * call THIS, so the span definition cannot drift.
+    */
+  def spansAgainst(corpusGhs: DataFrame, docs: DataFrame): DataFrame =
+    islandsOf(
+      gramPosRowsOf(docs).join(corpusGhs.select("gh").distinct(), Seq("gh"), "left_semi"),
+    )
 
   /** Exact repeated-substring spans — the substring-level exact-dedup
     * surface of published training-data pipelines (find every maximal
@@ -1037,21 +1045,7 @@ object DedupOps extends QueryModule {
   private def dupIslandsBuild(s: SparkSession, d: String): DataFrame = {
     val e = gramPosRows(s, d)
     val dupGrams = e.groupBy("gh").agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
-    import org.apache.spark.sql.expressions.Window
-    val marked = e
-      .join(dupGrams.select("gh"), Seq("gh"))
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
-      )
-    marked
-      .groupBy(col("doc_id"), (col("pos") - col("rn")).as("grp"))
-      .agg(
-        min("pos").cast("long").as("span_start"),
-        (max("pos") - min("pos") + lit(3)).cast("long").as("span_words"),
-        count(lit(1)).as("n_grams"),
-      )
-      .select("doc_id", "span_start", "span_words", "n_grams")
+    islandsOf(e.join(dupGrams.select("gh"), Seq("gh")))
   }
 
   /** DuckDB twin of [[dupIslands]] as CTE text, yielding
