@@ -327,6 +327,57 @@ object PipelineOps extends QueryModule {
              FROM sl GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Shard count for the declared shuffle — a LAYOUT property like
+    * `JoinBuckets`: 8 matches testdata scale, production uses
+    * O(corpus / target-shard-size). The assignment arithmetic is
+    * shard-count-parameterized, never hard-coded to the data.
+    */
+  private val ShuffleShards = 8
+
+  /** Deterministic global corpus shuffle — the training-order
+    * randomization every loader needs, made REPRODUCIBLE: instead of
+    * `orderBy(rand())` (nondeterministic across runs/partitionings AND a
+    * single global range sort), each document hashes to a shard and a
+    * within-shard rank via the shared avalanche chain (the
+    * `distinct_sketch` bucket function — same integer arithmetic both
+    * engines state). Re-running at any partitioning yields the identical
+    * order, so a training run is exactly resumable and ablations see the
+    * same data order.
+    *
+    * At 100 TB: ONE narrow exchange on `shard` plus per-shard sorts that
+    * parallelize across shards (each window partition is
+    * corpus/ShuffleShards — thousands of shards keep them executor-
+    * sized); shard = output file, so this is also the write layout. The
+    * hash stages stay below 2⁶³ (DuckDB errors on BIGINT overflow where
+    * Spark wraps).
+    */
+  private val corpusShuffle = DeclaredQuery(
+    "corpus_shuffle",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      documents(s, d)
+        .withColumn("a", (col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn("h", expr("((a ^ shiftright(a, 7)) * 97381) % 2147483647"))
+        .withColumn("shard", pmod(col("h"), lit(ShuffleShards)).cast("long"))
+        .withColumn(
+          "ord",
+          row_number()
+            .over(Window.partitionBy("shard").orderBy(col("h"), col("doc_id")))
+            .cast("long"),
+        )
+        .select("doc_id", "shard", "ord")
+        .orderBy("shard", "ord")
+    },
+    Some(s"""WITH b AS (SELECT doc_id, (doc_id * 2654435761) % 2147483647 AS a FROM documents),
+             c AS (SELECT doc_id, (xor(a, a >> 7) * 97381) % 2147483647 AS h FROM b)
+             SELECT doc_id,
+                    CAST(h % $ShuffleShards AS BIGINT) AS shard,
+                    CAST(row_number() OVER (PARTITION BY h % $ShuffleShards
+                                            ORDER BY h, doc_id) AS BIGINT) AS ord
+             FROM c ORDER BY shard, ord"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit)
+    Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
+      corpusShuffle)
 }
