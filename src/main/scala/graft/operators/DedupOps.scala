@@ -60,6 +60,12 @@ object DedupOps extends QueryModule {
 
   private val gramHashDuck = s"list_distinct($gramListDuck)"
 
+  /** The gram-CTE fragments for oracles OUTSIDE this module (TextOps'
+    * `ngram_novelty`) — same text, so the gram definition cannot drift.
+    */
+  private[operators] def pow31DuckSql: String = pow31Duck
+  private[operators] def gramHashDuckSql: String = gramHashDuck
+
   private val pow31Duck =
     """list_reduce(list_prepend(CAST(1 AS BIGINT),
       |  list_transform(generate_series(1, length(w)), x -> CAST(31 AS BIGINT))),

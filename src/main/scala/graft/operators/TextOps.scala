@@ -189,6 +189,55 @@ object TextOps extends QueryModule {
              FROM t ORDER BY doc_id"""),
   )
 
+  /** Per-document n-gram novelty — the curation metric data pipelines
+    * rank sources and crawls by: the fraction of a document's distinct
+    * trigrams whose FIRST corpus occurrence (minimum doc id) is this
+    * document. A crawl of boilerplate scores near 0; genuinely new text
+    * scores near 1. First-occurrence credit goes to exactly one document
+    * per gram, so Σ novel over the corpus = |distinct grams| — an
+    * auditable invariant.
+    *
+    * Plan: the shared distinct-gram substrate (one row per doc × gram),
+    * a groupBy(gh) min — map-side partials — and an UN-hinted join back
+    * (gram table is corpus-cardinality; AQE decides), then a per-doc
+    * count/sum. Narrow (long, long) rows end to end; the text never
+    * shuffles. Documents under 3 words have no grams and drop from the
+    * output — stated identically by the oracle.
+    */
+  private val ngramNovelty = DeclaredQuery(
+    "ngram_novelty",
+    (s, d) => {
+      val e = DedupOps.gramRows(s, d).select("doc_id", "gh")
+      val firstSeen = e.groupBy("gh").agg(min("doc_id").as("first_doc"))
+      e.join(firstSeen, Seq("gh")) // no hint: corpus-cardinality gram table
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("novel"),
+        )
+        .withColumn(
+          "novelty",
+          round(col("novel").cast("double") / col("n_grams"), 4),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             hp AS (SELECT doc_id,
+                           list_transform(ws, w -> $wordHashDuck) AS hws,
+                           list_transform(ws, w -> ${DedupOps.pow31DuckSql}) AS pws
+                    FROM t),
+             h AS (SELECT doc_id, ${DedupOps.gramHashDuckSql} AS ghs FROM hp),
+             e AS (SELECT doc_id, unnest(ghs) AS gh FROM h),
+             fs AS (SELECT gh, min(doc_id) AS first_doc FROM e GROUP BY gh)
+             SELECT e.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_grams,
+                    CAST(sum(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+                    round(CAST(sum(CASE WHEN fs.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+                          / count(*), 4) AS novelty
+             FROM e JOIN fs USING (gh)
+             GROUP BY e.doc_id ORDER BY e.doc_id"""),
+  )
+
   /** Exact dedup: keep the min-doc_id representative per sha2(text) group
     * (byte-exact) and per canonical-multiset md5 (shuffle-invariant).
     * At 100 TB this shuffles 64-byte hashes, never the text itself.
@@ -499,6 +548,7 @@ object TextOps extends QueryModule {
     tokenCount,
     langId,
     docFingerprint,
+    ngramNovelty,
     exactDedupDocs,
     repetitionRatio,
     tokenTopk,
