@@ -311,7 +311,8 @@ class PlanAssertionsSpec extends SparkSpec {
     // the round-7 corpus-facing queries carry NO hints at all — their gram
     // count tables, island tables, vocab and label tables are all corpus-
     // or vocabulary-cardinality, so every join is AQE's choice
-    for (q <- Seq("repeated_spans", "span_scrub", "bpe_pair_counts", "leakage_safe_split"))
+    for (q <- Seq("repeated_spans", "span_scrub", "bpe_pair_counts", "leakage_safe_split",
+        "corpus_shuffle", "ngram_novelty"))
       assert(hints(q).isEmpty,
         s"$q must not pin any broadcast — its relations grow with the corpus")
     // and the vocabulary aggregates specifically must never be pinned:
