@@ -128,7 +128,13 @@ object DedupOps extends QueryModule {
     */
   private[graft] def capByDf(e: DataFrame, maxDf: Long): DataFrame = {
     val df = e.groupBy("gh").agg(count(lit(1)).as("df"))
-    e.join(broadcast(df.filter(col("df") > maxDf).select("gh")), Seq("gh"), "left_anti")
+    // No broadcast() hint: the hot-gram set is ≤ Σocc/maxDf rows, which
+    // still grows LINEARLY with the corpus (every common trigram on a
+    // web-scale crawl clears df > 100 — easily 10⁷–10⁸ grams). The
+    // anti-join stays a plain equi-join; AQE broadcasts it only when the
+    // measured build side is actually small, and falls back to a shuffle
+    // join when it isn't — exactly the behavior a forced hint forfeits.
+    e.join(df.filter(col("df") > maxDf).select("gh"), Seq("gh"), "left_anti")
   }
 
   private[operators] def jaccardPairs(

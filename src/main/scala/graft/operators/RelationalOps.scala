@@ -547,7 +547,8 @@ object RelationalOps extends QueryModule {
     * the fixtures (5 event types total) but bounds the worst user at
     * production audience cardinalities; the hot-user list is aggregated
     * on the already-user-partitioned branch (no extra shuffle) and
-    * broadcast into the anti-join.
+    * anti-joined UN-hinted — the set is ≤ Σmemberships/cap rows, linear
+    * in the user base, so AQE decides whether it broadcasts.
     */
   private[operators] val MaxAudiencesPerUser = 50L
 
@@ -570,7 +571,11 @@ object RelationalOps extends QueryModule {
         .agg(count(lit(1)).as("ka"))
         .filter(col("ka") > MaxAudiencesPerUser)
         .select("user_id")
-      val mc = m.join(broadcast(hot), Seq("user_id"), "left_anti")
+      // un-hinted anti-join: the hot-user set is ≤ Σmemberships/cap rows
+      // — linear in the user base, the same unbounded class as capByDf's
+      // hot grams. Both sides are already user-partitioned, so AQE either
+      // broadcasts a measured-small set or joins with zero extra exchange.
+      val mc = m.join(hot, Seq("user_id"), "left_anti")
       val a = mc.select(col("event_type").as("ta"), col("user_id"))
       val b = mc.select(col("event_type").as("tb"), col("user_id").as("uid2"))
       val co = a

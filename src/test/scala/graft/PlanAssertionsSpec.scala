@@ -286,9 +286,12 @@ class PlanAssertionsSpec extends SparkSpec {
         case h: ResolvedHint => h.child
       }
     // a hinted subtree is bounded iff it is (a) a global scalar (grouping-
-    // empty aggregate), (b) cut to the benchmark slice (source = src0
-    // filter somewhere below — an eval suite is bounded by construction),
-    // or (c) a df-capped heavy-gram set (≤ Σocc/maxDf rows)
+    // empty aggregate) or (b) cut to the benchmark slice (source = src0
+    // filter somewhere below — an eval suite is bounded by construction).
+    // There is deliberately NO exemption for df-capped heavy-gram sets:
+    // "grams with df > maxDf" is ≤ Σocc/maxDf rows, which grows linearly
+    // with the corpus — the same unbounded class as a vocab table, so it
+    // is held to the same no-pin standard (AQE decides).
     def bounded(p: LogicalPlan): Boolean = {
       val scalar = p.collectFirst {
         case a: Aggregate if a.groupingExpressions.isEmpty => a
@@ -297,22 +300,20 @@ class PlanAssertionsSpec extends SparkSpec {
         case f: Filter if f.condition.toString.contains(
           graft.operators.RetrievalOps.BenchmarkSource) => f
       }.isDefined
-      val dfCap = p.collectFirst {
-        case f: Filter if f.condition.toString.contains("df#") &&
-          f.condition.toString.contains(">") => f
-      }.isDefined
-      scalar || benchSlice || dfCap
+      scalar || benchSlice
     }
     // the four r6-flagged queries: every remaining hint must be bounded
     for (q <- Seq("tfidf_keywords", "unigram_logprob", "clean_corpus", "contamination_check"))
       hints(q).foreach { h =>
         assert(bounded(h), s"$q: unbounded relation under a broadcast hint:\n$h")
       }
-    // the round-7 corpus-facing queries carry NO hints at all — their gram
-    // count tables, island tables, vocab and label tables are all corpus-
-    // or vocabulary-cardinality, so every join is AQE's choice
+    // the corpus-facing dedup/curation queries carry NO hints at all —
+    // their gram count tables (including the df-capped hot-gram set),
+    // island tables, vocab and label tables are all corpus- or
+    // vocabulary-cardinality, so every join is AQE's choice
     for (q <- Seq("repeated_spans", "span_scrub", "bpe_pair_counts", "leakage_safe_split",
-        "corpus_shuffle", "ngram_novelty"))
+        "corpus_shuffle", "ngram_novelty",
+        "ngram_jaccard", "dedup_clusters", "cluster_keeper"))
       assert(hints(q).isEmpty,
         s"$q must not pin any broadcast — its relations grow with the corpus")
     // and the vocabulary aggregates specifically must never be pinned:
