@@ -470,9 +470,10 @@ object DedupOps extends QueryModule {
     * old or new. Every endpoint MUST appear in `prevLabels` or
     * `newNodes` — a stray endpoint would silently get no output row (its
     * relabel entry dangles), so the contract is enforced with a cheap
-    * guard: endpoints unmatched by `prevLabels` (already computed by the
-    * quotient's left joins) are anti-joined against the batch's nodes —
-    * O(batch) work — and a nonempty remainder raises
+    * guard: the label double-join is persisted and SHARED between the
+    * guard's probe and the quotient (it executes once per batch, not
+    * twice), endpoints it leaves unmatched are anti-joined against the
+    * batch's nodes — O(batch) work — and a nonempty remainder raises
     * [[graft.MalformedStateError]] instead of dropping labels. Returns a
     * materialized (localCheckpoint'ed) label table.
     */
@@ -484,10 +485,15 @@ object DedupOps extends QueryModule {
   ): DataFrame = {
     val la = prevLabels.select(col("node").as("da"), col("lbl").as("la"))
     val lb = prevLabels.select(col("node").as("db"), col("lbl").as("lb"))
+    // persisted so the label double-join executes ONCE and is shared by
+    // the stray guard's probe and the quotient — an unshared plan would
+    // re-run the corpus-cardinality prevLabels join on every micro-batch
+    // just to evaluate the guard
     val joined = newPairs
       .select("da", "db")
       .join(la, Seq("da"), "left")
       .join(lb, Seq("db"), "left")
+      .persist()
     val strays = joined
       .filter(col("la").isNull)
       .select(col("da").as("node"))
@@ -496,10 +502,12 @@ object DedupOps extends QueryModule {
       .join(newNodes.select("node"), Seq("node"), "left_anti")
       .limit(5)
       .collect()
-    if (strays.nonEmpty)
+    if (strays.nonEmpty) {
+      joined.unpersist(blocking = false)
       throw new graft.MalformedStateError(
         s"incremental CC pair endpoints in neither prevLabels nor newNodes: " +
           strays.map(_.get(0)).mkString(", "))
+    }
     val quotient = joined
       .select(coalesce(col("la"), col("da")).as("da"), coalesce(col("lb"), col("db")).as("db"))
       .filter(col("da") =!= col("db"))
@@ -508,6 +516,9 @@ object DedupOps extends QueryModule {
       .union(quotient.select(col("db").as("node")))
       .distinct()
     val (relabel, _) = starContract(qNodes, quotient, maxRounds)
+    // starContract materialized its result (persist + count), so the
+    // shared double-join frame is no longer needed
+    joined.unpersist(blocking = false)
     val withNew = prevLabels.unionByName(
       newNodes
         .join(prevLabels.select("node"), Seq("node"), "left_anti")
@@ -896,7 +907,13 @@ object DedupOps extends QueryModule {
       .distinct()
       .persist()
     val n = nodes.count()
-    if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
+    if (n == 0) {
+      // release the cached (empty) node set before the early return —
+      // same ownership rule as the fixpoint loops: whoever persists,
+      // unpersists
+      nodes.unpersist(blocking = false)
+      return nodes.select(col("node"), lit(0L).as("r"))
+    }
     val base = (15L * PrScale) / (100L * n)
     val sources = e.select(col("src").as("node")).distinct()
     var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
@@ -918,7 +935,13 @@ object DedupOps extends QueryModule {
           (lit(base) + expr("(85 * (coalesce(sc, 0) + dshare)) DIV 100")).as("r"),
         )
     }
-    ranks.orderBy("node")
+    // Materialize the final ranks (localCheckpoint truncates the
+    // iters-deep lineage too), then release the cached node set — a lazy
+    // return would either leak the cache or silently recompute `nodes`
+    // 3×iters times in the caller's job.
+    val out = ranks.orderBy("node").localCheckpoint(true)
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** PageRank over the fuzzy-match graph — centrality joins CC

@@ -40,6 +40,17 @@ object EmbedIngest {
   /** Run the ingest loop until no files remain, appending each batch's
     * assigned vectors to the durable cell layout at `layoutDir`.
     * `centroids` is the standing (cid, cvec) table.
+    *
+    * LIFETIME CONTRACT: `checkpointDir` and `layoutDir` are coupled for
+    * the layout's whole life. Idempotence rests on the dynamic partition
+    * overwrite being keyed by `b=<batchId>`, and batch ids are assigned
+    * by the CHECKPOINT — a restart against the same checkpoint replays
+    * the same ids onto the same partitions (safe), but starting a FRESH
+    * checkpoint over an existing layout restarts ids at 0 and silently
+    * overwrites the earlier generation's `b=0,1,…` partitions, dropping
+    * their vectors. To re-ingest from scratch, clear BOTH directories;
+    * to resume, keep both. (StreamingSpec's recovery test exercises the
+    * same-checkpoint replay path.)
     */
   def startCellAppend(
       embeds: DataFrame,
