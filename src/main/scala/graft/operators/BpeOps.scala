@@ -14,8 +14,11 @@ import graft.Tables._
   * run.
   *
   * Declared surface: `bpe_pair_counts` — the pair-statistics round (the
-  * distributed primitive every round repeats), oracle-checked. The
-  * iterative trainer ([[bpeTrain]]) is library surface: its per-round
+  * distributed primitive every round repeats) — and `bpe_encode` — the
+  * trained merge list applied to tokenize the corpus (the half a
+  * pipeline runs at 100 TB: train once, encode everywhere) — both
+  * oracle-checked. The iterative trainer ([[bpeTrain]]) is library
+  * surface: its per-round
   * driver traffic is ONE argmax row (the winning pair), the vocabulary
   * stays distributed, and per-round state is localCheckpoint-bounded
   * (the CC-loop lineage lesson); BpeSpec proves 5 rounds equal a
@@ -107,6 +110,82 @@ object BpeOps extends QueryModule {
     merges.toSeq
   }
 
+  /** Fold a whole merge list over a symbol-array column, in training
+    * order — the tokenizer a trained BPE model ships. Scan-local: no
+    * shuffle, no state, just `merges.size` chained greedy folds inside
+    * one projection.
+    */
+  private[graft] def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(syms) { case (c, (a, b)) => applyMerge(c, a, b) }
+
+  /** The merge list [[bpeTrain]] produces on the `documents` corpus at
+    * the verification scale (10 rounds, sf0.01) — the "model artifact"
+    * the encoder below applies, pinned as a literal the way a production
+    * pipeline ships its tokenizer file. Later merges reference earlier
+    * merged tokens (`m`+`er`, `p`+`ar`), so the chain order matters and
+    * the encoder is exercised beyond single-character fusions.
+    */
+  private[graft] val EncodeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
+
+  /** The production half of BPE — train once, encode everywhere: apply
+    * the fixed trained merge list to tokenize the corpus and report the
+    * top-20 BPE token frequencies (count desc, token asc). Like
+    * `bpe_pair_counts`, the corpus reduces to the (word, count) vocab
+    * first, so the encoder runs once per DISTINCT word and token counts
+    * come back weighted by word frequency — at 100 TB the fold cost is
+    * vocabulary-cardinality, not corpus-cardinality, and the merge list
+    * itself is a fixed-size literal in the plan (nothing broadcast,
+    * nothing shuffled beyond the vocab agg it shares with every other
+    * vocab query). The oracle unrolls the same 10 greedy folds as
+    * chained CTEs, each a `list_reduce` over the token list encoded as a
+    * chr(1)-separated string (DuckDB's fold accumulator must be scalar).
+    */
+  private val bpeEncode = DeclaredQuery(
+    "bpe_encode",
+    (s, d) => {
+      val base = vocab(s, d)
+        .filter(col("w") =!= "")
+        .select(
+          col("wc"),
+          expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+        )
+      base
+        .withColumn("syms", applyMerges(col("syms"), EncodeMerges))
+        .select(col("wc"), explode(col("syms")).as("token"))
+        .groupBy("token")
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }, {
+      val sep = "chr(1)"
+      val steps = EncodeMerges.zipWithIndex
+        .map { case ((a, b), i) =>
+          val drop = 1 + a.length
+          s"""m${i + 1} AS (SELECT wc,
+             |  list_reduce(list_prepend('', list_filter(string_split(enc, $sep), s -> s <> '')),
+             |    (acc, x) -> CASE WHEN ends_with(acc, $sep || '$a') AND x = '$b'
+             |                     THEN left(acc, length(acc) - $drop) || $sep || '$a$b'
+             |                     ELSE acc || $sep || x END) AS enc
+             |  FROM m$i)""".stripMargin
+        }
+        .mkString(",\n")
+      Some(s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           v AS (SELECT w, count(*) AS wc FROM w0 WHERE w <> '' GROUP BY w),
+           m0 AS (SELECT wc,
+                         $sep || array_to_string(
+                           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+                           $sep) AS enc
+                  FROM v),
+           $steps,
+           toks AS (SELECT wc, unnest(list_filter(string_split(enc, $sep), s -> s <> '')) AS token
+                    FROM m${EncodeMerges.size}),
+           c AS (SELECT token, CAST(sum(wc) AS BIGINT) AS cnt FROM toks GROUP BY token)
+           SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20""")
+    },
+  )
+
   /** The pair-statistics round as a declared, oracle-checked query: for
     * every adjacent character pair inside a word, the corpus-wide
     * occurrence count (weighted by word frequency) — the quantity whose
@@ -143,5 +222,5 @@ object BpeOps extends QueryModule {
             SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(bpePairCounts)
+  val queries: Seq[DeclaredQuery] = Seq(bpePairCounts, bpeEncode)
 }

@@ -87,6 +87,58 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  /** Sequential reference encoder: greedy left-to-right application of a
+    * FIXED merge list, in order (what a shipped tokenizer does).
+    */
+  private def referenceEncode(w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(w.toSeq.map(_.toString): Seq[String]) { case (ss, (a, b)) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- ss)
+        if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+        else out += x
+      out.toSeq
+    }
+
+  test("the shipped EncodeMerges tokenizer round-trips the sequential encoder on the corpus vocab") {
+    // the declared bpe_encode artifact (trained offline via bpeTrain),
+    // applied distributed, must equal the sequential reference encoder
+    // word-for-word on real corpus vocabulary — multi-char merges
+    // ("m"+"er", "p"+"ar") included
+    val vocabDf = BpeOps
+      .vocab(spark, "/root/testdata/sf0.001")
+      .filter(col("w") =!= "")
+      .localCheckpoint()
+    var df = vocabDf.select(
+      col("w"),
+      expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+    )
+    df = df.withColumn("syms", BpeOps.applyMerges(col("syms"), BpeOps.EncodeMerges))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val ref = got.keys.map(w => w -> referenceEncode(w, BpeOps.EncodeMerges)).toMap
+    assert(got == ref, s"encoder diverges from sequential reference")
+    // tokens must concatenate back to the word (BPE is a segmentation)
+    got.foreach { case (w, ts) => assert(ts.mkString == w, s"$w re-concatenation failed: $ts") }
+    // and the multi-char merges actually fire on this corpus
+    val allToks = got.values.flatten.toSet
+    assert(allToks.exists(_.length > 2), s"no multi-char merged token fired: $allToks")
+  }
+
+  test("encode(train(corpus)) round-trips: freshly trained merges applied = reference encode") {
+    val vocabDf = BpeOps
+      .vocab(spark, "/root/testdata/sf0.001")
+      .filter(col("w") =!= "")
+      .localCheckpoint()
+    val merges = BpeOps.bpeTrain(vocabDf.select(col("w"), col("wc")), 6)
+    var df = vocabDf.select(
+      col("w"),
+      expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+    )
+    df = df.withColumn("syms", BpeOps.applyMerges(col("syms"), merges))
+    val got = df.collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val ref = got.keys.map(w => w -> referenceEncode(w, merges)).toMap
+    assert(got == ref, "train-then-encode diverges from the sequential reference")
+  }
+
   test("greedy fold handles overlapping occurrences like the reference (aaa under (a,a))") {
     val df = Seq(Seq("a", "a", "a"), Seq("a", "a", "a", "a")).toDF("syms")
     val out = df
