@@ -543,6 +543,90 @@ object TextOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Hash-bucket count of the linear quality model (a fastText-style
+    * scorer keeps 2²¹; 64 keeps the oracle literal small — the plumbing
+    * is identical at any D).
+    */
+  private val QsBuckets = 64
+
+  /** The model weights: a fixed-size integer vector, "trained offline"
+    * and shipped as a literal (deterministic Knuth-hash formula stands in
+    * for the learned values — what matters to the engine is the shape:
+    * fixed D, integer-scaled, resident in the plan).
+    */
+  private[graft] val QsWeights: Seq[Long] =
+    (0 until QsBuckets).map(i => ((i + 1) * 2654435761L) % 1009L - 504L)
+
+  /** Model-based quality scoring — the fastText-style linear classifier
+    * published curation pipelines (CCNet, RefinedWeb) run after the
+    * heuristic filters: hashed word-unigram + word-bigram features dotted
+    * with a fixed weight vector. The declared shape is the production
+    * shape: the model is a FIXED-SIZE artifact (D=64 integer weights here,
+    * 2²¹ in fastText — either way corpus-independent, a literal/broadcast
+    * that never grows), features hash through the shared codegen'd
+    * `graft_poly_hash` chain, and the score is an exact integer sum —
+    * per-row HOF work with ZERO shuffle beyond the presentation sort, so
+    * a 1000-executor scan parallelizes embarrassingly at 100 TB. Scores
+    * scale to mean-weight-per-feature (round 4) so thresholds are
+    * length-independent; QualityScoreSpec proves threshold-filtering
+    * composes with `clean_corpus` as the model-filter stage.
+    */
+  private val qualityScore = DeclaredQuery(
+    "quality_score",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val wlit = QsWeights.mkString("array(", "L, ", "L)")
+      documents(s, d)
+        .withColumn("toks", expr("filter(split(text, ' '), w -> w <> '')"))
+        .withColumn(
+          "feats",
+          expr("""concat(
+                 |  toks,
+                 |  IF(size(toks) >= 2,
+                 |     zip_with(slice(toks, 1, size(toks) - 1),
+                 |              slice(toks, 2, size(toks) - 1),
+                 |              (a, b) -> concat(a, ' ', b)),
+                 |     CAST(array() AS array<string>)))""".stripMargin),
+        )
+        .select(
+          col("doc_id"),
+          size(col("feats")).cast("long").as("n_feats"),
+          expr(
+            s"""aggregate(
+               |  transform(feats, w -> element_at($wlit,
+               |    CAST($wordHashSpark % $QsBuckets AS INT) + 1)),
+               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin,
+          ).as("score_sum"),
+        )
+        .withColumn(
+          "quality",
+          round(col("score_sum").cast("double") / greatest(col("n_feats"), lit(1L)), 4),
+        )
+        .orderBy("doc_id")
+    }, {
+      val wlit = QsWeights.mkString("[", ", ", "]")
+      Some(s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+                          FROM documents),
+               f AS (SELECT doc_id,
+                            list_concat(
+                              toks,
+                              CASE WHEN len(toks) >= 2
+                                   THEN list_transform(generate_series(1, len(toks) - 1),
+                                                       i -> toks[i] || ' ' || toks[i + 1])
+                                   ELSE []::VARCHAR[] END) AS feats
+                     FROM d),
+               s AS (SELECT doc_id,
+                            CAST(len(feats) AS BIGINT) AS n_feats,
+                            CAST(coalesce(list_sum(list_transform(feats,
+                              w -> ($wlit::BIGINT[])[CAST($wordHashDuck % $QsBuckets AS INT) + 1])), 0)
+                              AS BIGINT) AS score_sum
+                     FROM f)
+               SELECT doc_id, n_feats, score_sum,
+                      round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) AS quality
+               FROM s ORDER BY doc_id""")
+    },
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textStats,
     tokenCount,
@@ -555,5 +639,6 @@ object TextOps extends QueryModule {
     piiScrub,
     cmsHeavyHitters,
     unigramLogprob,
+    qualityScore,
   )
 }
