@@ -258,13 +258,17 @@ object TemporalOps extends QueryModule {
     * history to a daily grid (days with no events appear with
     * n_events = 0) and carry the last known daily value forward — the
     * gap-filling step that precedes any fixed-step model input or
-    * day-over-day comparison. The grid comes from exploding a data-derived
-    * date sequence PER USER (never a users × calendar cross-join node),
-    * the bounds ride a 1×1 broadcast, and the fill is one
-    * partition-by-user window — so the cost is one shuffle of the daily
-    * aggregates, with per-user state bounded by the span in days. Daily
-    * values aggregate through DECIMAL; the fill picks among exact
-    * decimals, so both engines carry identical values forward.
+    * day-over-day comparison. The grid comes from exploding each user's
+    * OWN [min(day), max(day)] date sequence (never a users × calendar
+    * cross-join node, and no leading null-fill rows before a user's
+    * first event), so total grid rows = Σ per-user spans — on a 10-year
+    * corpus a user active for one week costs 7 rows, not 3 650. The
+    * bounds share the daily aggregate's user_id shuffle, and the fill
+    * is one partition-by-user window — so the cost is one shuffle of
+    * the daily aggregates, with per-user state bounded by that user's
+    * span in days. Daily values aggregate through DECIMAL; the fill
+    * picks among exact decimals, so both engines carry identical values
+    * forward.
     */
   private val resampleFfill = DeclaredQuery(
     "resample_ffill",
@@ -277,11 +281,11 @@ object TemporalOps extends QueryModule {
           count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).as("day_value"),
         )
-      val bounds = ev.agg(min("day").as("lo"), max("day").as("hi"))
+      // per-user bounds: a partial agg over the (user, day) dailies —
+      // lo <= hi by construction, so sequence() never descends
       val grid = daily
-        .select("user_id")
-        .distinct()
-        .crossJoin(broadcast(bounds)) // 1×1 bounds scalar
+        .groupBy("user_id")
+        .agg(min("day").as("lo"), max("day").as("hi"))
         .select(col("user_id"), explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
       val w = Window
         .partitionBy("user_id")
@@ -302,10 +306,10 @@ object TemporalOps extends QueryModule {
             daily AS (SELECT user_id, day, count(*) AS n,
                              sum(CAST(value AS DECIMAL(18,2))) AS dv
                       FROM ev GROUP BY 1, 2),
-            b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
-            days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM b),
-            grid AS (SELECT u.user_id, d.day
-                     FROM (SELECT DISTINCT user_id FROM ev) u CROSS JOIN days d),
+            b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+            grid AS (SELECT user_id,
+                            CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+                     FROM b),
             j AS (SELECT g.user_id, g.day, dl.n, dl.dv
                   FROM grid g LEFT JOIN daily dl USING (user_id, day)),
             f AS (SELECT user_id, day, coalesce(n, 0) AS n_events,
