@@ -1105,9 +1105,23 @@ object DedupOps extends QueryModule {
        |               CAST(count(*) AS BIGINT) AS n_grams
        |        FROM m GROUP BY doc_id, pos - rn)""".stripMargin
 
-  private val repeatedSpans = DeclaredQuery(
+  /** The parameterized production surface of `repeated_spans`: only
+    * islands spanning at least `minSpanWords` words. Published
+    * substring-dedup pipelines cut at ~50 tokens; the declared query
+    * keeps the 3-word trigram floor (every island qualifies) so the
+    * fixture exercises island discovery itself. The knob is a
+    * post-aggregation filter on the shared `dupIslands` substrate —
+    * the gh-count and island window run once per dataset regardless of
+    * how many thresholds consumers read at.
+    */
+  def repeatedSpans(s: SparkSession, d: String, minSpanWords: Long = 3L): DataFrame =
+    dupIslands(s, d)
+      .filter(col("span_words") >= minSpanWords)
+      .orderBy("doc_id", "span_start")
+
+  private val repeatedSpansQ = DeclaredQuery(
     "repeated_spans",
-    (s, d) => dupIslands(s, d).orderBy("doc_id", "span_start"),
+    (s, d) => repeatedSpans(s, d),
     Some(s"""WITH $dupIslandsDuck
              SELECT doc_id, span_start, span_words, n_grams
              FROM isl ORDER BY doc_id, span_start"""),
@@ -1176,7 +1190,7 @@ object DedupOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
-      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpans,
+      incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit)
 
   /** Incremental near-dup check: a NEW batch of documents against an

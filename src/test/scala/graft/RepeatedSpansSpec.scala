@@ -72,4 +72,22 @@ class RepeatedSpansSpec extends SparkSpec {
     assert(spans.contains((1L, 6L, 3L)) && spans.contains((1L, 10L, 3L)),
       s"within-doc repeats must form their own islands: $spans")
   }
+
+  test("the production min-span knob drops short islands and is a pure filter of the substrate") {
+    import graft.operators.DedupOps
+    val all = DedupOps.repeatedSpans(spark, sfDir) // declared floor: 3 words
+    val thr = 6L // fixture-scaled stand-in for the ~50-token production cut
+    val cut = DedupOps.repeatedSpans(spark, sfDir, minSpanWords = thr)
+    val nAll = all.count()
+    val nCut = cut.count()
+    // the threshold actually separates on this corpus: some islands are
+    // short boilerplate, some are long runs
+    assert(nCut > 0 && nCut < nAll, s"min-span $thr does not separate: $nCut of $nAll")
+    assert(cut.filter(col("span_words") < thr).isEmpty, "an island under the floor survived")
+    // pure refinement: the knob is a filter, never a re-derivation —
+    // island boundaries must be identical between the two reads
+    assert(cut.exceptAll(all.filter(col("span_words") >= thr)).isEmpty &&
+      all.filter(col("span_words") >= thr).exceptAll(cut).isEmpty,
+      "knobbed output diverges from filtering the declared output")
+  }
 }
