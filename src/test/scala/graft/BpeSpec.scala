@@ -123,6 +123,31 @@ class BpeSpec extends SparkSpec {
     assert(allToks.exists(_.length > 2), s"no multi-char merged token fired: $allToks")
   }
 
+  test("token_count's est_bpe heuristic brackets the real BPE token count") {
+    // the chars/4 estimate is the planning heuristic; the encoder is the
+    // ground truth. With only 10 merges the real count sits between the
+    // estimate (a deep-vocab lower bound) and the character count — pin
+    // that bracket corpus-wide so the two surfaces stay consistent.
+    val est = SparkEntry
+      .queries("token_count")(spark, sfDir)
+      .agg(sum("est_bpe"))
+      .collect()(0)
+      .getLong(0)
+    val vocabDf = BpeOps.vocab(spark, sfDir).filter(col("w") =!= "")
+    val real = vocabDf
+      .select(
+        col("wc"),
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+      )
+      .withColumn("syms", BpeOps.applyMerges(col("syms"), BpeOps.EncodeMerges))
+      .agg(sum(expr("wc * size(syms)")))
+      .collect()(0)
+      .getLong(0)
+    val chars = vocabDf.agg(sum(expr("wc * char_length(w)"))).collect()(0).getLong(0)
+    assert(est <= real && real <= chars,
+      s"est_bpe=$est should lower-bound real BPE=$real which is under chars=$chars")
+  }
+
   test("encode(train(corpus)) round-trips: freshly trained merges applied = reference encode") {
     val vocabDf = BpeOps
       .vocab(spark, "/root/testdata/sf0.001")
