@@ -124,6 +124,97 @@ object PipelineOps extends QueryModule {
     },
   )
 
+  /** Importance-resampling bucket count: DSIR hashes n-grams into a
+    * fixed table (10⁴ in the paper); 64 keeps the oracle compact — the
+    * shape (corpus-independent D) is what matters to the engine.
+    */
+  private val DsirBuckets = 64
+
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling): score every document by how target-like its hashed
+    * unigram bag is — the published data-selection stage that picks
+    * pretraining data matching a high-quality target distribution.
+    * Per-bucket weight λ_b = ln p̂_target(b) − ln p̂_raw(b) over
+    * Laplace-smoothed hashed-feature counts (target = the `lang = 'en'`
+    * slice, raw = the whole corpus); a document's weight is the exact
+    * BIGINT sum of its features' λ (×10⁶-scaled before summing, the
+    * `unigram_logprob` discipline, so the distributed aggregation is
+    * reorderable and hash-identical cross-engine).
+    *
+    * At 100 TB: BOTH feature models are fixed-size (D buckets,
+    * corpus-independent — the paper's point: a hashed generative model
+    * never grows), built with one map-side-combined count each; the
+    * λ table is D rows, so the scoring join is a bounded broadcast AQE
+    * chooses on its own (no hint — the no-pin rule holds even when the
+    * bound is structural), and the per-doc sum is the one doc-keyed
+    * shuffle. Raw counts include the target slice (p̂_raw is the
+    * corpus marginal), matching the paper's raw-pool formulation.
+    */
+  private val dsirWeights = DeclaredQuery(
+    "dsir_weights",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val feats = documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"),
+        )
+        .select(
+          col("doc_id"),
+          col("lang"),
+          expr(s"CAST(graft_poly_hash(w) % $DsirBuckets AS INT)").as("b"),
+        )
+      val target = feats.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("tc"))
+      val raw = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+      val lam = s
+        .range(DsirBuckets)
+        .select(col("id").cast("int").as("b"))
+        .join(target, Seq("b"), "left")
+        .join(raw, Seq("b"), "left")
+        .crossJoin(broadcast(target.agg(sum("tc").as("tt")))) // 1-row totals
+        .crossJoin(broadcast(raw.agg(sum("rc").as("rt"))))
+        .select(
+          col("b"),
+          expr(
+            s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(tt + $DsirBuckets)
+               |            - ln(coalesce(rc, 0) + 1) + ln(rt + $DsirBuckets))
+               |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin,
+          ).as("lam"),
+        )
+      feats
+        .join(lam, Seq("b")) // D-row model table: AQE broadcasts, un-hinted
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight_sum"))
+        .withColumn(
+          "avg_logratio",
+          round(col("weight_sum").cast("double") / col("n_feats") / 1e6, 4),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH f AS (SELECT doc_id, lang,
+                               CAST(${graft.operators.TextOps.wordHashDuck} % $DsirBuckets AS INT) AS b
+                        FROM (SELECT doc_id, lang,
+                                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                              FROM documents)),
+             t AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY b),
+             r AS (SELECT b, count(*) AS rc FROM f GROUP BY b),
+             tt AS (SELECT CAST(sum(tc) AS BIGINT) AS tt FROM t),
+             rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rt FROM r),
+             bk AS (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b),
+             lam AS (SELECT bk.b,
+                            CAST(floor((ln(coalesce(t.tc, 0) + 1) - ln(tt + $DsirBuckets)
+                                        - ln(coalesce(r.rc, 0) + 1) + ln(rt + $DsirBuckets))
+                                       * 1000000.0 + 0.5) AS BIGINT) AS lam
+                     FROM bk LEFT JOIN t ON bk.b = t.b LEFT JOIN r ON bk.b = r.b, tt, rt)
+             SELECT f.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_feats,
+                    CAST(sum(lam.lam) AS BIGINT) AS weight_sum,
+                    round(CAST(sum(lam.lam) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS avg_logratio
+             FROM f JOIN lam ON f.b = lam.b
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Deterministic corpus rebalancing ("data mixing"): downsample every
     * language slice to the rarest language's share, with the rate
     * COMPUTED from corpus counts rather than declared (the
@@ -379,5 +470,5 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle)
+      corpusShuffle, dsirWeights)
 }
