@@ -543,6 +543,90 @@ object TextOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Bigram LM surprisal — one rung up the n-gram ladder from
+    * [[unigramLogprob]] toward the 5-gram KenLM filter CCNet runs: score
+    * each document by its mean transition surprisal
+    * −ln p(w₂ | w₁) under a Laplace-smoothed bigram model trained on the
+    * corpus itself, p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V). Repetitive
+    * boilerplate scores low (predictable transitions), token salad
+    * scores high — a sharper quality signal than unigram frequency
+    * because it sees ORDER.
+    *
+    * Plan: transitions come from one zip_with over shifted slices (no
+    * per-index element_at trap), both count tables are partial+final
+    * hash aggs, and the two scoring joins (bigram table on (w1, w2),
+    * unigram context counts on w1) are UN-hinted — both tables are
+    * corpus-cardinality (bigram vocab grows faster than unigram), so a
+    * pinned broadcast is the round-6 OOM; AQE decides. The per-transition
+    * surprisal is ×10⁶-integer-scaled BEFORE the per-doc sum (exact
+    * BIGINT, reorderable at any partitioning); V (vocab size) and the
+    * 1×1 scalar ride broadcast cross joins. Only (w1, w2, cost) and
+    * (doc_id, cost) pairs shuffle — the text never does.
+    */
+  private val bigramLogprob = DeclaredQuery(
+    "bigram_logprob",
+    (s, d) => {
+      val pairs = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          explode(
+            expr("""IF(size(toks) >= 2,
+                   |   zip_with(slice(toks, 1, size(toks) - 1),
+                   |            slice(toks, 2, size(toks) - 1),
+                   |            (a, b) -> struct(a AS w1, b AS w2)),
+                   |   CAST(array() AS array<struct<w1: string, w2: string>>))""".stripMargin),
+          ).as("p"),
+        )
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
+      val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val vsize = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(countDistinct("w").as("v"))
+      val costed = bi
+        .join(uni, Seq("w1")) // no hint: context table is vocab-cardinality
+        .crossJoin(broadcast(vsize)) // 1×1 scalar
+        .withColumn(
+          "cost",
+          expr(
+            "CAST(floor(-ln((CAST(cb AS DOUBLE) + 1.0) / (cu + v)) * 1000000.0 + 0.5) AS BIGINT)",
+          ),
+        )
+        .select("w1", "w2", "cost")
+      pairs
+        .join(costed, Seq("w1", "w2")) // no hint: bigram-cardinality, AQE decides
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("cost").as("cost_sum"))
+        .withColumn(
+          "mean_surprisal",
+          round(col("cost_sum").cast("double") / col("n_bigrams") / 1e6, 4),
+        )
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            pairs AS (SELECT doc_id,
+                             unnest(CASE WHEN len(toks) >= 2
+                                    THEN list_transform(generate_series(1, len(toks) - 1),
+                                                        i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+                                    ELSE [] END) AS p
+                      FROM t),
+            pw AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs),
+            uni AS (SELECT w1, count(*) AS cu FROM pw GROUP BY 1),
+            bi AS (SELECT w1, w2, count(*) AS cb FROM pw GROUP BY 1, 2),
+            vs AS (SELECT count(DISTINCT w) AS v
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+            costed AS (SELECT bi.w1, bi.w2,
+                              CAST(floor(-ln((CAST(cb AS DOUBLE) + 1.0) / (cu + v)) * 1000000.0 + 0.5) AS BIGINT) AS cost
+                       FROM bi JOIN uni USING (w1), vs)
+            SELECT pw.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(cost) AS BIGINT) AS cost_sum,
+                   round(CAST(sum(cost) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS mean_surprisal
+            FROM pw JOIN costed USING (w1, w2)
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Hash-bucket count of the linear quality model (a fastText-style
     * scorer keeps 2²¹; 64 keeps the oracle literal small — the plumbing
     * is identical at any D).
@@ -639,6 +723,7 @@ object TextOps extends QueryModule {
     piiScrub,
     cmsHeavyHitters,
     unigramLogprob,
+    bigramLogprob,
     qualityScore,
   )
 }
