@@ -92,6 +92,21 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("quality_score is scan-local: the model dot joins nothing, only the output sort shuffles") {
+    val p = planOf("quality_score")
+    assert(!p.contains("Join"), "the weight vector is a plan literal — scoring must not join")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"only the presentation sort may shuffle, got $exchanges")
+  }
+
+  test("dsir_weights' scoring join is AQE's choice; only scalar totals ride explicit broadcasts") {
+    val p = planOf("dsir_weights")
+    // the lambda table is D=64 rows — AQE should broadcast it at runtime
+    // without a hint (the no-pin rule holds even for structural bounds)
+    assert(p.contains("BroadcastHashJoin"), "AQE should broadcast the D-row model table")
+    assert(!p.contains("CartesianProduct"), "scalar totals must broadcast, never cartesian")
+  }
+
   test("SQ8 consumers read the shared code substrate; coarse dot is the native kernel") {
     for (name <- Seq("embedding_quantize", "quantized_topk")) {
       val p = planOf(name)
