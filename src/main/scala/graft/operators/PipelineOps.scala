@@ -124,6 +124,67 @@ object PipelineOps extends QueryModule {
     },
   )
 
+  /** Per-slice token budget for [[tokenBudgetMix]] — fixture-scaled
+    * (every language slice exceeds it, so both kept and cut docs are
+    * exercised); production budgets come from the mixture recipe.
+    */
+  private val TokenBudget = 2000L
+
+  /** Token-budget source mixing — the mixture stage published recipes
+    * (The Pile, Dolma) actually specify: each slice contributes
+    * DOCUMENTS UNTIL A TOKEN BUDGET, not a document count or rate
+    * (`mix_sources` / `stratified_sample` cover those). Greedy
+    * deterministic fill in doc_id order: a document is kept while the
+    * running word total BEFORE it is under the slice's budget (the
+    * crossing document is included, like a sequence pack), so re-runs at
+    * any partitioning select the same prefix.
+    *
+    * Plan: ONE running-sum window partitioned by the slice key + a
+    * stateless predicate — no joins, nothing broadcast. At 100 TB the
+    * per-slice window cost is bounded by slice size; a single slice
+    * larger than an executor takes the `sequence_pack` two-phase
+    * distributed prefix sum (per-partition subtotals + offset join),
+    * which is the same arithmetic with one extra narrow exchange. Skew
+    * is structural: a hot slice stops contributing past its budget, so
+    * the OUTPUT is budget-bounded even when the input is not.
+    */
+  private val tokenBudgetMix = DeclaredQuery(
+    "token_budget_mix",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      documents(s, d)
+        .select(
+          col("lang"),
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+        )
+        .withColumn("cum_before", coalesce(sum("n_words").over(w), lit(0L)))
+        .filter(col("cum_before") < TokenBudget)
+        .select(
+          col("lang"),
+          col("doc_id"),
+          col("n_words"),
+          (col("cum_before") + col("n_words")).as("cum_words"),
+        )
+        .orderBy("lang", "doc_id")
+    },
+    Some(s"""WITH t AS (SELECT lang, doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                        FROM documents),
+             c AS (SELECT lang, doc_id, n_words,
+                          coalesce(sum(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                   0) AS cum_before
+                   FROM t)
+             SELECT lang, doc_id, n_words,
+                    CAST(cum_before + n_words AS BIGINT) AS cum_words
+             FROM c WHERE cum_before < $TokenBudget
+             ORDER BY lang, doc_id"""),
+  )
+
   /** Importance-resampling bucket count: DSIR hashes n-grams into a
     * fixed table (10⁴ in the paper); 64 keeps the oracle compact — the
     * shape (corpus-independent D) is what matters to the engine.
@@ -470,5 +531,5 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle, dsirWeights)
+      corpusShuffle, dsirWeights, tokenBudgetMix)
 }
