@@ -65,6 +65,7 @@ object DedupOps extends QueryModule {
     */
   private[operators] def pow31DuckSql: String = pow31Duck
   private[operators] def gramHashDuckSql: String = gramHashDuck
+  private[operators] def gramListDuckSql: String = gramListDuck
 
   private val pow31Duck =
     """list_reduce(list_prepend(CAST(1 AS BIGINT),

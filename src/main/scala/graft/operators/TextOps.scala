@@ -543,6 +543,77 @@ object TextOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Winnowing window: W consecutive grams per selection window. The
+    * guarantee (Schleimer et al.): any shared run of W + 2 words (W
+    * trigrams) yields at least one shared fingerprint. Fixture-scaled
+    * W = 4; production tunes W to the noise threshold.
+    */
+  private val WinnowW = 4
+
+  /** Winnowing fingerprints (the MOSS algorithm, Schleimer et al.
+    * SIGMOD'03) — the published ROBUST fingerprint selection between
+    * whole-document hashing ([[docFingerprint]], breaks on one changed
+    * word) and keeping every positional gram (`repeated_spans`' input,
+    * n − 2 hashes per doc): slide a W-gram window over the positional
+    * trigram hashes and keep each window's MINIMUM, deduplicated by
+    * value. Density is ~2/(W+1) of the grams — a 2.5× reduction at
+    * W = 4 (production uses larger W) — while guaranteeing any shared
+    * run of W+2 words still collides on some selected fingerprint,
+    * which a random 1-in-k gram sample cannot promise.
+    *
+    * Plan: strictly scan-local — the shared native positional-gram
+    * expression feeds array HOFs (window minima, distinct, xor fold);
+    * no shuffle but the presentation sort, so it parallelizes
+    * embarrassingly at 100 TB and the selected-set summary (count +
+    * order-independent xor) is exact BIGINT cross-engine. The selected
+    * hashes are what a production pipeline would explode into the
+    * inverted dedup index at a fraction of `repeated_spans`' row count.
+    */
+  private val winnowFingerprint = DeclaredQuery(
+    "winnow_fingerprint",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      documents(s, d)
+        .withColumn("gs", expr("graft_gram_hashes_pos(split(text, ' '))"))
+        .select(
+          col("doc_id"),
+          size(col("gs")).cast("long").as("n_grams"),
+          expr(
+            s"""CASE WHEN size(gs) >= $WinnowW
+               |     THEN array_distinct(transform(sequence(1, size(gs) - ${WinnowW - 1}),
+               |            i -> array_min(slice(gs, i, $WinnowW))))
+               |     WHEN size(gs) > 0 THEN array(array_min(gs))
+               |     ELSE CAST(array() AS array<bigint>) END""".stripMargin,
+          ).as("fps"),
+        )
+        .select(
+          col("doc_id"),
+          col("n_grams"),
+          size(col("fps")).cast("long").as("n_fps"),
+          expr("aggregate(fps, CAST(0 AS BIGINT), (a, x) -> a ^ x)").as("fp_xor"),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             hp AS (SELECT doc_id,
+                           list_transform(ws, w -> $wordHashDuck) AS hws,
+                           list_transform(ws, w -> ${DedupOps.pow31DuckSql}) AS pws
+                    FROM t),
+             g AS (SELECT doc_id, ${DedupOps.gramListDuckSql} AS gs FROM hp),
+             sel AS (SELECT doc_id,
+                            CAST(len(gs) AS BIGINT) AS n_grams,
+                            CASE WHEN len(gs) >= $WinnowW
+                                 THEN list_distinct(list_transform(generate_series(1, len(gs) - ${WinnowW - 1}),
+                                        i -> list_min(list_transform(generate_series(0, ${WinnowW - 1}), k -> gs[i + k]))))
+                                 WHEN len(gs) > 0 THEN [list_min(gs)]
+                                 ELSE CAST([] AS BIGINT[]) END AS fps
+                     FROM g)
+             SELECT doc_id, n_grams,
+                    CAST(len(fps) AS BIGINT) AS n_fps,
+                    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), fps), (a, x) -> xor(a, x)) AS BIGINT) AS fp_xor
+             FROM sel ORDER BY doc_id"""),
+  )
+
   /** Bigram LM surprisal — one rung up the n-gram ladder from
     * [[unigramLogprob]] toward the 5-gram KenLM filter CCNet runs: score
     * each document by its mean transition surprisal
@@ -725,5 +796,6 @@ object TextOps extends QueryModule {
     unigramLogprob,
     bigramLogprob,
     qualityScore,
+    winnowFingerprint,
   )
 }

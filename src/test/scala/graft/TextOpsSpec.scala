@@ -104,4 +104,34 @@ class TextOpsSpec extends SparkSpec {
       .toSet
     assert(preds.subsetOf(Set("en", "es", "de", "zh", "fr")))
   }
+
+  test("winnowing equals the sequential reference selection on the corpus grams") {
+    graft.functions.GraftFunctions.register(spark)
+    val W = 4
+    def referenceWinnow(gs: Seq[Long]): Seq[Long] =
+      if (gs.isEmpty) Seq.empty
+      else if (gs.length < W) Seq(gs.min)
+      else (0 to gs.length - W).map(i => gs.slice(i, i + W).min).distinct
+    val rows = graft.Tables
+      .documents(spark, sfDir)
+      .withColumn("gs", org.apache.spark.sql.functions.expr("graft_gram_hashes_pos(split(text, ' '))"))
+      .select("doc_id", "gs")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1))
+      .toMap
+    val got = SparkEntry
+      .queries("winnow_fingerprint")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    for ((docId, nGrams, nFps, fpXor) <- got) {
+      val ref = referenceWinnow(rows(docId))
+      assert(nGrams == rows(docId).length, s"doc $docId gram count")
+      assert(nFps == ref.length, s"doc $docId fingerprint count: got $nFps, ref ${ref.length}")
+      assert(fpXor == ref.foldLeft(0L)(_ ^ _), s"doc $docId xor mismatch")
+      // the winnowing guarantee's useful half: selection is a real
+      // reduction but never empties a non-trivial document
+      if (nGrams >= W) assert(nFps <= nGrams - W + 1 && nFps >= 1)
+    }
+  }
 }
