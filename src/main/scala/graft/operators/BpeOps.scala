@@ -111,12 +111,46 @@ object BpeOps extends QueryModule {
   }
 
   /** Fold a whole merge list over a symbol-array column, in training
-    * order — the tokenizer a trained BPE model ships. Scan-local: no
-    * shuffle, no state, just `merges.size` chained greedy folds inside
-    * one projection.
+    * order, by CHAINING one fold per merge. Kept as the reference
+    * formulation ([[applyMerges]] is the production one): the chained
+    * expression tree grows linearly with the merge count, and Catalyst
+    * planning + codegen on a depth-`merges.size` nested-lambda tree
+    * dominated execution 10× at bench scale — the merge list belongs in
+    * DATA, not in the expression tree.
     */
-  private[graft] def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+  private[graft] def applyMergesChained(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => applyMerge(c, a, b) }
+
+  /** The production merge-list fold: the merges ride as a LITERAL ARRAY
+    * of (a, b) structs — data, exactly how a trained tokenizer ships its
+    * merges file — and one two-level `aggregate` folds them over the
+    * symbol array (outer fold over merges, inner greedy fold over
+    * symbols). The expression tree is CONSTANT-SIZE no matter how many
+    * merges the model has (a real BPE vocab carries 30k–100k), so plan
+    * analysis and codegen cost never grow with the model; semantics are
+    * merge-for-merge identical to the chained form (BpeSpec pins the
+    * equivalence on the corpus vocab).
+    */
+  private[graft] def applyMerges(syms: Column, merges: Seq[(String, String)]): Column = {
+    val mlit = array(merges.map { case (a, b) => struct(lit(a).as("a"), lit(b).as("b")) }: _*)
+    aggregate(
+      mlit,
+      syms,
+      (acc, m) =>
+        aggregate(
+          acc,
+          array().cast("array<string>"),
+          (a2, x) =>
+            when(
+              size(a2) > 0 && element_at(a2, -1) === m.getField("a") && x === m.getField("b"),
+              concat(
+                slice(a2, lit(1), size(a2) - 1),
+                array(concat(m.getField("a"), m.getField("b"))),
+              ),
+            ).otherwise(concat(a2, array(x))),
+        ),
+    )
+  }
 
   /** The merge list [[bpeTrain]] produces on the `documents` corpus at
     * the verification scale (10 rounds, sf0.01) — the "model artifact"
@@ -153,7 +187,14 @@ object BpeOps extends QueryModule {
         )
       base
         .withColumn("syms", applyMerges(col("syms"), EncodeMerges))
-        .select(col("wc"), explode(col("syms")).as("token"))
+        // explode_outer, deliberately: plain explode plants an implicit
+        // `size(syms) > 0 AND isnotnull(syms)` filter, and because syms
+        // derives from the GROUPING KEY, predicate pushdown legally
+        // moves it below the vocab aggregate — re-evaluating the whole
+        // merge fold twice per raw TOKEN instead of once per vocab word
+        // (measured 13.8 s vs 0.6 s at sf0.1). syms is never empty
+        // (w <> ''), so outer ≡ inner here and the filter never exists.
+        .select(col("wc"), explode_outer(col("syms")).as("token"))
         .groupBy("token")
         .agg(sum("wc").as("cnt"))
         .orderBy(col("cnt").desc, col("token"))

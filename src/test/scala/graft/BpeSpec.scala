@@ -123,6 +123,31 @@ class BpeSpec extends SparkSpec {
     assert(allToks.exists(_.length > 2), s"no multi-char merged token fired: $allToks")
   }
 
+  test("data-driven merge fold equals the chained-expression fold on the corpus vocab") {
+    // applyMerges ships the merge list as a literal array folded in one
+    // constant-size expression; applyMergesChained builds one nested
+    // fold per merge. Same greedy semantics, pinned equal.
+    val vocabDf = BpeOps
+      .vocab(spark, "/root/testdata/sf0.001")
+      .filter(col("w") =!= "")
+      .select(
+        col("w"),
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+      )
+      .localCheckpoint()
+    val a = vocabDf
+      .select(col("w"), BpeOps.applyMerges(col("syms"), BpeOps.EncodeMerges).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    val b = vocabDf
+      .select(col("w"), BpeOps.applyMergesChained(col("syms"), BpeOps.EncodeMerges).as("m"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq)
+      .toMap
+    assert(a == b, "data-driven and chained folds diverge")
+  }
+
   test("token_count's est_bpe heuristic brackets the real BPE token count") {
     // the chars/4 estimate is the planning heuristic; the encoder is the
     // ground truth. With only 10 merges the real count sits between the

@@ -92,6 +92,20 @@ class PlanAssertionsSpec extends SparkSpec {
     }
   }
 
+  test("bpe_encode's merge fold never leaks into a pushed-down filter") {
+    // explode() plants size(syms)>0 on the generate; syms derives from
+    // the GROUPING KEY, so pushdown legally moves that filter below the
+    // vocab aggregate — re-evaluating the whole interpreted merge fold
+    // per raw token (measured 13.8 s vs 0.6 s at sf0.1). explode_outer
+    // keeps the fold out of every Filter; this pins it.
+    val p = planOf("bpe_encode")
+    val filters = p.linesIterator.filter(_.matches(".*\\bFilter\\b.*")).toSeq
+    assert(filters.nonEmpty, "expected the w <> '' filter to remain")
+    filters.foreach(f =>
+      assert(!f.contains("lambdafunction"),
+        s"merge fold leaked into a pushed filter (per-token evaluation): ${f.take(160)}"))
+  }
+
   test("quality_score is scan-local: the model dot joins nothing, only the output sort shuffles") {
     val p = planOf("quality_score")
     assert(!p.contains("Join"), "the weight vector is a plan literal — scoring must not join")
