@@ -726,38 +726,49 @@ object TextOps extends QueryModule {
     * length-independent; QualityScoreSpec proves threshold-filtering
     * composes with `clean_corpus` as the model-filter stage.
     */
+  /** The model scorer over an arbitrary documents frame (doc_id, text,
+    * ...) → (doc_id, n_feats, score_sum, quality), unordered. Stateless
+    * and shuffle-free, so it applies UNCHANGED to a streaming frame —
+    * the declared `quality_score` adds the presentation sort, the
+    * ingest screen ([[graft.streaming.DocIngest.startQualityScreen]])
+    * adds the threshold; both share THIS, so the model cannot drift.
+    */
+  private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wlit = QsWeights.mkString("array(", "L, ", "L)")
+    docs
+      .withColumn("toks", expr("filter(split(text, ' '), w -> w <> '')"))
+      .withColumn(
+        "feats",
+        expr("""concat(
+               |  toks,
+               |  IF(size(toks) >= 2,
+               |     zip_with(slice(toks, 1, size(toks) - 1),
+               |              slice(toks, 2, size(toks) - 1),
+               |              (a, b) -> concat(a, ' ', b)),
+               |     CAST(array() AS array<string>)))""".stripMargin),
+      )
+      .select(
+        col("doc_id"),
+        size(col("feats")).cast("long").as("n_feats"),
+        expr(
+          s"""aggregate(
+             |  transform(feats, w -> element_at($wlit,
+             |    CAST($wordHashSpark % $QsBuckets AS INT) + 1)),
+             |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin,
+        ).as("score_sum"),
+      )
+      .withColumn(
+        "quality",
+        round(col("score_sum").cast("double") / greatest(col("n_feats"), lit(1L)), 4),
+      )
+  }
+
   private val qualityScore = DeclaredQuery(
     "quality_score",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val wlit = QsWeights.mkString("array(", "L, ", "L)")
-      documents(s, d)
-        .withColumn("toks", expr("filter(split(text, ' '), w -> w <> '')"))
-        .withColumn(
-          "feats",
-          expr("""concat(
-                 |  toks,
-                 |  IF(size(toks) >= 2,
-                 |     zip_with(slice(toks, 1, size(toks) - 1),
-                 |              slice(toks, 2, size(toks) - 1),
-                 |              (a, b) -> concat(a, ' ', b)),
-                 |     CAST(array() AS array<string>)))""".stripMargin),
-        )
-        .select(
-          col("doc_id"),
-          size(col("feats")).cast("long").as("n_feats"),
-          expr(
-            s"""aggregate(
-               |  transform(feats, w -> element_at($wlit,
-               |    CAST($wordHashSpark % $QsBuckets AS INT) + 1)),
-               |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin,
-          ).as("score_sum"),
-        )
-        .withColumn(
-          "quality",
-          round(col("score_sum").cast("double") / greatest(col("n_feats"), lit(1L)), 4),
-        )
-        .orderBy("doc_id")
+      qualityScored(documents(s, d)).orderBy("doc_id")
     }, {
       val wlit = QsWeights.mkString("[", ", ", "]")
       Some(s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks

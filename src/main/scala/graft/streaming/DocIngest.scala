@@ -227,6 +227,31 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming quality screen — the stateless model filter applied at
+    * ingest: each micro-batch is scored by the fastText-style linear
+    * model (`quality_score`'s exact integer dot — weights are plan
+    * literals, so there is NO state, NO shuffle, and NO standing table
+    * to rotate; batches are embarrassingly independent) and `onKept`
+    * receives the batch's rows at or above `minQuality`. Both paths
+    * share [[graft.operators.TextOps.qualityScored]], so the model
+    * cannot drift between batch curation and ingest screening.
+    */
+  def startQualityScreen(
+      docs: DataFrame,
+      minQuality: Double,
+      checkpointDir: String,
+  )(onKept: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        onKept(
+          graft.operators.TextOps
+            .qualityScored(batch)
+            .filter(org.apache.spark.sql.functions.col("quality") >= minQuality))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Seed a durable signature table from a standing corpus (once). */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
     DedupOps

@@ -609,6 +609,46 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toSet == batch, s"streamed=${collected.size} batch=${batch.size}")
   }
 
+  test("streaming quality screen equals the batch quality_score threshold filter") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+    // median quality as the threshold so both kept and cut docs exist
+    val qs = graft.operators.TextOps.qualityScored(docs).select("quality").collect()
+      .map(_.getDouble(0)).sorted
+    val thr = qs(qs.length / 2)
+
+    val streamDir = Files.createTempDirectory("doc-quality-screen").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var batches = 0
+    val q = graft.streaming.DocIngest.startQualityScreen(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      minQuality = thr,
+      checkpointDir = Files.createTempDirectory("ck-quality-screen").toString,
+    ) { kept =>
+      collected.synchronized {
+        batches += 1
+        collected ++= kept.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+      }
+    }
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(batches >= 2, s"expected one micro-batch per staged file, got $batches")
+
+    val batch = graft.operators.TextOps
+      .qualityScored(docs)
+      .filter(col("quality") >= thr)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality")))
+      .toSet
+    assert(batch.nonEmpty && batch.size < qs.length, "threshold must separate the corpus")
+    assert(collected.toSet == batch, s"streamed=${collected.size} batch=${batch.size}")
+  }
+
   test("streaming decontamination screen equals the batch contamination check") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"
