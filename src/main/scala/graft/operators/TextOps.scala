@@ -506,30 +506,37 @@ object TextOps extends QueryModule {
     * df-prune the vocab tail before costing; the declared query keeps
     * the full vocab so the oracle states the exact LM.
     */
+  /** The unigram surprisal scorer (doc_id, n_tokens, cost_sum,
+    * mean_surprisal), unordered — shared by the declared
+    * `unigram_logprob` (adds the sort) and `perplexity_bucket` (ranks
+    * into CCNet terciles), so the LM definition cannot drift.
+    */
+  private[graft] def unigramScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val costed = vocab
+      .crossJoin(broadcast(total)) // 1×1 scalar join
+      .withColumn(
+        "cost",
+        expr("CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)"),
+      )
+      .select("tok", "cost")
+    toks
+      .join(costed, Seq("tok")) // no hint: vocab-cardinality side, AQE decides
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("cost").as("cost_sum"))
+      .withColumn(
+        "mean_surprisal",
+        round(col("cost_sum").cast("double") / col("n_tokens") / 1e6, 4),
+      )
+  }
+
   private val unigramLogprob = DeclaredQuery(
     "unigram_logprob",
-    (s, d) => {
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum("cnt").as("total"))
-      val costed = vocab
-        .crossJoin(broadcast(total)) // 1×1 scalar join
-        .withColumn(
-          "cost",
-          expr("CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)"),
-        )
-        .select("tok", "cost")
-      toks
-        .join(costed, Seq("tok")) // no hint: vocab-cardinality side, AQE decides
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum("cost").as("cost_sum"))
-        .withColumn(
-          "mean_surprisal",
-          round(col("cost_sum").cast("double") / col("n_tokens") / 1e6, 4),
-        )
-        .orderBy("doc_id")
-    },
+    (s, d) => unigramScored(s, d).orderBy("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
             vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
@@ -541,6 +548,60 @@ object TextOps extends QueryModule {
                    round(CAST(sum(c.cost) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS mean_surprisal
             FROM toks t JOIN costed c USING (tok)
             GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** CCNet's head/middle/tail output format: rank documents by LM
+    * surprisal and cut the corpus into terciles — head (lowest
+    * perplexity, most fluent) is what the published pipeline keeps or
+    * upweights, tail is what it drops. Buckets come from `ntile(3)`
+    * over (mean_surprisal, doc_id) — a TOTAL order (the rounded
+    * surprisal ties break on doc_id), so the assignment is deterministic
+    * and engine-identical. Shares [[unigramScored]] with
+    * `unigram_logprob` so the LM cannot drift.
+    *
+    * At 100 TB the declared global ntile is the exact-semantics
+    * statement; the production variant computes the two tercile
+    * BOUNDARY values from a per-partition t-digest/exact agg and
+    * assigns with a stateless scan predicate — same result up to
+    * boundary ties, no global sort. (Same trade `corpus_shuffle`
+    * documents for its shard ranks.)
+    */
+  private val perplexityBucket = DeclaredQuery(
+    "perplexity_bucket",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      unigramScored(s, d)
+        .withColumn(
+          "bucket",
+          ntile(3).over(Window.orderBy(col("mean_surprisal"), col("doc_id"))).cast("long"),
+        )
+        .withColumn(
+          "label",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle")
+            .otherwise("tail"),
+        )
+        .select("doc_id", "mean_surprisal", "bucket", "label")
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+            costed AS (SELECT tok,
+                              CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT) AS cost
+                       FROM vocab, tot),
+            scored AS (SELECT t.doc_id,
+                              round(CAST(sum(c.cost) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS mean_surprisal
+                       FROM toks t JOIN costed c USING (tok)
+                       GROUP BY 1),
+            b AS (SELECT doc_id, mean_surprisal,
+                         CAST(ntile(3) OVER (ORDER BY mean_surprisal, doc_id) AS BIGINT) AS bucket
+                  FROM scored)
+            SELECT doc_id, mean_surprisal, bucket,
+                   CASE WHEN bucket = 1 THEN 'head'
+                        WHEN bucket = 2 THEN 'middle'
+                        ELSE 'tail' END AS label
+            FROM b ORDER BY doc_id"""),
   )
 
   /** Winnowing window: W consecutive grams per selection window. The
@@ -806,6 +867,7 @@ object TextOps extends QueryModule {
     cmsHeavyHitters,
     unigramLogprob,
     bigramLogprob,
+    perplexityBucket,
     qualityScore,
     winnowFingerprint,
   )
