@@ -218,37 +218,43 @@ object RetrievalOps extends QueryModule {
       s" * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len / (CAST($sumLen AS DOUBLE) / $nDocs)))" +
       " * 1000000000.0 + 0.5) AS BIGINT)"
 
+  /** The ranked BM25 top-k (doc_id, score, rank) — shared by the
+    * declared `bm25_rank` and the `rrf_fusion` lexical arm, so the
+    * scoring cannot drift between them.
+    */
+  private def bm25Ranked(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = words
+      .filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val lens = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats)) // 1-row corpus scalars
+      .withColumn("contrib", expr(bm25Contrib("n_docs", "sum_len")))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+      // global top-k as sort+limit (TakeOrderedAndProject — never a
+      // single-partition window over every matching doc); the rank
+      // window then runs over k rows only
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(BmTopK)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))),
+      )
+      .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   private val bm25Rank = DeclaredQuery(
     "bm25_rank",
-    (s, d) => {
-      val words = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = words
-        .filter(col("term").isin(QueryTerms: _*))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"))
-      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val lens = documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
-      val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
-      tf.join(broadcast(dfT), Seq("term"))
-        .join(lens, Seq("doc_id"))
-        .crossJoin(broadcast(stats)) // 1-row corpus scalars
-        .withColumn("contrib", expr(bm25Contrib("n_docs", "sum_len")))
-        .groupBy("doc_id")
-        .agg(sum("contrib").as("score"))
-        // global top-k as sort+limit (TakeOrderedAndProject — never a
-        // single-partition window over every matching doc); the rank
-        // window then runs over k rows only
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(BmTopK)
-        .withColumn(
-          "rank",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))),
-        )
-        .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
-        .orderBy("rank")
-    },
+    (s, d) => bm25Ranked(s, d).orderBy("rank"),
     Some {
       val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -267,6 +273,106 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  /** RRF constant (the standard k = 60 from the original paper) and the
+    * fused output depth.
+    */
+  private val RrfK = 60
+  private val RrfOut = 10
+
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al.: RRF outperforms either arm alone): fuse the
+    * lexical BM25 top-k ([[bm25Ranked]], shared with `bm25_rank`) and a
+    * dense cosine top-k (query vector 0 against the corpus) into one
+    * ranking by Σ 1/(k + rank) over the lists each id appears in. The
+    * reciprocal terms are EXACT integers (1 000 000 div (k + rank)) so
+    * the fused ordering is engine-identical; absent ranks render as 0,
+    * never NULL.
+    *
+    * At 100 TB each arm is already a global top-k
+    * (TakeOrderedAndProject shapes); the fusion itself is a full-outer
+    * join of two k-row lists — driver-trivial, AQE broadcasts. With
+    * many queries the same plan partitions by query id and the window
+    * ranks within each; nothing here grows with the corpus beyond the
+    * arms' own scans.
+    */
+  private val rrfFusion = DeclaredQuery(
+    "rrf_fusion",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val lex = bm25Ranked(s, d).select(col("doc_id"), col("rank").as("rank_lex"))
+      val e = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val q = e.filter(col("vec_id") === 0).select(col("dvec").as("qv"))
+      val dense = e
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)) // 1-row query vector
+        .withColumn("sim", round(expr("cosine_similarity(qv, dvec)"), 6))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(BmTopK)
+        .withColumn(
+          "rank_dense",
+          row_number().over(Window.orderBy(col("sim").desc, col("vec_id"))).cast("long"),
+        )
+        .select(col("vec_id").as("doc_id"), col("rank_dense"))
+      lex
+        .join(dense, Seq("doc_id"), "full_outer")
+        .withColumn(
+          "rrf_score",
+          coalesce(expr(s"1000000 div ($RrfK + rank_lex)"), lit(0L)) +
+            coalesce(expr(s"1000000 div ($RrfK + rank_dense)"), lit(0L)),
+        )
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("long"),
+        )
+        .filter(col("rank") <= RrfOut)
+        .select(
+          col("rank"),
+          col("doc_id"),
+          col("rrf_score"),
+          coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+          coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        )
+        .orderBy("rank")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+                 WHERE term IN ($termList) GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+          sc AS (SELECT doc_id,
+                        ${bm25Contrib("n_docs", "sum_len")} AS contrib
+                 FROM tf JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          tot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM sc GROUP BY 1),
+          lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex FROM tot),
+          r1 AS (SELECT doc_id, rank_lex FROM lr WHERE rank_lex <= $BmTopK),
+          e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                FROM embeddings),
+          qv AS (SELECT dvec AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+          ds AS (SELECT c.vec_id AS doc_id,
+                        round(list_inner_product(qv.qv, c.dvec) / (qv.qn * c.nrm), 6) AS sim
+                 FROM e c, qv WHERE c.vec_id <> 0),
+          dr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_dense FROM ds),
+          r2 AS (SELECT doc_id, rank_dense FROM dr WHERE rank_dense <= $BmTopK),
+          f AS (SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+                       coalesce(1000000 // ($RrfK + r1.rank_lex), 0)
+                         + coalesce(1000000 // ($RrfK + r2.rank_dense), 0) AS rrf_score,
+                       coalesce(r1.rank_lex, 0) AS rank_lex,
+                       coalesce(r2.rank_dense, 0) AS rank_dense
+                FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id),
+          rk AS (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank FROM f)
+          SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+                 CAST(rrf_score AS BIGINT) AS rrf_score,
+                 CAST(rank_lex AS BIGINT) AS rank_lex,
+                 CAST(rank_dense AS BIGINT) AS rank_dense
+          FROM rk WHERE rank <= $RrfOut ORDER BY rank"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
-    Seq(contaminationCheck, tfidfKeywords, bm25Rank)
+    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion)
 }
