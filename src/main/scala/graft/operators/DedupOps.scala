@@ -580,6 +580,41 @@ object DedupOps extends QueryModule {
              SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id"""),
   )
 
+  /** Duplicate-cluster size distribution — the diagnostic published
+    * dedup papers report (how much of the corpus sits in 2-member pairs
+    * vs boilerplate mega-clusters) and the number an operator watches to
+    * catch a broken threshold before shipping a corpus. Two cheap
+    * aggregations over the SHARED cc-labels substrate (label → size →
+    * histogram; the CC fixpoint is NOT re-run) — at 100 TB this is two
+    * narrow partial+final aggs over (doc_id, label) pairs, with the
+    * second input bounded by the cluster count. `n_docs = size ×
+    * n_clusters` audits against the corpus total.
+    */
+  private val clusterSizeHist = DeclaredQuery(
+    "cluster_size_hist",
+    (s, d) => {
+      ccLabels(s, d)
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(
+          col("sz").cast("long").as("cluster_size"),
+          col("n_clusters"),
+          (col("sz") * col("n_clusters")).cast("long").as("n_docs"),
+        )
+        .orderBy("cluster_size")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck,
+             cs AS (SELECT cluster_id, count(*) AS sz FROM lbl GROUP BY 1)
+             SELECT CAST(sz AS BIGINT) AS cluster_size,
+                    count(*) AS n_clusters,
+                    CAST(sz * count(*) AS BIGINT) AS n_docs
+             FROM cs GROUP BY sz ORDER BY cluster_size"""),
+  )
+
   /** Quality-aware canonical selection: one KEEPER per near-dup cluster —
     * the document with the most distinct words (min doc_id breaking ties,
     * an integer-exact policy so both engines pick the same row) — plus the
@@ -1192,7 +1227,7 @@ object DedupOps extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
-      spanScrub, leakageSafeSplit)
+      spanScrub, leakageSafeSplit, clusterSizeHist)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
