@@ -163,6 +163,44 @@ object BpeOps extends QueryModule {
     "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
     "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
 
+  /** Per-word BPE token counts under the shipped [[EncodeMerges]] model:
+    * (w, wtok) for every distinct non-empty corpus word. The encoder
+    * runs once per DISTINCT word (vocabulary-cardinality); consumers
+    * join this back to per-document words for real token accounting
+    * (`sequence_pack_bpe` packs by these instead of whitespace counts).
+    */
+  def bpeWordTokenCounts(s: SparkSession, d: String): DataFrame =
+    vocab(s, d)
+      .filter(col("w") =!= "")
+      .select(
+        col("w"),
+        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+      )
+      .withColumn("syms", applyMerges(col("syms"), EncodeMerges))
+      .select(col("w"), size(col("syms")).cast("long").as("wtok"))
+
+  /** The DuckDB unrolled-merge chain `m1..mN` over a base CTE `m0(…,
+    * enc)`, carrying `carry` through each step — shared by the
+    * `bpe_encode` oracle (carry = wc) and the `sequence_pack_bpe`
+    * oracle (carry = w), so the fold text cannot drift.
+    */
+  private[operators] def encodeStepsDuck(carry: String): String = {
+    val sep = "chr(1)"
+    EncodeMerges.zipWithIndex
+      .map { case ((a, b), i) =>
+        val drop = 1 + a.length
+        s"""m${i + 1} AS (SELECT $carry,
+           |  list_reduce(list_prepend('', list_filter(string_split(enc, $sep), s -> s <> '')),
+           |    (acc, x) -> CASE WHEN ends_with(acc, $sep || '$a') AND x = '$b'
+           |                     THEN left(acc, length(acc) - $drop) || $sep || '$a$b'
+           |                     ELSE acc || $sep || x END) AS enc
+           |  FROM m$i)""".stripMargin
+      }
+      .mkString(",\n")
+  }
+
+  private[operators] def lastEncodeStep: String = s"m${EncodeMerges.size}"
+
   /** The production half of BPE — train once, encode everywhere: apply
     * the fixed trained merge list to tokenize the corpus and report the
     * top-20 BPE token frequencies (count desc, token asc). Like
@@ -201,17 +239,6 @@ object BpeOps extends QueryModule {
         .limit(20)
     }, {
       val sep = "chr(1)"
-      val steps = EncodeMerges.zipWithIndex
-        .map { case ((a, b), i) =>
-          val drop = 1 + a.length
-          s"""m${i + 1} AS (SELECT wc,
-             |  list_reduce(list_prepend('', list_filter(string_split(enc, $sep), s -> s <> '')),
-             |    (acc, x) -> CASE WHEN ends_with(acc, $sep || '$a') AND x = '$b'
-             |                     THEN left(acc, length(acc) - $drop) || $sep || '$a$b'
-             |                     ELSE acc || $sep || x END) AS enc
-             |  FROM m$i)""".stripMargin
-        }
-        .mkString(",\n")
       Some(s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
            v AS (SELECT w, count(*) AS wc FROM w0 WHERE w <> '' GROUP BY w),
            m0 AS (SELECT wc,
@@ -219,9 +246,9 @@ object BpeOps extends QueryModule {
                            list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
                            $sep) AS enc
                   FROM v),
-           $steps,
+           ${encodeStepsDuck("wc")},
            toks AS (SELECT wc, unnest(list_filter(string_split(enc, $sep), s -> s <> '')) AS token
-                    FROM m${EncodeMerges.size}),
+                    FROM $lastEncodeStep),
            c AS (SELECT token, CAST(sum(wc) AS BIGINT) AS cnt FROM toks GROUP BY token)
            SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 20""")
     },

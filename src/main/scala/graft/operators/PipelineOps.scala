@@ -354,12 +354,21 @@ object PipelineOps extends QueryModule {
   private def packedCum(
       s: org.apache.spark.sql.SparkSession,
       d: String,
-  ): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = documents(s, d).select(
-      col("doc_id"),
-      size(split(col("text"), "\\s+")).cast("long").as("tok"),
+  ): org.apache.spark.sql.DataFrame =
+    packedCumOf(
+      documents(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tok"),
+      ),
     )
+
+  /** The two-phase distributed prefix sum over an arbitrary
+    * (doc_id, tok) table — shared by the whitespace-token packers and
+    * the BPE-token packer (`sequence_pack_bpe`), so the pack arithmetic
+    * cannot drift with the token accounting.
+    */
+  private def packedCumOf(t: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val bounds = t.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
     val local = t
       .crossJoin(broadcast(bounds)) // 1-row bounds scalar
@@ -503,6 +512,64 @@ object PipelineOps extends QueryModule {
     * hash stages stay below 2⁶³ (DuckDB errors on BIGINT overflow where
     * Spark wraps).
     */
+  /** Sequence packing by REAL tokenizer counts — the composition the
+    * BPE encoder exists for: per-document token counts come from the
+    * trained merge list (encoder runs once per DISTINCT vocab word,
+    * [[BpeOps.bpeWordTokenCounts]]; the per-doc sum is one un-hinted
+    * vocab join + doc agg), then the SAME two-phase distributed prefix
+    * sum as `sequence_pack` assigns packs — so the loader's pack
+    * boundaries line up with what the training run actually consumes,
+    * not the whitespace proxy (`sequence_pack` keeps the proxy form;
+    * BpeSpec brackets how far apart they can drift). Shares
+    * [[packedCumOf]], so pack arithmetic cannot diverge between token
+    * accountings.
+    */
+  private val sequencePackBpe = DeclaredQuery(
+    "sequence_pack_bpe",
+    (s, d) => {
+      val wt = BpeOps.bpeWordTokenCounts(s, d)
+      val t = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .join(wt, Seq("w")) // un-hinted: vocab-cardinality, AQE decides
+        .groupBy("doc_id")
+        .agg(sum("wtok").as("tok"))
+      packedCumOf(t)
+        .withColumn("pack_id", expr(s"(cum - tok) DIV $PackBudget"))
+        .groupBy("pack_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tok").as("tok_total"),
+          min("doc_id").as("first_doc"),
+          max("doc_id").as("last_doc"),
+        )
+        .orderBy("pack_id")
+    }, {
+      val sep = "chr(1)"
+      Some(s"""WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           v AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
+           m0 AS (SELECT w,
+                         $sep || array_to_string(
+                           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+                           $sep) AS enc
+                  FROM v),
+           ${BpeOps.encodeStepsDuck("w")},
+           wt AS (SELECT w,
+                         CAST(len(list_filter(string_split(enc, $sep), s -> s <> '')) AS BIGINT) AS wtok
+                  FROM ${BpeOps.lastEncodeStep}),
+           dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           t AS (SELECT doc_id, CAST(sum(wt.wtok) AS BIGINT) AS tok
+                 FROM dw JOIN wt USING (w) GROUP BY 1),
+           c AS (SELECT doc_id, tok,
+                        sum(tok) OVER (ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                 FROM t),
+           p AS (SELECT doc_id, tok, CAST((cum - tok) // $PackBudget AS BIGINT) AS pack_id FROM c)
+           SELECT pack_id, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_total,
+                  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           FROM p GROUP BY 1 ORDER BY 1""")
+    },
+  )
+
   private val corpusShuffle = DeclaredQuery(
     "corpus_shuffle",
     (s, d) => {
@@ -531,5 +598,5 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle, dsirWeights, tokenBudgetMix)
+      corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe)
 }
