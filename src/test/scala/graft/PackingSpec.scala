@@ -49,4 +49,24 @@ class PackingSpec extends SparkSpec {
     assert(sliceDocs > wholeDocs,
       "split slices must outnumber whole-doc assignments when any doc straddles a boundary")
   }
+
+  test("BPE packing conserves the encoder's corpus token total and assigns every doc once") {
+    val bpe = SparkEntry.queries("sequence_pack_bpe")(spark, sfDir).collect()
+    // corpus BPE total via the encoder's word->count map, independently
+    val corpusBpe = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "explode(split(text, ' ')) as w")
+      .join(graft.operators.BpeOps.bpeWordTokenCounts(spark, sfDir), Seq("w"))
+      .selectExpr("cast(sum(wtok) as bigint) as t")
+      .collect()(0).getAs[Long]("t")
+    assert(bpe.map(_.getAs[Long]("tok_total")).sum == corpusBpe,
+      "packs must conserve the encoded corpus token total")
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(bpe.map(_.getAs[Long]("n_docs")).sum == nDocs,
+      "whole-doc BPE packing must assign every document exactly once")
+    // BPE counts exceed whitespace counts with a 10-merge model, so the
+    // BPE pack line must be strictly longer — the variants are
+    // distinguishable and the composition is doing real work
+    assert(bpe.length > whole.length,
+      s"expected more BPE packs (${bpe.length}) than whitespace packs (${whole.length})")
+  }
 }
