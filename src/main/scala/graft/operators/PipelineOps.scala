@@ -226,15 +226,21 @@ object PipelineOps extends QueryModule {
           col("lang"),
           expr(s"CAST(graft_poly_hash(w) % $DsirBuckets AS INT)").as("b"),
         )
-      val target = feats.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("tc"))
-      val raw = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+      // both feature models from ONE conditional-aggregation pass over
+      // the feature rows (target count = count where lang matches) —
+      // not a second corpus scan per model
+      val cnts = feats
+        .groupBy("b")
+        .agg(
+          count(when(col("lang") === "en", 1)).as("tc"),
+          count(lit(1)).as("rc"),
+        )
       val lam = s
         .range(DsirBuckets)
         .select(col("id").cast("int").as("b"))
-        .join(target, Seq("b"), "left")
-        .join(raw, Seq("b"), "left")
-        .crossJoin(broadcast(target.agg(sum("tc").as("tt")))) // 1-row totals
-        .crossJoin(broadcast(raw.agg(sum("rc").as("rt"))))
+        .join(cnts, Seq("b"), "left")
+        .crossJoin(broadcast(cnts.agg(sum("tc").as("tt")))) // 1-row totals
+        .crossJoin(broadcast(cnts.agg(sum("rc").as("rt"))))
         .select(
           col("b"),
           expr(

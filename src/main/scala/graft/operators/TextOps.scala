@@ -711,8 +711,11 @@ object TextOps extends QueryModule {
           ).as("p"),
         )
         .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val uni = pairs.groupBy("w1").agg(count(lit(1)).as("cu"))
       val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      // context counts derive from the bigram table (c(w1) = Σ_w2
+      // c(w1 w2)) — a bigram-cardinality rollup, not a second full
+      // corpus explode+agg pass
+      val uni = bi.groupBy("w1").agg(sum("cb").as("cu"))
       val vsize = documents(s, d)
         .select(explode(split(col("text"), " ")).as("w"))
         .agg(countDistinct("w").as("v"))
