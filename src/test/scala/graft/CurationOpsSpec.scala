@@ -55,4 +55,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(range.getDouble(0) >= 0.0 && range.getDouble(1) <= 1.0)
     assert(range.getDouble(0) < range.getDouble(1), "fixture must spread novelty scores")
   }
+
+  test("dsir_weights actually separates: target-slice docs outscore the raw pool on average") {
+    // the importance weight's whole point is that docs drawn from the
+    // target distribution score higher — if the means don't separate,
+    // the estimator is broken even when the arithmetic oracle-matches
+    val scored = SparkEntry
+      .queries("dsir_weights")(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "lang"), Seq("doc_id"))
+    val means = scored
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("weight_sum").cast("double") / col("n_feats")).as("m"))
+      .collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1))
+      .toMap
+    assert(means(true) > means(false),
+      s"mean per-feature weight must favor the target slice: ${means(true)} vs ${means(false)}")
+  }
+
+  test("token_budget_mix fills to the budget exactly: crossing doc included, next doc cut") {
+    val out = SparkEntry.queries("token_budget_mix")(spark, sfDir).collect()
+    val budget = 2000L
+    val byLang = out.groupBy(_.getString(0))
+    for ((lang, rows) <- byLang) {
+      val last = rows.maxBy(_.getLong(3)) // cum_words
+      val total = last.getLong(3)
+      // the kept prefix crosses the budget (crossing doc included)...
+      assert(total >= budget, s"$lang: kept prefix must reach the budget, got $total")
+      // ...but only because of the final doc — removing it goes under
+      assert(total - last.getLong(2) < budget,
+        s"$lang: the doc before the crossing one must still be under budget")
+    }
+    assert(byLang.keySet == Set("en", "de", "es", "fr", "zh"), "every slice contributes")
+  }
+
+  test("perplexity_bucket terciles are balanced and ordered by surprisal") {
+    val out = SparkEntry.queries("perplexity_bucket")(spark, sfDir).collect()
+    val sizes = out.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L))
+    assert(sizes.values.max - sizes.values.min <= 1, s"ntile balance: $sizes")
+    // bucket boundaries respect the score order: max(head) <= min(tail)
+    val head = out.filter(_.getLong(2) == 1L).map(_.getDouble(1))
+    val tail = out.filter(_.getLong(2) == 3L).map(_.getDouble(1))
+    assert(head.max <= tail.min, "tercile ordering must follow mean_surprisal")
+  }
 }
