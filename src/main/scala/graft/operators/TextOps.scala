@@ -550,6 +550,63 @@ object TextOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Per-document character entropy — the symbol-level quality signal
+    * (Gopher-family filters cut documents whose symbol distribution is
+    * degenerate: encoding junk and repeated-character runs score near 0
+    * bits, natural text sits well above). H = −Σ (cᵢ/n)·ln(cᵢ/n) over
+    * the document's character histogram, with each term ln-floored to
+    * ×10⁶ BIGINT BEFORE the sum (the `unigram_logprob` discipline —
+    * term order cannot matter on exact integers, so both engines agree
+    * bit-for-bit).
+    *
+    * Plan: strictly scan-local — the histogram is a per-row HOF over
+    * the char array (count occurrences of each DISTINCT char:
+    * O(distinct·n) per doc with a ~30-symbol alphabet), no shuffle but
+    * the presentation sort. At 100 TB this parallelizes embarrassingly;
+    * an engine-level alternative (explode + groupBy(doc, ch)) would
+    * shuffle corpus-cardinality char rows for no gain.
+    */
+  private val charEntropy = DeclaredQuery(
+    "char_entropy",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("cs", split(col("text"), ""))
+        .withColumn(
+          "terms",
+          expr("""transform(array_distinct(cs),
+                 |  ch -> CAST(floor(-(CAST(size(filter(cs, c -> c = ch)) AS DOUBLE) / size(cs))
+                 |                   * ln(CAST(size(filter(cs, c -> c = ch)) AS DOUBLE) / size(cs))
+                 |                   * 1000000.0 + 0.5) AS BIGINT))""".stripMargin),
+        )
+        .select(
+          col("doc_id"),
+          size(col("cs")).cast("long").as("n_chars"),
+          size(col("terms")).cast("long").as("n_symbols"),
+          expr("aggregate(terms, CAST(0 AS BIGINT), (a, x) -> a + x)").as("entropy_scaled"),
+        )
+        // floor(x + 0.5), not round(): the scaled sum can land exactly on
+        // a half at the 4th decimal, where Spark rounds up and DuckDB
+        // rounds half-even — floor+0.5 is exact and identical in both
+        .withColumn(
+          "entropy",
+          expr("floor(CAST(entropy_scaled AS DOUBLE) / 100.0 + 0.5) / 10000.0"),
+        )
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+            h AS (SELECT doc_id, cs,
+                         list_transform(list_distinct(cs),
+                           ch -> CAST(floor(-(CAST(len(list_filter(cs, c -> c = ch)) AS DOUBLE) / len(cs))
+                                            * ln(CAST(len(list_filter(cs, c -> c = ch)) AS DOUBLE) / len(cs))
+                                            * 1000000.0 + 0.5) AS BIGINT)) AS terms
+                  FROM t)
+            SELECT doc_id,
+                   CAST(len(cs) AS BIGINT) AS n_chars,
+                   CAST(len(terms) AS BIGINT) AS n_symbols,
+                   CAST(coalesce(list_sum(terms), 0) AS BIGINT) AS entropy_scaled,
+                   floor(CAST(coalesce(list_sum(terms), 0) AS BIGINT)::DOUBLE / 100.0 + 0.5) / 10000.0 AS entropy
+            FROM h ORDER BY doc_id"""),
+  )
+
   /** CCNet's head/middle/tail output format: rank documents by LM
     * surprisal and cut the corpus into terciles — head (lowest
     * perplexity, most fluent) is what the published pipeline keeps or
@@ -873,5 +930,6 @@ object TextOps extends QueryModule {
     perplexityBucket,
     qualityScore,
     winnowFingerprint,
+    charEntropy,
   )
 }
