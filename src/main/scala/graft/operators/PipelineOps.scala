@@ -518,6 +518,83 @@ object PipelineOps extends QueryModule {
     * hash stages stay below 2⁶³ (DuckDB errors on BIGINT overflow where
     * Spark wraps).
     */
+  /** Jensen–Shannon divergence of every language slice's unigram
+    * distribution against the target (`en`) slice — the standard
+    * distribution-shift monitor a mixture pipeline watches (is this
+    * source drifting away from the target distribution the weights were
+    * tuned for?). JS is symmetric and bounded by ln 2, so slices are
+    * comparable on one scale; the `en` row is the 0 self-check.
+    *
+    * Determinism: p and q are double ratios of exact counts, each
+    * per-(slice, word) JS term is stated as IDENTICAL expression text
+    * in both engines (same parse → same IEEE op order) and floored to
+    * ×10⁹ BIGINT BEFORE the per-slice sum — term order cannot matter.
+    * Display value via floor(x + 0.5), never round() (the half-tie
+    * lesson from `char_entropy`).
+    *
+    * At 100 TB: one (slice, word) count aggregation — vocab-cardinality
+    * rows, map-side combined; the term grid is slices × union-vocab
+    * rows joined un-hinted (AQE decides; a web-scale vocab would
+    * shuffle on `w`, the key the counts already paid for), and the
+    * final reduction is slices-cardinality. The text never shuffles.
+    */
+  private val vocabJsDivergence = DeclaredQuery(
+    "vocab_js_divergence",
+    (s, d) => {
+      val toks = documents(s, d)
+        .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      val cl = toks.groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      val tl = cl.groupBy("lang").agg(sum("c").as("t"))
+      val ce = cl.filter(col("lang") === "en").select(col("w"), col("c").as("ce"))
+      val te = tl.filter(col("lang") === "en").select(col("t").as("te"))
+      val grid = tl.select("lang").crossJoin(cl.select("w").distinct())
+      val term = expr(
+        """CAST(floor((
+          |  CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+          |+ CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+          |) * 1000000000.0 + 0.5) AS BIGINT)""".stripMargin,
+      )
+      grid
+        .join(cl, Seq("lang", "w"), "left")
+        .join(ce, Seq("w"), "left") // vocab-cardinality joins: un-hinted
+        .join(broadcast(tl), Seq("lang")) // slice-count totals
+        .crossJoin(broadcast(te)) // 1-row target total
+        .withColumn("p", expr("CAST(coalesce(c, 0) AS DOUBLE) / t"))
+        .withColumn("q", expr("CAST(coalesce(ce, 0) AS DOUBLE) / te"))
+        .withColumn("term", term)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_terms"), sum("term").as("js_scaled"))
+        .withColumn("js", expr("CAST(floor(CAST(js_scaled AS DOUBLE) / 1000.0 + 0.5) / 1000000.0 AS DOUBLE)"))
+        .orderBy("lang")
+    },
+    Some("""WITH toks AS (SELECT lang, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                          FROM documents),
+            cl AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2),
+            tl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cl GROUP BY 1),
+            ce AS (SELECT w, c AS ce FROM cl WHERE lang = 'en'),
+            te AS (SELECT t AS te FROM tl WHERE lang = 'en'),
+            grid AS (SELECT tl.lang, v.w FROM tl CROSS JOIN (SELECT DISTINCT w FROM cl) v),
+            pq AS (SELECT g.lang, g.w,
+                          CAST(coalesce(cl.c, 0) AS DOUBLE) / tl.t AS p,
+                          CAST(coalesce(ce.ce, 0) AS DOUBLE) / te.te AS q
+                   FROM grid g
+                   LEFT JOIN cl ON g.lang = cl.lang AND g.w = cl.w
+                   LEFT JOIN ce ON g.w = ce.w
+                   JOIN tl ON g.lang = tl.lang
+                   CROSS JOIN te),
+            terms AS (SELECT lang,
+                             CAST(floor((
+                               CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+                             + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END
+                             ) * 1000000000.0 + 0.5) AS BIGINT) AS term
+                      FROM pq)
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_terms,
+                   CAST(sum(term) AS BIGINT) AS js_scaled,
+                   floor(CAST(sum(term) AS BIGINT)::DOUBLE / 1000.0 + 0.5) / 1000000.0 AS js
+            FROM terms GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Sequence packing by REAL tokenizer counts — the composition the
     * BPE encoder exists for: per-document token counts come from the
     * trained merge list (encoder runs once per DISTINCT vocab word,
@@ -604,5 +681,5 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe)
+      corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe, vocabJsDivergence)
 }

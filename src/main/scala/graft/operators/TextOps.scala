@@ -589,7 +589,7 @@ object TextOps extends QueryModule {
         // rounds half-even — floor+0.5 is exact and identical in both
         .withColumn(
           "entropy",
-          expr("floor(CAST(entropy_scaled AS DOUBLE) / 100.0 + 0.5) / 10000.0"),
+          expr("CAST(floor(CAST(entropy_scaled AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS DOUBLE)"),
         )
         .orderBy("doc_id"),
     Some("""WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),

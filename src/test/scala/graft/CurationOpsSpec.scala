@@ -89,6 +89,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(byLang.keySet == Set("en", "de", "es", "fr", "zh"), "every slice contributes")
   }
 
+  test("vocab_js_divergence: en-vs-en is exactly 0, every other slice diverges, bound holds") {
+    val out = SparkEntry
+      .queries("vocab_js_divergence")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val byLang = out.map(t => t._1 -> t).toMap
+    assert(byLang("en")._2 == 0L, "the self-divergence must be exactly 0 (scaled integer)")
+    for ((lang, scaled, js) <- out if lang != "en") {
+      assert(scaled > 0L, s"$lang must diverge from the target slice")
+      assert(js > 0.0 && js <= math.log(2.0) + 1e-6, s"$lang: JS out of [0, ln 2]: $js")
+    }
+  }
+
   test("perplexity_bucket terciles are balanced and ordered by surprisal") {
     val out = SparkEntry.queries("perplexity_bucket")(spark, sfDir).collect()
     val sizes = out.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
