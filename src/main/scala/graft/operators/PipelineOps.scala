@@ -32,33 +32,53 @@ object PipelineOps extends QueryModule {
   private val MinUniq = 0.35
   private val MinJ = 0.3
 
+  /** The three cleaning stages as shared frames — `clean_corpus` reads
+    * the final one; `curation_funnel` counts each, so the stage
+    * definitions cannot drift between the pipeline and its report.
+    */
+  private def qualityStage(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn(
+        "uniq_ratio",
+        size(array_distinct(col("ws"))).cast("double") / size(col("ws")),
+      )
+      .filter(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniq)
+
+  private def exactDedupStage(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    qualityStage(s, d)
+      .withColumn("canon", md5(array_join(sort_array(col("ws")), " ")))
+      .withColumn(
+        "keep",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("canon").orderBy("doc_id"),
+        ) === 1,
+      )
+      .filter(col("keep"))
+
+  private def nearDupCleanStage(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    val nearDupLosers = DedupOps
+      .jaccardPairs(s, d, MinJ, maxDf = Some(DedupOps.DefaultMaxDf))
+      .select(col("db").as("doc_id"))
+      .distinct()
+    exactDedupStage(s, d)
+      .join(nearDupLosers, Seq("doc_id"), "left_anti") // no hint: losers are corpus-order at web scale
+  }
+
   private val cleanCorpus = DeclaredQuery(
     "clean_corpus",
     (s, d) => {
-      val docs = documents(s, d)
-      val quality = docs
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n_words", size(col("ws")).cast("long"))
-        .withColumn(
-          "uniq_ratio",
-          size(array_distinct(col("ws"))).cast("double") / size(col("ws")),
-        )
-        .filter(col("n_words") >= MinWords && col("uniq_ratio") >= MinUniq)
-      val deduped = quality
-        .withColumn("canon", md5(array_join(sort_array(col("ws")), " ")))
-        .withColumn(
-          "keep",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("canon").orderBy("doc_id"),
-          ) === 1,
-        )
-        .filter(col("keep"))
-      val nearDupLosers = DedupOps
-        .jaccardPairs(s, d, MinJ, maxDf = Some(DedupOps.DefaultMaxDf))
-        .select(col("db").as("doc_id"))
-        .distinct()
-      deduped
-        .join(nearDupLosers, Seq("doc_id"), "left_anti") // no hint: losers are corpus-order at web scale
+      nearDupCleanStage(s, d)
         .select(
           col("doc_id"),
           col("lang"),
@@ -87,6 +107,57 @@ object PipelineOps extends QueryModule {
              FROM dd
              WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM losers)
              ORDER BY doc_id"""),
+  )
+
+  /** The curation funnel — the stage-by-stage retention counts every
+    * published pipeline reports in its data card (raw → heuristic
+    * quality → exact dedup → near-dup removal): how many documents
+    * survive each stage. The stage frames are the SHARED helpers behind
+    * `clean_corpus`, so the report cannot drift from the pipeline it
+    * describes. Each stage is one count aggregate (4 driver-bounded
+    * rows); at 100 TB the stages share the scan/substrate work and the
+    * funnel costs what `clean_corpus` costs, counts only — no text
+    * moves for the report.
+    */
+  private val curationFunnel = DeclaredQuery(
+    "curation_funnel",
+    (s, d) => {
+      val stages = Seq(
+        (1L, "raw", documents(s, d)),
+        (2L, "quality", qualityStage(s, d)),
+        (3L, "exact_dedup", exactDedupStage(s, d)),
+        (4L, "near_dup_clean", nearDupCleanStage(s, d)),
+      )
+      stages
+        .map { case (i, name, df) =>
+          df.agg(count(lit(1)).as("n_docs"))
+            .select(lit(i).as("stage_id"), lit(name).as("stage"), col("n_docs"))
+        }
+        .reduce(_ unionByName _)
+        .orderBy("stage_id")
+    },
+    Some(s"""WITH ${DedupOps.hashedGramsDuck},
+             ${DedupOps.jaccardPairsDuck(MinJ, Some(DedupOps.DefaultMaxDf))},
+             losers AS (SELECT DISTINCT db AS doc_id FROM p),
+             q AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+             q2 AS (SELECT doc_id, ws FROM q
+                    WHERE len(ws) >= $MinWords
+                      AND len(list_distinct(ws))::DOUBLE / len(ws) >= $MinUniq),
+             dd AS (SELECT doc_id, row_number() OVER (
+                      PARTITION BY md5(array_to_string(list_sort(ws), ' '))
+                      ORDER BY doc_id) AS rn
+                    FROM q2)
+             SELECT * FROM (
+               SELECT CAST(1 AS BIGINT) AS stage_id, 'raw' AS stage,
+                      count(*) AS n_docs FROM documents
+               UNION ALL
+               SELECT CAST(2 AS BIGINT), 'quality', count(*) FROM q2
+               UNION ALL
+               SELECT CAST(3 AS BIGINT), 'exact_dedup', count(*) FROM dd WHERE rn = 1
+               UNION ALL
+               SELECT CAST(4 AS BIGINT), 'near_dup_clean', count(*) FROM dd
+               WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM losers)
+             ) ORDER BY stage_id"""),
   )
 
   /** Deterministic stratified sampling — carving eval/holdout sets from a
@@ -681,5 +752,6 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe, vocabJsDivergence)
+      corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe, vocabJsDivergence,
+      curationFunnel)
 }

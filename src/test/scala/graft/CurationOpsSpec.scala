@@ -89,6 +89,21 @@ class CurationOpsSpec extends SparkSpec {
     assert(byLang.keySet == Set("en", "de", "es", "fr", "zh"), "every slice contributes")
   }
 
+  test("curation_funnel is monotone and its final stage equals clean_corpus") {
+    val d = "/root/testdata/sf0.01"
+    val funnel = SparkEntry
+      .queries("curation_funnel")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(funnel.keySet == Set(1L, 2L, 3L, 4L))
+    assert(funnel(1L) >= funnel(2L) && funnel(2L) >= funnel(3L) && funnel(3L) >= funnel(4L),
+      s"funnel must be monotone decreasing: $funnel")
+    assert(funnel(1L) > funnel(4L), "the fixture must exercise every cut")
+    val clean = SparkEntry.queries("clean_corpus")(spark, d).count()
+    assert(funnel(4L) == clean, s"report (${funnel(4L)}) != pipeline ($clean)")
+  }
+
   test("vocab_js_divergence: en-vs-en is exactly 0, every other slice diverges, bound holds") {
     val out = SparkEntry
       .queries("vocab_js_divergence")(spark, sfDir)
