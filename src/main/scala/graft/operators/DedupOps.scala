@@ -212,57 +212,117 @@ object DedupOps extends QueryModule {
   private val seeds: Seq[(Long, Long)] =
     (1 to 16).map(i => ((1299709L * i) % P, (15485863L * (i + 7)) % P))
 
+  /** DuckDB twin of [[minhashCandidates]] as CTE text yielding
+    * `cand(da, db, matches, est_j)` over `h(doc_id, ghs)` — shared by
+    * the `minhash_near_dup` and `minhash_est` oracles.
+    */
+  private lazy val minhashCandDuck = {
+    val mhsList = seeds
+      .map { case (a, b) => s"list_min(list_transform(ghs, x -> ($a * x + $b) % $P))" }
+      .mkString("[", ", ", "]")
+    s"""m AS (SELECT doc_id, $mhsList AS mhs FROM h),
+       |b AS (SELECT doc_id, mhs, unnest(generate_series(0, 3)) AS band FROM m),
+       |sg AS (SELECT doc_id, mhs, band,
+       |              array_to_string(list_transform(generate_series(1, 4), r -> mhs[4 * band + r]), ',') AS sig
+       |       FROM b),
+       |p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.mhs AS ma, y.mhs AS mb
+       |      FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |cand AS (SELECT da, db,
+       |                CAST(list_sum(list_transform(generate_series(1, 16),
+       |                     i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
+       |                round(list_sum(list_transform(generate_series(1, 16),
+       |                     i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0, 4) AS est_j
+       |         FROM p)""".stripMargin
+  }
+
+  /** The banded-MinHash candidate pairs with their signature-match
+    * estimate (da, db, matches, est_j), unordered — shared by the
+    * declared `minhash_near_dup` and the `minhash_est` calibration
+    * query, so the estimator cannot drift from its calibration.
+    */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min((col("gh") * a + b) % P).as(s"m$i")
+    }
+    val bandsExpr = (0 until 4)
+      .map { b =>
+        val sig = (1 to 4).map(r => s"element_at(mhs, ${4 * b + r})").mkString(", ")
+        s"named_struct('band', $b, 'sig', concat_ws(',', $sig))"
+      }
+      .mkString("inline(array(", ", ", "))")
+    val banded = graft.SubstrateCache.substrate(s, d, "minhash-banded") {
+      gramRows(s, d)
+        .groupBy("doc_id")
+        .agg(minCols.head, minCols.tail: _*)
+        .withColumn("mhs", array((0 until 16).map(i => col(s"m$i")): _*))
+        .select(col("doc_id"), col("mhs"), expr(bandsExpr))
+    }
+    val l = banded.select(col("doc_id").as("da"), col("mhs").as("ma"), col("band"), col("sig"))
+    val r = banded
+      .select(col("doc_id").as("db"), col("mhs").as("mb"), col("band").as("band2"), col("sig").as("sig2"))
+    l.join(r, l("band") === r("band2") && l("sig") === r("sig2") && l("da") < r("db"))
+      .select("da", "db", "ma", "mb")
+      .dropDuplicates("da", "db")
+      .withColumn(
+        "matches",
+        expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)"),
+      )
+      .withColumn("est_j", round(col("matches").cast("double") / 16.0, 4))
+      .select("da", "db", "matches", "est_j")
+  }
+
   private val minhashNearDup = DeclaredQuery(
     "minhash_near_dup",
+    (s, d) => minhashCandidates(s, d).select("da", "db", "matches", "est_j").orderBy("da", "db"),
+    Some(s"""WITH $hashedGramsDuck,
+             $minhashCandDuck
+             SELECT da, db, matches, est_j FROM cand ORDER BY da, db"""),
+  )
+
+  /** Estimator calibration: the MinHash Jaccard ESTIMATE against the
+    * EXACT trigram-set Jaccard for every banded candidate pair — the
+    * curve an operator tunes permutation count and banding against
+    * (est_err is the per-pair calibration residual; 16 permutations
+    * give ±1/16 granularity). The candidate frame is the SHARED
+    * [[minhashCandidates]] (the estimator cannot drift from its
+    * calibration); the exact side joins each pair's distinct-gram rows
+    * — candidate-bounded work, one gh-keyed join per side, never
+    * all-pairs. At 100 TB this runs over a candidate SAMPLE; the plan
+    * is identical.
+    */
+  private val minhashEst = DeclaredQuery(
+    "minhash_est",
     (s, d) => {
-      val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
-        min((col("gh") * a + b) % P).as(s"m$i")
-      }
-      val bandsExpr = (0 until 4)
-        .map { b =>
-          val sig = (1 to 4).map(r => s"element_at(mhs, ${4 * b + r})").mkString(", ")
-          s"named_struct('band', $b, 'sig', concat_ws(',', $sig))"
-        }
-        .mkString("inline(array(", ", ", "))")
-      val banded = graft.SubstrateCache.substrate(s, d, "minhash-banded") {
-        gramRows(s, d)
-          .groupBy("doc_id")
-          .agg(minCols.head, minCols.tail: _*)
-          .withColumn("mhs", array((0 until 16).map(i => col(s"m$i")): _*))
-          .select(col("doc_id"), col("mhs"), expr(bandsExpr))
-      }
-      val l = banded.select(col("doc_id").as("da"), col("mhs").as("ma"), col("band"), col("sig"))
-      val r = banded
-        .select(col("doc_id").as("db"), col("mhs").as("mb"), col("band").as("band2"), col("sig").as("sig2"))
-      l.join(r, l("band") === r("band2") && l("sig") === r("sig2") && l("da") < r("db"))
-        .select("da", "db", "ma", "mb")
-        .dropDuplicates("da", "db")
+      val cand = minhashCandidates(s, d)
+      val e = gramRows(s, d)
+      val ga = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+      val gb = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh"))
+      cand
+        .join(ga, Seq("da"))
+        .join(gb, Seq("db", "gh")) // equi on gh: only SHARED grams survive
+        .groupBy("da", "db", "matches", "est_j")
+        .agg(max("na").as("na"), max("nb").as("nb"), count(lit(1)).as("shared"))
         .withColumn(
-          "matches",
-          expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)"),
+          "exact_j",
+          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
         )
-        .withColumn("est_j", round(col("matches").cast("double") / 16.0, 4))
-        .select("da", "db", "matches", "est_j")
+        .withColumn("est_err", round(col("est_j") - col("exact_j"), 4))
+        .select("da", "db", "matches", "est_j", "exact_j", "est_err")
         .orderBy("da", "db")
-    }, {
-      val mhsList = seeds
-        .map { case (a, b) => s"list_min(list_transform(ghs, x -> ($a * x + $b) % $P))" }
-        .mkString("[", ", ", "]")
-      Some(s"""WITH $hashedGramsDuck,
-               m AS (SELECT doc_id, $mhsList AS mhs FROM h),
-               b AS (SELECT doc_id, mhs, unnest(generate_series(0, 3)) AS band FROM m),
-               sg AS (SELECT doc_id, mhs, band,
-                             array_to_string(list_transform(generate_series(1, 4), r -> mhs[4 * band + r]), ',') AS sig
-                      FROM b),
-               p AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db, x.mhs AS ma, y.mhs AS mb
-                     FROM sg x JOIN sg y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)
-               SELECT da, db,
-                      CAST(list_sum(list_transform(generate_series(1, 16),
-                           i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
-                      round(list_sum(list_transform(generate_series(1, 16),
-                           i -> CASE WHEN ma[i] = mb[i] THEN 1 ELSE 0 END))::DOUBLE / 16.0, 4) AS est_j
-               FROM p ORDER BY da, db""")
     },
+    Some(s"""WITH $hashedGramsDuck,
+             $minhashCandDuck,
+             j AS (SELECT c.da, c.db, c.matches, c.est_j,
+                          ha.ghs AS ga, hb.ghs AS gb
+                   FROM cand c JOIN h ha ON c.da = ha.doc_id JOIN h hb ON c.db = hb.doc_id),
+             x AS (SELECT da, db, matches, est_j,
+                          CAST(len(list_intersect(ga, gb)) AS BIGINT) AS shared,
+                          len(ga) AS na, len(gb) AS nb
+                   FROM j)
+             SELECT da, db, matches, est_j,
+                    round(shared::DOUBLE / (na + nb - shared), 4) AS exact_j,
+                    round(est_j - round(shared::DOUBLE / (na + nb - shared), 4), 4) AS est_err
+             FROM x ORDER BY da, db"""),
   )
 
   /** 30-bit SimHash over hashed shingles; pairs at hamming ≤ 4. The Spark
@@ -1227,7 +1287,7 @@ object DedupOps extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
-      spanScrub, leakageSafeSplit, clusterSizeHist)
+      spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production
