@@ -295,13 +295,22 @@ object DedupOps extends QueryModule {
     (s, d) => {
       val cand = minhashCandidates(s, d)
       val e = gramRows(s, d)
-      val ga = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
-      val gb = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh"))
+      // shared-gram counts via the gh equi-join, re-attached with a LEFT
+      // join: a banding collision CAN pair docs with zero shared grams,
+      // and those rows must survive with exact_j = 0 (the oracle keeps
+      // them), not vanish inside an inner join
+      val shared = cand
+        .select("da", "db")
+        .join(e.select(col("doc_id").as("da"), col("gh")), Seq("da"))
+        .join(e.select(col("doc_id").as("db"), col("gh")), Seq("db", "gh"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("shared"))
+      val docN = e.select(col("doc_id"), col("n")).distinct()
       cand
-        .join(ga, Seq("da"))
-        .join(gb, Seq("db", "gh")) // equi on gh: only SHARED grams survive
-        .groupBy("da", "db", "matches", "est_j")
-        .agg(max("na").as("na"), max("nb").as("nb"), count(lit(1)).as("shared"))
+        .join(docN.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(docN.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .join(shared, Seq("da", "db"), "left")
+        .withColumn("shared", coalesce(col("shared"), lit(0L)))
         .withColumn(
           "exact_j",
           round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
