@@ -310,8 +310,8 @@ object PipelineOps extends QueryModule {
         .range(DsirBuckets)
         .select(col("id").cast("int").as("b"))
         .join(cnts, Seq("b"), "left")
-        .crossJoin(broadcast(cnts.agg(sum("tc").as("tt")))) // 1-row totals
-        .crossJoin(broadcast(cnts.agg(sum("rc").as("rt"))))
+        // both totals from ONE aggregate over cnts (1-row scalar)
+        .crossJoin(broadcast(cnts.agg(sum("tc").as("tt"), sum("rc").as("rt"))))
         .select(
           col("b"),
           expr(
