@@ -170,64 +170,132 @@ object Ivf extends QueryModule {
                     FROM e CROSS JOIN cn c),
              asg1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1)"""
 
+  /** The ranked IVF probe result (qid, rank, cand_id, sim), rank ≤ TopK,
+    * unordered — shared by the declared `ivf_ann` and the `ivf_recall`
+    * approximate arm, so the measured system cannot drift from its
+    * measurement.
+    */
+  private def ivfRanked(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (e, _) = scaledEmbeddings(s, d)
+    val refined = refinedCentroids(s, d)
+    val assigned = cellAssignment(s, d)
+    val q = e
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+    val probed = q
+      .crossJoin(broadcast(refined))
+      .withColumn("csim", sim(s, "qvec", "cvec"))
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))),
+      )
+      .filter(col("rk") <= NProbe)
+      .select("qid", "qvec", "cid")
+    probed
+      .join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), Seq("vec_id"))
+      .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+      )
+      .filter(col("rank") <= TopK)
+      .select(
+        col("qid"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("cand_id"),
+        col("sim"),
+      )
+  }
+
+  /** The shared `e` base CTE and the IVF ranked-probe CTE chain
+    * (`... r(qid, vec_id, sim, rank)`), shared by the `ivf_ann` and
+    * `ivf_recall` oracles.
+    */
+  private lazy val ivfBaseDuck =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+      |             list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+      |             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |      FROM embeddings)""".stripMargin
+
+  private lazy val ivfRankedDuck =
+    s"""q AS (SELECT vec_id AS qid, dvec AS qvec, nrm AS qnrm FROM e WHERE vec_id < $NQueries),
+       |qc AS (SELECT q.qid, q.qvec, q.qnrm, c.cid,
+       |              row_number() OVER (PARTITION BY q.qid
+       |                ORDER BY list_inner_product(q.qvec, c.cvec) / (q.qnrm * c.cnrm) DESC, c.cid) AS rk
+       |       FROM q CROSS JOIN cn c),
+       |probe AS (SELECT qid, qvec, qnrm, cid FROM qc WHERE rk <= $NProbe),
+       |cand AS (SELECT p.qid, p.qvec, p.qnrm, a.vec_id
+       |         FROM probe p JOIN asg1 a USING (cid) WHERE a.vec_id <> p.qid),
+       |scored AS (SELECT c.qid, c.vec_id,
+       |                  round(list_inner_product(c.qvec, e.dvec) / (c.qnrm * e.nrm), 6) AS sim
+       |           FROM cand c JOIN e USING (vec_id)),
+       |r AS (SELECT qid, vec_id, sim,
+       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |      FROM scored)""".stripMargin
+
   private val ivfAnn = DeclaredQuery(
     "ivf_ann",
+    (s, d) => ivfRanked(s, d).orderBy("qid", "rank"),
+    Some(s"""WITH $ivfBaseDuck,
+             $LloydOracleCte,
+             $ivfRankedDuck
+             SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cand_id, sim
+             FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
+  )
+
+  /** Recall@TopK of the IVF probe against the exact brute-force ranking
+    * over the same query set — the ANN-tier counterpart of
+    * `ann_recall` (LSH): nprobe is THE recall-vs-cost knob of an IVF
+    * index, and this is the number it is tuned against. Both arms share
+    * their ranking code with the declared queries; the exact arm
+    * brute-forces only the NQueries query rows (why production samples
+    * queries); the fusion is a k-row-per-query left join.
+    */
+  private val ivfRecall = DeclaredQuery(
+    "ivf_recall",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       val (e, _) = scaledEmbeddings(s, d)
-      val refined = refinedCentroids(s, d)
-      val assigned = cellAssignment(s, d)
       val q = e
         .filter(col("vec_id") < NQueries)
         .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
-      val probed = q
-        .crossJoin(broadcast(refined))
-        .withColumn("csim", sim(s, "qvec", "cvec"))
-        .withColumn(
-          "rk",
-          row_number().over(Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))),
-        )
-        .filter(col("rk") <= NProbe)
-        .select("qid", "qvec", "cid")
-      probed
-        .join(assigned, Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), Seq("vec_id"))
+      val exact = broadcast(q)
+        .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), col("vec_id") =!= col("qid"))
         .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
         .withColumn(
           "rank",
           row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
         )
         .filter(col("rank") <= TopK)
-        .select(
-          col("qid"),
-          col("rank").cast("long").as("rank"),
-          col("vec_id").as("cand_id"),
-          col("sim"),
-        )
-        .orderBy("qid", "rank")
+        .select(col("qid"), col("vec_id").as("cand_id"))
+      val approx = ivfRanked(s, d).select(col("qid"), col("cand_id"), lit(1L).as("hit"))
+      exact
+        .join(approx, Seq("qid", "cand_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("qid")
     },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
-                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
-                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-                        FROM embeddings),
+    Some(s"""WITH $ivfBaseDuck,
              $LloydOracleCte,
-             q AS (SELECT vec_id AS qid, dvec AS qvec, nrm AS qnrm FROM e WHERE vec_id < $NQueries),
-             qc AS (SELECT q.qid, q.qvec, q.qnrm, c.cid,
-                           row_number() OVER (PARTITION BY q.qid
-                             ORDER BY list_inner_product(q.qvec, c.cvec) / (q.qnrm * c.cnrm) DESC, c.cid) AS rk
-                    FROM q CROSS JOIN cn c),
-             probe AS (SELECT qid, qvec, qnrm, cid FROM qc WHERE rk <= $NProbe),
-             cand AS (SELECT p.qid, p.qvec, p.qnrm, a.vec_id
-                      FROM probe p JOIN asg1 a USING (cid) WHERE a.vec_id <> p.qid),
-             scored AS (SELECT c.qid, c.vec_id,
-                               round(list_inner_product(c.qvec, e.dvec) / (c.qnrm * e.nrm), 6) AS sim
-                        FROM cand c JOIN e USING (vec_id)),
-             r AS (SELECT qid, vec_id, sim,
-                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-                   FROM scored)
-             SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cand_id, sim
-             FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
+             $ivfRankedDuck,
+             ir AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rank <= $TopK),
+             xp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+                           round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+             xr AS (SELECT qid, cid,
+                           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+                    FROM xp),
+             x AS (SELECT qid, cid FROM xr WHERE rank <= $TopK)
+             SELECT x.qid,
+                    CAST(count(*) AS BIGINT) AS k,
+                    CAST(coalesce(sum(ir.hit), 0) AS BIGINT) AS n_hit,
+                    round(CAST(coalesce(sum(ir.hit), 0) AS BIGINT)::DOUBLE / count(*), 4) AS recall
+             FROM x LEFT JOIN ir ON x.qid = ir.qid AND x.cid = ir.vec_id
+             GROUP BY x.qid ORDER BY x.qid"""),
   )
 
   /** Durable SQ8 cell layout — THE production 100 TB ANN shape: one
@@ -380,7 +448,7 @@ object Ivf extends QueryModule {
              FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(ivfAnn, ivfQuantizedTopk)
+  val queries: Seq[DeclaredQuery] = Seq(ivfAnn, ivfQuantizedTopk, ivfRecall)
 
   /** k deterministic seeds refined by `iters` Lloyd iterations.
     * @param e (vec_id, dvec: array<double>)
