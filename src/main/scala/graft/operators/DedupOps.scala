@@ -564,31 +564,36 @@ object DedupOps extends QueryModule {
       .join(la, Seq("da"), "left")
       .join(lb, Seq("db"), "left")
       .persist()
-    val strays = joined
-      .filter(col("la").isNull)
-      .select(col("da").as("node"))
-      .union(joined.filter(col("lb").isNull).select(col("db").as("node")))
-      .distinct()
-      .join(newNodes.select("node"), Seq("node"), "left_anti")
-      .limit(5)
-      .collect()
-    if (strays.nonEmpty) {
-      joined.unpersist(blocking = false)
-      throw new graft.MalformedStateError(
-        s"incremental CC pair endpoints in neither prevLabels nor newNodes: " +
-          strays.map(_.get(0)).mkString(", "))
-    }
-    val quotient = joined
-      .select(coalesce(col("la"), col("da")).as("da"), coalesce(col("lb"), col("db")).as("db"))
-      .filter(col("da") =!= col("db"))
-    val qNodes = quotient
-      .select(col("da").as("node"))
-      .union(quotient.select(col("db").as("node")))
-      .distinct()
-    val (relabel, _) = starContract(qNodes, quotient, maxRounds)
-    // starContract materialized its result (persist + count), so the
-    // shared double-join frame is no longer needed
-    joined.unpersist(blocking = false)
+    // try/finally so the cache is released on EVERY exit — the stray
+    // guard's throw, a non-converging starContract throw, or success
+    // (starContract materializes its result with persist + count, so
+    // the shared double-join frame is not needed past this block)
+    val relabel =
+      try {
+        val strays = joined
+          .filter(col("la").isNull)
+          .select(col("da").as("node"))
+          .union(joined.filter(col("lb").isNull).select(col("db").as("node")))
+          .distinct()
+          .join(newNodes.select("node"), Seq("node"), "left_anti")
+          .limit(5)
+          .collect()
+        if (strays.nonEmpty) {
+          throw new graft.MalformedStateError(
+            s"incremental CC pair endpoints in neither prevLabels nor newNodes: " +
+              strays.map(_.get(0)).mkString(", "))
+        }
+        val quotient = joined
+          .select(coalesce(col("la"), col("da")).as("da"), coalesce(col("lb"), col("db")).as("db"))
+          .filter(col("da") =!= col("db"))
+        val qNodes = quotient
+          .select(col("da").as("node"))
+          .union(quotient.select(col("db").as("node")))
+          .distinct()
+        starContract(qNodes, quotient, maxRounds)._1
+      } finally {
+        joined.unpersist(blocking = false)
+      }
     val withNew = prevLabels.unionByName(
       newNodes
         .join(prevLabels.select("node"), Seq("node"), "left_anti")

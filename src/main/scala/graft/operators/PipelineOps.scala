@@ -324,9 +324,17 @@ object PipelineOps extends QueryModule {
         .join(lam, Seq("b")) // D-row model table: AQE broadcasts, un-hinted
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight_sum"))
+        // floor(x + 0.5), never round(): round's half-tie mode differs
+        // cross-engine (Spark half-up, DuckDB half-even) and the
+        // ×10⁶-scaled integer sum lands on exact halves; floor is the
+        // same IEEE op in both engines, including for negative values
+        // (half rounds toward +inf on both sides). The char_entropy /
+        // vocab_js_divergence display discipline.
         .withColumn(
           "avg_logratio",
-          round(col("weight_sum").cast("double") / col("n_feats") / 1e6, 4),
+          expr(
+            "CAST(floor(CAST(weight_sum AS DOUBLE) / n_feats / 100.0 + 0.5) / 10000.0 AS DOUBLE)",
+          ),
         )
         .orderBy("doc_id")
     },
@@ -348,7 +356,8 @@ object PipelineOps extends QueryModule {
              SELECT f.doc_id,
                     CAST(count(*) AS BIGINT) AS n_feats,
                     CAST(sum(lam.lam) AS BIGINT) AS weight_sum,
-                    round(CAST(sum(lam.lam) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS avg_logratio
+                    CAST(floor(CAST(CAST(sum(lam.lam) AS BIGINT) AS DOUBLE) / count(*) / 100.0 + 0.5)
+                         / 10000.0 AS DOUBLE) AS avg_logratio
              FROM f JOIN lam ON f.b = lam.b
              GROUP BY 1 ORDER BY 1"""),
   )

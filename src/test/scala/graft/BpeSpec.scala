@@ -123,6 +123,18 @@ class BpeSpec extends SparkSpec {
     assert(allToks.exists(_.length > 2), s"no multi-char merged token fired: $allToks")
   }
 
+  test("EncodeMerges provenance: bpeTrain at the stated fixture (sf0.01, 10 rounds) yields it") {
+    // the shipped artifact's doc claims it IS what bpeTrain produces on
+    // the documents corpus at 10 rounds, sf0.01 — pin that, so the
+    // literal cannot silently drift from the trainer
+    val vocabDf = BpeOps
+      .vocab(spark, "/root/testdata/sf0.01")
+      .filter(col("w") =!= "")
+    val merges = BpeOps.bpeTrain(vocabDf.select(col("w"), col("wc")), 10)
+    assert(merges == BpeOps.EncodeMerges,
+      s"trained=$merges differs from shipped EncodeMerges=${BpeOps.EncodeMerges}")
+  }
+
   test("data-driven merge fold equals the chained-expression fold on the corpus vocab") {
     // applyMerges ships the merge list as a literal array folded in one
     // constant-size expression; applyMergesChained builds one nested
