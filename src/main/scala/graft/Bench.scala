@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC pins the NTZ→LTZ reinterpretation in Tables.events (and every
+      // date_format rendering) to the oracle's naive-timestamp reading —
+      // Verify/Explain set the same; bench numbers must run the same plans.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,10 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long and truncate to a µs
-    * timestamp — the same truncation DuckDB applies when scanning NANOS
-    * into its µs TIMESTAMP, so oracle comparisons agree.
+  /** events.ts normalization. The driver testdata has shipped two physical
+    * encodings across rounds: TIMESTAMP(NANOS) (Spark 4 rejects it outright
+    * with PARQUET_TYPE_ILLEGAL, so it is read nanos-as-long and truncated to
+    * µs — the truncation DuckDB applies scanning NANOS into its µs
+    * TIMESTAMP) and TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+    * infers as TIMESTAMP_NTZ. Every downstream operator (unix_micros,
+    * LTZ-literal comparisons) wants plain TIMESTAMP, so both encodings are
+    * normalized here, at the single load point. Under the UTC session
+    * timezone all entry points set, NTZ→LTZ is a pure reinterpretation of
+    * the same epoch micros DuckDB's epoch_us(ts) reads — oracle agreement
+    * is exact either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -34,6 +41,11 @@ object Tables {
           "ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn(
+          "ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

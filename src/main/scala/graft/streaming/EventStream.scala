@@ -23,14 +23,17 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Physical schema of the events parquet with ns-as-long timestamps
-    * (TESTDATA.md: events.ts is TIMESTAMP(NANOS); Spark 4 reads it as long
-    * under spark.sql.legacy.parquet.nanosAsLong).
+  /** Physical schema of the events parquet (current driver testdata:
+    * events.ts is TIMESTAMP(MICROS, isAdjustedToUTC=false), i.e. NTZ).
+    * Streaming reads require an explicit schema; the NTZ column is cast to
+    * plain TIMESTAMP after the scan — under the UTC session timezone this
+    * reinterprets the same epoch micros, matching the batch normalization
+    * in Tables.events.
     */
   val rawSchema: StructType = StructType(
     Seq(
       StructField("event_id", LongType),
-      StructField("ts", LongType), // nanos since epoch
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -39,13 +42,11 @@ object EventStream {
   )
 
   /** Streaming read of an events parquet directory. */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream
       .schema(rawSchema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+      .withColumn("ts", col("ts").cast(TimestampType))
 
   /** The shared hourly aggregation — applied identically to batch
     * (ExplodeOps.time_bucket_agg) and streaming inputs.
