@@ -1,0 +1,320 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Corpus-curation operators rounding out the published web-pipeline
+  * recipes (SURVEY.md §2.12 extension surface): Gopher-style rule
+  * filtering, domain/source reputation scoring, temperature-based
+  * multilingual mixing, and tokenizer-fertility monitoring.
+  *
+  * These fill the four taxonomy slots the existing curation suite
+  * (text_stats / quality_score / mix_sources / token_budget_mix) does
+  * not cover: hard RULE thresholds (vs continuous scores), aggregation
+  * at the DOMAIN grain (vs per-document), p^α temperature reweighting
+  * (vs equal-count or token-budget mixing), and tokens-per-word
+  * efficiency of a trained tokenizer (vs raw token counts).
+  *
+  * Scale notes (100 TB): every query is scan-local per-document math
+  * followed by a low-cardinality aggregation (domains, languages) and
+  * 1-row broadcast scalars — the document text never crosses the wire.
+  * Cross-engine determinism follows the repo-wide discipline: exact
+  * integer folds for sums, one shared expression text for any float
+  * math, floor(x + 0.5) for display rounding (never round()).
+  */
+object CurationOps extends QueryModule {
+
+  /** The MassiveText/Gopher stopword rule-list (Rae et al. 2021 §A.1.1:
+    * "the, be, to, of, and, that, have, with"), extended with the
+    * fixture vocabulary's second stopword 'a' so the ≥2-distinct rule
+    * discriminates on the synthetic corpus (which contains only
+    * 'the'/'a' of the published list). The list is a model constant —
+    * production swaps it wholesale, the plan is list-size-independent.
+    */
+  private val StopList = Seq("the", "be", "to", "of", "and", "that", "have", "with", "a")
+  private val StopIn = StopList.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Gopher-style rule filter — the hard-threshold document screen
+    * published web pipelines run before any model-based scoring
+    * (MassiveText quality filtering, reused by RefinedWeb/FineWeb):
+    * word-count bounds, mean-word-length band, minimum distinct
+    * stopwords, minimum alphabetic-word fraction. Emits the metrics,
+    * each rule verdict, and the conjunction — downstream composes
+    * `filter(col("keep"))`, keeping the audit columns for ablations.
+    *
+    * Determinism: word counts and stopword counts are exact integers;
+    * mean word length and alpha fraction are single-division doubles
+    * displayed via the shared floor(x·10⁴ + 0.5)/10⁴ text, and the
+    * rule comparisons read the DISPLAYED value so both engines
+    * threshold the identical double.
+    *
+    * At 100 TB: pure per-row projection — no shuffle except the
+    * presentation sort; all expressions are built-in Catalyst HOFs
+    * inside whole-stage codegen.
+    */
+  private val gopherRules = DeclaredQuery(
+    "gopher_rules",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+        .withColumn("n_words", size(col("ws")).cast("long"))
+        .withColumn(
+          "sum_len",
+          expr("aggregate(ws, CAST(0 AS BIGINT), (a, x) -> a + length(x))"),
+        )
+        .withColumn(
+          "mean_word_len",
+          expr(
+            "CAST(floor(CAST(sum_len AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)",
+          ),
+        )
+        .withColumn(
+          "n_stop_distinct",
+          expr(s"size(array_distinct(filter(ws, w -> w IN $StopIn)))").cast("long"),
+        )
+        .withColumn(
+          "alpha_frac",
+          expr(
+            """CAST(floor(CAST(size(filter(ws, w -> w rlike '[a-z]')) AS DOUBLE)
+              | / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)""".stripMargin,
+          ),
+        )
+        .withColumn("r_words", col("n_words").between(50L, 100000L))
+        .withColumn("r_mean_len", col("mean_word_len").between(3.0, 10.0))
+        .withColumn("r_stop", col("n_stop_distinct") >= 2L)
+        .withColumn("r_alpha", col("alpha_frac") >= 0.8)
+        .withColumn(
+          "keep",
+          col("r_words") && col("r_mean_len") && col("r_stop") && col("r_alpha"),
+        )
+        .select(
+          "doc_id", "n_words", "mean_word_len", "n_stop_distinct", "alpha_frac",
+          "r_words", "r_mean_len", "r_stop", "r_alpha", "keep",
+        )
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                        FROM documents),
+             p AS (SELECT doc_id,
+                          CAST(len(ws) AS BIGINT) AS n_words,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+                            (a, c) -> a + c) AS sum_len,
+                          CAST(len(list_distinct(list_filter(ws, w -> w IN $StopIn))) AS BIGINT)
+                            AS n_stop_distinct,
+                          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+                            AS n_alpha
+                   FROM t),
+             m AS (SELECT doc_id, n_words,
+                          CAST(floor(CAST(sum_len AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                            AS mean_word_len,
+                          n_stop_distinct,
+                          CAST(floor(CAST(n_alpha AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                            AS alpha_frac
+                   FROM p)
+             SELECT doc_id, n_words, mean_word_len, n_stop_distinct, alpha_frac,
+                    (n_words BETWEEN 50 AND 100000) AS r_words,
+                    (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_len,
+                    (n_stop_distinct >= 2) AS r_stop,
+                    (alpha_frac >= 0.8) AS r_alpha,
+                    ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                     AND (n_stop_distinct >= 2) AND (alpha_frac >= 0.8)) AS keep
+             FROM m ORDER BY doc_id"""),
+  )
+
+  /** Domain/source reputation — the RefinedWeb-style curation grain
+    * ABOVE the document: per-source document counts and aggregate
+    * quality, with below-corpus-mean sources flagged (the automated
+    * stand-in for a domain blocklist review queue). The per-document
+    * signal is the uniqueness ratio (distinct words / words), floored
+    * to a ×10⁶ BIGINT per doc so the per-source sums are exact.
+    *
+    * The below-mean comparison never divides: `sum_uniq · g_docs <
+    * g_uniq · n_docs` is the cross-multiplied exact-integer form of
+    * `avg_src < avg_corpus` — no float for the engines to disagree on.
+    *
+    * At 100 TB: scan-local per-doc metrics → domain-keyed aggregation
+    * (map-side combined; domains are ~10⁷, uniformly hashed — no skew
+    * since the metric row is fixed-width regardless of doc count) →
+    * one 1-row global broadcast. The text never shuffles; magnitudes
+    * stay under 2⁶³ for corpora to ~10¹² docs (10⁶ scale × 10¹²·10¹²
+    * would overflow, so a 10¹²-doc corpus drops the scale to 10³ —
+    * documented knob, same plan).
+    */
+  private val sourceReputation = DeclaredQuery(
+    "source_reputation",
+    (s, d) => {
+      val perDoc = documents(s, d)
+        .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+        .select(
+          col("source"),
+          length(col("text")).cast("long").as("nc"),
+          expr(
+            """CAST(floor(1000000.0 *
+              | (CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws))) AS BIGINT)""".stripMargin,
+          ).as("u"),
+        )
+      val perSrc = perDoc
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("nc").as("sum_chars"),
+          sum("u").as("sum_uniq"),
+        )
+      val glob = perSrc.agg(
+        sum("n_docs").as("g_docs"),
+        sum("sum_uniq").as("g_uniq"),
+      )
+      perSrc
+        .crossJoin(broadcast(glob)) // 1-row corpus totals
+        .withColumn("blocked", col("sum_uniq") * col("g_docs") < col("g_uniq") * col("n_docs"))
+        .select("source", "n_docs", "sum_chars", "sum_uniq", "blocked")
+        .orderBy("source")
+    },
+    Some("""WITH t AS (SELECT source, text,
+                              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+                       FROM documents),
+            p AS (SELECT source, CAST(length(text) AS BIGINT) AS nc,
+                         CAST(floor(1000000.0 *
+                           (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))) AS BIGINT) AS u
+                  FROM t),
+            s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(nc) AS BIGINT) AS sum_chars,
+                         CAST(sum(u) AS BIGINT) AS sum_uniq
+                  FROM p GROUP BY 1),
+            g AS (SELECT CAST(sum(n_docs) AS BIGINT) AS g_docs,
+                         CAST(sum(sum_uniq) AS BIGINT) AS g_uniq FROM s)
+            SELECT source, n_docs, sum_chars, sum_uniq,
+                   (sum_uniq * g_docs < g_uniq * n_docs) AS blocked
+            FROM s CROSS JOIN g ORDER BY source"""),
+  )
+
+  /** Temperature-based multilingual sampling (the p^α recipe from
+    * multilingual pretraining: α = 0.5 here) — per-language keep rates
+    * ∝ p_l^α / p_l, normalized so the rarest language keeps rate 1,
+    * realized as the repo's deterministic hash-bucket predicate (the
+    * `mix_sources` discipline: same doc kept on every run, engine, and
+    * partitioning). Distinct from `mix_sources` (α = 0: equal counts)
+    * and `token_budget_mix` (absolute token targets): temperature
+    * mixing SMOOTHS the distribution toward uniform without flattening
+    * it.
+    *
+    * Float determinism: the rate formula is ONE shared expression text
+    * — pow/division sequences are identical IEEE ops in both engines —
+    * and the per-language threshold is floored to a ×10⁶ BIGINT before
+    * any row comparison, so the kept set is integer-exact.
+    *
+    * At 100 TB: one language-count aggregation (map-side combined,
+    * ~10² rows), a 5-row rate table broadcast back, and a stateless
+    * scan predicate — the corpus crosses the wire zero times.
+    */
+  private val temperatureMix = DeclaredQuery(
+    "temperature_mix",
+    (s, d) => {
+      val cnts = documents(s, d).groupBy("lang").agg(count(lit(1)).as("c"))
+      val tot = cnts.agg(sum("c").as("ct"))
+      val rates = cnts
+        .crossJoin(broadcast(tot)) // 1-row corpus total
+        .withColumn("wl", expr("pow(CAST(c AS DOUBLE) / ct, 0.5) / c"))
+      val rmax = rates.agg(max("wl").as("rmax"))
+      val thr = rates
+        .crossJoin(broadcast(rmax)) // 1-row normalizer
+        .withColumn("thr", expr("CAST(floor(wl / rmax * 1000000.0) AS BIGINT)"))
+        .select("lang", "thr")
+      documents(s, d)
+        .join(broadcast(thr), Seq("lang")) // language-cardinality rate table
+        .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000000L)))
+        .filter(col("bucket") < col("thr"))
+        .select("doc_id", "lang", "bucket", "thr")
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+            t AS (SELECT CAST(sum(c) AS BIGINT) AS ct FROM c),
+            r AS (SELECT lang, pow(CAST(c AS DOUBLE) / ct, 0.5) / c AS wl FROM c CROSS JOIN t),
+            m AS (SELECT max(wl) AS rmax FROM r),
+            thr AS (SELECT lang, CAST(floor(wl / rmax * 1000000.0) AS BIGINT) AS thr
+                    FROM r CROSS JOIN m)
+            SELECT doc_id, lang, (doc_id * 2654435761) % 1000000 AS bucket, thr
+            FROM documents JOIN thr USING (lang)
+            WHERE (doc_id * 2654435761) % 1000000 < thr
+            ORDER BY doc_id"""),
+  )
+
+  /** Tokenizer fertility — tokens per word and bytes per token, per
+    * language, under the shipped BPE merge list: the standard monitor
+    * for how well a trained tokenizer compresses each language slice
+    * (high fertility = the vocabulary underserves that language, the
+    * signal that drives vocab-size and merge-budget decisions).
+    *
+    * Plan shape is the `sequence_pack_bpe` discipline: the merge fold
+    * runs once per DISTINCT word (vocabulary-cardinality, via
+    * [[BpeOps.bpeWordTokenCounts]]), and the corpus side is
+    * pre-aggregated to (lang, word, count) BEFORE the join — so the
+    * join touches vocab × languages rows, never the token stream.
+    * Totals are exact BIGINT sums; the two ratios are single divisions
+    * displayed via the shared floor(x·10⁴ + 0.5)/10⁴ text.
+    *
+    * At 100 TB: the token stream reduces map-side to the (lang, word)
+    * grid; everything after is vocabulary-scale. The un-hinted join
+    * lets AQE broadcast the side that is actually small.
+    */
+  private val tokenFertility = DeclaredQuery(
+    "token_fertility",
+    (s, d) => {
+      val wt = BpeOps.bpeWordTokenCounts(s, d)
+      val dwc = documents(s, d)
+        .select(col("lang"), explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+        .groupBy("lang", "w")
+        .agg(count(lit(1)).as("wc"))
+      dwc
+        .join(wt, Seq("w")) // vocab-cardinality: un-hinted, AQE decides
+        .groupBy("lang")
+        .agg(
+          sum(col("wc")).as("n_words"),
+          sum(col("wc") * col("wtok")).as("n_tokens"),
+          sum(col("wc") * length(col("w")).cast("long")).as("n_chars"),
+        )
+        .withColumn(
+          "fertility",
+          expr(
+            "CAST(floor(CAST(n_tokens AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)",
+          ),
+        )
+        .withColumn(
+          "bytes_per_token",
+          expr(
+            "CAST(floor(CAST(n_chars AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS DOUBLE)",
+          ),
+        )
+        .orderBy("lang")
+    }, {
+      val sep = "chr(1)"
+      Some(s"""WITH w0 AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+           dwc AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS wc
+                   FROM w0 WHERE w <> '' GROUP BY 1, 2),
+           v AS (SELECT DISTINCT w FROM w0 WHERE w <> ''),
+           m0 AS (SELECT w,
+                         $sep || array_to_string(
+                           list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+                           $sep) AS enc
+                  FROM v),
+           ${BpeOps.encodeStepsDuck("w")},
+           wt AS (SELECT w,
+                         CAST(len(list_filter(string_split(enc, $sep), s -> s <> '')) AS BIGINT) AS wtok
+                  FROM ${BpeOps.lastEncodeStep}),
+           a AS (SELECT lang,
+                        CAST(sum(wc) AS BIGINT) AS n_words,
+                        CAST(sum(wc * wtok) AS BIGINT) AS n_tokens,
+                        CAST(sum(wc * length(w)) AS BIGINT) AS n_chars
+                 FROM dwc JOIN wt USING (w) GROUP BY 1)
+           SELECT lang, n_words, n_tokens, n_chars,
+                  CAST(floor(CAST(n_tokens AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                    AS fertility,
+                  CAST(floor(CAST(n_chars AS DOUBLE) / n_tokens * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+                    AS bytes_per_token
+           FROM a ORDER BY lang""")
+    },
+  )
+
+  def queries: Seq[DeclaredQuery] =
+    Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility)
+}

@@ -127,4 +127,83 @@ class CurationOpsSpec extends SparkSpec {
     val tail = out.filter(_.getLong(2) == 3L).map(_.getDouble(1))
     assert(head.max <= tail.min, "tercile ordering must follow mean_surprisal")
   }
+
+  test("gopher_rules: keep is exactly the conjunction and discriminates") {
+    val df = SparkEntry.queries("gopher_rules")(spark, sfDir).cache()
+    try {
+      val bad = df
+        .filter(
+          col("keep") =!= (col("r_words") && col("r_mean_len") && col("r_stop") && col("r_alpha")),
+        )
+        .count()
+      assert(bad == 0, "keep must equal the AND of the four rules")
+      val kept = df.filter(col("keep")).count()
+      val total = df.count()
+      assert(kept > 0 && kept < total, s"rules must discriminate: kept $kept of $total")
+      // every doc in this corpus is pure lowercase words — the alpha rule
+      // must never be the one that fires
+      assert(df.filter(!col("r_alpha")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("source_reputation: blocked = below-corpus-mean, both classes present") {
+    val df = SparkEntry.queries("source_reputation")(spark, sfDir).cache()
+    try {
+      val rows = df.collect()
+      val gDocs = rows.map(_.getAs[Long]("n_docs")).sum
+      val gUniq = rows.map(_.getAs[Long]("sum_uniq")).sum
+      rows.foreach { r =>
+        val expect = r.getAs[Long]("sum_uniq") * gDocs < gUniq * r.getAs[Long]("n_docs")
+        assert(r.getAs[Boolean]("blocked") == expect, s"cross-multiply mismatch for ${r}")
+      }
+      val blocked = rows.count(_.getAs[Boolean]("blocked"))
+      assert(blocked > 0 && blocked < rows.length, "below-mean split must be non-trivial")
+    } finally df.unpersist()
+  }
+
+  test("temperature_mix: rarest language keeps everything; rates anti-monotone in count") {
+    val cnts = Tables
+      .documents(spark, sfDir)
+      .groupBy("lang")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val thr = SparkEntry
+      .queries("temperature_mix")(spark, sfDir)
+      .select("lang", "thr")
+      .distinct()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val rarest = cnts.minBy(_._2)._1
+    assert(thr(rarest) == 1000000L, s"rarest lang ($rarest) must keep rate 1.0, got ${thr(rarest)}")
+    // p^(α-1) with α<1 is decreasing in p: a bigger slice never gets a
+    // higher keep-rate than a smaller one
+    for {
+      (l1, c1) <- cnts; (l2, c2) <- cnts
+      if c1 < c2 && thr.contains(l1) && thr.contains(l2)
+    } assert(thr(l1) >= thr(l2), s"rate($l1, n=$c1) < rate($l2, n=$c2)")
+    // α = 0.5 smooths but must not flatten: the biggest slice is still
+    // sampled below rate 1
+    val biggest = cnts.maxBy(_._2)._1
+    assert(thr(biggest) < 1000000L)
+  }
+
+  test("token_fertility: every word is >= 1 token and merges actually compress") {
+    val rows = SparkEntry.queries("token_fertility")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getAs[Long]("n_words")
+      val nTokens = r.getAs[Long]("n_tokens")
+      val nChars = r.getAs[Long]("n_chars")
+      assert(nTokens >= nWords, "a word cannot encode to zero tokens")
+      assert(nTokens <= nChars, "merges can never produce more tokens than characters")
+      assert(r.getAs[Double]("fertility") >= 1.0)
+      val bpt = r.getAs[Double]("bytes_per_token")
+      assert(bpt >= 1.0, s"bytes/token < 1 is impossible, got $bpt")
+      // the shipped 10-merge model must compress below the char ceiling
+      assert(nTokens < nChars, "with 10 merges over this vocab, some fusion must happen")
+    }
+  }
 }
