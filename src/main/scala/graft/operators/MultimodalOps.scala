@@ -102,14 +102,16 @@ object MultimodalOps extends QueryModule {
     * decoder extracts the frame bytes. `fps`-style steps become the
     * sequence stride.
     */
-  def sampleFrames(media: DataFrame, nFrames: Column, step: Int): DataFrame =
+  def sampleFrames(media: DataFrame, nFrames: Column, step: Int, carry: Seq[String] = Nil): DataFrame =
     media.select(
-      col("doc_id"),
-      col("kind"),
-      explode(
-        when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(step)))
-          .otherwise(array().cast("array<int>")), // zero-frame media yields no rows
-      ).as("frame_idx"),
+      Seq(
+        col("doc_id"),
+        col("kind"),
+        explode(
+          when(nFrames > 0, sequence(lit(0), nFrames - 1, lit(step)))
+            .otherwise(array().cast("array<int>")), // zero-frame media yields no rows
+        ).as("frame_idx"),
+      ) ++ carry.map(col): _*,
     )
 
   /** Real image resize: decode → nearest-neighbor resample → re-encode,
@@ -169,5 +171,61 @@ object MultimodalOps extends QueryModule {
              FROM documents ORDER BY doc_id"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures)
+  /** Bytes per "frame" in the declared sampling query — a FORMAT constant
+    * (a real video codec's frame table supplies true offsets; the fixture
+    * treats each 64-byte window as one frame, trailing partial discarded).
+    */
+  private val FrameBytes = 64
+
+  /** Declared frame sampling + per-frame fingerprint — the multimodal
+    * composition a video pipeline runs at ingest: enumerate every 2nd
+    * frame from the payload's frame count ([[sampleFrames]], a codegen'd
+    * generator over METADATA only) and fingerprint the sampled frame's
+    * bytes (the dedup key for frame-level exact dedup). The payload rides
+    * the explode as a carried column — one scan, zero shuffle, no
+    * re-join against the media table for the bytes.
+    *
+    * The fingerprint is the shared polynomial fold over the frame's
+    * byte window (ASCII fixture ⇒ byte offsets ≡ character offsets,
+    * which is what lets DuckDB mirror the binary math with substr — the
+    * `media_features` trick).
+    *
+    * At 100 TB: frame explode fans out arithmetically (n_frames/step
+    * rows per doc) but each row is (ids + one 64-byte hash) — the
+    * payload itself is never duplicated across output rows; everything
+    * is scan-local until the presentation sort.
+    */
+  private val frameSample = DeclaredQuery(
+    "frame_sample",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val media = mediaFromDocuments(s, d)
+        .toDF()
+        .withColumn("n_frames", (col("n_bytes") / FrameBytes).cast("int"))
+      sampleFrames(media, col("n_frames"), 2, carry = Seq("data"))
+        .select(
+          col("doc_id"),
+          col("kind"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          expr(
+            s"graft_poly_hash(decode(substring(data, frame_idx * $FrameBytes + 1, $FrameBytes), 'UTF-8'))",
+          ).as("frame_hash"),
+        )
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some(s"""WITH m AS (SELECT doc_id, 'text/plain' AS kind, text,
+                               CAST(length(text) // $FrameBytes AS BIGINT) AS nf
+                        FROM documents),
+             f AS (SELECT doc_id, kind, unnest(range(0, nf, 2)) AS frame_idx, text
+                   FROM m WHERE nf > 0)
+             SELECT doc_id, kind, CAST(frame_idx AS BIGINT) AS frame_idx,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                        string_split(substr(text, CAST(frame_idx * $FrameBytes + 1 AS INTEGER), $FrameBytes), ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 1000000007) AS frame_hash
+             FROM f ORDER BY doc_id, frame_idx"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures, frameSample)
 }

@@ -194,4 +194,38 @@ class MultimodalSpec extends SparkSpec {
     val r2 = FakeDecoder.decode(MediaRecord(1L, "text/plain", 5L, "hello world a c".getBytes))
     assert(r1.f0 != r2.f0)
   }
+
+  test("frame_sample: every 2nd full frame, fingerprint = hash of that byte window") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("frame_sample")(spark, sfDir).cache()
+    try {
+      // stride-2 coverage: per doc, sampled count = ceil(n_frames / 2),
+      // and indices are exactly 0, 2, 4, ...
+      val perDoc = out
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), max("frame_idx").as("mx"), min("frame_idx").as("mn"))
+        .join(
+          Tables.documents(spark, sfDir).select(col("doc_id"), (length(col("text")) / 64).cast("long").as("nf")),
+          Seq("doc_id"),
+        )
+        .collect()
+      assert(perDoc.nonEmpty)
+      perDoc.foreach { r =>
+        val (n, mx, mn, nf) =
+          (r.getAs[Long]("n"), r.getAs[Long]("mx"), r.getAs[Long]("mn"), r.getAs[Long]("nf"))
+        assert(n == (nf + 1) / 2, s"doc ${r.getAs[Long]("doc_id")}: sampled $n of $nf frames")
+        assert(mn == 0L && mx == (n - 1) * 2, "indices must be the 0,2,4,... prefix")
+      }
+      // the fingerprint really is the frame's own byte window: recompute
+      // frame 0 of one doc from the raw text
+      val doc0 = Tables.documents(spark, sfDir).filter(col("doc_id") === 0).select("text").head().getString(0)
+      graft.functions.GraftFunctions.register(spark)
+      val expected = spark
+        .sql(s"SELECT graft_poly_hash('${doc0.substring(0, 64)}') AS h")
+        .head()
+        .getLong(0)
+      val got = out.filter(col("doc_id") === 0 && col("frame_idx") === 0).head().getAs[Long]("frame_hash")
+      assert(got == expected, "frame 0 hash must equal the hash of bytes [0, 64)")
+    } finally out.unpersist()
+  }
 }
