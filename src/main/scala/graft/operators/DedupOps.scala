@@ -344,40 +344,55 @@ object DedupOps extends QueryModule {
       |  CASE WHEN list_sum(list_transform(ghs, x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) >= 0
       |       THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)""".stripMargin
 
+  /** The banded SimHash signature substrate: one 30-bit signature per
+    * document plus its 5 six-bit chunk rows — shared by the declared
+    * `simhash_near_dup` and the `simhash_est` calibration query.
+    */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val chunksExpr = (0 until 5)
+      .map(c => s"named_struct('ck', $c, 'cv', shiftright(sim, ${6 * c}) & 63)")
+      .mkString("inline(array(", ", ", "))")
+    // per-bit ±1 sums as 30 codegen'd aggregates, then recompose the bits
+    val bitSums = (0 until 30).map(b =>
+      sum(when(shiftright(col("gh"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"),
+    )
+    val simCol = (0 until 30)
+      .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    graft.SubstrateCache.substrate(s, d, "simhash-sigs") {
+      gramRows(s, d)
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), simCol.as("sim"))
+        .select(col("doc_id"), col("sim"), expr(chunksExpr))
+    }
+  }
+
+  /** Chunk-banded SimHash candidate pairs at hamming ≤ maxHd:
+    * (da, db, hd), deduplicated. Exhaustive for maxHd ≤ 4 (5-band
+    * pigeonhole); beyond that it is exactly the candidate set the
+    * production banding yields — which is what a calibration query
+    * must measure, and what its oracle restates.
+    */
+  private def simhashPairs(s: SparkSession, d: String, maxHd: Int): DataFrame = {
+    val sigs = simhashSigs(s, d)
+    val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
+    val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
+    // hamming filter BEFORE the pair dedup: hd is a pure function of the
+    // candidate row, so filtering first is equivalent — and it turns the
+    // dedup's shuffle from every chunk-collision candidate (~1M rows at
+    // sf0.1) into the handful of true near-dups
+    l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))
+      .select("da", "db", "sa", "sb")
+      .withColumn("hd", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hd") <= maxHd)
+      .dropDuplicates("da", "db")
+      .select("da", "db", "hd")
+  }
+
   private val simhashNearDup = DeclaredQuery(
     "simhash_near_dup",
-    (s, d) => {
-      val chunksExpr = (0 until 5)
-        .map(c => s"named_struct('ck', $c, 'cv', shiftright(sim, ${6 * c}) & 63)")
-        .mkString("inline(array(", ", ", "))")
-      // per-bit ±1 sums as 30 codegen'd aggregates, then recompose the bits
-      val bitSums = (0 until 30).map(b =>
-        sum(when(shiftright(col("gh"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"),
-      )
-      val simCol = (0 until 30)
-        .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sigs = graft.SubstrateCache.substrate(s, d, "simhash-sigs") {
-        gramRows(s, d)
-          .groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), simCol.as("sim"))
-          .select(col("doc_id"), col("sim"), expr(chunksExpr))
-      }
-      val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
-      val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
-      // hamming filter BEFORE the pair dedup: hd is a pure function of the
-      // candidate row, so filtering first is equivalent — and it turns the
-      // dedup's shuffle from every chunk-collision candidate (~1M rows at
-      // sf0.1) into the handful of true near-dups
-      l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))
-        .select("da", "db", "sa", "sb")
-        .withColumn("hd", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
-        .filter(col("hd") <= 4)
-        .dropDuplicates("da", "db")
-        .select("da", "db", "hd")
-        .orderBy("da", "db")
-    },
+    (s, d) => simhashPairs(s, d, 4).orderBy("da", "db"),
     Some(s"""WITH $hashedGramsDuck,
              sg AS (SELECT doc_id, $simhashDuck AS sim FROM h)
              SELECT a.doc_id AS da, b.doc_id AS db,
@@ -385,6 +400,116 @@ object DedupOps extends QueryModule {
              FROM sg a JOIN sg b ON a.doc_id < b.doc_id
              WHERE bit_count(xor(a.sim, b.sim)) <= 4
              ORDER BY da, db"""),
+  )
+
+  /** Widened hamming bound for the calibration curve: 10 of 30 bits
+    * spans the useful similarity range, while the production threshold
+    * stays 4 (where banding is exhaustive).
+    */
+  private val EstMaxHd = 10
+
+  /** SimHash estimator calibration — the `minhash_est` twin for the
+    * OTHER near-dup sketch: for every chunk-banded candidate pair at
+    * hamming ≤ 10, the bit-agreement similarity (30−hd)/30 against the
+    * EXACT trigram-set Jaccard — the curve the hamming threshold is
+    * tuned against (production asks "what Jaccard does hd = 4 buy?").
+    * The candidate frame is the SHARED [[simhashPairs]] banding (the
+    * estimator cannot drift from its calibration); beyond hd = 4 the
+    * banding is deliberately non-exhaustive, so the oracle restates the
+    * SAME chunk-collision predicate rather than all-pairs. est_s is
+    * pure arithmetic (no transcendentals — nothing libm-dependent to
+    * disagree cross-engine); exact_j mirrors minhash_est's left-join
+    * (a chunk collision CAN pair docs with zero shared grams).
+    *
+    * At 100 TB: same cost class as `simhash_near_dup` (the widened
+    * threshold only grows the post-filter survivor set, not the
+    * chunk-collision candidate volume); the exact arm is
+    * candidate-bounded gh-keyed joins, never all-pairs — and in
+    * production runs over a candidate sample with the identical plan.
+    */
+  private val simhashEst = DeclaredQuery(
+    "simhash_est",
+    (s, d) => {
+      val cand = simhashPairs(s, d, EstMaxHd)
+      val e = gramRows(s, d)
+      val shared = cand
+        .select("da", "db")
+        .join(e.select(col("doc_id").as("da"), col("gh")), Seq("da"))
+        .join(e.select(col("doc_id").as("db"), col("gh")), Seq("db", "gh"))
+        .groupBy("da", "db")
+        .agg(count(lit(1)).as("shared"))
+      val docN = e.select(col("doc_id"), col("n")).distinct()
+      cand
+        .join(docN.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(docN.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .join(shared, Seq("da", "db"), "left")
+        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .withColumn(
+          "est_s",
+          expr("CAST(floor((30 - hd) / 30.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"),
+        )
+        .withColumn(
+          "exact_j",
+          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
+        )
+        .select("da", "db", "hd", "est_s", "exact_j")
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             sg AS (SELECT doc_id, $simhashDuck AS sim FROM h),
+             cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                             CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hd
+                      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+                      WHERE bit_count(xor(a.sim, b.sim)) <= $EstMaxHd
+                        AND len(list_filter(generate_series(0, 4),
+                              c -> ((a.sim >> (6 * c)) & 63) = ((b.sim >> (6 * c)) & 63))) > 0),
+             j AS (SELECT c.da, c.db, c.hd, ha.ghs AS ga, hb.ghs AS gb
+                   FROM cand c JOIN h ha ON c.da = ha.doc_id JOIN h hb ON c.db = hb.doc_id),
+             x AS (SELECT da, db, hd,
+                          CAST(len(list_intersect(ga, gb)) AS BIGINT) AS shared,
+                          len(ga) AS na, len(gb) AS nb
+                   FROM j)
+             SELECT da, db, hd,
+                    CAST(floor((30 - hd) / 30.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE) AS est_s,
+                    round(shared::DOUBLE / (na + nb - shared), 4) AS exact_j
+             FROM x ORDER BY da, db"""),
+  )
+
+  /** Cross-source duplication matrix — the data-card report published
+    * pipelines ship (e.g. duplicate rates BETWEEN CommonCrawl snapshots
+    * or source mixtures): near-dup pairs from the SHARED df-capped
+    * Jaccard substrate, rolled up to unordered (source, source) cells.
+    * The diagonal is within-source duplication; off-diagonal cells tell
+    * a mixer which sources overlap enough that their sampling weights
+    * double-count content.
+    *
+    * At 100 TB: the pair substrate is the already-amortized inverted
+    * index (cached once per session across its five consumers); this
+    * adds two doc-keyed un-hinted joins to attach sources (narrow
+    * (doc, source) columns — AQE broadcasts when small) and a
+    * sources²-cardinality aggregation — map-side combined, trivially
+    * small output regardless of corpus size.
+    */
+  private val sourceOverlap = DeclaredQuery(
+    "source_overlap",
+    (s, d) => {
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf))
+        .join(src.select(col("doc_id").as("da"), col("source").as("sa")), Seq("da"))
+        .join(src.select(col("doc_id").as("db"), col("source").as("sb")), Seq("db"))
+        .select(least(col("sa"), col("sb")).as("s1"), greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).as("dup_pairs"))
+        .orderBy("s1", "s2")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             sp AS (SELECT least(x.source, y.source) AS s1,
+                           greatest(x.source, y.source) AS s2
+                    FROM p JOIN documents x ON p.da = x.doc_id
+                           JOIN documents y ON p.db = y.doc_id)
+             SELECT s1, s2, CAST(count(*) AS BIGINT) AS dup_pairs
+             FROM sp GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
   /** Connected components over the near-dup pair graph — the step that
@@ -1301,7 +1426,8 @@ object DedupOps extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
-      spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst)
+      spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
+      sourceOverlap)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

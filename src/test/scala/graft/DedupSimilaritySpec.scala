@@ -150,4 +150,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(counts.getOrElse("train", 0L) > 0 && counts.getOrElse("val", 0L) > 0,
       s"both sides must be populated: $counts")
   }
+
+  test("simhash_est contains the production threshold as its hd<=4 slice, calibrated") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("simhash_est")(spark, d).cache()
+    try {
+      // the hd<=4 slice IS simhash_near_dup (shared banding, wider bound);
+      // compared as collected sets — both frames share the cached signature
+      // substrate's lineage, and a DataFrame-level except over the shared
+      // attribute ids trips Catalyst's self-join ambiguity
+      val prod = SparkEntry
+        .queries("simhash_near_dup")(spark, d)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val slice = est
+        .filter(col("hd") <= 4)
+        .select("da", "db", "hd")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(slice == prod,
+        "hd<=4 slice of the calibration must equal the declared near-dup set")
+      // est_s is the stated pure function of hd
+      val badEst = est
+        .filter(col("est_s") =!= expr("CAST(floor((30 - hd) / 30.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"))
+        .count()
+      assert(badEst == 0)
+      // calibration direction: close-in-hamming pairs are more similar in
+      // exact Jaccard than far ones, on average (the curve the threshold
+      // is tuned against must actually slope)
+      val means = est
+        .withColumn("g", when(col("hd") <= 4, "near").otherwise("far"))
+        .groupBy("g")
+        .agg(avg("exact_j").as("mj"))
+        .collect()
+        .map(r => r.getString(0) -> r.getDouble(1))
+        .toMap
+      assert(means.contains("near") && means.contains("far"), s"need both regimes: $means")
+      assert(means("near") > means("far"),
+        s"mean exact Jaccard must decrease with hamming distance: $means")
+    } finally est.unpersist()
+  }
+
+  test("source_overlap conserves the pair count: every near-dup pair lands in one cell") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.01"
+    val cells = SparkEntry.queries("source_overlap")(spark, d).collect()
+    assert(cells.nonEmpty, "fixture must produce a non-trivial overlap matrix")
+    cells.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "cells must be unordered (s1 <= s2)")
+      assert(r.getAs[Long]("dup_pairs") > 0L)
+    }
+    val total = cells.map(_.getAs[Long]("dup_pairs")).sum
+    val pairs = SparkEntry.queries("ngram_jaccard")(spark, d).count()
+    assert(total == pairs,
+      s"matrix total ($total) must equal the near-dup pair count ($pairs)")
+  }
 }
