@@ -102,6 +102,19 @@ object DedupOps extends QueryModule {
         .select(col("doc_id"), size(col("ghs")).as("n"), explode(col("ghs")).as("gh"))
     }
 
+  /** Per-doc distinct-gram ARRAYS rebuilt from the exploded substrate
+    * (collect_set ≡ the ghs the rows came from — hashedGrams emits
+    * distinct grams): the signature-store row shape consumers that
+    * intersect whole documents want (`simhash_est`), without re-running
+    * the interpreted char-fold hash the substrate already paid for.
+    */
+  private def gramSets(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "gram-sets") {
+      gramRows(s, d)
+        .groupBy("doc_id")
+        .agg(collect_set(col("gh")).as("ghs"), first(col("n")).as("n"))
+    }
+
   private[operators] val hashedGramsDuck =
     s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |hp AS (SELECT doc_id,
@@ -431,19 +444,18 @@ object DedupOps extends QueryModule {
     "simhash_est",
     (s, d) => {
       val cand = simhashPairs(s, d, EstMaxHd)
-      val e = gramRows(s, d)
-      val shared = cand
-        .select("da", "db")
-        .join(e.select(col("doc_id").as("da"), col("gh")), Seq("da"))
-        .join(e.select(col("doc_id").as("db"), col("gh")), Seq("db", "gh"))
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("shared"))
-      val docN = e.select(col("doc_id"), col("n")).distinct()
+      // exact arm as per-doc gram-SET array joins (the oracle's own
+      // list_intersect formulation): with ~100× more candidates than
+      // minhash_est, the exploded gh-join fanout (pairs × grams rows +
+      // a pair-keyed re-agg) dominates — two doc-keyed array joins and
+      // a per-row array_intersect do the same exact math with no
+      // fanout and no re-aggregation, and zero-shared-gram collision
+      // pairs get shared = 0 structurally instead of via a LEFT join
+      val sets = gramSets(s, d)
       cand
-        .join(docN.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(docN.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .join(shared, Seq("da", "db"), "left")
-        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .join(sets.select(col("doc_id").as("da"), col("ghs").as("ga"), col("n").as("na")), Seq("da"))
+        .join(sets.select(col("doc_id").as("db"), col("ghs").as("gb"), col("n").as("nb")), Seq("db"))
+        .withColumn("shared", expr("CAST(size(array_intersect(ga, gb)) AS BIGINT)"))
         .withColumn(
           "est_s",
           expr("CAST(floor((30 - hd) / 30.0 * 10000.0 + 0.5) / 10000.0 AS DOUBLE)"),
