@@ -298,32 +298,26 @@ object DedupOps extends QueryModule {
     * (est_err is the per-pair calibration residual; 16 permutations
     * give ±1/16 granularity). The candidate frame is the SHARED
     * [[minhashCandidates]] (the estimator cannot drift from its
-    * calibration); the exact side joins each pair's distinct-gram rows
-    * — candidate-bounded work, one gh-keyed join per side, never
-    * all-pairs. At 100 TB this runs over a candidate SAMPLE; the plan
-    * is identical.
+    * calibration); the exact side attaches each doc's distinct-gram
+    * ARRAY (shared [[gramSets]] substrate) and intersects per row —
+    * candidate-bounded work, two doc-keyed joins, never all-pairs. At
+    * 100 TB this runs over a candidate SAMPLE; the plan is identical.
     */
   private val minhashEst = DeclaredQuery(
     "minhash_est",
     (s, d) => {
       val cand = minhashCandidates(s, d)
-      val e = gramRows(s, d)
-      // shared-gram counts via the gh equi-join, re-attached with a LEFT
-      // join: a banding collision CAN pair docs with zero shared grams,
-      // and those rows must survive with exact_j = 0 (the oracle keeps
-      // them), not vanish inside an inner join
-      val shared = cand
-        .select("da", "db")
-        .join(e.select(col("doc_id").as("da"), col("gh")), Seq("da"))
-        .join(e.select(col("doc_id").as("db"), col("gh")), Seq("db", "gh"))
-        .groupBy("da", "db")
-        .agg(count(lit(1)).as("shared"))
-      val docN = e.select(col("doc_id"), col("n")).distinct()
+      // exact arm via the shared gram-set arrays (the oracle's own
+      // list_intersect formulation, same as simhash_est): two doc-keyed
+      // array joins + a per-row array_intersect — no pair × grams
+      // fanout, no re-aggregation, and a banding collision pairing docs
+      // with ZERO shared grams gets shared = 0 structurally (the oracle
+      // keeps those rows; an inner gh-join would have dropped them)
+      val sets = gramSets(s, d)
       cand
-        .join(docN.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(docN.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-        .join(shared, Seq("da", "db"), "left")
-        .withColumn("shared", coalesce(col("shared"), lit(0L)))
+        .join(sets.select(col("doc_id").as("da"), col("ghs").as("ga"), col("n").as("na")), Seq("da"))
+        .join(sets.select(col("doc_id").as("db"), col("ghs").as("gb"), col("n").as("nb")), Seq("db"))
+        .withColumn("shared", expr("CAST(size(array_intersect(ga, gb)) AS BIGINT)"))
         .withColumn(
           "exact_j",
           round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
