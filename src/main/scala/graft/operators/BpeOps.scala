@@ -170,14 +170,20 @@ object BpeOps extends QueryModule {
     * (`sequence_pack_bpe` packs by these instead of whitespace counts).
     */
   def bpeWordTokenCounts(s: SparkSession, d: String): DataFrame =
-    vocab(s, d)
-      .filter(col("w") =!= "")
-      .select(
-        col("w"),
-        expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
-      )
-      .withColumn("syms", applyMerges(col("syms"), EncodeMerges))
-      .select(col("w"), size(col("syms")).cast("long").as("wtok"))
+    // substrate-cached: the merge fold is the expensive half of every
+    // consumer (sequence_pack_bpe, token_fertility), and "train once,
+    // encode everywhere" means the per-vocab-word token table is exactly
+    // the artifact a pipeline materializes once per tokenizer version
+    graft.SubstrateCache.substrate(s, d, "bpe-word-tokens") {
+      vocab(s, d)
+        .filter(col("w") =!= "")
+        .select(
+          col("w"),
+          expr("transform(sequence(1, char_length(w)), i -> substring(w, i, 1))").as("syms"),
+        )
+        .withColumn("syms", applyMerges(col("syms"), EncodeMerges))
+        .select(col("w"), size(col("syms")).cast("long").as("wtok"))
+    }
 
   /** The DuckDB unrolled-merge chain `m1..mN` over a base CTE `m0(…,
     * enc)`, carrying `carry` through each step — shared by the
