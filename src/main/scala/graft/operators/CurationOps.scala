@@ -52,11 +52,15 @@ object CurationOps extends QueryModule {
     * presentation sort; all expressions are built-in Catalyst HOFs
     * inside whole-stage codegen.
     */
-  private val gopherRules = DeclaredQuery(
-    "gopher_rules",
-    (s, d) =>
-      documents(s, d)
-        .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+  /** The per-row rule frame (metrics + per-rule verdicts + conjunction)
+    * over any documents-shaped frame — shared by the declared
+    * `gopher_rules` query and the streaming ingest rule screen
+    * ([[graft.streaming.DocIngest.startRuleScreen]]), so the stream
+    * admits exactly the documents the batch query keeps.
+    */
+  private[graft] def gopherRuled(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
         .withColumn("n_words", size(col("ws")).cast("long"))
         .withColumn(
           "sum_len",
@@ -91,7 +95,10 @@ object CurationOps extends QueryModule {
           "doc_id", "n_words", "mean_word_len", "n_stop_distinct", "alpha_frac",
           "r_words", "r_mean_len", "r_stop", "r_alpha", "keep",
         )
-        .orderBy("doc_id"),
+
+  private val gopherRules = DeclaredQuery(
+    "gopher_rules",
+    (s, d) => gopherRuled(documents(s, d)).orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
                         FROM documents),
              p AS (SELECT doc_id,

@@ -252,6 +252,29 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Hard-threshold rule screen at ingest — the streaming twin of the
+    * declared `gopher_rules` query: each micro-batch is scored by the
+    * SHARED [[graft.operators.CurationOps.gopherRuled]] rule frame and
+    * only rule-passing documents are admitted (audit columns ride along
+    * for the reject log). Stateless per batch — no standing state, so
+    * batches are embarrassingly independent and crash-replay is
+    * trivially idempotent.
+    */
+  def startRuleScreen(
+      docs: DataFrame,
+      checkpointDir: String,
+  )(onKept: DataFrame => Unit): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        onKept(
+          graft.operators.CurationOps
+            .gopherRuled(batch)
+            .filter(org.apache.spark.sql.functions.col("keep")))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Seed a durable signature table from a standing corpus (once). */
   def seedSignatures(corpus: DataFrame, sigDir: String): Unit =
     DedupOps

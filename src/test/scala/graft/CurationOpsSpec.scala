@@ -190,6 +190,32 @@ class CurationOpsSpec extends SparkSpec {
     assert(thr(biggest) < 1000000L)
   }
 
+  test("temperature_mix kept set is exactly the stated hash predicate (partition-independent)") {
+    // the determinism claim: the kept set is a pure row function of
+    // (doc_id, lang, thr) — recompute it driver-side from the doc list
+    // and the query's own thresholds; any partitioning/shuffle change in
+    // the plan cannot move it
+    val out = SparkEntry
+      .queries("temperature_mix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val thr = out.map(t => t._2 -> t._4).toMap
+    val docs = Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "lang")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.collect {
+      case (id, lang) if thr.contains(lang) && math.floorMod(id * 2654435761L, 1000000L) < thr(lang) =>
+        (id, lang, math.floorMod(id * 2654435761L, 1000000L), thr(lang))
+    }.toSet
+    assert(out.toSet == expected, "kept rows must equal the driver-side predicate replay")
+    // bucket column really is the stated hash
+    out.foreach { case (id, _, bucket, _) =>
+      assert(bucket == math.floorMod(id * 2654435761L, 1000000L))
+    }
+  }
+
   test("token_fertility: every word is >= 1 token and merges actually compress") {
     val rows = SparkEntry.queries("token_fertility")(spark, sfDir).collect()
     assert(rows.nonEmpty)

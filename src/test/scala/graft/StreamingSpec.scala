@@ -649,6 +649,43 @@ class StreamingSpec extends SparkSpec {
     assert(collected.toSet == batch, s"streamed=${collected.size} batch=${batch.size}")
   }
 
+  test("streaming rule screen equals the batch gopher_rules keep set") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d)
+
+    val streamDir = Files.createTempDirectory("doc-rule-screen").toString
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    val q = graft.streaming.DocIngest.startRuleScreen(
+      graft.streaming.DocIngest.readDocs(spark, streamDir),
+      checkpointDir = Files.createTempDirectory("ck-rule-screen").toString,
+    ) { kept =>
+      collected.synchronized {
+        batches += 1
+        // every admitted row passed the conjunction (audit columns ride)
+        val rows = kept.collect()
+        assert(rows.forall(_.getAs[Boolean]("keep")))
+        collected ++= rows.map(_.getAs[Long]("doc_id"))
+      }
+    }
+    q.awaitTermination(180000)
+    assert(!q.isActive)
+    assert(batches >= 2, s"expected one micro-batch per staged file, got $batches")
+
+    val batch = SparkEntry
+      .queries("gopher_rules")(spark, d)
+      .filter(col("keep"))
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    assert(batch.nonEmpty && batch.size < docs.count(), "rules must separate the corpus")
+    assert(collected.toSet == batch, s"streamed=${collected.size} batch=${batch.size}")
+  }
+
   test("streaming decontamination screen equals the batch contamination check") {
     import org.apache.spark.sql.functions._
     val d = "/root/testdata/sf0.01"
