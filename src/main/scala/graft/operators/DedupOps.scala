@@ -496,6 +496,39 @@ object DedupOps extends QueryModule {
     * sources²-cardinality aggregation — map-side combined, trivially
     * small output regardless of corpus size.
     */
+  /** Thresholds the dedup-rate curve is reported at — the ablation grid
+    * published dedup studies sweep (keep-rate vs Jaccard cutoff).
+    */
+  private val SweepThresholds = Seq(0.3, 0.5, 0.7, 0.9)
+
+  /** Dedup-rate-vs-threshold table: how many near-dup pairs survive each
+    * candidate Jaccard cutoff — the one-look table a pipeline owner reads
+    * before picking the dedup threshold (the published ablations sweep
+    * exactly this grid). One pass over the SHARED df-capped pair
+    * substrate; each pair explodes into the 4 grid rows and a
+    * conditional count per threshold — a 4× fanout of an already-tiny
+    * pair table, then a 4-row aggregation. Zero-survivor thresholds
+    * still emit their row (grid × conditional sum, not filter+group).
+    * The j comparison reads the SAME double both engines computed from
+    * exact integer (shared, na, nb) — bit-identical, so the curve is too.
+    */
+  private val jaccardThresholdSweep = DeclaredQuery(
+    "jaccard_threshold_sweep",
+    (s, d) => {
+      val thrArr = SweepThresholds.map(t => lit(t))
+      jaccardPairs(s, d, SweepThresholds.min, maxDf = Some(DefaultMaxDf))
+        .select(explode(array(thrArr: _*)).as("thr"), col("j"))
+        .groupBy("thr")
+        .agg(sum(when(col("j") >= col("thr"), 1L).otherwise(0L)).as("pairs"))
+        .orderBy("thr")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             ${jaccardPairsDuck(SweepThresholds.min, Some(DefaultMaxDf))},
+             grid AS (SELECT unnest([${SweepThresholds.mkString(", ")}]) AS thr)
+             SELECT thr, CAST(sum(CASE WHEN p.j >= grid.thr THEN 1 ELSE 0 END) AS BIGINT) AS pairs
+             FROM grid CROSS JOIN p GROUP BY thr ORDER BY thr"""),
+  )
+
   private val sourceOverlap = DeclaredQuery(
     "source_overlap",
     (s, d) => {
@@ -1433,7 +1466,7 @@ object DedupOps extends QueryModule {
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
-      sourceOverlap)
+      sourceOverlap, jaccardThresholdSweep)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

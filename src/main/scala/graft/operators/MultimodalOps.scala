@@ -227,5 +227,48 @@ object MultimodalOps extends QueryModule {
              FROM f ORDER BY doc_id, frame_idx"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures, frameSample)
+  /** Declared resize: the stub-resize path ([[resizeStub]], the
+    * codec-less plumbing the real [[resizeImages]] PPM path shares its
+    * shape with) run through the SAME mapPartitions pipeline as
+    * `media_features`, target box 256×256. The stub's feature rescale is
+    * two exact double ops (chunk-hash/1000 × (w·h mod 997)/997 — both
+    * factors and the product are the identical IEEE ops the oracle
+    * restates), displayed via the shared floor(x·10³ + 0.5)/10³ text.
+    * Metadata (kind tag, target box) updates ride the same record.
+    *
+    * At 100 TB: identical cost class to `media_features` — per-partition
+    * payload work, zero shuffle, metadata-only columns never touch the
+    * payload bytes.
+    */
+  private val mediaResize = DeclaredQuery(
+    "media_resize",
+    (s, d) => {
+      import s.implicits._
+      resizeStub(mediaFromDocuments(s, d), 256, 256)
+        .toDF()
+        .select(
+          col("doc_id"),
+          col("kind"),
+          col("n_bytes"),
+          expr("CAST(floor(f0 * 1000.0 + 0.5) / 1000.0 AS DOUBLE)").as("f0"),
+          expr("CAST(floor(f1 * 1000.0 + 0.5) / 1000.0 AS DOUBLE)").as("f1"),
+          expr("CAST(floor(f2 * 1000.0 + 0.5) / 1000.0 AS DOUBLE)").as("f2"),
+          expr("CAST(floor(f3 * 1000.0 + 0.5) / 1000.0 AS DOUBLE)").as("f3"),
+        )
+        .orderBy("doc_id")
+    }, {
+      def rawChunk(k: Int): String =
+        s"""(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(string_split(substr(text, ${64 * k + 1}, 64), ''), c -> CAST(ascii(c) AS BIGINT))),
+           |  (a, c) -> (a * 31 + c) % 1000000007) % 1000 / 1000.0)""".stripMargin
+      val scale = "((256 * 256) % 997 / 997.0)"
+      def f(k: Int): String =
+        s"CAST(floor(($scale * ${rawChunk(k)}) * 1000.0 + 0.5) / 1000.0 AS DOUBLE)"
+      Some(s"""SELECT doc_id, 'text/plain;256x256' AS kind, CAST(length(text) AS BIGINT) AS n_bytes,
+                      ${f(0)} AS f0, ${f(1)} AS f1, ${f(2)} AS f2, ${f(3)} AS f3
+               FROM documents ORDER BY doc_id""")
+    },
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures, frameSample, mediaResize)
 }

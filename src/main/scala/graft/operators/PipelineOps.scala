@@ -195,6 +195,48 @@ object PipelineOps extends QueryModule {
     },
   )
 
+  /** Examples kept per class by [[perClassExamples]] — an eval-recipe
+    * constant (few-shot prompt slots); the plan is k-independent.
+    */
+  private val ExamplesPerClass = 3
+
+  /** Deterministic per-class example selection — the eval-set
+    * construction step (few-shot prompt examples, per-label probe sets):
+    * the k lowest-hash documents of every class, ranked by the shared
+    * multiplicative hash with doc_id tiebreak. Hash-ranked, not
+    * first-k-by-id, so the picks are an unbiased pseudo-random draw yet
+    * identical on every run, engine, and partitioning (the
+    * `stratified_sample` discipline applied to "k per class" instead of
+    * "rate per class").
+    *
+    * At 100 TB: one class-keyed window — partitions are classes
+    * (bounded cardinality, uniform by hash rank), and Spark's
+    * WindowGroupLimit pushes the rank<=k cut below the final sort, so
+    * per-class work is top-k, not full-sort.
+    */
+  private val perClassExamples = DeclaredQuery(
+    "per_class_examples",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy(col("bucket"), col("doc_id"))
+      documents(s, d)
+        .withColumn("bucket", pmod(col("doc_id") * lit(2654435761L), lit(1000000000L)))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= ExamplesPerClass)
+        .select(col("lang"), col("rk"), col("doc_id"), col("bucket"))
+        .orderBy("lang", "rk")
+    },
+    Some(s"""WITH b AS (SELECT lang, doc_id,
+                               (doc_id * 2654435761) % 1000000000 AS bucket
+                        FROM documents),
+             r AS (SELECT lang, doc_id, bucket,
+                          CAST(row_number() OVER (PARTITION BY lang
+                                                  ORDER BY bucket, doc_id) AS BIGINT) AS rk
+                   FROM b)
+             SELECT lang, rk, doc_id, bucket FROM r
+             WHERE rk <= $ExamplesPerClass ORDER BY lang, rk"""),
+  )
+
   /** Per-slice token budget for [[tokenBudgetMix]] — fixture-scaled
     * (every language slice exceeds it, so both kept and cut docs are
     * exercised); production budgets come from the mixture recipe.
@@ -762,5 +804,5 @@ object PipelineOps extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
       corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe, vocabJsDivergence,
-      curationFunnel)
+      curationFunnel, perClassExamples)
 }

@@ -208,4 +208,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(total == pairs,
       s"matrix total ($total) must equal the near-dup pair count ($pairs)")
   }
+
+  test("jaccard_threshold_sweep: full grid, non-increasing, anchored at the declared query") {
+    val d = "/root/testdata/sf0.01"
+    val rows = SparkEntry
+      .queries("jaccard_threshold_sweep")(spark, d)
+      .collect()
+      .map(r => r.getDouble(0) -> r.getAs[Long]("pairs"))
+    assert(rows.map(_._1).toSeq == Seq(0.3, 0.5, 0.7, 0.9), "every grid row must emit")
+    assert(rows.sliding(2).forall { case Array((_, a), (_, b)) => a >= b },
+      s"survivor counts must be non-increasing in the threshold: ${rows.toSeq}")
+    // the 0.3 row is exactly the declared ngram_jaccard pair count
+    val base = SparkEntry.queries("ngram_jaccard")(spark, d).count()
+    assert(rows.head._2 == base, s"sweep(0.3)=${rows.head._2} != ngram_jaccard $base")
+  }
 }

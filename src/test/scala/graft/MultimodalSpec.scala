@@ -228,4 +228,33 @@ class MultimodalSpec extends SparkSpec {
       assert(got == expected, "frame 0 hash must equal the hash of bytes [0, 64)")
     } finally out.unpersist()
   }
+
+  test("media_resize: features are the decode features rescaled, metadata tagged") {
+    import org.apache.spark.sql.functions._
+    val scale = (256L * 256L % 997L) / 997.0
+    val resized = SparkEntry
+      .queries("media_resize")(spark, sfDir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r)
+      .toMap
+    val texts = Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(texts.nonEmpty && resized.size == texts.size)
+    texts.foreach { case (id, text) =>
+      val r = resized(id)
+      assert(r.getAs[String]("kind") == "text/plain;256x256")
+      assert(r.getAs[Long]("n_bytes") == text.length.toLong, "stub resize keeps n_bytes")
+      // media_features rounds its f0 to 3dp; undoing that is lossy, so
+      // compare against the raw decode feature recomputed via the stub
+      val raw = MultimodalOps.FakeDecoder
+        .decode(MediaRecord(id, "text/plain", text.length.toLong, text.getBytes("UTF-8")))
+      val expectedF0 = math.floor(raw.f0 * scale * 1000.0 + 0.5) / 1000.0
+      assert(r.getAs[Double]("f0") == expectedF0,
+        s"doc $id: f0 ${r.getAs[Double]("f0")} != $expectedF0")
+    }
+  }
 }
