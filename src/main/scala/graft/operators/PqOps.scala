@@ -213,15 +213,86 @@ object PqOps extends QueryModule {
     * top-k before the exchange via WindowGroupLimit), exact-rescore with
     * the native cosine kernel, emit top-`TopK`.
     */
+  /** Flat ADC candidate frame — shared by `pq_topk` and `pq_recall` so
+    * the measured searcher IS the declared one.
+    */
+  private def flatPqCandidates(s: SparkSession, d: String): DataFrame =
+    broadcast(queryAdcTable(s, d))
+      .join(codes(s, d), col("vec_id") =!= col("qid"))
+
   private val pqTopk = DeclaredQuery(
     "pq_topk",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val cands = broadcast(queryAdcTable(s, d))
-        .join(codes(s, d), col("vec_id") =!= col("qid"))
-      adcSearch(s, d, cands, Rescore)
+      adcSearch(s, d, flatPqCandidates(s, d), Rescore)
     },
     Some(pqOracle),
+  )
+
+  /** PQ recall@[[TopK]] vs the exact brute-force ranking — completes the
+    * recall harness across every ANN tier (`ann_recall` covers LSH,
+    * `ivf_recall` the IVF probe): the number the PQ design knobs (NSub ×
+    * K codebook size, `Rescore` depth) are tuned against. Both arms
+    * share their ranking code with the declared queries (the
+    * [[flatPqCandidates]]+[[adcSearch]] pipeline and the shared
+    * rescore CTE chain in the oracle), so the measurement cannot drift
+    * from the searcher. The exact arm brute-forces only the
+    * [[NQueries]] sampled query rows — queries × corpus work, the
+    * `ivf_recall` pattern; at 100 TB recall is always measured on a
+    * query sample while the searcher serves the full corpus.
+    */
+  private val pqRecall = DeclaredQuery(
+    "pq_recall",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val (e, _) = Ivf.scaledEmbeddings(s, d)
+      val q = e
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+      val exact = broadcast(q)
+        .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), col("vec_id") =!= col("qid"))
+        .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
+        .withColumn(
+          "rank",
+          row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+        )
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id").as("cand_id"))
+      // queries × TopK rows by construction — a constant-bounded hint,
+      // and it pins the fusion join's shape across sessions (statistics
+      // for the substrate-backed arm vary with cache warmth, which
+      // otherwise flips SMJ↔BHJ under the plan drift guard)
+      val approx = broadcast(
+        adcSearch(s, d, flatPqCandidates(s, d), Rescore)
+          .select(col("qid"), col("cand_id"), lit(1L).as("hit")))
+      exact
+        .join(approx, Seq("qid", "cand_id"), "left")
+        .groupBy("qid")
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", round(col("n_hit").cast("double") / col("k"), 4))
+        .orderBy("qid")
+    },
+    Some(s"""WITH $EDuck,
+             ${pqCtes("")},
+             q AS (SELECT vec_id AS qid, dvec, nrm FROM e WHERE vec_id < $NQueries),
+             ${queryTableCtes("")},
+             cand AS (SELECT f.qid, x.vec_id, ${adcDuck("f", "x")} AS adc
+                      FROM fp f CROSS JOIN carr x WHERE x.vec_id <> f.qid),
+             ${rescoreCtesDuck(Rescore)},
+             ir AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rank <= $TopK),
+             xp AS (SELECT q.qid, c.vec_id AS cid,
+                           round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                    FROM q JOIN e c ON c.vec_id <> q.qid),
+             xr AS (SELECT qid, cid,
+                           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+                    FROM xp),
+             x AS (SELECT qid, cid FROM xr WHERE rank <= $TopK)
+             SELECT x.qid,
+                    CAST(count(*) AS BIGINT) AS k,
+                    CAST(coalesce(sum(ir.hit), 0) AS BIGINT) AS n_hit,
+                    round(CAST(coalesce(sum(ir.hit), 0) AS BIGINT)::DOUBLE / count(*), 4) AS recall
+             FROM x LEFT JOIN ir ON x.qid = ir.qid AND x.cid = ir.vec_id
+             GROUP BY x.qid ORDER BY x.qid"""),
   )
 
   /** Durable IVF-PQ cell layout — one directory per IVF cell
@@ -370,8 +441,12 @@ object PqOps extends QueryModule {
       |           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
       |    FROM embeddings)""".stripMargin
 
-  /** Shared rescore tail over `cand(qid, vec_id, adc)`. */
-  private def rescoreDuck(rescore: Int): String =
+  /** Rescore CTE chain over `cand(qid, vec_id, adc)`, ending in
+    * `r(qid, vec_id, adc, sim, rank)` — shared by the search oracles'
+    * final top-k SELECT and the `pq_recall` hit-set CTE, so the fold
+    * text cannot drift between the searcher and its measurement.
+    */
+  private def rescoreCtesDuck(rescore: Int): String =
     s"""cr AS (SELECT qid, vec_id, adc,
        |              row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS crank FROM cand),
        |rs AS (SELECT c.qid, c.vec_id, c.adc,
@@ -379,7 +454,11 @@ object PqOps extends QueryModule {
        |       FROM cr c JOIN q ON q.qid = c.qid JOIN e e2 ON e2.vec_id = c.vec_id
        |       WHERE crank <= $rescore),
        |r AS (SELECT qid, vec_id, adc, sim,
-       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM rs)
+       |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank FROM rs)""".stripMargin
+
+  /** Shared rescore tail over `cand(qid, vec_id, adc)`. */
+  private def rescoreDuck(rescore: Int): String =
+    s"""${rescoreCtesDuck(rescore)}
        |SELECT qid, CAST(rank AS BIGINT) AS rank, vec_id AS cand_id, adc, sim
        |FROM r WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
@@ -410,5 +489,5 @@ object PqOps extends QueryModule {
        |         WHERE a.vec_id <> pr.qid),
        |${rescoreDuck(IvfRescore)}""".stripMargin
 
-  override def queries: Seq[DeclaredQuery] = Seq(pqTopk, ivfPqTopk)
+  override def queries: Seq[DeclaredQuery] = Seq(pqTopk, ivfPqTopk, pqRecall)
 }

@@ -81,4 +81,21 @@ class PqSpec extends SparkSpec {
     info(f"ivf-pq mean recall@5 vs full-precision same-probe: $mean%.3f at $sfDir")
     assert(mean >= 0.8, s"PQ tier lost $mean of the full-precision probe result")
   }
+
+  test("pq_recall: valid per-query rows, useful mean on the worst-case fixture") {
+    val rows = SparkEntry.queries("pq_recall")(spark, sfDir).collect()
+    assert(rows.length == 8, "one row per sampled query")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k") == 5L)
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0L && hit <= 5L)
+      assert(r.getAs[Double]("recall") == math.floor(hit / 5.0 * 10000.0 + 0.5) / 10000.0 ||
+        r.getAs[Double]("recall") == hit / 5.0)
+    }
+    val mean = rows.map(_.getAs[Double]("recall")).sum / rows.length
+    info(f"flat-PQ mean recall@5 vs exact: $mean%.3f at $sfDir")
+    // near-isotropic vectors are PQ's worst case; the deep Rescore must
+    // still hold a usable floor
+    assert(mean >= 0.5, s"flat PQ recall collapsed: $mean")
+  }
 }
