@@ -96,36 +96,48 @@ object CurationOps extends QueryModule {
           "r_words", "r_mean_len", "r_stop", "r_alpha", "keep",
         )
 
+  /** Shared DuckDB CTE chain for the rule screen, ending in
+    * `gv(doc_id, n_words, mean_word_len, n_stop_distinct, alpha_frac,
+    * r_words, r_mean_len, r_stop, r_alpha, keep)` — reused by the
+    * `gopher_rules` oracle and `rule_model_crosstab` so the rule text
+    * cannot drift between the screen and its audits.
+    */
+  private[graft] lazy val gopherDuckCtes: String =
+    s"""gt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+       |       FROM documents),
+       |gp AS (SELECT doc_id,
+       |              CAST(len(ws) AS BIGINT) AS n_words,
+       |              list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |                list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+       |                (a, c) -> a + c) AS sum_len,
+       |              CAST(len(list_distinct(list_filter(ws, w -> w IN $StopIn))) AS BIGINT)
+       |                AS n_stop_distinct,
+       |              CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+       |                AS n_alpha
+       |       FROM gt),
+       |gm AS (SELECT doc_id, n_words,
+       |              CAST(floor(CAST(sum_len AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+       |                AS mean_word_len,
+       |              n_stop_distinct,
+       |              CAST(floor(CAST(n_alpha AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
+       |                AS alpha_frac
+       |       FROM gp),
+       |gv AS (SELECT doc_id, n_words, mean_word_len, n_stop_distinct, alpha_frac,
+       |              (n_words BETWEEN 50 AND 100000) AS r_words,
+       |              (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_len,
+       |              (n_stop_distinct >= 2) AS r_stop,
+       |              (alpha_frac >= 0.8) AS r_alpha,
+       |              ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |               AND (n_stop_distinct >= 2) AND (alpha_frac >= 0.8)) AS keep
+       |       FROM gm)""".stripMargin
+
   private val gopherRules = DeclaredQuery(
     "gopher_rules",
     (s, d) => gopherRuled(documents(s, d)).orderBy("doc_id"),
-    Some(s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-                        FROM documents),
-             p AS (SELECT doc_id,
-                          CAST(len(ws) AS BIGINT) AS n_words,
-                          list_reduce(list_prepend(CAST(0 AS BIGINT),
-                            list_transform(ws, x -> CAST(length(x) AS BIGINT))),
-                            (a, c) -> a + c) AS sum_len,
-                          CAST(len(list_distinct(list_filter(ws, w -> w IN $StopIn))) AS BIGINT)
-                            AS n_stop_distinct,
-                          CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
-                            AS n_alpha
-                   FROM t),
-             m AS (SELECT doc_id, n_words,
-                          CAST(floor(CAST(sum_len AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
-                            AS mean_word_len,
-                          n_stop_distinct,
-                          CAST(floor(CAST(n_alpha AS DOUBLE) / n_words * 10000.0 + 0.5) / 10000.0 AS DOUBLE)
-                            AS alpha_frac
-                   FROM p)
+    Some(s"""WITH $gopherDuckCtes
              SELECT doc_id, n_words, mean_word_len, n_stop_distinct, alpha_frac,
-                    (n_words BETWEEN 50 AND 100000) AS r_words,
-                    (mean_word_len BETWEEN 3.0 AND 10.0) AS r_mean_len,
-                    (n_stop_distinct >= 2) AS r_stop,
-                    (alpha_frac >= 0.8) AS r_alpha,
-                    ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-                     AND (n_stop_distinct >= 2) AND (alpha_frac >= 0.8)) AS keep
-             FROM m ORDER BY doc_id"""),
+                    r_words, r_mean_len, r_stop, r_alpha, keep
+             FROM gv ORDER BY doc_id"""),
   )
 
   /** Domain/source reputation — the RefinedWeb-style curation grain
@@ -322,6 +334,140 @@ object CurationOps extends QueryModule {
     },
   )
 
+  /** Per-source Kolmogorov–Smirnov drift statistic over document length —
+    * the distribution-shift monitor for a NUMERIC per-doc signal (the
+    * `vocab_js_divergence` twin for the other signal class: JS watches
+    * the categorical vocabulary, KS watches a continuous marginal like
+    * length, quality score, or perplexity; a crawl snapshot whose length
+    * distribution walks away from the corpus shows up here first).
+    * D = sup|ECDF_src − ECDF_corpus|, evaluated at every observed length
+    * (the sup of a difference of step functions is attained at a jump
+    * point, so the observed-value grid is exact, not an approximation).
+    *
+    * Exact across engines: both ECDFs stay cross-multiplied integers —
+    * D's argmax compares |s_cum·g_n − g_cum·s_n| (BIGINT) — with ONE
+    * double division at the end (ks_ppm, the shared floor text). Plan:
+    * one (source, len) count agg, a sources × lengths grid join (both
+    * bounded: the grid is statistics-sized, never corpus-sized), two
+    * cumulative windows partitioned by source / none (the global one
+    * runs over ≤ distinct-lengths rows). At 100 TB the value grid is
+    * first bucketed to a fixed histogram (1024 bins) so the grid stays
+    * constant-size; the fixture's 313 raw lengths stand in for the
+    * binned values — same plan either way, and the text never shuffles
+    * (counts only).
+    */
+  private val ksDrift = DeclaredQuery(
+    "ks_drift",
+    (s, d) => {
+      val docs = documents(s, d).select(col("source"), col("n_chars"))
+      val perSV = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+      val vals = docs.select("n_chars").distinct()
+      val srcs = docs.groupBy("source").agg(count(lit(1)).as("s_n"))
+      val grid = srcs
+        .crossJoin(vals)
+        .join(perSV, Seq("source", "n_chars"), "left")
+        .na
+        .fill(0L, Seq("cnt"))
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy("n_chars")
+      val gcum = docs
+        .groupBy("n_chars")
+        .agg(count(lit(1)).as("gcnt"))
+        .withColumn(
+          "g_cum",
+          sum("gcnt").over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy("n_chars")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)),
+        )
+        .select("n_chars", "g_cum")
+      val gn = docs.agg(count(lit(1)).as("g_n"))
+      grid
+        .withColumn("s_cum", sum("cnt").over(wSrc.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .join(gcum, Seq("n_chars"))
+        .crossJoin(broadcast(gn)) // 1×1 scalar
+        .groupBy("source", "s_n", "g_n")
+        .agg(max(abs(col("s_cum") * col("g_n") - col("g_cum") * col("s_n"))).as("d_num"))
+        .withColumn(
+          "ks_ppm",
+          expr("CAST(floor(CAST(d_num AS DOUBLE) * 1000000.0 / (s_n * g_n) + 0.5) AS BIGINT)"),
+        )
+        .select("source", "s_n", "d_num", "ks_ppm")
+        .orderBy("source")
+    },
+    Some("""WITH docs AS (SELECT source, n_chars FROM documents),
+            sv AS (SELECT source, n_chars, count(*) AS cnt FROM docs GROUP BY 1, 2),
+            vals AS (SELECT DISTINCT n_chars FROM docs),
+            srcs AS (SELECT source, count(*) AS s_n FROM docs GROUP BY 1),
+            grid AS (SELECT srcs.source, srcs.s_n, vals.n_chars,
+                            coalesce(sv.cnt, 0) AS cnt
+                     FROM srcs CROSS JOIN vals
+                     LEFT JOIN sv ON sv.source = srcs.source AND sv.n_chars = vals.n_chars),
+            sc AS (SELECT source, s_n, n_chars,
+                          sum(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                                         ROWS UNBOUNDED PRECEDING) AS s_cum
+                   FROM grid),
+            gc AS (SELECT n_chars,
+                          sum(cnt2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS g_cum
+                   FROM (SELECT n_chars, count(*) AS cnt2 FROM docs GROUP BY 1)),
+            gn AS (SELECT count(*) AS g_n FROM docs),
+            dmax AS (SELECT source, s_n, g_n,
+                            CAST(max(abs(s_cum * g_n - g_cum * s_n)) AS BIGINT) AS d_num
+                     FROM sc JOIN gc USING (n_chars), gn
+                     GROUP BY 1, 2, 3)
+            SELECT source, CAST(s_n AS BIGINT) AS s_n, d_num,
+                   CAST(floor(CAST(d_num AS DOUBLE) * 1000000.0 / (s_n * g_n) + 0.5) AS BIGINT)
+                     AS ks_ppm
+            FROM dmax ORDER BY source"""),
+  )
+
+  /** Quality threshold for the crosstab's model arm: near the fixture
+    * corpus median (66.6), so all four cells populate. A production run
+    * sets this to the model's calibrated operating point; the audit
+    * shape is threshold-independent.
+    */
+  private val CrosstabQTau = 65.0
+
+  /** Rule-vs-model agreement crosstab — the curation-ablation audit
+    * (FineWeb-style pipeline reports): every document classified by BOTH
+    * the Gopher hard-rule screen and the model-based quality score,
+    * counted into the 2×2 (rule keep × model above-threshold) matrix.
+    * The off-diagonal cells are the review queues: rule-keep but
+    * model-low (candidate false negatives of the model) and rule-drop
+    * but model-high (rules too blunt — the cell that motivated
+    * RefinedWeb to relax MassiveText's thresholds). Both arms are the
+    * SHARED helpers behind their declared queries ([[gopherRuled]],
+    * TextOps.qualityScored + the shared oracle CTE chains), so the audit
+    * cannot drift from the screens it audits. Plan: two scan-local
+    * per-doc projections, one doc-keyed join (same-source frames — AQE
+    * picks the strategy), a 4-row aggregate; the text never shuffles.
+    */
+  private val ruleModelCrosstab = DeclaredQuery(
+    "rule_model_crosstab",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val g = gopherRuled(documents(s, d)).select(col("doc_id"), col("keep").as("r_keep"))
+      val q = TextOps
+        .qualityScored(documents(s, d))
+        .select(col("doc_id"), (col("quality") >= CrosstabQTau).as("m_above"))
+      g.join(q, Seq("doc_id")) // un-hinted: both sides corpus-cardinality
+        .groupBy("r_keep", "m_above")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("r_keep", "m_above")
+    },
+    Some(s"""WITH $gopherDuckCtes,
+             ${TextOps.qualityDuckCtes}
+             SELECT gv.keep AS r_keep,
+                    (round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) >= $CrosstabQTau)
+                      AS m_above,
+                    count(*) AS n_docs
+             FROM gv JOIN qs USING (doc_id)
+             GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
-    Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility)
+    Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
+      ruleModelCrosstab)
 }

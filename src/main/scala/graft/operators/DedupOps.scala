@@ -1462,11 +1462,69 @@ object DedupOps extends QueryModule {
              FROM k GROUP BY doc_id ORDER BY doc_id"""),
   )
 
+  /** Duplicated-token share by source — the data-card number substring
+    * dedup studies report per slice (what fraction of a source's tokens
+    * sit inside a repeated span): words covered by ANY duplicated island
+    * over total words, rolled up from document to source grain. Rides
+    * the shared `dupIslands` substrate (the gh-count join and island
+    * window never re-run) + one covered-position count per doc (the
+    * arithmetic explode of `span_scrub`, counts only — no text moves) +
+    * a left join against source-grain word totals. Integer counts, one
+    * double division per source row via the shared floor display text.
+    * A source whose dup_ppm jumps between snapshots is the boilerplate
+    * regression this catches before a corpus ships.
+    */
+  private val dupTokenFraction = DeclaredQuery(
+    "dup_token_fraction",
+    (s, d) => {
+      val covered = dupIslands(s, d)
+        .select(
+          col("doc_id"),
+          explode(
+            expr("sequence(CAST(span_start AS INT), CAST(span_start + span_words - 1 AS INT))"),
+          ).as("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup"))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_words"),
+        )
+        .join(covered, Seq("doc_id"), "left")
+        .na
+        .fill(0L, Seq("n_dup"))
+        .groupBy("source")
+        .agg(sum("n_words").as("n_words"), sum("n_dup").as("n_dup_words"))
+        .withColumn(
+          "dup_ppm",
+          expr("CAST(floor(CAST(n_dup_words AS DOUBLE) * 1000000.0 / n_words + 0.5) AS BIGINT)"),
+        )
+        .orderBy("source")
+    },
+    Some(s"""WITH $dupIslandsDuck,
+             cov AS (SELECT DISTINCT doc_id, pos FROM (
+                       SELECT doc_id,
+                              unnest(generate_series(span_start, span_start + span_words - 1)) AS pos
+                       FROM isl)),
+             cd AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1),
+             dw AS (SELECT d.doc_id, d.source,
+                           len(string_split(d.text, ' ')) AS n_words,
+                           coalesce(cd.n_dup, 0) AS n_dup
+                    FROM documents d LEFT JOIN cd ON d.doc_id = cd.doc_id)
+             SELECT source, CAST(sum(n_words) AS BIGINT) AS n_words,
+                    CAST(sum(n_dup) AS BIGINT) AS n_dup_words,
+                    CAST(floor(CAST(sum(n_dup) AS DOUBLE) * 1000000.0 / sum(n_words) + 0.5) AS BIGINT) AS dup_ppm
+             FROM dw GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
-      sourceOverlap, jaccardThresholdSweep)
+      sourceOverlap, jaccardThresholdSweep, dupTokenFraction)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

@@ -329,6 +329,298 @@ object ScalePatterns extends QueryModule {
              GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Bloom-filter semi-join reduction — the RUNTIME-FILTER pattern (what
+    * `spark.sql.optimizer.runtime.bloomFilter` injects automatically for
+    * shuffle joins, built explicitly so the mechanics are first-class and
+    * the filter is reusable across queries): the selective dimension's
+    * join keys compress into an m-bit Bloom filter that prefilters the
+    * fact side BEFORE its shuffle; the exact join then removes the false
+    * positives. At 100 TB the arithmetic is stark — a 16 Kbit filter
+    * (2 KB broadcast) discards ~96% of a 100 TB fact scan at the scan,
+    * so the join exchange moves 4 TB instead of 100 TB. Correctness is
+    * unconditional: Blooms have no false negatives, and the residual
+    * equi-join is exact, so the result is bit-identical to the plain
+    * join the oracle states (the filter changes bytes shuffled, never
+    * the answer — same contract as the layout patterns above).
+    *
+    * Engine-reproducible by construction: both hash chains are the
+    * avalanche arithmetic of [[distinctSketch]] (exact BIGINT in both
+    * engines), the bit array is 32-bit words (masks stay < 2³¹ — DuckDB
+    * errors where Spark wraps on << overflow), and the word table
+    * aggregates via bit_or. The probe is two ≤512-row broadcast joins +
+    * a stateless mask test — scan-local, no fact shuffle until the
+    * surviving 4%.
+    */
+  private val BloomBits = 16384L // m: 16 Kbit = 512 × 32-bit words
+  private def bloomHash(col: String, mul1: Long, mul2: Long, shift: Int): String =
+    s"((((($col * $mul1) % 2147483647) ^ shiftright((($col * $mul1) % 2147483647), $shift)) * $mul2) % 2147483647) % $BloomBits"
+
+  private val bloomPruneJoin = DeclaredQuery(
+    "bloom_prune_join",
+    (s, d) => {
+      val dimKeys = graft.Tables
+        .customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 8000.0)
+        .select("c_custkey")
+      val h1 = bloomHash("c_custkey", 2654435761L, 97381L, 7)
+      val h2 = bloomHash("c_custkey", 1103515245L, 69621L, 5)
+      // one bit array holds both hash positions (the standard k=2 Bloom)
+      val words = dimKeys
+        .select(explode(array(expr(h1), expr(h2))).as("h"))
+        .select(
+          expr("CAST(h div 32 AS INT)").as("word"),
+          expr("shiftleft(1, CAST(h % 32 AS INT))").as("m"),
+        )
+        .groupBy("word")
+        .agg(expr("bit_or(m)").as("mask"))
+      val g1 = bloomHash("o_custkey", 2654435761L, 97381L, 7)
+      val g2 = bloomHash("o_custkey", 1103515245L, 69621L, 5)
+      val probed = graft.Tables
+        .orders(s, d)
+        .withColumn("h1", expr(g1))
+        .withColumn("h2", expr(g2))
+        .join(broadcast(words.withColumnRenamed("mask", "m1")), expr("CAST(h1 div 32 AS INT) = word"))
+        .filter(expr("(m1 & shiftleft(1, CAST(h1 % 32 AS INT))) != 0"))
+        .drop("word", "m1")
+        .join(broadcast(words.withColumnRenamed("mask", "m2")), expr("CAST(h2 div 32 AS INT) = word"))
+        .filter(expr("(m2 & shiftleft(1, CAST(h2 % 32 AS INT))) != 0"))
+        .drop("word", "m2")
+      probed
+        .join(dimKeys, col("o_custkey") === col("c_custkey")) // exact residual: kills false positives
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+            FROM orders o
+            JOIN (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 8000.0) c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Salted JOIN as a declared query — the join-side twin of
+    * [[saltedAgg]]: when one join key is hot enough that its rows
+    * overflow a single reducer (a celebrity user, a null-heavy foreign
+    * key), salting spreads the hot key's FACT rows over `SaltBuckets`
+    * sub-partitions and replicates each DIMENSION row once per salt, so
+    * the skewed key occupies `SaltBuckets` reducers instead of one. The
+    * salt derives from `event_id` (pmod — deterministic, join-key-
+    * neutral), so the joined row SET is exactly the plain join's; the
+    * `merge` hint keeps the test-scale plan on the sort-merge path where
+    * the (key, salt) exchange being demonstrated exists (AQE would
+    * otherwise broadcast the small fixture dim and hide it). AQE's
+    * skew-join splits sort-merge skew automatically at runtime; the
+    * explicit pattern covers what it can't — pre-aggregations keyed the
+    * same way, or plans where the skewed side must stay hash-partitioned
+    * for a later stage.
+    */
+  private val SaltBuckets = 8L
+  private val saltedJoin = DeclaredQuery(
+    "salted_join",
+    (s, d) => {
+      val facts = graft.Tables
+        .events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(SaltBuckets)))
+        .select(col("user_id"), col("__salt"), col("value"))
+      val dim = graft.Tables
+        .customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+        .withColumn("__salt", explode(sequence(lit(0L), lit(SaltBuckets - 1))))
+      facts
+        .join(dim.hint("merge"), Seq("user_id", "__salt"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    },
+    Some("""SELECT c_mktsegment, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Sketch MERGEABILITY as a declared query — the property that makes
+    * sketches a 100 TB primitive at all: the corpus-wide estimate is
+    * computed from the per-type occupied-bucket sets (the sketches
+    * themselves), never by re-touching the raw events. Production runs
+    * this the other way around in time — per-day (or per-partition)
+    * sketches are persisted at ingest, and ANY later rollup (per week,
+    * per type, all-time) is a union of KB-sized bucket sets instead of a
+    * rescan of the raw 100 TB — the re-aggregatable-cube property exact
+    * distinct counts fundamentally lack (distinct counts don't add;
+    * bucket sets union losslessly). The `(all)` row's v is
+    * count(DISTINCT bkt) over the DEDUPED (type, bkt) sketch rows — at
+    * most types × m rows regardless of corpus size. The exact_distinct
+    * audit column is fixture-only, as in [[distinctSketch]]; the bucket
+    * chain and estimator are shared with it verbatim.
+    */
+  private val sketchUnion = DeclaredQuery(
+    "sketch_union",
+    (s, d) => {
+      val est = (v: org.apache.spark.sql.Column) =>
+        expr(
+          s"CAST(floor(-$SketchM.0 * ln(1.0 - least(v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)")
+      val hashed = graft.Tables
+        .events(s, d)
+        .withColumn("a", (col("user_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn("bkt", expr(s"(((a ^ shiftright(a, 7)) * 97381) % 2147483647) % $SketchM"))
+      // the per-type sketches: deduped occupied-bucket sets (≤ types × m rows)
+      val sketches = hashed.select(col("event_type"), col("bkt")).distinct()
+      val perType = sketches
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("v"))
+        .select(col("event_type").as("scope"), col("v"))
+      val merged = sketches
+        .agg(countDistinct(col("bkt")).as("v"))
+        .select(lit("(all)").as("scope"), col("v"))
+      val exact = hashed
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        .select(col("event_type").as("scope"), col("exact_distinct"))
+        .unionByName(
+          hashed
+            .agg(countDistinct(col("user_id")).as("exact_distinct"))
+            .select(lit("(all)").as("scope"), col("exact_distinct")))
+      perType
+        .unionByName(merged)
+        .withColumn("est", est(col("v")))
+        .join(exact, Seq("scope"))
+        .orderBy("scope")
+    },
+    Some(s"""WITH b AS (SELECT event_type, user_id,
+                               (user_id * 2654435761) % 2147483647 AS a FROM events),
+             c AS (SELECT event_type, user_id,
+                          ((xor(a, a >> 7) * 97381) % 2147483647) % $SketchM AS bkt FROM b),
+             sk AS (SELECT DISTINCT event_type, bkt FROM c),
+             pt AS (SELECT event_type AS scope, count(*) AS v FROM sk GROUP BY 1
+                    UNION ALL
+                    SELECT '(all)' AS scope, count(DISTINCT bkt) AS v FROM sk),
+             ex AS (SELECT event_type AS scope, count(DISTINCT user_id) AS exact_distinct
+                    FROM c GROUP BY 1
+                    UNION ALL
+                    SELECT '(all)' AS scope, count(DISTINCT user_id) AS exact_distinct FROM c)
+             SELECT pt.scope, pt.v,
+                    CAST(floor(-$SketchM.0 * ln(1.0 - least(pt.v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT) AS est,
+                    ex.exact_distinct
+             FROM pt JOIN ex ON pt.scope = ex.scope
+             ORDER BY pt.scope"""),
+  )
+
+  /** Z-order (Morton) cell layout — MULTI-dimensional pruning, the
+    * second axis `partitioned_scan_prune`'s 1-D day layout cannot give:
+    * a fact table queried by 2-D boxes (user range × time range) lays
+    * out by the bit-interleave of two clamped range buckets, so a box
+    * predicate prunes to the PRODUCT of the per-dimension bucket sets —
+    * cells outside either range are never listed. This is Delta/Iceberg
+    * `ZORDER BY` at directory granularity; the same zval additionally
+    * sorts within files so parquet row-group min/max stats prune both
+    * dimensions inside each cell. Bucket functions are pure arithmetic
+    * with a CLAMP at the top bucket (`least(x div W, 7)` — the
+    * histogram-boundary move, corpus-size-independent: no wrap
+    * aliasing, a box always maps to ≤ its own bucket span), so the
+    * probe-side cell enumeration is driver arithmetic over the literal
+    * box bounds — no data peeked, and the residual exact predicate
+    * keeps the answer layout-independent (the oracle reads plain
+    * parquet with the same box).
+    */
+  private val ZGridDayW = 4L // days per time bucket (30-day stream → 8 buckets)
+  private val ZGridUserW = 16L // users per user bucket at fixture scale
+  private val ZEpochDay = 19723L // 2024-01-01 as days since epoch
+
+  private def zBits(bucket: String): String =
+    s"(($bucket & 1) + 4 * (shiftright($bucket, 1) & 1) + 16 * (shiftright($bucket, 2) & 1))"
+
+  /** zcell = interleave(userBucket, dayBucket), 3 bits each → 64 cells. */
+  private def zcellExpr: org.apache.spark.sql.Column =
+    expr(
+      s"CAST(${zBits(s"least(user_id div $ZGridUserW, 7)")} + " +
+        s"2 * ${zBits(s"least((datediff(CAST(ts AS DATE), DATE '1970-01-01') - $ZEpochDay) div $ZGridDayW, 7)")} AS INT)")
+
+  private val zLayouts =
+    scala.collection.mutable.Map.empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  private[operators] def zorderedEvents(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): String =
+    zLayouts.synchronized {
+      zLayouts.getOrElseUpdate(
+        (s, d), {
+          val dir = java.nio.file.Files.createTempDirectory("graft-events-zorder").toString
+          Ivf.deleteRecursivelyOnExit(dir)
+          graft.Tables
+            .events(s, d)
+            .withColumn("zcell", zcellExpr)
+            .sortWithinPartitions("zcell", "user_id", "ts") // row-group clustering inside cells
+            .write
+            .mode(SaveMode.Overwrite)
+            .partitionBy("zcell")
+            .parquet(dir)
+          dir
+        },
+      )
+    }
+
+  /** The declared 2-D box: users [4, 35] × days [2024-01-09, 2024-01-16]
+    * (bounds occupied at EVERY fixture scale — sf0.001 has only 15
+    * users, so a higher box would AQE-collapse to an empty relation).
+    */
+  private val ZBoxULo = 4L
+  private val ZBoxUHi = 35L
+  private val ZBoxDLo = "2024-01-09"
+  private val ZBoxDHi = "2024-01-16" // inclusive last day
+  private val ZBoxDEnd = "2024-01-17" // exclusive end bound
+
+  /** Driver-side z-range decomposition of the box: the image of the box
+    * under the bucket functions — pure arithmetic on the literal bounds
+    * (u-buckets 2..4 × d-buckets 2..3 → 6 of 64 cells).
+    */
+  private def zCellsOfBox: Seq[Int] = {
+    val uB = (ZBoxULo / ZGridUserW).min(7) to (ZBoxUHi / ZGridUserW).min(7)
+    val d0 = java.time.LocalDate.parse(ZBoxDLo).toEpochDay - ZEpochDay
+    val d1 = java.time.LocalDate.parse(ZBoxDHi).toEpochDay - ZEpochDay
+    val dB = (d0 / ZGridDayW).min(7) to (d1 / ZGridDayW).min(7)
+    def spread(b: Long): Int =
+      ((b & 1) + 4 * ((b >> 1) & 1) + 16 * ((b >> 2) & 1)).toInt
+    (for { u <- uB; t <- dB } yield spread(u) + 2 * spread(t)).sorted
+  }
+
+  private val zorderScan = DeclaredQuery(
+    "zorder_scan",
+    (s, d) => {
+      val cells: Seq[Any] = zCellsOfBox
+      s.read
+        .parquet(zorderedEvents(s, d))
+        .filter(col("zcell").isin(cells: _*)) // literal isin → PartitionFilters
+        .filter(
+          col("user_id") >= ZBoxULo && col("user_id") <= ZBoxUHi &&
+            col("ts") >= to_timestamp(lit(s"$ZBoxDLo 00:00:00")) &&
+            col("ts") < to_timestamp(lit(s"$ZBoxDEnd 00:00:00")),
+        )
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        )
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, count(*) AS n,
+                    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             FROM events
+             WHERE user_id BETWEEN $ZBoxULo AND $ZBoxUHi
+               AND ts >= TIMESTAMP '$ZBoxDLo 00:00:00'
+               AND ts < TIMESTAMP '$ZBoxDEnd 00:00:00'
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune)
+    Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
+      bloomPruneJoin, saltedJoin, sketchUnion, zorderScan)
 }

@@ -424,6 +424,84 @@ object SimilarityOps extends QueryModule {
              GROUP BY x.qid ORDER BY x.qid"""),
   )
 
+  /** Embedding-space outlier screen — the semantic curation op
+    * (CLIP-score-style filtering, mislabel detection, encoder-glitch
+    * quarantine): flag vectors whose cosine to their OWN label centroid
+    * falls below τ. The centroid is the `centroid_agg` artifact — exact
+    * ×10⁶-integer sums per (label, dim), so the distributed mean is
+    * order-invariant and the derived centroid array is bit-identical in
+    * both engines — and the per-vector similarity is the same
+    * fold-vs-list_inner_product pair every cosine query rides, rounded
+    * to 6 dp BEFORE the τ compare so the flag can never straddle a ulp.
+    *
+    * Plan shape at 100 TB: one posexplode agg to labels × dims rows
+    * (map-side combined — the exchange is model-sized), centroids
+    * re-assembled by one labels-cardinality groupBy, then an un-hinted
+    * label join back to the vectors (AQE broadcasts the label-count
+    * table) and a scan-local similarity + flag — the embedding column
+    * crosses the wire zero times; output is label-cardinality counts.
+    */
+  private val OutlierTau = 0.0
+  private val embeddingOutliers = DeclaredQuery(
+    "embedding_outliers",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .select(
+          col("vec_id"),
+          col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvec"),
+        )
+      val cent = e
+        .select(
+          col("label"),
+          posexplode(
+            expr("transform(dvec, v -> CAST(round(v * 1000000, 0) AS BIGINT))"),
+          ).as(Seq("pos", "sv")),
+        )
+        .groupBy("label", "pos")
+        .agg(sum("sv").as("s"), count(lit(1)).as("n"))
+        .groupBy("label")
+        .agg(
+          expr("transform(array_sort(collect_list(struct(pos, CAST(s AS DOUBLE) / (n * 1000000.0) AS c))), x -> x.c)")
+            .as("cvec"),
+        )
+      e.join(cent, Seq("label")) // un-hinted: label-cardinality, AQE broadcasts
+        .withColumn("sim", round(expr("cosine_similarity(dvec, cvec)"), 6))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("sim") < OutlierTau, 1L).otherwise(0L)).as("n_outliers"),
+          min(col("sim")).as("min_sim"),
+        )
+        .withColumn(
+          "out_ppm",
+          expr("CAST(floor(CAST(n_outliers AS DOUBLE) * 1000000.0 / n_vecs + 0.5) AS BIGINT)"),
+        )
+        .orderBy("label")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS dvec FROM embeddings),
+             x AS (SELECT label, unnest(dvec) AS v, generate_subscripts(dvec, 1) AS pos FROM e),
+             cs AS (SELECT label, pos,
+                           CAST(sum(CAST(round(v * 1000000) AS BIGINT)) AS BIGINT) AS s,
+                           count(*) AS n
+                    FROM x GROUP BY 1, 2),
+             cent AS (SELECT label, list(CAST(s AS DOUBLE) / (n * 1000000.0) ORDER BY pos) AS cvec
+                      FROM cs GROUP BY 1),
+             sims AS (SELECT e.label,
+                             round(list_inner_product(e.dvec, c.cvec) /
+                                   (sqrt(list_inner_product(e.dvec, e.dvec)) *
+                                    sqrt(list_inner_product(c.cvec, c.cvec))), 6) AS sim
+                      FROM e JOIN cent c ON e.label = c.label),
+             a AS (SELECT label, count(*) AS n_vecs,
+                          CAST(sum(CASE WHEN sim < $OutlierTau THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                          min(sim) AS min_sim
+                   FROM sims GROUP BY 1)
+             SELECT label, n_vecs, n_outliers, min_sim,
+                    CAST(floor(CAST(n_outliers AS DOUBLE) * 1000000.0 / n_vecs + 0.5) AS BIGINT) AS out_ppm
+             FROM a ORDER BY label"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall)
+    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers)
 }

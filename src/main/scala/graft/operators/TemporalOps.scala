@@ -444,7 +444,61 @@ object TemporalOps extends QueryModule {
             FROM t ORDER BY prev, next"""),
   )
 
+  /** Time-window event dedup — the ingest screen every at-least-once
+    * event pipeline runs (producer retries, SDK double-fires, replayed
+    * batches land the same logical event twice within seconds): an event
+    * is a duplicate when the SAME (user, type) occurred within the
+    * trailing `DedupWindowUs`. One `lag` over the (user, type)-keyed
+    * sort — the sort-merge shape of the module header: a single exchange
+    * of the stream keyed by (user_id, event_type), per-partition sort,
+    * stateless gap predicate. No self-join, no range join — at 100 TB
+    * the alternative (t BETWEEN t−Δ AND t self-join) is the BNLJ trap
+    * `interval_join_binned` exists to kill, and this needs none of it
+    * because "previous occurrence" is exactly what lag() is.
+    *
+    * Lag-vs-previous (not previous-KEPT) is the standard streaming
+    * semantics (dropDuplicatesWithinWatermark): a burst of N copies
+    * inside one window keeps only the first, because each copy is
+    * within Δ of its predecessor. Deterministic: ts ties break on
+    * event_id (the full-key sort discipline), µs integer time.
+    */
+  private val DedupWindowUs = 60000000L // 60 s
+  private val eventDedupWindow = DeclaredQuery(
+    "event_dedup_window",
+    (s, d) => {
+      val w = Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("us"), col("event_id"))
+      events(s, d)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn(
+          "dup",
+          col("prev_us").isNotNull && col("us") - col("prev_us") < lit(DedupWindowUs),
+        )
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dups"),
+          sum(when(!col("dup"), 1L).otherwise(0L)).as("n_kept"),
+        )
+        .orderBy("event_type")
+    },
+    Some(s"""WITH x AS (SELECT event_type, epoch_us(ts) AS us,
+                               lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+                        FROM events),
+             f AS (SELECT event_type,
+                          (prev_us IS NOT NULL AND us - prev_us < $DedupWindowUs) AS dup
+                   FROM x)
+             SELECT event_type,
+                    count(*) AS n_events,
+                    CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+                    CAST(sum(CASE WHEN dup THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+             FROM f GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
-      retentionCohort, eventTransitions)
+      retentionCohort, eventTransitions, eventDedupWindow)
 }

@@ -894,33 +894,114 @@ object TextOps extends QueryModule {
       )
   }
 
+  /** Shared DuckDB CTE chain for the quality model, ending in
+    * `qs(doc_id, n_feats, score_sum)` — reused by the `quality_score`
+    * oracle and CurationOps' `rule_model_crosstab` so the model text
+    * cannot drift between the score and its audits.
+    */
+  private[graft] lazy val qualityDuckCtes: String = {
+    val wlit = QsWeights.mkString("[", ", ", "]")
+    s"""qd AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+       |       FROM documents),
+       |qf AS (SELECT doc_id,
+       |              list_concat(
+       |                toks,
+       |                CASE WHEN len(toks) >= 2
+       |                     THEN list_transform(generate_series(1, len(toks) - 1),
+       |                                         i -> toks[i] || ' ' || toks[i + 1])
+       |                     ELSE []::VARCHAR[] END) AS feats
+       |       FROM qd),
+       |qs AS (SELECT doc_id,
+       |              CAST(len(feats) AS BIGINT) AS n_feats,
+       |              CAST(coalesce(list_sum(list_transform(feats,
+       |                w -> ($wlit::BIGINT[])[CAST($wordHashDuck % $QsBuckets AS INT) + 1])), 0)
+       |                AS BIGINT) AS score_sum
+       |       FROM qf)""".stripMargin
+  }
+
   private val qualityScore = DeclaredQuery(
     "quality_score",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
       qualityScored(documents(s, d)).orderBy("doc_id")
-    }, {
-      val wlit = QsWeights.mkString("[", ", ", "]")
-      Some(s"""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
-                          FROM documents),
-               f AS (SELECT doc_id,
-                            list_concat(
-                              toks,
-                              CASE WHEN len(toks) >= 2
-                                   THEN list_transform(generate_series(1, len(toks) - 1),
-                                                       i -> toks[i] || ' ' || toks[i + 1])
-                                   ELSE []::VARCHAR[] END) AS feats
-                     FROM d),
-               s AS (SELECT doc_id,
-                            CAST(len(feats) AS BIGINT) AS n_feats,
-                            CAST(coalesce(list_sum(list_transform(feats,
-                              w -> ($wlit::BIGINT[])[CAST($wordHashDuck % $QsBuckets AS INT) + 1])), 0)
-                              AS BIGINT) AS score_sum
-                     FROM f)
-               SELECT doc_id, n_feats, score_sum,
-                      round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) AS quality
-               FROM s ORDER BY doc_id""")
     },
+    Some(s"""WITH $qualityDuckCtes
+             SELECT doc_id, n_feats, score_sum,
+                    round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) AS quality
+             FROM qs ORDER BY doc_id"""),
+  )
+
+  /** Adjacent-pair PMI collocations — the phrase-mining statistic
+    * (Church & Hanks 1990; the word2vec phrase pass scores bigrams the
+    * same way to merge "new york" → "new_york" before training): PMI =
+    * ln(c₁₂·N / (c₁·c₂)) over positional marginals (c₁ = w₁-as-first,
+    * c₂ = w₂-as-second), min-count 5 to kill the low-count PMI bias,
+    * top-20 by (pmi desc, pair). Tokenizer vocab-merge decisions and
+    * multi-word-entity detection both read exactly this table.
+    *
+    * Plan: ONE corpus pass builds the bigram table (zip_with over
+    * shifted slices — the bigram_logprob substrate shape); both
+    * marginals and the N scalar are rollups OF that table (bigram-
+    * cardinality aggs, never a second corpus scan). The marginal joins
+    * are un-hinted — w₁/w₂ marginals are vocabulary-cardinality, the
+    * repo-wide no-forced-broadcast rule — and the result is a
+    * TakeOrderedAndProject top-k, so only (pair, counts) rows ever
+    * shuffle. Cross-engine: the four-ln sum is one shared expression
+    * text over exact BIGINTs, ×10⁶-floored; ln of products is avoided
+    * so no BIGINT multiply can overflow at corpus scale (c₁₂·N at
+    * 10¹⁰ bigrams would).
+    */
+  private val cooccurrencePmi = DeclaredQuery(
+    "cooccurrence_pmi",
+    (s, d) => {
+      val pairs = documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          explode(
+            expr("""IF(size(toks) >= 2,
+                   |   zip_with(slice(toks, 1, size(toks) - 1),
+                   |            slice(toks, 2, size(toks) - 1),
+                   |            (a, b) -> struct(a AS w1, b AS w2)),
+                   |   CAST(array() AS array<struct<w1: string, w2: string>>))""".stripMargin),
+          ).as("p"),
+        )
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val lm = bi.groupBy("w1").agg(sum("c12").as("c1"))
+      val rm = bi.groupBy("w2").agg(sum("c12").as("c2"))
+      val n = bi.agg(sum("c12").as("nn"))
+      bi.filter(col("c12") >= 5)
+        .join(lm, Seq("w1")) // un-hinted: vocabulary-cardinality
+        .join(rm, Seq("w2"))
+        .crossJoin(broadcast(n)) // 1×1 scalar
+        .withColumn(
+          "pmi_s",
+          expr("""CAST(floor((ln(CAST(c12 AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+                 |            - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                 |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin),
+        )
+        .select("w1", "w2", "c12", "c1", "c2", "pmi_s")
+        .orderBy(col("pmi_s").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            pr AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+                          ELSE [] END) AS p
+                   FROM t),
+            pw AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM pr),
+            bi AS (SELECT w1, w2, count(*) AS c12 FROM pw GROUP BY 1, 2),
+            lm AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+            rm AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+            ns AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bi)
+            SELECT bi.w1, bi.w2, c12, c1, c2,
+                   CAST(floor((ln(CAST(c12 AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+                               - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS pmi_s
+            FROM bi JOIN lm USING (w1) JOIN rm USING (w2), ns
+            WHERE c12 >= 5
+            ORDER BY pmi_s DESC, bi.w1, bi.w2 LIMIT 20"""),
   )
 
   val queries: Seq[DeclaredQuery] = Seq(
@@ -928,6 +1009,7 @@ object TextOps extends QueryModule {
     tokenCount,
     langId,
     docFingerprint,
+    cooccurrencePmi,
     ngramNovelty,
     exactDedupDocs,
     repetitionRatio,

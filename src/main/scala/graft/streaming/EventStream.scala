@@ -192,6 +192,71 @@ object EventStream {
     * At scale: state is O(active users), hash-partitioned by user —
     * exactly how a 1000-executor stateful job shards.
     */
+  final case class DedupEvent(
+      user_id: Long,
+      event_type: String,
+      ts: java.sql.Timestamp,
+      event_id: Long,
+  )
+  final case class DedupFlag(user_id: Long, event_type: String, event_id: Long, dup: Boolean)
+  final case class DedupWindowState(lastUs: Long)
+
+  /** Streaming twin of the `event_dedup_window` batch query: an event is
+    * a duplicate iff the previous same-(user, type) occurrence is less
+    * than `windowUs` older — the at-least-once ingest screen, with the
+    * SAME lag-vs-previous semantics as the batch lag() (a burst keeps
+    * only its first event). State is one Long per live (user, type)
+    * key, purged by event-time timeout once the watermark passes the
+    * window — O(active keys), hash-partitioned like every stateful op.
+    * Within a micro-batch rows process in (ts, event_id) order, so an
+    * AvailableNow run over a static directory reproduces the batch
+    * flags exactly (StreamingSpec asserts it per-event); across
+    * micro-batches the ordering holds whenever arrival respects the
+    * watermark bound, the standard streaming contract.
+    */
+  def dedupWindowed(
+      events: org.apache.spark.sql.Dataset[DedupEvent],
+      windowUs: Long,
+  ): org.apache.spark.sql.Dataset[DedupFlag] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def usOf(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState[DedupWindowState, DedupFlag](
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout(),
+      ) {
+        (
+            key: (Long, String),
+            rows: Iterator[DedupEvent],
+            state: GroupState[DedupWindowState],
+        ) =>
+          if (state.hasTimedOut) {
+            // a timed-out key has no event within the window by definition
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
+            val out = Seq.newBuilder[DedupFlag]
+            var last = state.getOption.map(_.lastUs)
+            sorted.foreach { e =>
+              val us = usOf(e.ts)
+              val dup = last.exists(l => us - l < windowUs)
+              out += DedupFlag(key._1, key._2, e.event_id, dup)
+              last = Some(us)
+            }
+            last.foreach { l =>
+              state.update(DedupWindowState(l))
+              state.setTimeoutTimestamp(l / 1000 + windowUs / 1000)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   def sessionize(
       events: org.apache.spark.sql.Dataset[SessionEvent],
       gap: java.time.Duration,

@@ -832,4 +832,45 @@ class StreamingSpec extends SparkSpec {
       batch.get(r.getString(0)).contains((r.getLong(1), r.getDouble(2)))
     })
   }
+
+  test("streaming windowed dedup flags equal the batch event_dedup_window lag flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val stream = EventStream
+      .readEvents(spark, eventsDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .as[EventStream.DedupEvent]
+    val flagged = EventStream.dedupWindowed(stream, 60000000L)
+    val q = flagged.writeStream
+      .format("memory")
+      .queryName("dedup_flags")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-dedupw").toString)
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark
+      .table("dedup_flags")
+      .collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Boolean]("dup")))
+      .toMap
+    // batch reference: the exact lag formulation of the declared query
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    val batch = Tables
+      .events(spark, sfDir)
+      .withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn(
+        "dup",
+        col("prev_us").isNotNull && col("us") - col("prev_us") < lit(60000000L),
+      )
+      .select("event_id", "dup")
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+      .toMap
+    assert(streamed.size == batch.size, s"${streamed.size} streamed vs ${batch.size} batch")
+    assert(streamed == batch, "per-event dup flags must agree between stream and batch")
+  }
 }
