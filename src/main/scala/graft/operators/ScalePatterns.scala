@@ -620,7 +620,54 @@ object ScalePatterns extends QueryModule {
              GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Key-skew diagnostics — the measurement that DECIDES between the
+    * plain, salted ([[saltedJoin]]/[[saltedAgg]]) and AQE-skew paths:
+    * the top hot keys with their corpus share and their load ratio vs
+    * the mean key (the number you compare against a reducer's budget).
+    * One map-side-combined key count agg + a 1-row global + top-k —
+    * key-cardinality exchange, TakeOrderedAndProject output, runs in a
+    * planning pass long before the expensive join it protects. All
+    * ratios are floor-scaled BIGINTs from exact counts (share in ppm,
+    * load ratio ×1000) — engine- and partitioning-identical. At 100 TB
+    * production samples the scan; the fixture counts exactly — same
+    * plan, and the decision threshold ("hot key > K × mean") reads the
+    * same columns either way.
+    */
+  private val skewDiagnostics = DeclaredQuery(
+    "skew_diagnostics",
+    (s, d) => {
+      val counts = graft.Tables
+        .events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val glob = counts.agg(
+        sum("n").as("total"),
+        count(lit(1)).as("n_keys"),
+      )
+      counts
+        .crossJoin(broadcast(glob)) // 1-row corpus totals
+        .withColumn(
+          "share_ppm",
+          expr("CAST(floor(CAST(n AS DOUBLE) * 1000000.0 / total + 0.5) AS BIGINT)"),
+        )
+        .withColumn(
+          "load_x1000",
+          expr("CAST(floor(CAST(n AS DOUBLE) * 1000.0 * n_keys / total + 0.5) AS BIGINT)"),
+        )
+        .select("user_id", "n", "share_ppm", "load_x1000")
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(10)
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+            g AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+            SELECT user_id, n,
+                   CAST(floor(CAST(n AS DOUBLE) * 1000000.0 / total + 0.5) AS BIGINT) AS share_ppm,
+                   CAST(floor(CAST(n AS DOUBLE) * 1000.0 * n_keys / total + 0.5) AS BIGINT) AS load_x1000
+            FROM c, g
+            ORDER BY n DESC, user_id LIMIT 10"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
-      bloomPruneJoin, saltedJoin, sketchUnion, zorderScan)
+      bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics)
 }

@@ -102,34 +102,48 @@ object TemporalOps extends QueryModule {
     */
   private val sessionize = DeclaredQuery(
     "sessionize",
-    (s, d) => {
-      val w1 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-      val wRun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      events(s, d)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
-        .withColumn("pt", lag(col("t_us"), 1).over(w1))
-        .withColumn(
-          "is_new",
-          when(col("pt").isNull || col("t_us") - col("pt") > SessionGapUs, 1).otherwise(0),
-        )
-        .withColumn("sess", sum(col("is_new")).over(wRun))
-        .groupBy("user_id", "sess")
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("t_us")).as("start_us"),
-          max(col("t_us")).as("end_us"),
-        )
-        .withColumn("duration_us", col("end_us") - col("start_us"))
-        .orderBy("user_id", "sess")
-    },
-    Some(s"""WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
-             x AS (SELECT *, lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS pt FROM ev),
-             y AS (SELECT *, CASE WHEN pt IS NULL OR t_us - pt > $SessionGapUs THEN 1 ELSE 0 END AS is_new FROM x),
-             z AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM y)
-             SELECT user_id, sess, count(*) AS n_events, min(t_us) AS start_us,
-                    max(t_us) AS end_us, max(t_us) - min(t_us) AS duration_us
-             FROM z GROUP BY 1, 2 ORDER BY 1, 2"""),
+    (s, d) => sessionTable(s, d).orderBy("user_id", "sess"),
+    Some(s"""WITH $sessionDuckCtes
+             SELECT user_id, sess, n_events, start_us, end_us, duration_us
+             FROM sessions ORDER BY 1, 2"""),
   )
+
+  /** The per-session table (user_id, sess, n_events, start_us, end_us,
+    * duration_us), unordered — shared by the declared `sessionize` and
+    * `session_stats`, so the gap semantics cannot drift between the
+    * session list and its distribution report.
+    */
+  private def sessionTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val w1 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val wRun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("pt", lag(col("t_us"), 1).over(w1))
+      .withColumn(
+        "is_new",
+        when(col("pt").isNull || col("t_us") - col("pt") > SessionGapUs, 1).otherwise(0),
+      )
+      .withColumn("sess", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"),
+        max(col("t_us")).as("end_us"),
+      )
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** DuckDB twin of [[sessionTable]] as CTE text, ending in
+    * `sessions(user_id, sess, n_events, start_us, end_us, duration_us)`.
+    */
+  private lazy val sessionDuckCtes: String =
+    s"""ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+       |x AS (SELECT *, lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS pt FROM ev),
+       |y AS (SELECT *, CASE WHEN pt IS NULL OR t_us - pt > $SessionGapUs THEN 1 ELSE 0 END AS is_new FROM x),
+       |z AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM y),
+       |sessions AS (SELECT user_id, sess, count(*) AS n_events, min(t_us) AS start_us,
+       |                    max(t_us) AS end_us, max(t_us) - min(t_us) AS duration_us
+       |             FROM z GROUP BY 1, 2)""".stripMargin
 
   /** Bin width for the interval join — equal to the window length, so
     * every interval covers at most TWO bins and the fan-out factor is a
@@ -498,7 +512,103 @@ object TemporalOps extends QueryModule {
              FROM f GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Session-size distribution — the engagement histogram (how many
+    * sessions have 1, 2, … events) every product-analytics and
+    * training-data-sessionization report carries. Rides [[sessionTable]]
+    * verbatim (the gap semantics cannot drift from `sessionize`), then
+    * ONE more size-keyed aggregation over session rows — at 100 TB the
+    * session table is already orders smaller than the events (Σ sessions
+    * ≤ events), and the histogram exchange is size-cardinality. Exact
+    * BIGINT counts and duration sums only.
+    */
+  private val sessionStats = DeclaredQuery(
+    "session_stats",
+    (s, d) =>
+      sessionTable(s, d)
+        .groupBy("n_events")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("duration_us")).as("sum_duration_us"),
+        )
+        .orderBy("n_events"),
+    Some(s"""WITH $sessionDuckCtes
+             SELECT n_events, count(*) AS n_sessions,
+                    count(DISTINCT user_id) AS n_users,
+                    CAST(sum(duration_us) AS BIGINT) AS sum_duration_us
+             FROM sessions GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Funnel conversion rate per day — the headline funnel metric (what
+    * fraction of clicks convert to a purchase within the window), the
+    * aggregate consumers actually read where `event_pair_join` emits the
+    * raw pairs and `funnel_abandon` the complement. A click converts iff
+    * ANY same-user purchase lands in (t, t + 6 h] — LEFT SEMI on the
+    * user key with the time range as residual (≡ EXISTS; the semi-join
+    * stops at the first match, so a click with 50 purchases costs one
+    * emit, where the pair join would emit 50). One user-keyed shuffle
+    * per side, day-cardinality output, conversion as one division of
+    * exact BIGINTs via the shared floor display text.
+    */
+  private val funnelConversion = DeclaredQuery(
+    "funnel_conversion",
+    (s, d) => {
+      val ev = events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"), col("ts"))
+      val clicks = ev
+        .filter(col("event_type") === "click")
+        .select(
+          col("user_id"),
+          col("event_id"),
+          col("t_us").as("click_us"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        )
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us").as("purchase_us"))
+      val converted = clicks
+        .join(
+          purchases,
+          clicks("user_id") === purchases("user_id") &&
+            col("purchase_us") > col("click_us") &&
+            col("purchase_us") - col("click_us") <= lit(FunnelGapUs),
+          "left_semi",
+        )
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_converted"))
+      clicks
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_clicks"))
+        .join(converted, Seq("day"), "left")
+        .na
+        .fill(0L, Seq("n_converted"))
+        .withColumn(
+          "cr_ppm",
+          expr("CAST(floor(CAST(n_converted AS DOUBLE) * 1000000.0 / n_clicks + 0.5) AS BIGINT)"),
+        )
+        .orderBy("day")
+    },
+    Some(s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+                                strftime(ts, '%Y-%m-%d') AS day
+                         FROM events),
+             c AS (SELECT user_id, event_id, t_us AS click_us, day FROM ev
+                   WHERE event_type = 'click'),
+             conv AS (SELECT day, count(*) AS n_converted FROM c
+                      WHERE EXISTS (SELECT 1 FROM ev p
+                                    WHERE p.event_type = 'purchase'
+                                      AND p.user_id = c.user_id
+                                      AND p.t_us > c.click_us
+                                      AND p.t_us - c.click_us <= $FunnelGapUs)
+                      GROUP BY 1),
+             clk AS (SELECT day, count(*) AS n_clicks FROM c GROUP BY 1)
+             SELECT clk.day, n_clicks, coalesce(n_converted, 0) AS n_converted,
+                    CAST(floor(CAST(coalesce(n_converted, 0) AS DOUBLE) * 1000000.0 / n_clicks + 0.5) AS BIGINT)
+                      AS cr_ppm
+             FROM clk LEFT JOIN conv ON clk.day = conv.day
+             ORDER BY clk.day"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
-      retentionCohort, eventTransitions, eventDedupWindow)
+      retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion)
 }

@@ -211,6 +211,49 @@ class Round10OpsSpec extends SparkSpec {
     }
   }
 
+  test("session_stats: histogram marginals reconcile with the sessionize table") {
+    val sessions = q("sessionize").collect()
+    val hist = q("session_stats").collect()
+    assert(hist.map(_.getLong(1)).sum == sessions.length.toLong)
+    // Σ size × count = total events
+    assert(
+      hist.map(r => r.getLong(0) * r.getLong(1)).sum == Tables.events(spark, sfDir).count(),
+    )
+    val bySize = sessions.groupBy(_.getAs[Long]("n_events"))
+    hist.foreach { r =>
+      assert(r.getLong(1) == bySize(r.getLong(0)).length.toLong)
+      assert(r.getLong(3) == bySize(r.getLong(0)).map(_.getAs[Long]("duration_us")).sum)
+    }
+  }
+
+  test("funnel_conversion: converted clicks = distinct converting click ids of the pair join") {
+    val pairs = q("event_pair_join").collect().map(_.getAs[Long]("click_id")).distinct.length
+    val conv = q("funnel_conversion").collect()
+    assert(conv.map(_.getLong(2)).sum == pairs.toLong)
+    conv.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  test("skew_diagnostics: top keys match a direct count and ratios recompute") {
+    val counts = Tables
+      .events(spark, sfDir)
+      .groupBy("user_id")
+      .count()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val nKeys = counts.length.toLong
+    val top = counts.sortBy { case (u, n) => (-n, u) }.take(10)
+    val rows = q("skew_diagnostics").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == top.toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(2) == math.floor(r.getLong(1).toDouble * 1e6 / total + 0.5).toLong)
+      assert(r.getLong(3) == math.floor(r.getLong(1).toDouble * 1000.0 * nKeys / total + 0.5).toLong)
+    }
+  }
+
   test("rule_model_crosstab: cells partition the corpus and match the declared arms") {
     val rows = q("rule_model_crosstab").collect()
     assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sfDir).count())
@@ -219,6 +262,39 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.filter(_.getBoolean(0)).map(_.getLong(2)).sum == ruleKeep)
     val modelAbove = q("quality_score").filter(col("quality") >= 65.0).count()
     assert(rows.filter(_.getBoolean(1)).map(_.getLong(2)).sum == modelAbove)
+  }
+
+  test("round-10 hints: bloom word tables are constant-domain; all other broadcasts are scalars") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+    def broadcastHints(name: String): Seq[LogicalPlan] =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(_.toString.contains("broadcast")) =>
+          h.child
+      }
+    def groupingEmpty(p: LogicalPlan): Boolean =
+      p.collectFirst { case a: Aggregate if a.groupingExpressions.isEmpty => a }.isDefined
+    // bloom_prune_join: the ONLY pinned broadcasts are the bit-array word
+    // tables — Aggregates grouped by the word index, whose domain is the
+    // CONSTANT m/32 = 512 (a model artifact, not a data relation), so the
+    // pin is principled where a vocab-table pin would not be
+    val bloomHints = broadcastHints("bloom_prune_join")
+    assert(bloomHints.size == 2, s"expected the two word-table hints, got ${bloomHints.size}")
+    bloomHints.foreach { h =>
+      val grouped = h.collectFirst { case a: Aggregate => a }.get
+      assert(
+        grouped.groupingExpressions.exists(_.toString.contains("word")),
+        s"bloom hint must sit on the constant-domain word table:\n$h",
+      )
+    }
+    // every other round-10 broadcast hint is a grouping-empty (1-row) scalar
+    for (name <- Seq("cooccurrence_pmi", "ks_drift", "skew_diagnostics"))
+      broadcastHints(name).foreach(h =>
+        assert(groupingEmpty(h), s"$name: non-scalar broadcast hint:\n$h"))
+    // and these carry no broadcast pins at all — their tables grow with the data
+    for (name <- Seq("embedding_outliers", "dup_token_fraction", "sketch_union",
+        "event_dedup_window", "session_stats", "funnel_conversion", "rule_model_crosstab",
+        "zorder_scan"))
+      assert(broadcastHints(name).isEmpty, s"$name must not pin any broadcast")
   }
 
   test("ks_drift: bounded in [0, 1e6] and matches a driver-side KS for one source") {
