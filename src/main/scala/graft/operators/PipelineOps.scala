@@ -324,48 +324,83 @@ object PipelineOps extends QueryModule {
     * shuffle. Raw counts include the target slice (p̂_raw is the
     * corpus marginal), matching the paper's raw-pool formulation.
     */
+  /** The per-document DSIR weight frame (doc_id, n_feats, weight_sum),
+    * unordered — shared by the declared `dsir_weights` and
+    * `dsir_resample`, so the importance model cannot drift between the
+    * weights and the sampler that consumes them.
+    */
+  private def dsirScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val feats = documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"),
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr(s"CAST(graft_poly_hash(w) % $DsirBuckets AS INT)").as("b"),
+      )
+    // both feature models from ONE conditional-aggregation pass over
+    // the feature rows (target count = count where lang matches) —
+    // not a second corpus scan per model
+    val cnts = feats
+      .groupBy("b")
+      .agg(
+        count(when(col("lang") === "en", 1)).as("tc"),
+        count(lit(1)).as("rc"),
+      )
+    val lam = s
+      .range(DsirBuckets)
+      .select(col("id").cast("int").as("b"))
+      .join(cnts, Seq("b"), "left")
+      // both totals from ONE aggregate over cnts (1-row scalar)
+      .crossJoin(broadcast(cnts.agg(sum("tc").as("tt"), sum("rc").as("rt"))))
+      .select(
+        col("b"),
+        expr(
+          s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(tt + $DsirBuckets)
+             |            - ln(coalesce(rc, 0) + 1) + ln(rt + $DsirBuckets))
+             |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin,
+        ).as("lam"),
+      )
+    feats
+      .join(lam, Seq("b")) // D-row model table: AQE broadcasts, un-hinted
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight_sum"))
+  }
+
+  /** DuckDB twin of [[dsirScored]] as CTE text, ending in
+    * `dw(doc_id, n_feats, weight_sum)`.
+    */
+  private lazy val dsirDuckCtes: String =
+    s"""df AS (SELECT doc_id, lang,
+       |              CAST(${graft.operators.TextOps.wordHashDuck} % $DsirBuckets AS INT) AS b
+       |       FROM (SELECT doc_id, lang,
+       |                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |             FROM documents)),
+       |dt AS (SELECT b, count(*) AS tc FROM df WHERE lang = 'en' GROUP BY b),
+       |dr AS (SELECT b, count(*) AS rc FROM df GROUP BY b),
+       |dtt AS (SELECT CAST(sum(tc) AS BIGINT) AS tt FROM dt),
+       |drt AS (SELECT CAST(sum(rc) AS BIGINT) AS rt FROM dr),
+       |dbk AS (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b),
+       |dlam AS (SELECT dbk.b,
+       |                CAST(floor((ln(coalesce(dt.tc, 0) + 1) - ln(tt + $DsirBuckets)
+       |                            - ln(coalesce(dr.rc, 0) + 1) + ln(rt + $DsirBuckets))
+       |                           * 1000000.0 + 0.5) AS BIGINT) AS lam
+       |         FROM dbk LEFT JOIN dt ON dbk.b = dt.b LEFT JOIN dr ON dbk.b = dr.b, dtt, drt),
+       |dw AS (SELECT df.doc_id,
+       |              CAST(count(*) AS BIGINT) AS n_feats,
+       |              CAST(sum(dlam.lam) AS BIGINT) AS weight_sum
+       |       FROM df JOIN dlam ON df.b = dlam.b
+       |       GROUP BY 1)""".stripMargin
+
   private val dsirWeights = DeclaredQuery(
     "dsir_weights",
     (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val feats = documents(s, d)
-        .select(
-          col("doc_id"),
-          col("lang"),
-          explode(expr("filter(split(text, ' '), w -> w <> '')")).as("w"),
-        )
-        .select(
-          col("doc_id"),
-          col("lang"),
-          expr(s"CAST(graft_poly_hash(w) % $DsirBuckets AS INT)").as("b"),
-        )
-      // both feature models from ONE conditional-aggregation pass over
-      // the feature rows (target count = count where lang matches) —
-      // not a second corpus scan per model
-      val cnts = feats
-        .groupBy("b")
-        .agg(
-          count(when(col("lang") === "en", 1)).as("tc"),
-          count(lit(1)).as("rc"),
-        )
-      val lam = s
-        .range(DsirBuckets)
-        .select(col("id").cast("int").as("b"))
-        .join(cnts, Seq("b"), "left")
-        // both totals from ONE aggregate over cnts (1-row scalar)
-        .crossJoin(broadcast(cnts.agg(sum("tc").as("tt"), sum("rc").as("rt"))))
-        .select(
-          col("b"),
-          expr(
-            s"""CAST(floor((ln(coalesce(tc, 0) + 1) - ln(tt + $DsirBuckets)
-               |            - ln(coalesce(rc, 0) + 1) + ln(rt + $DsirBuckets))
-               |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin,
-          ).as("lam"),
-        )
-      feats
-        .join(lam, Seq("b")) // D-row model table: AQE broadcasts, un-hinted
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_feats"), sum("lam").as("weight_sum"))
+      dsirScored(s, d)
         // floor(x + 0.5), never round(): round's half-tie mode differs
         // cross-engine (Spark half-up, DuckDB half-even) and the
         // ×10⁶-scaled integer sum lands on exact halves; floor is the
@@ -380,28 +415,63 @@ object PipelineOps extends QueryModule {
         )
         .orderBy("doc_id")
     },
-    Some(s"""WITH f AS (SELECT doc_id, lang,
-                               CAST(${graft.operators.TextOps.wordHashDuck} % $DsirBuckets AS INT) AS b
-                        FROM (SELECT doc_id, lang,
-                                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-                              FROM documents)),
-             t AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY b),
-             r AS (SELECT b, count(*) AS rc FROM f GROUP BY b),
-             tt AS (SELECT CAST(sum(tc) AS BIGINT) AS tt FROM t),
-             rt AS (SELECT CAST(sum(rc) AS BIGINT) AS rt FROM r),
-             bk AS (SELECT unnest(generate_series(0, ${DsirBuckets - 1})) AS b),
-             lam AS (SELECT bk.b,
-                            CAST(floor((ln(coalesce(t.tc, 0) + 1) - ln(tt + $DsirBuckets)
-                                        - ln(coalesce(r.rc, 0) + 1) + ln(rt + $DsirBuckets))
-                                       * 1000000.0 + 0.5) AS BIGINT) AS lam
-                     FROM bk LEFT JOIN t ON bk.b = t.b LEFT JOIN r ON bk.b = r.b, tt, rt)
-             SELECT f.doc_id,
-                    CAST(count(*) AS BIGINT) AS n_feats,
-                    CAST(sum(lam.lam) AS BIGINT) AS weight_sum,
-                    CAST(floor(CAST(CAST(sum(lam.lam) AS BIGINT) AS DOUBLE) / count(*) / 100.0 + 0.5)
+    Some(s"""WITH $dsirDuckCtes
+             SELECT doc_id, n_feats, weight_sum,
+                    CAST(floor(CAST(weight_sum AS DOUBLE) / n_feats / 100.0 + 0.5)
                          / 10000.0 AS DOUBLE) AS avg_logratio
-             FROM f JOIN lam ON f.b = lam.b
-             GROUP BY 1 ORDER BY 1"""),
+             FROM dw ORDER BY doc_id"""),
+  )
+
+  /** Sample size for the declared Gumbel-top-k resample. */
+  private val DsirSampleK = 100
+
+  /** DSIR importance RESAMPLING — the sampler the weights exist for
+    * (Xie et al.: select the pretraining subset by importance weight).
+    * Sampling without replacement ∝ exp(weight) is exactly Gumbel
+    * top-k: key = avg-logratio + Gumbel(0,1) noise, keep the K largest.
+    * The Gumbel variate is DERANDOMIZED — u from the shared avalanche
+    * hash of doc_id, g = −ln(−ln(u)) — so the drawn subset is
+    * bit-identical across runs, engines and partitionings (resumable
+    * data jobs; ablations that differ only where intended), while
+    * remaining a faithful Gumbel draw against any hash-independent
+    * weight signal. Both the weight arm (shared [[dsirScored]] + CTE
+    * chain) and the noise arm are single shared expression texts; the
+    * final top-k is a TakeOrderedAndProject over doc-cardinality rows
+    * — no corpus shuffle beyond the weight computation it rides.
+    */
+  private val dsirResample = DeclaredQuery(
+    "dsir_resample",
+    (s, d) => {
+      dsirScored(s, d)
+        .withColumn("a", (col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn(
+          "u_ppm",
+          expr("(((a ^ shiftright(a, 7)) * 97381) % 2147483647) % 1000000"),
+        )
+        .withColumn(
+          "key_s",
+          expr(
+            """CAST(floor((CAST(weight_sum AS DOUBLE) / n_feats / 1000000.0
+              |            - ln(-ln((u_ppm + 0.5) / 1000000.0)))
+              |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin,
+          ),
+        )
+        .select("doc_id", "n_feats", "weight_sum", "key_s")
+        .orderBy(col("key_s").desc, col("doc_id"))
+        .limit(DsirSampleK)
+    },
+    Some(s"""WITH $dsirDuckCtes,
+             g AS (SELECT doc_id, n_feats, weight_sum,
+                          ((xor((doc_id * 2654435761) % 2147483647,
+                                ((doc_id * 2654435761) % 2147483647) >> 7) * 97381)
+                           % 2147483647) % 1000000 AS u_ppm
+                   FROM dw)
+             SELECT doc_id, n_feats, weight_sum,
+                    CAST(floor((CAST(weight_sum AS DOUBLE) / n_feats / 1000000.0
+                                - ln(-ln((u_ppm + 0.5) / 1000000.0)))
+                               * 1000000.0 + 0.5) AS BIGINT) AS key_s
+             FROM g
+             ORDER BY key_s DESC, doc_id LIMIT $DsirSampleK"""),
   )
 
   /** Deterministic corpus rebalancing ("data mixing"): downsample every
@@ -803,6 +873,6 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle, dsirWeights, tokenBudgetMix, sequencePackBpe, vocabJsDivergence,
-      curationFunnel, perClassExamples)
+      corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix, sequencePackBpe,
+      vocabJsDivergence, curationFunnel, perClassExamples)
 }

@@ -163,7 +163,59 @@ object QuantizeOps extends QueryModule {
              FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(embeddingQuantize, quantizedTopk)
+  /** Per-dimension embedding moment statistics — the encoder-health and
+    * quantizer-calibration read (a collapsed dimension shows variance ≈
+    * 0; a heavy-tailed one argues per-DIM scale over per-vector max-abs;
+    * dead dims are the first symptom of a broken encoder export).
+    * Values scale to exact ×10⁶ BIGINTs BEFORE aggregation, so Σx and
+    * Σx² are order-invariant integer sums (the `corr_stats` discipline
+    * on the array domain) and mean/variance are single divisions of
+    * exact integers via shared expression text. One posexplode + one
+    * (pos)-keyed map-side-combined agg — the exchange is dims ×
+    * partitions rows, the vectors never shuffle.
+    */
+  private val embeddingDimStats = DeclaredQuery(
+    "embedding_dim_stats",
+    (s, d) =>
+      embeddings(s, d)
+        .select(
+          posexplode(
+            expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))"),
+          ).as(Seq("pos", "sv")),
+        )
+        .groupBy("pos")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("sv").as("s1"),
+          sum(expr("sv * sv")).as("s2"),
+        )
+        .withColumn("pos", col("pos").cast("long"))
+        .withColumn(
+          "mean",
+          expr("CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT)"),
+        )
+        .withColumn(
+          "var_e12",
+          expr("CAST(floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * n) + 0.5) AS BIGINT)"),
+        )
+        .select("pos", "n", "s1", "s2", "mean", "var_e12")
+        .orderBy("pos"),
+    Some("""WITH x AS (SELECT CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS sv,
+                              CAST(pos - 1 AS BIGINT) AS pos
+                       FROM (SELECT unnest(embedding) AS v,
+                                    generate_subscripts(embedding, 1) AS pos
+                             FROM embeddings)),
+            a AS (SELECT pos, count(*) AS n,
+                         CAST(sum(sv) AS BIGINT) AS s1,
+                         CAST(sum(sv * sv) AS BIGINT) AS s2
+                  FROM x GROUP BY 1)
+            SELECT pos, n, s1, s2,
+                   CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean,
+                   CAST(floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * n) + 0.5) AS BIGINT) AS var_e12
+            FROM a ORDER BY pos"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(embeddingQuantize, quantizedTopk, embeddingDimStats)
 
   /** Deflate-compression-ratio quality signal (compressed/raw bytes): the
     * classic cheap gibberish/boilerplate detector a pretraining pipeline

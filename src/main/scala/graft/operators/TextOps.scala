@@ -1004,12 +1004,79 @@ object TextOps extends QueryModule {
             ORDER BY pmi_s DESC, bi.w1, bi.w2 LIMIT 20"""),
   )
 
+  /** Vocabulary coverage curve — the tokenizer/vocab-budget question
+    * ("how many types cover p% of the token stream?"): smallest k such
+    * that the top-k most frequent words cover ≥ {50, 90, 99}% of corpus
+    * tokens. Zipfian corpora answer ~10²/10⁴/10⁵+ — THE input to vocab
+    * size decisions and the OOV-rate/byte-fallback trade. One vocab agg
+    * (map-side combined to type cardinality), a frequency-ranked
+    * cumulative window over VOCAB rows, and a 3-row threshold grid
+    * joined by an integer cross-multiplied comparison (cum·10⁶ ≥
+    * thr·total — no division until display). The global rank window is
+    * vocab-cardinality; at true corpus scale the same answer reads from
+    * the histogram-boundary trick (`perplexity_bucket`'s move) without
+    * a global sort — documented trade, same answer.
+    */
+  private val CoverageThrPpm = Seq(500000L, 900000L, 990000L)
+  private val vocabCoverage = DeclaredQuery(
+    "vocab_coverage",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("w"))
+      val ranked = documents(s, d)
+        .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn(
+          "cum",
+          sum("cnt").over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)),
+        )
+      val total = ranked.agg(sum("cnt").as("total"))
+      import s.implicits._
+      val thrs = CoverageThrPpm.toDF("thr_ppm")
+      val k = thrs
+        .crossJoin(ranked)
+        .crossJoin(broadcast(total)) // 1-row token total
+        .filter(col("cum") * lit(1000000L) >= col("thr_ppm") * col("total"))
+        .groupBy("thr_ppm")
+        .agg(min("rnk").as("k_types"))
+      k.join(ranked.select(col("rnk").as("k_types"), col("cum")), Seq("k_types"))
+        .crossJoin(broadcast(total))
+        .withColumn(
+          "coverage_ppm",
+          expr("CAST(floor(CAST(cum AS DOUBLE) * 1000000.0 / total + 0.5) AS BIGINT)"),
+        )
+        .select("thr_ppm", "k_types", "cum", "coverage_ppm")
+        .orderBy("thr_ppm")
+    },
+    Some(s"""WITH v AS (SELECT w, count(*) AS cnt FROM (
+                          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                          FROM documents) GROUP BY 1),
+             r AS (SELECT w, cnt,
+                          row_number() OVER (ORDER BY cnt DESC, w) AS rnk,
+                          CAST(sum(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                   FROM v),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+             thr AS (SELECT CAST(unnest([${CoverageThrPpm.mkString(", ")}]) AS BIGINT) AS thr_ppm),
+             k AS (SELECT thr_ppm, CAST(min(rnk) AS BIGINT) AS k_types
+                   FROM thr, r, tot
+                   WHERE cum * 1000000 >= thr_ppm * total
+                   GROUP BY 1)
+             SELECT k.thr_ppm, k.k_types, r.cum,
+                    CAST(floor(CAST(r.cum AS DOUBLE) * 1000000.0 / tot.total + 0.5) AS BIGINT)
+                      AS coverage_ppm
+             FROM k JOIN r ON r.rnk = k.k_types, tot
+             ORDER BY k.thr_ppm"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textStats,
     tokenCount,
     langId,
     docFingerprint,
     cooccurrencePmi,
+    vocabCoverage,
     ngramNovelty,
     exactDedupDocs,
     repetitionRatio,

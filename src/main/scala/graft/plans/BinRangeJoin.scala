@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.LongType
 
 /** Catalyst optimizer rule: rewrite a pure range join
-  * `probe.t >= win.s AND probe.t < win.s + W` (W a positive Long literal)
+  * `probe.t >= win.s AND probe.t < win.s + W` (half-open) or
+  * `probe.t >= win.s AND probe.t <= win.s + W` (closed — the BETWEEN
+  * spelling, round 10) with W a positive Long literal
   * into the binned equi-join `interval_join_binned` builds by hand —
   * Spark has no range-join strategy, so the naive form plans as a
   * BroadcastNestedLoopJoin (O(n·m) compares); after the rewrite it plans
@@ -49,34 +51,41 @@ import org.apache.spark.sql.types.LongType
   */
 object BinRangeJoin extends Rule[LogicalPlan] {
 
-  /** Matches `(t >= s AND t < s + W)` in any operand arrangement;
-    * returns (t, s, W).
+  /** Matches `(t >= s AND t < s + W)` (half-open) or
+    * `(t >= s AND t <= s + W)` (closed — the BETWEEN spelling) in any
+    * operand arrangement; returns (t, s, W, closed). The closed form
+    * covers ≤2 bins too (the span is still exactly W), only the upper
+    * exploded bin moves from floor((s+W−1)/W) to floor((s+W)/W).
     */
-  private def extractRange(cond: Expression): Option[(Expression, Expression, Long)] = {
-    val sides = cond match {
-      case And(a, b) =>
-        (a, b) match {
-          case (GreaterThanOrEqual(t1, s1), lt: LessThan) => Some((t1, s1, lt))
-          case (lt: LessThan, GreaterThanOrEqual(t1, s1)) => Some((t1, s1, lt))
-          case (LessThanOrEqual(s1, t1), lt: LessThan) => Some((t1, s1, lt))
-          case (lt: LessThan, LessThanOrEqual(s1, t1)) => Some((t1, s1, lt))
-          case _ => None
-        }
+  private def extractRange(cond: Expression): Option[(Expression, Expression, Long, Boolean)] = {
+    def lowerOf(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(t1, s1) => Some((t1, s1))
+      case LessThanOrEqual(s1, t1) => Some((t1, s1))
       case _ => None
     }
-    sides.flatMap { case (t1, s1, LessThan(t2, upper)) =>
-      val w = upper match {
-        case Add(s2, Literal(ww: Long, LongType), _) if s2.semanticEquals(s1) => Some(ww)
-        case Add(Literal(ww: Long, LongType), s2, _) if s2.semanticEquals(s1) => Some(ww)
-        case _ => None
-      }
-      w match {
-        case Some(ww)
-            if ww > 0 && t1.semanticEquals(t2) &&
-              t1.dataType == LongType && s1.dataType == LongType =>
-          Some((t1, s1, ww))
-        case _ => None
-      }
+    def upperOf(e: Expression): Option[(Expression, Expression, Boolean)] = e match {
+      case LessThan(t2, up) => Some((t2, up, false))
+      case LessThanOrEqual(t2, up) => Some((t2, up, true))
+      case GreaterThan(up, t2) => Some((t2, up, false))
+      case GreaterThanOrEqual(up, t2) => Some((t2, up, true))
+      case _ => None
+    }
+    def wOf(upper: Expression, s1: Expression): Option[Long] = upper match {
+      case Add(s2, Literal(ww: Long, LongType), _) if s2.semanticEquals(s1) => Some(ww)
+      case Add(Literal(ww: Long, LongType), s2, _) if s2.semanticEquals(s1) => Some(ww)
+      case _ => None
+    }
+    def tryPair(lo: Expression, up: Expression): Option[(Expression, Expression, Long, Boolean)] =
+      for {
+        (t1, s1) <- lowerOf(lo)
+        (t2, upper, closed) <- upperOf(up)
+        ww <- wOf(upper, s1)
+        if ww > 0 && t1.semanticEquals(t2) &&
+          t1.dataType == LongType && s1.dataType == LongType
+      } yield (t1, s1, ww, closed)
+    cond match {
+      case And(a, b) => tryPair(a, b).orElse(tryPair(b, a))
+      case _ => None
     }
   }
 
@@ -93,6 +102,7 @@ object BinRangeJoin extends Rule[LogicalPlan] {
       t: Expression,
       s: Expression,
       w: Long,
+      closed: Boolean,
       swapped: Boolean,
   ): LogicalPlan = {
     // window side: explode the ≤2 covered bins
@@ -102,7 +112,7 @@ object BinRangeJoin extends Rule[LogicalPlan] {
     val binsAlias = Alias(
       new Sequence(
         floorBin(s, w),
-        floorBin(Add(s, Literal(w - 1)), w),
+        floorBin(Add(s, Literal(if (closed) w else w - 1)), w),
         None,
         Some(conf.sessionLocalTimeZone),
       ),
@@ -132,14 +142,14 @@ object BinRangeJoin extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), _) =>
       extractRange(cond) match {
-        case Some((t, s, w))
+        case Some((t, s, w, closed))
             if t.references.subsetOf(right.outputSet) && t.references.nonEmpty &&
               s.references.subsetOf(left.outputSet) && s.references.nonEmpty =>
-          rewrite(j, winSide = left, probeSide = right, t, s, w, swapped = false)
-        case Some((t, s, w))
+          rewrite(j, winSide = left, probeSide = right, t, s, w, closed, swapped = false)
+        case Some((t, s, w, closed))
             if t.references.subsetOf(left.outputSet) && t.references.nonEmpty &&
               s.references.subsetOf(right.outputSet) && s.references.nonEmpty =>
-          rewrite(j, winSide = right, probeSide = left, t, s, w, swapped = true)
+          rewrite(j, winSide = right, probeSide = left, t, s, w, closed, swapped = true)
         case _ => j
       }
   }

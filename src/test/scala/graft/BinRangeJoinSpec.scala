@@ -40,6 +40,27 @@ class BinRangeJoinSpec extends SparkSpec {
     }
   }
 
+  test("closed-interval (BETWEEN) form re-plans too; the boundary row is kept") {
+    // t = s + W is IN the closed range — the upper exploded bin must
+    // extend to floor((s+W)/W) or the boundary match silently drops
+    val cw = Seq(0L, 100L, 350L).toDF("s")
+    val cp = Seq(0L, 99L, 100L, 101L, 200L, 449L, 450L, 451L).toDF("t")
+    def closedJoin = cw.join(cp, col("t") >= col("s") && col("t") <= col("s") + W)
+    val expected = closedJoin.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(expected.contains((0L, 100L)) && expected.contains((350L, 450L)),
+      "fixture must exercise the t = s + W boundary")
+    withRule {
+      val j = closedJoin
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("graft_bin"), s"rule must fire on BETWEEN:\n${opt.take(800)}")
+      val phys = j.queryExecution.executedPlan.toString
+      assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+        s"binned join must be an equi join:\n${phys.take(800)}")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == expected.toSeq)
+    }
+  }
+
   test("joins that already have an equi key are left alone") {
     val l = Seq((1L, 10L), (2L, 50L)).toDF("k", "s")
     val r = Seq((1L, 15L), (2L, 500L)).toDF("k2", "t")

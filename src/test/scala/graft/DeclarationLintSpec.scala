@@ -17,7 +17,7 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 140, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 143, "declared-query count changed — update SURVEY.md §2.12")
   }
 
   test("SCALE.md and README.md carry the live declared-query count") {
@@ -30,6 +30,12 @@ class DeclarationLintSpec extends SparkSpec {
       s"README.md count drifted — expected '$n declared queries'")
     assert(readme.contains(s"$n/$n vs DuckDB"),
       s"README.md gate line drifted — expected '$n/$n vs DuckDB'")
+  }
+
+  test("every declared query appears in SURVEY.md's §2.12 manifest") {
+    val survey = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
+    val missing = SparkEntry.queries.keySet.filterNot(n => survey.contains(s"`$n`"))
+    assert(missing.isEmpty, s"queries missing from SURVEY.md §2.12: $missing")
   }
 
   test("oracles reference only driver testdata tables") {

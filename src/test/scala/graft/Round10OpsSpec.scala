@@ -264,6 +264,62 @@ class Round10OpsSpec extends SparkSpec {
     assert(rows.filter(_.getBoolean(1)).map(_.getLong(2)).sum == modelAbove)
   }
 
+  test("dsir_resample: keys recompute from dsir_weights and the draw is the top-K") {
+    val weights = q("dsir_weights")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keyed = weights.map { case (id, nf, ws) =>
+      val a = (id * 2654435761L) % 2147483647L
+      val u = (((a ^ (a >> 7)) * 97381L) % 2147483647L) % 1000000L
+      val g = -math.log(-math.log((u + 0.5) / 1000000.0))
+      val key = math.floor((ws.toDouble / nf / 1000000.0 + g) * 1000000.0 + 0.5).toLong
+      (id, key)
+    }
+    val expected = keyed.sortBy { case (id, k) => (-k, id) }.take(100).map(_._1).toSeq
+    val got = q("dsir_resample").collect().map(_.getLong(0)).toSeq
+    assert(got.toSet == expected.toSet)
+  }
+
+  test("vocab_coverage: ks are minimal and the curve is monotone") {
+    val rows = q("vocab_coverage").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(500000L, 900000L, 990000L))
+    assert(rows.map(_.getLong(1)).toSeq.sorted == rows.map(_.getLong(1)).toSeq)
+    // coverage at k meets the threshold; k is minimal (k-1 misses it)
+    val vocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
+      .groupBy("w")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+    val total = vocab.map(_._2).sum
+    rows.foreach { r =>
+      val (thr, k) = (r.getLong(0), r.getLong(1).toInt)
+      val cumK = vocab.take(k).map(_._2).sum
+      assert(cumK * 1000000L >= thr * total)
+      if (k > 1) assert(vocab.take(k - 1).map(_._2).sum * 1000000L < thr * total)
+      assert(r.getLong(2) == cumK)
+    }
+  }
+
+  test("embedding_dim_stats: moments match a driver-side recomputation") {
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(v => math.round(v.toDouble * 1000000.0)).toArray)
+    val rows = q("embedding_dim_stats").collect()
+    assert(rows.length == vecs.head.length)
+    rows.foreach { r =>
+      val pos = r.getLong(0).toInt
+      val col = vecs.map(_(pos))
+      assert(r.getLong(1) == vecs.length.toLong)
+      assert(r.getLong(2) == col.sum)
+      assert(r.getLong(3) == col.map(x => x * x).sum)
+    }
+  }
+
   test("round-10 hints: bloom word tables are constant-domain; all other broadcasts are scalars") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
     def broadcastHints(name: String): Seq[LogicalPlan] =
