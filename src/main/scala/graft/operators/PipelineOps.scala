@@ -330,6 +330,10 @@ object PipelineOps extends QueryModule {
     * weights and the sampler that consumes them.
     */
   private def dsirScored(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SubstrateCache.substrate(s, d, "dsir-weights")(dsirScoredBuild(s, d))
+
+  private def dsirScoredBuild(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val feats = documents(s, d)
