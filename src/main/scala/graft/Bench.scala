@@ -71,18 +71,24 @@ object Bench {
     // ones (what a plan audit reads) sit at the end, nearest the total.
     // All-reps-failed sentinels (-1) sort LAST of all: failure evidence
     // must never be what truncation eats.
-    val qs = results.toSeq.sortBy { case (k, v) => (v < 0, v, k) }
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val ordered = results.toSeq.sortBy { case (k, v) => (v < 0, v, k) }
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // Two lines, long one first: the driver reads a bounded tail window, so
-    // the per-query map (which grows with the suite and once truncated the
-    // leading "metric" field of a single combined line) goes first and a
-    // short, fixed-size total line goes LAST — truncation can eat per-query
-    // detail but never the headline metric.
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = ordered.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // Two lines, long one first: the driver reads a bounded tail window and
+    // parses the LAST JSON line. The full per-query map grows with the suite
+    // (≈25 B/query) and would eventually push the headline metric out of a
+    // single combined line's parseable prefix, so: line 1 = the full map
+    // (ascending cost — front-truncation eats only the cheapest scans),
+    // line 2 = a bounded combined line with the total, the noise band, the
+    // failure list, and the TOP-40 most expensive queries (what a plan audit
+    // actually reads) — ~1.2 KB worst case, always inside the tail window.
+    val expensive = ordered.filter(_._2 >= 0).takeRight(40)
+    println(s"""{"metric":"per_query","unit":"sec","queries":${jsonMap(ordered)},"sf":"$sfDir"}""")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","noise":$noise%.2f,"queries":{},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","noise":$noise%.2f,"nq":${results.size},"failed":${failed
+          .mkString("[", ",", "]")},"queries":${jsonMap(expensive)},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

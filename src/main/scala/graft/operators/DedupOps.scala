@@ -1520,11 +1520,72 @@ object DedupOps extends QueryModule {
              FROM dw GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Blocked probabilistic record linkage (Fellegi–Sunter shape) — the
+    * cross-table entity-resolution sibling of [[fuzzyNameJoin]]'s
+    * within-table fuzzy match: candidate pairs come from a BLOCKING
+    * equi-join (here the nation key — production blocks on zip/phonetic/
+    * sorted-neighborhood keys), each field comparison contributes an
+    * integer agreement/disagreement log-odds weight, and pairs above a
+    * review threshold link. Weights are a fixed model artifact
+    * (literals, like `quality_score`'s vector); fields here are the
+    * balance band and the entity-number congruence parsed from the name
+    * (the F8 id-parse surface).
+    *
+    * Plan — the canonical linkage scale shape: NEVER all-pairs; the
+    * block join bounds candidates to Σ_b |A_b|·|B_b|, field weights are
+    * scan-local CASEs on the joined row, and the threshold filter cuts
+    * before the presentation sort. The join is un-hinted: block-key
+    * tables grow with both corpora, AQE broadcasts the smaller side when
+    * it measures small (supplier here). Skewed blocks (one giant city)
+    * are the `salted_join` pattern, composable on the same key.
+    */
+  private val recordLinkage = DeclaredQuery(
+    "record_linkage",
+    (s, d) => {
+      val c = customer(s, d).select(
+        col("c_custkey"),
+        col("c_nationkey").as("nationkey"),
+        floor(col("c_acctbal") / 1000.0).as("c_band"),
+        (expr("CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)") % 100L).as("c_num"),
+      )
+      val p = supplier(s, d).select(
+        col("s_suppkey"),
+        col("s_nationkey").as("nationkey"),
+        floor(col("s_acctbal") / 1000.0).as("s_band"),
+        (expr("CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)") % 100L).as("s_num"),
+      )
+      c.join(p, Seq("nationkey")) // blocking join, un-hinted: AQE decides
+        .withColumn(
+          "score",
+          when(col("c_band") === col("s_band"), lit(24L)).otherwise(lit(-8L))
+            + when(col("c_num") === col("s_num"), lit(18L)).otherwise(lit(-6L)),
+        )
+        .filter(col("score") >= 10L)
+        .select(col("c_custkey"), col("s_suppkey"), col("nationkey"), col("score"))
+        .orderBy("c_custkey", "s_suppkey")
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey AS nationkey,
+                              floor(c_acctbal / 1000.0) AS band,
+                              CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS num
+                       FROM customer),
+             p AS (SELECT s_suppkey, s_nationkey AS nationkey,
+                          floor(s_acctbal / 1000.0) AS band,
+                          CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS num
+                   FROM supplier),
+             sc AS (SELECT c_custkey, s_suppkey, c.nationkey,
+                           (CASE WHEN c.band = p.band THEN 24 ELSE -8 END
+                            + CASE WHEN c.num = p.num THEN 18 ELSE -6 END) AS score
+                    FROM c JOIN p ON c.nationkey = p.nationkey)
+             SELECT c_custkey, s_suppkey, nationkey, CAST(score AS BIGINT) AS score
+             FROM sc WHERE score >= 10
+             ORDER BY c_custkey, s_suppkey"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
-      sourceOverlap, jaccardThresholdSweep, dupTokenFraction)
+      sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

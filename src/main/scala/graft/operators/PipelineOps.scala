@@ -875,8 +875,64 @@ object PipelineOps extends QueryModule {
              FROM c ORDER BY shard, ord"""),
   )
 
+  /** Length-bucketed batching audit — the inference/training-efficiency
+    * twin of `sequence_pack`: bucket documents by pad-to-next-power-of-2
+    * token length (the bucketing dynamic-batching serving stacks and
+    * length-grouped training samplers use) and account the padding each
+    * bucket wastes. `waste_ppm` is the fraction of a bucket's padded
+    * token slots that hold padding, ×10⁶ integer-exact.
+    *
+    * Plan: the bucket cap is a scan-local CASE over the token count
+    * (integer comparisons only — no cross-engine log2 doubles), then one
+    * partial+final hash agg over ≤5 buckets and a bounded sort. Shuffle
+    * carries (cap, 3 BIGINTs) per partition — corpus-independent, the
+    * same mergeable-state shape as `salted_agg`. At 100 TB this is a
+    * metadata scan: only token counts are read if lengths are stored
+    * columnar (here the split is the stand-in tokenizer).
+    */
+  private val lengthBuckets = DeclaredQuery(
+    "length_buckets",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn(
+          "cap",
+          when(col("n_tokens") <= 16, 16L)
+            .when(col("n_tokens") <= 32, 32L)
+            .when(col("n_tokens") <= 64, 64L)
+            .when(col("n_tokens") <= 128, 128L)
+            .otherwise(256L),
+        )
+        .groupBy("cap")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("real_tokens"),
+          (sum(col("cap") - col("n_tokens"))).as("pad_tokens"),
+        )
+        .withColumn(
+          "waste_ppm",
+          expr("CAST(floor(CAST(pad_tokens AS DOUBLE) * 1000000.0 / (cap * n_docs) + 0.5) AS BIGINT)"),
+        )
+        .orderBy("cap"),
+    Some("""WITH t AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       FROM documents),
+            b AS (SELECT n_tokens,
+                         CASE WHEN n_tokens <= 16 THEN 16
+                              WHEN n_tokens <= 32 THEN 32
+                              WHEN n_tokens <= 64 THEN 64
+                              WHEN n_tokens <= 128 THEN 128
+                              ELSE 256 END AS cap
+                  FROM t)
+            SELECT CAST(cap AS BIGINT) AS cap, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+                   CAST(sum(cap - n_tokens) AS BIGINT) AS pad_tokens,
+                   CAST(floor(CAST(sum(cap - n_tokens) AS DOUBLE) * 1000000.0
+                              / (cap * count(*)) + 0.5) AS BIGINT) AS waste_ppm
+            FROM b GROUP BY cap ORDER BY cap"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
       corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix, sequencePackBpe,
-      vocabJsDivergence, curationFunnel, perClassExamples)
+      vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets)
 }

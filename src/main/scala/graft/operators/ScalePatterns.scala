@@ -667,7 +667,100 @@ object ScalePatterns extends QueryModule {
             ORDER BY n DESC, user_id LIMIT 10"""),
   )
 
+  /** Mergeable partial-aggregate state — the incremental-rollup pattern
+    * every 100 TB pipeline needs for its daily/hourly batches: aggregate
+    * each ingest slice to a compact per-key STATE (count, decimal sum,
+    * min/max), then MERGE states across slices with the same associative
+    * ops, and prove the merged result equals a from-scratch aggregation.
+    * The `parity` column carries that proof into the declared output
+    * (all-true), so a regression in mergeability fails the hash gate —
+    * the same algebra that makes Spark's own partial aggregation and
+    * `Aggregator.merge` correct, here exercised at the PIPELINE level
+    * (state persisted between runs, merged next run).
+    *
+    * Plan: the slice split is a scan-local predicate (event-id parity
+    * stands in for the ingest-day partition column); each arm is one
+    * partial+final hash agg; the merge is a second agg over
+    * 2×keys rows; the parity join is keys-cardinality, un-hinted (AQE).
+    * Nothing here scales with row count past the first agg — exactly why
+    * production rollups store states, not raw events.
+    */
+  private val aggStateMerge = DeclaredQuery(
+    "agg_state_merge",
+    (s, d) => {
+      val ev = graft.Tables
+        .events(s, d)
+        .select(
+          col("user_id"),
+          pmod(col("event_id"), lit(2L)).as("slice"),
+          col("value").cast("decimal(18,2)").as("v"),
+          unix_micros(col("ts")).as("tus"),
+        )
+      // per-slice compact state: the thing a daily job would persist
+      val states = ev
+        .groupBy("user_id", "slice")
+        .agg(
+          count(lit(1)).as("pn"),
+          sum("v").as("pv"),
+          min("tus").as("pmin"),
+          max("tus").as("pmax"),
+        )
+      // next-day merge: same associative ops over states, not events
+      val merged = states
+        .groupBy("user_id")
+        .agg(
+          sum("pn").as("n"),
+          sum("pv").cast("decimal(18,2)").as("total"),
+          min("pmin").as("first_us"),
+          max("pmax").as("last_us"),
+        )
+      val direct = ev
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("dn"),
+          sum("v").cast("decimal(18,2)").as("dtotal"),
+          min("tus").as("dfirst"),
+          max("tus").as("dlast"),
+        )
+      merged
+        .join(direct, Seq("user_id")) // keys-cardinality both sides: AQE decides
+        .select(
+          col("user_id"),
+          col("n"),
+          col("total").cast("double").as("total_value"),
+          col("first_us"),
+          col("last_us"),
+          (col("n") === col("dn") && col("total") === col("dtotal")
+            && col("first_us") === col("dfirst") && col("last_us") === col("dlast"))
+            .as("parity"),
+        )
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id % 2 AS slice,
+                               CAST(value AS DECIMAL(18,2)) AS v,
+                               epoch_us(ts) AS tus
+                        FROM events),
+            states AS (SELECT user_id, slice, count(*) AS pn, sum(v) AS pv,
+                              min(tus) AS pmin, max(tus) AS pmax
+                       FROM ev GROUP BY 1, 2),
+            merged AS (SELECT user_id, CAST(sum(pn) AS BIGINT) AS n,
+                              CAST(sum(pv) AS DECIMAL(18,2)) AS total,
+                              min(pmin) AS first_us, max(pmax) AS last_us
+                       FROM states GROUP BY 1),
+            direct AS (SELECT user_id, count(*) AS dn,
+                              CAST(sum(v) AS DECIMAL(18,2)) AS dtotal,
+                              min(tus) AS dfirst, max(tus) AS dlast
+                       FROM ev GROUP BY 1)
+            SELECT m.user_id, n, CAST(total AS DOUBLE) AS total_value,
+                   first_us, last_us,
+                   (n = dn AND total = dtotal AND first_us = dfirst AND last_us = dlast)
+                     AS parity
+            FROM merged m JOIN direct d ON m.user_id = d.user_id
+            ORDER BY m.user_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
-      bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics)
+      bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics,
+      aggStateMerge)
 }

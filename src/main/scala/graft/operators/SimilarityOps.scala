@@ -502,6 +502,131 @@ object SimilarityOps extends QueryModule {
              FROM a ORDER BY label"""),
   )
 
+  /** Distributed covariance of the embedding space — the aggregation
+    * half of PCA/whitening (the dimensionality-reduction step published
+    * SemDeDup/DSIR-style curation pipelines run before clustering).
+    * Emits the upper triangle (i ≤ j) of the D×D second-moment tables
+    * plus the derived covariance.
+    *
+    * Plan — the canonical 100 TB moment-aggregation shape: each row
+    * explodes its own D(D+1)/2 quantized products MAP-SIDE (flatten of
+    * nested transforms — no self-join, no vector ever crosses the wire)
+    * and one partial+final hash agg on (i, j) reduces N·D²/2 products to
+    * D²/2 rows; partial agg collapses each partition to ≤2080 cells
+    * before the exchange, so shuffle volume is executors × D², corpus-
+    * independent. The eigensolve over the 64×64 result is driver-trivial
+    * and deliberately out of scope. Elements are ×10⁴-quantized to exact
+    * BIGINT moments (|q|≤~10⁵ ⇒ products ≤10¹⁰, Σ over 10⁹ rows needs
+    * DECIMAL(38) at full scale — stated knob); the covariance double
+    * derives from the exact moments in one shape-pinned expression.
+    */
+  private val embeddingCovariance = DeclaredQuery(
+    "embedding_covariance",
+    (s, d) =>
+      embeddings(s, d)
+        .withColumn(
+          "qv",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
+        )
+        .select(
+          explode(
+            expr(
+              s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+                 |  transform(sequence(i, ${Dim - 1}), j ->
+                 |    struct(i AS i, j AS j, qv[i] AS qi, qv[j] AS qj))))""".stripMargin,
+            ),
+          ).as("e"),
+        )
+        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("e.qi")).as("si"),
+          sum(col("e.qj")).as("sj"),
+          sum(col("e.qi") * col("e.qj")).as("sij"),
+        )
+        .withColumn(
+          "cov",
+          round(
+            (col("sij").cast("double") / col("n")
+              - (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
+              / 1e8,
+            6,
+          ),
+        )
+        .orderBy("i", "j"),
+    Some(s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
+                        FROM embeddings),
+             p AS (SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+                          qv[i + 1] AS qi, qv[j + 1] AS qj
+                   FROM q, generate_series(0, ${Dim - 1}) g1(i), generate_series(0, ${Dim - 1}) g2(j)
+                   WHERE j >= i)
+             SELECT i, j, count(*) AS n,
+                    CAST(sum(qi) AS BIGINT) AS si, CAST(sum(qj) AS BIGINT) AS sj,
+                    CAST(sum(qi * qj) AS BIGINT) AS sij,
+                    round((CAST(sum(qi * qj) AS DOUBLE) / count(*)
+                           - (CAST(sum(qi) AS DOUBLE) / count(*)) * (CAST(sum(qj) AS DOUBLE) / count(*)))
+                          / 1e8, 6) AS cov
+             FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
+  /** Hard-negative mining for contrastive training — for each anchor,
+    * the top-k most-similar vectors carrying a DIFFERENT label: the
+    * near-miss negatives that make embedding models sharp (the batch
+    * analog of in-batch hard negatives; published retrieval pipelines
+    * mine them exactly this way, ANN search + label filter).
+    *
+    * Plan: identical shape to `cosine_topk` (anchor set is a bounded
+    * broadcast — NQueries rows by construction), with the label
+    * disagreement folded into the join condition so mismatched pairs
+    * never materialize. Per-anchor top-k is a rank-truncated window over
+    * anchor-partitioned similarity. At 100 TB the exact scan becomes the
+    * IVF/LSH candidate join (`ivf_ann`, `cosine_lsh_ann` — same
+    * substrates) with this label-filter + window unchanged on top.
+    */
+  private val hardNegatives = DeclaredQuery(
+    "hard_negatives",
+    (s, d) => {
+      val e = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qv"), col("label").as("qlabel"))
+      val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("label").as("neg_label"))
+      broadcast(q)
+        .join(c, col("qlabel") =!= col("neg_label"))
+        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("qid")
+              .orderBy(col("sim").desc, col("cid")),
+          ),
+        )
+        .filter(col("rank") <= 5)
+        .select(
+          col("qid"),
+          col("rank").cast("long").as("rank"),
+          col("cid"),
+          col("neg_label"),
+          col("sim"),
+        )
+        .orderBy("qid", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
+                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                   FROM e q JOIN e c ON q.vec_id < $NQueries AND q.label <> c.label),
+             r AS (SELECT qid, cid, neg_label, sim,
+                          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+                   FROM p)
+             SELECT qid, CAST(rank AS BIGINT) AS rank, cid, neg_label, sim
+             FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers)
+    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
+      embeddingCovariance, hardNegatives)
 }

@@ -761,22 +761,41 @@ object TextOps extends QueryModule {
     * 1×1 scalar ride broadcast cross joins. Only (w1, w2, cost) and
     * (doc_id, cost) pairs shuffle — the text never does.
     */
+  /** Per-document word transitions (doc_id, w1, w2) — one zip_with over
+    * shifted slices, no per-index element_at. Shared by the Laplace
+    * (`bigram_logprob`) and Kneser–Ney (`kneser_ney_logprob`) scorers so
+    * the transition extraction cannot drift between the two models.
+    */
+  private def docBigrams(s: org.apache.spark.sql.SparkSession, d: String) =
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        explode(
+          expr("""IF(size(toks) >= 2,
+                 |   zip_with(slice(toks, 1, size(toks) - 1),
+                 |            slice(toks, 2, size(toks) - 1),
+                 |            (a, b) -> struct(a AS w1, b AS w2)),
+                 |   CAST(array() AS array<struct<w1: string, w2: string>>))""".stripMargin),
+        ).as("p"),
+      )
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  /** The docBigrams extraction as DuckDB CTEs (`pairs`, `pw`). */
+  private val docBigramsDuckCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |pairs AS (SELECT doc_id,
+      |                 unnest(CASE WHEN len(toks) >= 2
+      |                        THEN list_transform(generate_series(1, len(toks) - 1),
+      |                                            i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+      |                        ELSE [] END) AS p
+      |          FROM t),
+      |pw AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM pairs)""".stripMargin
+
   private val bigramLogprob = DeclaredQuery(
     "bigram_logprob",
     (s, d) => {
-      val pairs = documents(s, d)
-        .withColumn("toks", split(col("text"), " "))
-        .select(
-          col("doc_id"),
-          explode(
-            expr("""IF(size(toks) >= 2,
-                   |   zip_with(slice(toks, 1, size(toks) - 1),
-                   |            slice(toks, 2, size(toks) - 1),
-                   |            (a, b) -> struct(a AS w1, b AS w2)),
-                   |   CAST(array() AS array<struct<w1: string, w2: string>>))""".stripMargin),
-          ).as("p"),
-        )
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val pairs = docBigrams(s, d)
       val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       // context counts derive from the bigram table (c(w1) = Σ_w2
       // c(w1 w2)) — a bigram-cardinality rollup, not a second full
@@ -826,6 +845,115 @@ object TextOps extends QueryModule {
                    round(CAST(sum(cost) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS mean_surprisal
             FROM pw JOIN costed USING (w1, w2)
             GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Interpolated Kneser–Ney bigram scoring — the smoothing KenLM (the
+    * model CCNet actually ships for its perplexity filter) uses, one
+    * step past [[bigramLogprob]]'s Laplace: p(w₂|w₁) =
+    * max(c(w₁w₂)−D, 0)/c(w₁) + (D·N₁₊(w₁•)/c(w₁))·(N₁₊(•w₂)/T), with
+    * discount D = 0.75, continuation counts N₁₊ and bigram-type total T.
+    * KN's insight — score a word by how many CONTEXTS it follows, not how
+    * often it occurs — is what makes the filter robust to boilerplate
+    * ("Francisco" is frequent but only ever follows "San").
+    *
+    * Plan: ALL four model tables (bigram counts, context rollup,
+    * continuation rollup, type total) derive from one partial+final hash
+    * agg over the shared [[docBigrams]] transitions — the corpus explodes
+    * exactly once. The two scoring joins (context on w1, continuation on
+    * w2) are UN-hinted: both are vocab-cardinality and grow with the
+    * corpus, so AQE decides (the round-6 broadcast-OOM rule); only the
+    * 1×1 type total rides a broadcast cross join. Per-transition
+    * surprisal is ×10⁶-integer-scaled BEFORE the per-doc sum — exact
+    * BIGINT, reorderable under any partitioning — and the probability
+    * expression is shape-identical in both engines so the double chain
+    * agrees bit-for-bit.
+    */
+  private val kneserNeyLogprob = DeclaredQuery(
+    "kneser_ney_logprob",
+    (s, d) => {
+      val pairs = docBigrams(s, d)
+      val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      // c(w1) and N1+(w1 •) are one rollup of the bigram table; N1+(• w2)
+      // is the mirror rollup — bigram-cardinality aggs, not corpus passes
+      val ctx = bi.groupBy("w1").agg(sum("cb").as("cu"), count(lit(1)).as("n1a"))
+      val cont = bi.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      val types = bi.agg(count(lit(1)).as("t"))
+      val costed = bi
+        .join(ctx, Seq("w1")) // no hint: vocab-cardinality, AQE decides
+        .join(cont, Seq("w2")) // no hint: vocab-cardinality, AQE decides
+        .crossJoin(broadcast(types)) // 1×1 scalar
+        .withColumn(
+          "cost",
+          expr(
+            """CAST(floor(-ln(
+              |  greatest(CAST(cb AS DOUBLE) - 0.75, 0.0) / CAST(cu AS DOUBLE)
+              |  + (0.75 * CAST(n1a AS DOUBLE) / CAST(cu AS DOUBLE))
+              |    * (CAST(n1b AS DOUBLE) / CAST(t AS DOUBLE))
+              |) * 1000000.0 + 0.5) AS BIGINT)""".stripMargin,
+          ),
+        )
+        .select("w1", "w2", "cost")
+      pairs
+        .join(costed, Seq("w1", "w2")) // no hint: bigram-cardinality, AQE decides
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("cost").as("cost_sum"))
+        .withColumn(
+          "mean_surprisal",
+          round(col("cost_sum").cast("double") / col("n_bigrams") / 1e6, 4),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $docBigramsDuckCtes,
+            bi AS (SELECT w1, w2, count(*) AS cb FROM pw GROUP BY 1, 2),
+            ctx AS (SELECT w1, sum(cb) AS cu, count(*) AS n1a FROM bi GROUP BY 1),
+            cont AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY 1),
+            ty AS (SELECT count(*) AS t FROM bi),
+            costed AS (SELECT bi.w1, bi.w2,
+                              CAST(floor(-ln(
+                                greatest(CAST(cb AS DOUBLE) - 0.75, 0.0) / CAST(cu AS DOUBLE)
+                                + (0.75 * CAST(n1a AS DOUBLE) / CAST(cu AS DOUBLE))
+                                  * (CAST(n1b AS DOUBLE) / CAST(t AS DOUBLE))
+                              ) * 1000000.0 + 0.5) AS BIGINT) AS cost
+                       FROM bi JOIN ctx USING (w1) JOIN cont USING (w2), ty)
+            SELECT pw.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(cost) AS BIGINT) AS cost_sum,
+                   round(CAST(sum(cost) AS BIGINT)::DOUBLE / count(*) / 1e6, 4) AS mean_surprisal
+            FROM pw JOIN costed USING (w1, w2)
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Shared-prefix boilerplate detection — the template-scrub signal
+    * (RefinedWeb strips repeated page chrome; CCNet drops duplicated
+    * headers) at document grain: documents within a SOURCE that open with
+    * the same k-word prefix are template instances; the group list is
+    * what a scrub stage would strip or collapse. k is a knob — 2 here so
+    * the synthetic corpus (uniform word draws) actually collides;
+    * production uses k≈10 over normalized whitespace.
+    *
+    * Plan: prefix extraction is a scan-local slice+join (no explode —
+    * the text never leaves the row), one partial+final hash agg on
+    * (source, prefix), HAVING-filter, sort. The shuffle carries only
+    * (source, ≤k words, counts) — never documents. At 100 TB this is the
+    * cheapest dedup family member: group cardinality is bounded by
+    * vocabulary^k per source and the map-side combine collapses each
+    * partition's repeats before the exchange.
+    */
+  private val boilerplatePrefixes = DeclaredQuery(
+    "boilerplate_prefixes",
+    (s, d) =>
+      documents(s, d)
+        .withColumn("prefix", concat_ws(" ", slice(split(col("text"), " "), 1, 2)))
+        .groupBy("source", "prefix")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("source", "prefix"),
+    Some("""SELECT source,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS prefix,
+                   count(*) AS n_docs, min(doc_id) AS first_doc
+            FROM documents
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY 1, 2"""),
   )
 
   /** Hash-bucket count of the linear quality model (a fastText-style
@@ -1085,6 +1213,8 @@ object TextOps extends QueryModule {
     cmsHeavyHitters,
     unigramLogprob,
     bigramLogprob,
+    kneserNeyLogprob,
+    boilerplatePrefixes,
     perplexityBucket,
     qualityScore,
     winnowFingerprint,

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants of the round-10 linkage/moments/LM additions,
+  * each checked against an INDEPENDENT driver-side recomputation at
+  * sf0.001 (small enough to collect) — the oracle gate proves
+  * cross-engine equality, these prove the math means what the docstrings
+  * claim.
+  */
+class LinkageMomentsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private lazy val texts: Seq[(Long, Array[String])] =
+    Tables
+      .documents(spark, sfDir)
+      .select("doc_id", "text")
+      .collect()
+      .toSeq
+      .map(r => r.getLong(0) -> r.getString(1).split(" "))
+
+  test("kneser_ney_logprob matches a sequential driver-side KN model") {
+    // Build the bigram/continuation tables exactly as the query defines
+    // them, in plain Scala, and recompute doc 0's mean surprisal.
+    val allPairs = texts.flatMap { case (_, ws) => ws.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))) }
+    val cb = allPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cu = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1a = cb.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cb.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val t = cb.size.toLong
+    def cost(w1: String, w2: String): Long = {
+      val p = math.max(cb((w1, w2)).toDouble - 0.75, 0.0) / cu(w1).toDouble +
+        (0.75 * n1a(w1).toDouble / cu(w1).toDouble) * (n1b(w2).toDouble / t.toDouble)
+      math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    }
+    val doc0 = texts.find(_._1 == 0L).get._2
+    val expSum = doc0.sliding(2).filter(_.length == 2).map(a => cost(a(0), a(1))).sum
+    val row = q("kneser_ney_logprob").filter(col("doc_id") === 0L).head
+    assert(row.getLong(1) == doc0.length - 1L, "n_bigrams must be n_tokens - 1")
+    assert(row.getLong(2) == expSum, "KN cost sum diverged from the sequential model")
+  }
+
+  test("kneser_ney is a proper model: every cost positive, KN differs from Laplace") {
+    val kn = q("kneser_ney_logprob").select("doc_id", "cost_sum").collect()
+    assert(kn.forall(_.getLong(1) > 0L))
+    val laplace =
+      q("bigram_logprob").select("doc_id", "cost_sum").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Same transitions, different smoothing: the totals must not be
+    // identical across the corpus (they would be iff the smoothers agree
+    // everywhere, which KN's discounting forbids on seen bigrams).
+    assert(kn.exists(r => laplace(r.getLong(0)) != r.getLong(1)))
+  }
+
+  test("embedding_covariance matches driver-side exact moments; diagonal is a variance") {
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong).toArray)
+    val n = vecs.length.toLong
+    def moments(i: Int, j: Int): (Long, Long, Long) =
+      (vecs.map(_(i)).sum, vecs.map(_(j)).sum, vecs.map(v => v(i) * v(j)).sum)
+    val got = q("embedding_covariance").collect().map(r => ((r.getInt(0), r.getInt(1)), r)).toMap
+    assert(got.size == 64 * 65 / 2, "upper triangle of a 64-dim space")
+    for ((i, j) <- Seq((0, 0), (0, 1), (13, 40), (63, 63))) {
+      val (si, sj, sij) = moments(i, j)
+      val r = got((i, j))
+      assert(r.getLong(2) == n && r.getLong(3) == si && r.getLong(4) == sj && r.getLong(5) == sij)
+    }
+    // diagonal: E[x²] − E[x]² ≥ 0 for every dim
+    got.filter { case ((i, j), _) => i == j }.values.foreach { r =>
+      assert(r.getDouble(6) >= 0.0, s"negative variance at dim ${r.getInt(0)}")
+    }
+  }
+
+  test("hard_negatives: never the anchor's own label, descending sims, exact vs driver") {
+    val rows = q("hard_negatives").collect()
+    val labels = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "label")
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    rows.foreach(r => assert(r.getInt(3) != labels(r.getLong(0)), "negative shares the anchor label"))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sims = g.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b }, "sims must be rank-descending")
+    }
+    // independent top-1 for anchor 0 from collected vectors
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val (a, av, al) = vecs.find(_._1 == 0L).get
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    val best = vecs
+      .filter(v => v._3 != al && v._1 != a)
+      .map(v => (BigDecimal(cos(av, v._2)).setScale(6, BigDecimal.RoundingMode.HALF_UP), v._1))
+      .sortBy { case (s, id) => (-s, id) }
+      .head
+    val top = rows.filter(r => r.getLong(0) == 0L && r.getLong(1) == 1L).head
+    assert(top.getLong(2) == best._2, s"anchor 0 top negative should be ${best._2}")
+  }
+
+  test("length_buckets: buckets partition the corpus and waste is consistent") {
+    val rows = q("length_buckets").collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "buckets must partition the corpus")
+    rows.foreach { r =>
+      val (cap, nDocs, real, pad, ppm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(real + pad == cap * nDocs, "real + pad must fill the padded slots")
+      assert(ppm >= 0L && ppm < 1000000L)
+      assert(ppm == math.floor(pad.toDouble * 1e6 / (cap * nDocs) + 0.5).toLong)
+    }
+  }
+
+  test("agg_state_merge: merged state equals from-scratch on every key (parity all true)") {
+    val rows = q("agg_state_merge").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getBoolean(5)), "a non-mergeable state would flip parity false")
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows.length.toLong == users, "one state row per user")
+  }
+
+  test("record_linkage: scores come from the declared weight model and blocking holds") {
+    val rows = q("record_linkage").collect()
+    assert(rows.nonEmpty)
+    val cust = Tables
+      .customer(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), math.floor(r.getDouble(3) / 1000.0).toLong, r.getString(1)))
+      .toMap
+    val supp = Tables
+      .supplier(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), math.floor(r.getDouble(3) / 1000.0).toLong, r.getString(1)))
+      .toMap
+    def num(name: String): Long = name.reverse.takeWhile(_.isDigit).reverse.toLong % 100L
+    rows.foreach { r =>
+      val (ck, sk, nk, score) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))
+      val (cn, cb, cname) = cust(ck)
+      val (sn, sb, sname) = supp(sk)
+      assert(cn == nk && sn == nk, "pair must share the blocking key")
+      val exp = (if (cb == sb) 24L else -8L) + (if (num(cname) == num(sname)) 18L else -6L)
+      assert(score == exp && score >= 10L)
+    }
+  }
+
+  test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
+    val bySource = Tables
+      .documents(spark, sfDir)
+      .select("source", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ").take(2).mkString(" ")))
+      .groupBy(identity)
+      .view
+      .mapValues(_.length.toLong)
+      .toMap
+    val rows = q("boilerplate_prefixes").collect()
+    rows.foreach { r =>
+      assert(bySource((r.getString(0), r.getString(1))) == r.getLong(2))
+      assert(r.getLong(2) >= 2L)
+    }
+    assert(rows.length == bySource.count(_._2 >= 2), "no duplicate group may be missed")
+  }
+}
