@@ -467,7 +467,63 @@ object CurationOps extends QueryModule {
              GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
+  /** Model calibration curve — the reliability diagram behind
+    * `rule_model_crosstab`'s single operating point: quality scores
+    * bucketed into 10 equal-width bins over the observed range, each bin
+    * reporting how often the Gopher rule screen agrees (keep rate). A
+    * well-calibrated quality model shows keep_ppm rising monotonically
+    * with the bin — the curve that picks the threshold `CrosstabQTau`
+    * stands in for, and the audit FineWeb-style ablations publish.
+    *
+    * Determinism: the binning is ALL-INTEGER — quality (already rounded
+    * 4 dp by the shared scorer) is ×10⁴-rescaled via the shared
+    * floor(+0.5) text, min/max ride a 1-row broadcast cross join, and
+    * the bin index is integer multiply/divide (non-negative numerator,
+    * so truncation agrees across engines). Plan: two scan-local doc
+    * projections, one un-hinted doc-keyed join (AQE), a 1-row scalar
+    * join, a ≤10-row agg — the text shuffles zero times.
+    */
+  private val calibrationBins = DeclaredQuery(
+    "calibration_bins",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val g = gopherRuled(documents(s, d)).select(col("doc_id"), col("keep"))
+      val q = TextOps
+        .qualityScored(documents(s, d))
+        .select(col("doc_id"), expr("CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)").as("q4"))
+      val mm = q.agg(min("q4").as("qmin"), max("q4").as("qmax"))
+      q.join(g, Seq("doc_id")) // un-hinted: both sides corpus-cardinality
+        .crossJoin(broadcast(mm)) // 1-row scalar
+        .withColumn("bin", expr("least(CAST(9 AS BIGINT), ((q4 - qmin) * 10) DIV (qmax - qmin + 1))"))
+        .groupBy("bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        )
+        .withColumn(
+          "keep_ppm",
+          expr("CAST(floor(CAST(n_keep AS DOUBLE) * 1000000.0 / n_docs + 0.5) AS BIGINT)"),
+        )
+        .orderBy("bin")
+    },
+    Some(s"""WITH $gopherDuckCtes,
+             ${TextOps.qualityDuckCtes},
+             qq AS (SELECT doc_id,
+                           CAST(floor(round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4)
+                                      * 10000.0 + 0.5) AS BIGINT) AS q4
+                    FROM qs),
+             mm AS (SELECT min(q4) AS qmin, max(q4) AS qmax FROM qq),
+             b AS (SELECT qq.doc_id, gv.keep,
+                          least(9, ((q4 - qmin) * 10) // (qmax - qmin + 1)) AS bin
+                   FROM qq JOIN gv ON qq.doc_id = gv.doc_id, mm)
+             SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                    CAST(floor(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                               * 1000000.0 / count(*) + 0.5) AS BIGINT) AS keep_ppm
+             FROM b GROUP BY bin ORDER BY bin"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
-      ruleModelCrosstab)
+      ruleModelCrosstab, calibrationBins)
 }

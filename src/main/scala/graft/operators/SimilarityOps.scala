@@ -522,28 +522,50 @@ object SimilarityOps extends QueryModule {
     */
   private val embeddingCovariance = DeclaredQuery(
     "embedding_covariance",
-    (s, d) =>
-      embeddings(s, d)
+    (s, d) => {
+      val q = embeddings(s, d)
         .withColumn(
           "qv",
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
         )
+      // First moments ride their own D-cardinality pass (D rows of work
+      // per vector), NOT the D²/2 product explode: Σqᵢ per (i,j) cell is
+      // just Σqᵢ per i, so carrying qi/qj through the big explode would
+      // double its payload to recompute a table 64 rows long.
+      val first = q
+        .select(posexplode(col("qv")).as(Seq("k", "qk")))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("qk").as("s"))
+      // The quadratic path carries ONLY (pos, product) — a primitive int
+      // + long per cell, no struct allocation, no per-row i/j columns:
+      // the flat array enumerates the upper triangle row-major, so the
+      // cell identity is arithmetic, recovered AFTER the 2080-row agg.
+      val prods = q
         .select(
-          explode(
+          posexplode(
             expr(
               s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
-                 |  transform(sequence(i, ${Dim - 1}), j ->
-                 |    struct(i AS i, j AS j, qv[i] AS qi, qv[j] AS qj))))""".stripMargin,
+                 |  transform(sequence(i, ${Dim - 1}), j -> qv[i] * qv[j])))""".stripMargin,
             ),
-          ).as("e"),
+          ).as(Seq("pos", "p")),
         )
-        .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("e.qi")).as("si"),
-          sum(col("e.qj")).as("sj"),
-          sum(col("e.qi") * col("e.qj")).as("sij"),
+        .groupBy("pos")
+        .agg(sum("p").as("sij"))
+      // pos → (i, j) decode: generated arithmetically (no collect), a
+      // D²/2-row bounded broadcast like the first-moment table — both are
+      // model-sized (dimension-derived), never corpus-sized.
+      val decode = s
+        .range(Dim.toLong)
+        .toDF("i0")
+        .select(
+          col("i0").cast("int").as("i"),
+          explode(expr(s"sequence(CAST(i0 AS INT), ${Dim - 1})")).as("j"),
         )
+        .withColumn("pos", expr(s"i * $Dim - (i * (i - 1)) DIV 2 + (j - i)"))
+      prods
+        .join(broadcast(decode), Seq("pos"))
+        .join(broadcast(first.select(col("k").as("i"), col("n"), col("s").as("si"))), Seq("i"))
+        .join(broadcast(first.select(col("k").as("j"), col("s").as("sj"))), Seq("j"))
         .withColumn(
           "cov",
           round(
@@ -553,7 +575,9 @@ object SimilarityOps extends QueryModule {
             6,
           ),
         )
-        .orderBy("i", "j"),
+        .select("i", "j", "n", "si", "sj", "sij", "cov")
+        .orderBy("i", "j")
+    },
     Some(s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
                                 x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
                         FROM embeddings),
@@ -626,7 +650,98 @@ object SimilarityOps extends QueryModule {
              FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
   )
 
+  /** k-NN graph construction — every vector's top-3 neighbors within
+    * code-hamming ≤ 3, the graph substrate semantic clustering
+    * (SemDeDup's cluster step), graph-ANN indexes, and
+    * label-propagation all start from. Unlike `cosine_lsh_ann` (a
+    * bounded anchor set riding a broadcast), BOTH sides here are the
+    * corpus, so nothing is hinted: candidates come from a SHUFFLE
+    * equi-join of the banded code table with itself.
+    *
+    * The banding is exhaustive for this radius (pigeonhole: 3 bit
+    * errors cannot touch all 4 bands), so the graph equals the all-pairs
+    * hd ≤ 3 formulation the oracle states — candidate generation never
+    * compares a vector to the full corpus. Per-band-bucket fan-in is
+    * n/2⁴ on sign codes (hyperplane signs are balanced by construction,
+    * no df-cap needed); a genuinely hot bucket would be the
+    * `salted_join` composition on (band, bv). Float work happens only
+    * AFTER banding + hamming: the two vector joins are corpus-keyed
+    * equi-joins served from the shared lsh-codes substrate, and the
+    * per-source top-3 is a rank-truncated window. At 100 TB the same
+    * plan runs per IVF cell (`semantic_dedup`'s layout) to bound the
+    * band buckets; the window key is the source id — uniform, no skew.
+    */
+  private val knnGraph = DeclaredQuery(
+    "knn_graph",
+    (s, d) => {
+      val e0 = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val dims = e0.select(col("vec_id"), posexplode(col("dvec")).as(Seq("k", "v")))
+      val sumCols = (0 until 16).map { j =>
+        val plane = ((lit(j.toLong * 73856093L) + col("k").cast("long") * 19349663L) % 10007L)
+          .cast("double") / 10007.0 - 0.5
+        sum(col("v") * plane).as(s"s$j")
+      }
+      val codes = dims
+        .groupBy("vec_id")
+        .agg(sumCols.head, sumCols.tail: _*)
+        .select(
+          col("vec_id"),
+          (0 until 16)
+            .map(j => when(col(s"s$j") >= 0d, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _)
+            .as("code"),
+        )
+      val e = graft.SubstrateCache.substrate(s, d, "lsh-codes")(e0.join(codes, "vec_id"))
+      def bandRows(df: org.apache.spark.sql.DataFrame, code: String) =
+        df.select(
+          col("*"),
+          posexplode(
+            array((0 until 4).map(b => expr(s"shiftright($code, ${4 * b}) & 15")): _*),
+          ).as(Seq("band", "bv")),
+        )
+      val srcB = bandRows(e.select(col("vec_id").as("src"), col("code").as("sc")), "sc")
+      val nbrB = bandRows(e.select(col("vec_id").as("nbr"), col("code").as("nc")), "nc")
+      val cand = srcB
+        .join(nbrB, Seq("band", "bv")) // un-hinted: both sides corpus-cardinality
+        .filter(col("src") =!= col("nbr"))
+        .withColumn("code_hd", expr("CAST(bit_count(sc ^ nc) AS BIGINT)"))
+        .filter(col("code_hd") <= 3)
+        .select("src", "nbr", "code_hd")
+        .dropDuplicates("src", "nbr")
+      cand
+        .join(e.select(col("vec_id").as("src"), col("dvec").as("qv")), Seq("src"))
+        .join(e.select(col("vec_id").as("nbr"), col("dvec").as("cv")), Seq("nbr"))
+        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("src")
+              .orderBy(col("sim").desc, col("nbr")),
+          ),
+        )
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("rank").cast("long").as("rank"), col("nbr"), col("code_hd"), col("sim"))
+        .orderBy("src", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
+             p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
+                          CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
+                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                   FROM ec q JOIN ec c ON q.vec_id <> c.vec_id
+                   WHERE bit_count(xor(q.code, c.code)) <= 3),
+             r AS (SELECT src, nbr, code_hd, sim,
+                          row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+                   FROM p)
+             SELECT src, CAST(rank AS BIGINT) AS rank, nbr, code_hd, sim
+             FROM r WHERE rank <= 3 ORDER BY src, rank"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
-      embeddingCovariance, hardNegatives)
+      embeddingCovariance, hardNegatives, knnGraph)
 }

@@ -608,7 +608,45 @@ object TemporalOps extends QueryModule {
              ORDER BY clk.day"""),
   )
 
+  /** Top 3-step behavioral paths — sequence mining one order above
+    * `event_transitions`' Markov pairs: the per-user (a → b → c)
+    * trigrams product analytics reads as journeys and an LM-style
+    * event model trains on. Same single-exchange discipline: ONE
+    * user-keyed window sort feeds BOTH lags (Catalyst computes lag-1
+    * and lag-2 in one Window operator — no second shuffle, no
+    * self-join), then a path-cardinality agg and a
+    * TakeOrderedAndProject top-20. With |event types| = E the agg
+    * state is ≤ E³ rows per partition (map-side combined); at 100 TB
+    * the only corpus-sized exchange is the user repartition the whole
+    * temporal family already shares.
+    */
+  private val eventTrigrams = DeclaredQuery(
+    "event_trigrams",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("prev2", lag(col("event_type"), 2).over(w))
+        .filter(col("prev2").isNotNull)
+        .groupBy(col("prev2").as("e1"), col("prev").as("e2"), col("event_type").as("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+            x AS (SELECT event_type,
+                         lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev,
+                         lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev2
+                  FROM ev)
+            SELECT prev2 AS e1, prev AS e2, event_type AS e3, count(*) AS n
+            FROM x WHERE prev2 IS NOT NULL
+            GROUP BY 1, 2, 3
+            ORDER BY n DESC, e1, e2, e3 LIMIT 20"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
-      retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion)
+      retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
+      eventTrigrams)
 }

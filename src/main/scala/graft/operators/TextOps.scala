@@ -781,6 +781,17 @@ object TextOps extends QueryModule {
       )
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
 
+  /** The corpus bigram count table (w1, w2, cb) — substrate-cached: both
+    * LM smoothers (`bigram_logprob`, `kneser_ney_logprob`) derive ALL
+    * their model tables from this one partial+final agg, so a session
+    * running both (or Bench re-running either) pays the corpus explode
+    * and the bigram aggregation once.
+    */
+  private def bigramCounts(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.SubstrateCache.substrate(s, d, "bigram-counts")(
+      docBigrams(s, d).groupBy("w1", "w2").agg(count(lit(1)).as("cb")),
+    )
+
   /** The docBigrams extraction as DuckDB CTEs (`pairs`, `pw`). */
   private val docBigramsDuckCtes =
     """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -796,7 +807,7 @@ object TextOps extends QueryModule {
     "bigram_logprob",
     (s, d) => {
       val pairs = docBigrams(s, d)
-      val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val bi = bigramCounts(s, d)
       // context counts derive from the bigram table (c(w1) = Σ_w2
       // c(w1 w2)) — a bigram-cardinality rollup, not a second full
       // corpus explode+agg pass
@@ -872,7 +883,7 @@ object TextOps extends QueryModule {
     "kneser_ney_logprob",
     (s, d) => {
       val pairs = docBigrams(s, d)
-      val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val bi = bigramCounts(s, d)
       // c(w1) and N1+(w1 •) are one rollup of the bigram table; N1+(• w2)
       // is the mirror rollup — bigram-cardinality aggs, not corpus passes
       val ctx = bi.groupBy("w1").agg(sum("cb").as("cu"), count(lit(1)).as("n1a"))

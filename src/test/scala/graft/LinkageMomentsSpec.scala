@@ -152,6 +152,72 @@ class LinkageMomentsSpec extends SparkSpec {
     }
   }
 
+  test("knn_graph: agrees with cosine_lsh_ann on the shared anchors; ranks well-formed") {
+    val rows = q("knn_graph").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= 3L, "candidate beyond the banding radius"))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val ranks = g.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length), "ranks must be contiguous from 1")
+      val sims = g.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+    // The graph restricted to the LSH anchors must equal cosine_lsh_ann's
+    // top-3 prefix — same candidates, same ranking, different driver.
+    val ann = SparkEntry
+      .queries("cosine_lsh_ann")(spark, sfDir)
+      .collect()
+      .filter(_.getLong(1) <= 3L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    val graphOnAnchors = rows
+      .filter(r => ann.exists(_._1 == r.getLong(0)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(graphOnAnchors == ann, "knn_graph diverged from cosine_lsh_ann on shared anchors")
+  }
+
+  test("event_trigrams matches a sequential driver-side path count") {
+    val evs = Tables
+      .events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val counts = evs
+      .groupBy(_._1)
+      .values
+      .flatMap(g => g.sortBy(e => (e._4, e._2)).map(_._3).sliding(3).filter(_.length == 3).map(_.toList))
+      .toSeq
+      .groupBy(identity)
+      .view
+      .mapValues(_.size.toLong)
+      .toSeq
+      .map { case (p, n) => (n, p(0), p(1), p(2)) }
+      .sortBy { case (n, a, b, c) => (-n, a, b, c) }
+      .take(20)
+    val got = q("event_trigrams").collect().map(r => (r.getLong(3), r.getString(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == counts, "top-20 trigram paths diverged from the sequential count")
+  }
+
+  test("calibration_bins: bins partition the corpus and keep counts reconcile") {
+    val rows = q("calibration_bins").collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) <= 9L)
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(
+        r.getLong(3) ==
+          math.floor(r.getLong(2).toDouble * 1e6 / r.getLong(1) + 0.5).toLong,
+      )
+    }
+    val ruleKeeps = SparkEntry
+      .queries("gopher_rules")(spark, sfDir)
+      .filter(col("keep"))
+      .count()
+    assert(rows.map(_.getLong(2)).sum == ruleKeeps, "per-bin keeps must total the rule screen's keeps")
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
