@@ -131,9 +131,20 @@ object CurationOps extends QueryModule {
        |               AND (n_stop_distinct >= 2) AND (alpha_frac >= 0.8)) AS keep
        |       FROM gm)""".stripMargin
 
+  /** The batch rule frame, substrate-cached per (session, dataset) —
+    * `gopher_rules`, `rule_model_crosstab`, and `calibration_bins` all
+    * consume it; the generic [[gopherRuled]] stays uncached for the
+    * streaming screen.
+    */
+  private[graft] def gopherRuledCached(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    graft.SubstrateCache.substrate(s, d, "gopher-rules")(gopherRuled(documents(s, d)))
+
   private val gopherRules = DeclaredQuery(
     "gopher_rules",
-    (s, d) => gopherRuled(documents(s, d)).orderBy("doc_id"),
+    (s, d) => gopherRuledCached(s, d).orderBy("doc_id"),
     Some(s"""WITH $gopherDuckCtes
              SELECT doc_id, n_words, mean_word_len, n_stop_distinct, alpha_frac,
                     r_words, r_mean_len, r_stop, r_alpha, keep
@@ -448,9 +459,9 @@ object CurationOps extends QueryModule {
     "rule_model_crosstab",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val g = gopherRuled(documents(s, d)).select(col("doc_id"), col("keep").as("r_keep"))
+      val g = gopherRuledCached(s, d).select(col("doc_id"), col("keep").as("r_keep"))
       val q = TextOps
-        .qualityScored(documents(s, d))
+        .qualityScoredCached(s, d)
         .select(col("doc_id"), (col("quality") >= CrosstabQTau).as("m_above"))
       g.join(q, Seq("doc_id")) // un-hinted: both sides corpus-cardinality
         .groupBy("r_keep", "m_above")
@@ -487,9 +498,9 @@ object CurationOps extends QueryModule {
     "calibration_bins",
     (s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val g = gopherRuled(documents(s, d)).select(col("doc_id"), col("keep"))
+      val g = gopherRuledCached(s, d).select(col("doc_id"), col("keep"))
       val q = TextOps
-        .qualityScored(documents(s, d))
+        .qualityScoredCached(s, d)
         .select(col("doc_id"), expr("CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)").as("q4"))
       val mm = q.agg(min("q4").as("qmin"), max("q4").as("qmax"))
       q.join(g, Seq("doc_id")) // un-hinted: both sides corpus-cardinality

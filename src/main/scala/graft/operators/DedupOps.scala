@@ -1581,11 +1581,59 @@ object DedupOps extends QueryModule {
              ORDER BY c_custkey, s_suppkey"""),
   )
 
+  /** The df-cap sweep's candidate caps, smallest to largest. */
+  private val SweepCaps = Seq(25L, 50L, 100L, 200L)
+
+  /** Cost model for the inverted-index df-cap — the measurement that
+    * picks [[DefaultMaxDf]] before a 100 TB run is launched: for each
+    * candidate cap, how many shingle types and occurrences survive, and
+    * the worst-case candidate-pair bound Σ df·(df−1)/2 the self-join
+    * could generate. Candidate pairs grow O(df²) per shingle, so this
+    * table is exactly the blow-up-vs-recall trade the cap tunes; reading
+    * it per corpus replaces guessing the knob.
+    *
+    * Plan: one gram-cardinality rollup of the shared gram-rows substrate
+    * (df per shingle type), cross-joined with the 4-row literal cap
+    * table (bounded broadcast by construction), one ≤4-row agg. The
+    * corpus pays nothing beyond the substrate it already built for the
+    * jaccard family; everything after is vocabulary-cardinality.
+    */
+  private val dedupSweepCost = DeclaredQuery(
+    "dedup_sweep_cost",
+    (s, d) => {
+      import s.implicits._
+      val df = gramRows(s, d).groupBy("gh").agg(count(lit(1)).as("df"))
+      val caps = SweepCaps.toDF("max_df")
+      df.crossJoin(broadcast(caps)) // 4 literal rows
+        .groupBy("max_df")
+        .agg(
+          sum(when(col("df") <= col("max_df"), 1L).otherwise(0L)).as("grams_kept"),
+          sum(when(col("df") > col("max_df"), 1L).otherwise(0L)).as("grams_dropped"),
+          sum(when(col("df") <= col("max_df"), col("df")).otherwise(0L)).as("occ_kept"),
+          sum(when(col("df") <= col("max_df"), expr("(df * (df - 1)) DIV 2")).otherwise(0L))
+            .as("pair_bound"),
+        )
+        .orderBy("max_df")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             g AS (SELECT doc_id, unnest(ghs) AS gh FROM h),
+             dfq AS (SELECT gh, count(*) AS df FROM g GROUP BY 1),
+             caps AS (SELECT unnest([${SweepCaps.mkString(", ")}]) AS max_df)
+             SELECT CAST(max_df AS BIGINT) AS max_df,
+                    CAST(sum(CASE WHEN df <= max_df THEN 1 ELSE 0 END) AS BIGINT) AS grams_kept,
+                    CAST(sum(CASE WHEN df > max_df THEN 1 ELSE 0 END) AS BIGINT) AS grams_dropped,
+                    CAST(sum(CASE WHEN df <= max_df THEN df ELSE 0 END) AS BIGINT) AS occ_kept,
+                    CAST(sum(CASE WHEN df <= max_df THEN (df * (df - 1)) // 2 ELSE 0 END) AS BIGINT)
+                      AS pair_bound
+             FROM dfq, caps GROUP BY max_df ORDER BY max_df"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
-      sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage)
+      sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
+      dedupSweepCost)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

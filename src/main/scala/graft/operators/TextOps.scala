@@ -111,51 +111,97 @@ object TextOps extends QueryModule {
     * average word length → threshold cascade. (The synthetic corpus shares
     * one vocabulary, so this demonstrates the *operator*, not accuracy.)
     */
+  /** The doc-grain language prediction frame (doc_id, lang, predicted) —
+    * shared by the declared `lang_id` and its evaluation
+    * (`lang_confusion`), so the classifier under audit cannot drift from
+    * the audit.
+    */
+  private def langPredicted(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame =
+    documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_the", expr("size(filter(ws, w -> w = 'the'))"))
+      .withColumn(
+        "vr",
+        (length(col("text")) - length(translate(col("text"), "aeiou", "")))
+          .cast("double") / length(col("text")),
+      )
+      .withColumn(
+        "awl",
+        (length(col("text")) - size(col("ws")) + 1).cast("double") / size(col("ws")),
+      )
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(col("n_the") >= 2, "en")
+          .when(col("vr") >= 0.40, "es")
+          .when(col("awl") >= 4.6, "de")
+          .when(col("vr") < 0.34, "zh")
+          .otherwise("fr")
+          .as("predicted"),
+      )
+
+  /** The same prediction as a DuckDB CTE chain ending in `lp`. */
+  private val langPredictedDuckCtes =
+    """lt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
+      |lf AS (SELECT doc_id, lang,
+      |              len(list_filter(ws, w -> w = 'the')) AS n_the,
+      |              (length(text) - length(translate(text, 'aeiou', '')))::DOUBLE / length(text) AS vr,
+      |              (length(text) - len(ws) + 1)::DOUBLE / len(ws) AS awl
+      |       FROM lt),
+      |lp AS (SELECT doc_id, lang,
+      |              CASE WHEN n_the >= 2 THEN 'en'
+      |                   WHEN vr >= 0.40 THEN 'es'
+      |                   WHEN awl >= 4.6 THEN 'de'
+      |                   WHEN vr < 0.34 THEN 'zh'
+      |                   ELSE 'fr' END AS predicted
+      |       FROM lf)""".stripMargin
+
   private val langId = DeclaredQuery(
     "lang_id",
     (s, d) =>
-      documents(s, d)
-        .withColumn("ws", split(col("text"), " "))
-        .withColumn("n_the", expr("size(filter(ws, w -> w = 'the'))"))
-        .withColumn(
-          "vr",
-          (length(col("text")) - length(translate(col("text"), "aeiou", "")))
-            .cast("double") / length(col("text")),
-        )
-        .withColumn(
-          "awl",
-          (length(col("text")) - size(col("ws")) + 1).cast("double") / size(col("ws")),
-        )
-        .select(
-          col("doc_id"),
-          col("lang"),
-          when(col("n_the") >= 2, "en")
-            .when(col("vr") >= 0.40, "es")
-            .when(col("awl") >= 4.6, "de")
-            .when(col("vr") < 0.34, "zh")
-            .otherwise("fr")
-            .as("predicted"),
-        )
+      langPredicted(s, d)
         .withColumn("is_match", col("predicted") === col("lang"))
         .orderBy("doc_id"),
-    Some("""WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws FROM documents),
-                 f AS (SELECT doc_id, lang,
-                              len(list_filter(ws, w -> w = 'the')) AS n_the,
-                              (length(text) - length(translate(text, 'aeiou', '')))::DOUBLE / length(text) AS vr,
-                              (length(text) - len(ws) + 1)::DOUBLE / len(ws) AS awl
-                       FROM t)
-            SELECT doc_id, lang,
-                   CASE WHEN n_the >= 2 THEN 'en'
-                        WHEN vr >= 0.40 THEN 'es'
-                        WHEN awl >= 4.6 THEN 'de'
-                        WHEN vr < 0.34 THEN 'zh'
-                        ELSE 'fr' END AS predicted,
-                   (CASE WHEN n_the >= 2 THEN 'en'
-                         WHEN vr >= 0.40 THEN 'es'
-                         WHEN awl >= 4.6 THEN 'de'
-                         WHEN vr < 0.34 THEN 'zh'
-                         ELSE 'fr' END) = lang AS is_match
-            FROM f ORDER BY doc_id"""),
+    Some(s"""WITH $langPredictedDuckCtes
+            SELECT doc_id, lang, predicted, predicted = lang AS is_match
+            FROM lp ORDER BY doc_id"""),
+  )
+
+  /** Language-ID evaluation — the confusion matrix + per-language recall
+    * the classifier's thresholds are tuned against (every published
+    * pipeline reports this table for its fastText LID gate). Rides the
+    * SHARED [[langPredicted]] frame and oracle CTE chain, so the
+    * measured classifier is exactly the deployed one.
+    *
+    * Plan: one scan-local prediction projection, one partial+final hash
+    * agg on (lang, predicted) — ≤ L² cells of map-side state — and a
+    * language-grain window for the recall denominator. The text never
+    * shuffles; output is L²-bounded whatever the corpus.
+    */
+  private val langConfusion = DeclaredQuery(
+    "lang_confusion",
+    (s, d) => {
+      val wl = Window.partitionBy("lang")
+      langPredicted(s, d)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_lang", sum("n").over(wl))
+        .withColumn(
+          "recall_ppm",
+          expr("CAST(floor(CAST(n AS DOUBLE) * 1000000.0 / n_lang + 0.5) AS BIGINT)"),
+        )
+        .drop("n_lang")
+        .orderBy("lang", "predicted")
+    },
+    Some(s"""WITH $langPredictedDuckCtes,
+            cm AS (SELECT lang, predicted, count(*) AS n FROM lp GROUP BY 1, 2)
+            SELECT lang, predicted, n,
+                   CAST(floor(CAST(n AS DOUBLE) * 1000000.0
+                              / sum(n) OVER (PARTITION BY lang) + 0.5) AS BIGINT) AS recall_ppm
+            FROM cm ORDER BY lang, predicted"""),
   )
 
   /** Two content fingerprints per document: md5 of the order-canonical
@@ -1058,16 +1104,83 @@ object TextOps extends QueryModule {
        |       FROM qf)""".stripMargin
   }
 
+  /** The batch quality-score frame, substrate-cached per (session,
+    * dataset): three declared queries (`quality_score`,
+    * `rule_model_crosstab`, `calibration_bins`) consume it, so the
+    * hashed-feature scan runs once per session. The generic
+    * [[qualityScored]] stays uncached for the STREAMING screen (a
+    * streaming frame cannot persist).
+    */
+  private[graft] def qualityScoredCached(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    graft.SubstrateCache.substrate(s, d, "quality-scores")(qualityScored(documents(s, d)))
+  }
+
   private val qualityScore = DeclaredQuery(
     "quality_score",
-    (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      qualityScored(documents(s, d)).orderBy("doc_id")
-    },
+    (s, d) => qualityScoredCached(s, d).orderBy("doc_id"),
     Some(s"""WITH $qualityDuckCtes
              SELECT doc_id, n_feats, score_sum,
                     round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) AS quality
              FROM qs ORDER BY doc_id"""),
+  )
+
+  /** Quality-vs-length bias audit — the known failure mode of linear
+    * quality scorers (fastText-style models correlate with document
+    * length; CCNet/RefinedWeb both re-bucket by length for exactly this
+    * reason): exact Pearson correlation between token count and the
+    * model score. A |corr| near 1 means the "quality" gate is secretly a
+    * length gate. Same exact-BIGINT-moments discipline as `corr_stats`
+    * (sums are reorderable integers, the corr double derives from them
+    * in one shape-pinned expression), over the substrate-cached score
+    * frame — the audit adds one doc-keyed un-hinted join (token counts)
+    * and a 1-row aggregate to a scan the session already paid.
+    */
+  private val scoreLengthBias = DeclaredQuery(
+    "score_length_bias",
+    (s, d) => {
+      val q = qualityScoredCached(s, d)
+        .select(col("doc_id"), expr("CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)").as("y"))
+      documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("x"))
+        .join(q, Seq("doc_id")) // un-hinted: both sides corpus-cardinality
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"),
+        )
+        .select(
+          col("n"),
+          round(
+            expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
+            6,
+          ).as("corr_len_quality"),
+        )
+        .orderBy("n")
+    },
+    Some(s"""WITH $qualityDuckCtes,
+            ln2 AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS x FROM documents),
+            qy AS (SELECT doc_id,
+                          CAST(floor(round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4)
+                                     * 10000.0 + 0.5) AS BIGINT) AS y
+                   FROM qs),
+            a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                  FROM ln2 JOIN qy USING (doc_id))
+            SELECT CAST(n AS BIGINT) AS n,
+                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                         6) AS corr_len_quality
+            FROM a ORDER BY n"""),
   )
 
   /** Adjacent-pair PMI collocations — the phrase-mining statistic
@@ -1226,6 +1339,8 @@ object TextOps extends QueryModule {
     bigramLogprob,
     kneserNeyLogprob,
     boilerplatePrefixes,
+    langConfusion,
+    scoreLengthBias,
     perplexityBucket,
     qualityScore,
     winnowFingerprint,

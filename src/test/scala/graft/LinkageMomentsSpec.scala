@@ -218,6 +218,67 @@ class LinkageMomentsSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum == ruleKeeps, "per-bin keeps must total the rule screen's keeps")
   }
 
+  test("lang_confusion reconciles with lang_id's per-doc predictions") {
+    val fromLangId = SparkEntry
+      .queries("lang_id")(spark, sfDir)
+      .groupBy("lang", "predicted")
+      .count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rows = q("lang_confusion").collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(fromLangId((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+    assert(rows.length == fromLangId.size, "confusion matrix must cover every observed cell")
+    // per-language recall ppm sums to ~1e6 (floor rounding: within L cells)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val s = g.map(_.getLong(3)).sum
+      assert(math.abs(s - 1000000L) <= g.length, s"recall ppm off: $s")
+    }
+  }
+
+  test("score_length_bias matches a driver-side exact Pearson computation") {
+    val lens = texts.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val ys = SparkEntry
+      .queries("quality_score")(spark, sfDir)
+      .select("doc_id", "quality")
+      .collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 10000.0 + 0.5).toLong)
+    val n = ys.length.toLong
+    val xs = ys.map { case (id, _) => lens(id) }
+    val yv = ys.map(_._2)
+    val (sx, sy) = (xs.sum, yv.sum)
+    val sxx = xs.map(x => x * x).sum
+    val syy = yv.map(y => y * y).sum
+    val sxy = ys.map { case (id, y) => lens(id) * y }.sum
+    val exp = BigDecimal(
+      (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt(
+          (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+            * (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble),
+        ),
+    ).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = q("score_length_bias").head
+    assert(row.getLong(0) == n)
+    assert(math.abs(row.getDouble(1) - exp) < 1e-9, s"corr ${row.getDouble(1)} != $exp")
+  }
+
+  test("dedup_sweep_cost: monotone in the cap, totals conserved") {
+    val rows = q("dedup_sweep_cost").collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).sameElements(Array(25L, 50L, 100L, 200L)))
+    val totals = rows.map(r => r.getLong(1) + r.getLong(2)).distinct
+    assert(totals.length == 1, "kept + dropped must be the corpus gram-type count at every cap")
+    val kept = rows.map(_.getLong(1))
+    val occ = rows.map(_.getLong(3))
+    val pairs = rows.map(_.getLong(4))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+    assert(occ.zip(occ.tail).forall { case (a, b) => a <= b })
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b })
+    rows.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(3) >= r.getLong(1)))
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
