@@ -534,7 +534,63 @@ object CurationOps extends QueryModule {
              FROM b GROUP BY bin ORDER BY bin"""),
   )
 
+  /** Per-source quantile normalization of the quality score — the
+    * cross-source calibration step mixing pipelines need because a
+    * linear scorer's raw scale drifts per domain (newswire scores high,
+    * forums low, regardless of in-domain quality): replace the raw score
+    * with its percentile WITHIN the source, so "top 20% of each source"
+    * means the same thing everywhere (CCNet's per-shard head/middle/tail
+    * is this exact move). pct_ppm = (rank−1)·10⁶/(n−1), all-integer.
+    *
+    * Plan: one un-hinted doc-keyed join (score frame is the cached
+    * substrate), then ONE source-keyed exchange serving both the rank
+    * window and the count window. Per-source ranking at 10⁹ docs/source
+    * would single-task the window — the documented move is the
+    * `sequence_pack` two-phase prefix-rank (range-partition within
+    * source, offset merge); at the declared grain (source-sized
+    * partitions) the plain window is the right plan.
+    */
+  private val scoreQuantileNorm = DeclaredQuery(
+    "score_quantile_norm",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = TextOps
+        .qualityScoredCached(s, d)
+        .select(col("doc_id"), expr("CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)").as("q4"))
+      val w = Window.partitionBy("source").orderBy(col("q4"), col("doc_id"))
+      val wc = Window.partitionBy("source")
+      documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id")) // un-hinted: both sides corpus-cardinality
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n_src", count(lit(1)).over(wc))
+        .select(
+          col("doc_id"),
+          col("source"),
+          col("q4"),
+          expr(
+            "CAST(floor(CAST(rk - 1 AS DOUBLE) * 1000000.0 / greatest(n_src - 1, 1) + 0.5) AS BIGINT)",
+          ).as("pct_ppm"),
+        )
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH ${TextOps.qualityDuckCtes},
+             qy AS (SELECT doc_id,
+                           CAST(floor(round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4)
+                                      * 10000.0 + 0.5) AS BIGINT) AS q4
+                    FROM qs),
+             j AS (SELECT d.doc_id, d.source, q4 FROM documents d JOIN qy ON d.doc_id = qy.doc_id),
+             rkd AS (SELECT doc_id, source, q4,
+                            row_number() OVER (PARTITION BY source ORDER BY q4, doc_id) AS rk,
+                            count(*) OVER (PARTITION BY source) AS n_src
+                     FROM j)
+             SELECT doc_id, source, q4,
+                    CAST(floor(CAST(rk - 1 AS DOUBLE) * 1000000.0 / greatest(n_src - 1, 1) + 0.5) AS BIGINT)
+                      AS pct_ppm
+             FROM rkd ORDER BY doc_id"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
-      ruleModelCrosstab, calibrationBins)
+      ruleModelCrosstab, calibrationBins, scoreQuantileNorm)
 }

@@ -581,7 +581,7 @@ object DedupOps extends QueryModule {
     * nodes; exhausting it raises [[graft.ConvergenceError]] rather than
     * caching unconverged labels.
     */
-  private def maxCcRounds(s: SparkSession): Int =
+  private[operators] def maxCcRounds(s: SparkSession): Int =
     s.conf.get("spark.graft.cc.maxRounds", "20").toInt
 
   /** Min-label propagation CC (the reference engine for CcSpec's

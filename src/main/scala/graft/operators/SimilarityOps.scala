@@ -671,9 +671,12 @@ object SimilarityOps extends QueryModule {
     * plan runs per IVF cell (`semantic_dedup`'s layout) to bound the
     * band buckets; the window key is the source id — uniform, no skew.
     */
-  private val knnGraph = DeclaredQuery(
-    "knn_graph",
-    (s, d) => {
+  /** The ranked k-NN edge set (src, rank, nbr, code_hd, sim) — substrate-
+    * cached: the declared `knn_graph` and the `knn_components` clustering
+    * both consume it, so the banded candidate join runs once per session.
+    */
+  private def knnEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SubstrateCache.substrate(s, d, "knn-edges") {
       val e0 = embeddings(s, d)
         .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
       val dims = e0.select(col("vec_id"), posexplode(col("dvec")).as(Seq("k", "v")))
@@ -723,25 +726,72 @@ object SimilarityOps extends QueryModule {
         )
         .filter(col("rank") <= 3)
         .select(col("src"), col("rank").cast("long").as("rank"), col("nbr"), col("code_hd"), col("sim"))
-        .orderBy("src", "rank")
-    },
-    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
-                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-                        FROM embeddings),
-             ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
-             p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
-                          CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
-                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
-                   FROM ec q JOIN ec c ON q.vec_id <> c.vec_id
-                   WHERE bit_count(xor(q.code, c.code)) <= 3),
-             r AS (SELECT src, nbr, code_hd, sim,
-                          row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
-                   FROM p)
+    }
+
+  /** The knn edge derivation as DuckDB CTEs ending in `r` (filter
+    * rank <= 3 when consuming). Shared by `knn_graph` and
+    * `knn_components` so the clustered graph is exactly the declared one.
+    */
+  private lazy val knnEdgesDuckCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+       |             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |      FROM embeddings),
+       |ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
+       |p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
+       |             CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
+       |             round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+       |      FROM ec q JOIN ec c ON q.vec_id <> c.vec_id
+       |      WHERE bit_count(xor(q.code, c.code)) <= 3),
+       |r AS (SELECT src, nbr, code_hd, sim,
+       |             row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+       |      FROM p)""".stripMargin
+
+  private val knnGraph = DeclaredQuery(
+    "knn_graph",
+    (s, d) => knnEdges(s, d).orderBy("src", "rank"),
+    Some(s"""WITH $knnEdgesDuckCtes
              SELECT src, CAST(rank AS BIGINT) AS rank, nbr, code_hd, sim
              FROM r WHERE rank <= 3 ORDER BY src, rank"""),
   )
 
+  /** Semantic clustering — connected components over the k-NN graph:
+    * the SemDeDup cluster step as a first-class operator, composing two
+    * existing substrates (the knn edge set and the large-star/small-star
+    * contraction `dedup_clusters` proved). A cluster is a group of
+    * vectors chained through top-3 hd ≤ 3 neighbors; the min-id label is
+    * the canonical cluster key downstream keep-one / per-cluster-sample
+    * policies act on (`cluster_keeper`'s policy applies unchanged).
+    *
+    * Scale: edges are 3n rows (k-bounded — the reason kNN graphs, not
+    * ε-graphs, are the clustering substrate at 10⁹ vectors); the
+    * contraction is the O(log n)-round star algorithm with
+    * localCheckpoint'ed rounds; the oracle restates the fixpoint as a
+    * recursive reachability CTE, declarative vs iterative hash-matched.
+    */
+  private val knnComponents = DeclaredQuery(
+    "knn_components",
+    (s, d) => {
+      val pairs = knnEdges(s, d).select(col("src").as("da"), col("nbr").as("db"))
+      val nodes = embeddings(s, d).select(col("vec_id").as("node"))
+      DedupOps
+        .starContract(nodes, pairs, DedupOps.maxCcRounds(s))
+        ._1
+        .select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE $knnEdgesDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             edges AS (SELECT src, nbr FROM ke UNION ALL SELECT nbr, src FROM ke),
+             reach AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+                       UNION
+                       SELECT e.nbr AS node, rc.lbl
+                       FROM reach rc JOIN edges e ON rc.node = e.src),
+             lbl AS (SELECT node AS vec_id, min(lbl) AS cluster_id
+                     FROM reach GROUP BY node)
+             SELECT vec_id, cluster_id FROM lbl ORDER BY vec_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
-      embeddingCovariance, hardNegatives, knnGraph)
+      embeddingCovariance, hardNegatives, knnGraph, knnComponents)
 }

@@ -279,6 +279,36 @@ class LinkageMomentsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(4) >= 0L && r.getLong(3) >= r.getLong(1)))
   }
 
+  test("knn_components: labels are a valid CC labelling of the declared knn graph") {
+    val edges = q("knn_graph").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val labels = q("knn_components").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge endpoint pair shares a label (consistency)
+    edges.foreach { case (a, b) => assert(labels(a) == labels(b), s"edge ($a,$b) straddles clusters") }
+    // labels are component minima: recompute components driver-side (union-find)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    labels.keys.foreach(k => find(k))
+    edges.foreach { case (a, b) => val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val comps = labels.keys.groupBy(k => find(k))
+    comps.foreach { case (_, members) =>
+      val mn = members.min
+      members.foreach(m => assert(labels(m) == mn, s"member $m labelled ${labels(m)}, expected min $mn"))
+    }
+  }
+
+  test("score_quantile_norm: per-source percentiles are rank-consistent and bounded") {
+    val rows = q("score_quantile_norm").collect()
+    assert(rows.length.toLong == Tables.documents(spark, sfDir).count())
+    rows.groupBy(_.getString(1)).values.foreach { g =>
+      val sorted = g.sortBy(r => (r.getLong(2), r.getLong(0)))
+      val n = g.length.toLong
+      sorted.zipWithIndex.foreach { case (r, idx) =>
+        val exp = math.floor(idx.toDouble * 1e6 / math.max(n - 1, 1) + 0.5).toLong
+        assert(r.getLong(3) == exp, s"doc ${r.getLong(0)} pct ${r.getLong(3)} != $exp")
+      }
+    }
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
