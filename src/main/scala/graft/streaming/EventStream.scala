@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.10): the streaming twin of
@@ -169,6 +170,69 @@ object EventStream {
       .format("parquet")
       .option("path", dir)
       .partitionBy("day")
+
+  // ---- durable incremental rollup (agg_state_merge streaming twin) --------
+
+  /** Durable incremental rollup — the streaming side of the
+    * `agg_state_merge` algebra: each micro-batch aggregates to a COMPACT
+    * per-user state (count, DECIMAL sum, min/max µs) and lands it in its
+    * own `batch_<id>` directory with Overwrite, so a crash-replayed
+    * batch REWRITES identical content instead of double-counting
+    * (foreachBatch is at-least-once; Overwrite-per-batch-dir is the
+    * idempotence move `startDurableLabeled` uses for grams). The
+    * merged view is [[mergedState]] — one associative merge over all
+    * batch states, never a rescan of raw events.
+    *
+    * At 100 TB this IS the daily-rollup architecture: history is
+    * O(batches × keys) states on cheap storage, per-batch cost is one
+    * slice aggregation, and the serving merge is keys-cardinality.
+    * Periodic compaction (merge old batch dirs into one) is the same
+    * associative agg written back — allowed precisely because the state
+    * is mergeable, which the batch query's parity column gates.
+    */
+  def startStateMerge(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        batch
+          .select(
+            col("user_id"),
+            col("value").cast("decimal(18,2)").as("v"),
+            unix_micros(col("ts")).as("tus"),
+          )
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("pn"),
+            sum("v").as("pv"),
+            min("tus").as("pmin"),
+            max("tus").as("pmax"),
+          )
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Collapse every persisted batch state with the same associative ops
+    * — the read side of [[startStateMerge]], and the compaction step
+    * (write the result back as one batch dir).
+    */
+  def mergedState(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read
+      .parquet(s"$stateDir/batch_*")
+      .groupBy("user_id")
+      .agg(
+        sum("pn").as("n"),
+        sum("pv").cast("decimal(18,2)").as("total"),
+        min("pmin").as("first_us"),
+        max("pmax").as("last_us"),
+      )
 
   // ---- custom state: per-user sessionization ------------------------------
 

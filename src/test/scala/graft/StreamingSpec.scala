@@ -873,4 +873,66 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == batch.size, s"${streamed.size} streamed vs ${batch.size} batch")
     assert(streamed == batch, "per-event dup flags must agree between stream and batch")
   }
+
+  test("durable streaming rollup states merge to the batch aggregation; replay rewrites") {
+    import org.apache.spark.sql.functions._
+    // stage events as TWO files so maxFilesPerTrigger=1 gives two batches
+    val streamDir = Files.createTempDirectory("rollup-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("rollup-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = EventStream.startStateMerge(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-rollup").toString)
+    // two batches → two state dirs
+    val dirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("batch_"))
+    assert(dirs.length == 2, s"expected 2 batch state dirs, got ${dirs.length}")
+    def mergedRows() = EventStream
+      .mergedState(spark, stateDir)
+      .select(
+        col("user_id"),
+        col("n"),
+        col("total").cast("double"),
+        col("first_us"),
+        col("last_us"),
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    val direct = ev
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("total"),
+        min(expr("unix_micros(ts)")).as("first_us"),
+        max(expr("unix_micros(ts)")).as("last_us"),
+      )
+      .select(
+        col("user_id"),
+        col("n"),
+        col("total").cast("double"),
+        col("first_us"),
+        col("last_us"),
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+      .toSeq
+    val first = mergedRows()
+    assert(first == direct, "merged streaming states must equal the from-scratch aggregation")
+    // full replay from a FRESH checkpoint: every batch rewrites its own
+    // dir with identical content — the merged view must not change
+    runLoop(Files.createTempDirectory("ck-rollup2").toString)
+    assert(mergedRows() == direct, "a replayed run must rewrite, never double-count")
+  }
 }
