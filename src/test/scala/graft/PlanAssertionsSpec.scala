@@ -451,4 +451,69 @@ class PlanAssertionsSpec extends SparkSpec {
     // the residual kind filter is applied post-scan by Spark
     assert(p.contains("Filter"), "kind predicate must remain a residual filter")
   }
+
+  test("round-10 corpus-facing queries pin no broadcasts; bounded hints are structural") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Range => LRange, ResolvedHint}
+    def hints(name: String): Seq[LogicalPlan] =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed.collect {
+        case h: ResolvedHint => h.child
+      }
+    // Everything whose relations grow with the corpus: zero hints, AQE
+    // decides every join (the repo-wide no-pin rule).
+    for (q <- Seq("knn_graph", "knn_components", "record_linkage",
+        "score_quantile_norm", "boilerplate_prefixes", "lang_confusion", "event_trigrams",
+        "length_buckets", "agg_state_merge", "score_length_bias"))
+      assert(hints(q).isEmpty,
+        s"$q must not pin any broadcast — its relations grow with the corpus")
+    // kneser_ney_logprob / calibration_bins: the only hint each carries is
+    // a grouping-empty scalar (the bigram-type total / the min-max row)
+    for (q <- Seq("kneser_ney_logprob", "calibration_bins"))
+      hints(q).foreach { h =>
+        assert(h.collectFirst { case a: Aggregate if a.groupingExpressions.isEmpty => a }.isDefined,
+          s"$q: only a grouping-empty scalar may ride a hint:\n$h")
+      }
+    // dedup_sweep_cost: the only hint is the 4-row literal cap table
+    hints("dedup_sweep_cost").foreach { h =>
+      assert(h.collectFirst { case l: LocalRelation => l }.isDefined &&
+        h.collectFirst {
+          case f: org.apache.spark.sql.execution.datasources.LogicalRelation => f
+        }.isEmpty,
+        s"dedup_sweep_cost: only the literal cap table may ride a hint:\n$h")
+    }
+    // hard_negatives: hints carry only the filtered anchor set (bounded by
+    // the vec_id < NQueries predicate by construction)
+    hints("hard_negatives").foreach { h =>
+      assert(h.collectFirst {
+        case f: Filter if f.condition.toString.contains("vec_id") => f
+      }.isDefined, s"hard_negatives: hint must be the bounded anchor set:\n$h")
+    }
+    // embedding_covariance: hints are model-sized by construction — the
+    // Range-generated decode table or a dimension-keyed (k) moment rollup
+    hints("embedding_covariance").foreach { h =>
+      val rangeRooted = h.collectFirst { case r: LRange => r }.isDefined
+      val dimKeyed = h.collectFirst {
+        case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      }.exists(_.groupingExpressions.exists(_.toString.contains("k")))
+      assert(rangeRooted || dimKeyed,
+        s"embedding_covariance: hint must be the decode table or the D-row moment rollup:\n$h")
+    }
+  }
+
+  test("round-10 plan shapes: fused lags, explode-free prefixes, no linkage BNLJ") {
+    // event_trigrams: both lags compute inside ONE Window operator
+    val trig = planOf("event_trigrams")
+    assert("\\bWindow\\b".r.findAllIn(trig).size == 1,
+      "both lags must fuse into a single Window operator:\n" + trig.take(800))
+    assert(trig.contains("TakeOrderedAndProject"), trig.take(500))
+    // boilerplate_prefixes: prefix extraction is scan-local — no explode
+    val bp = planOf("boilerplate_prefixes")
+    assert(!bp.contains("Generate"), "prefix slice must not explode the text:\n" + bp.take(800))
+    // record_linkage: the blocking join is an equi-join, never a BNLJ
+    val rl = planOf("record_linkage")
+    assert(!rl.contains("BroadcastNestedLoopJoin") && !rl.contains("CartesianProduct"),
+      "blocked linkage must plan as an equi-join:\n" + rl.take(800))
+    // agg_state_merge: partial+final aggregation in both arms
+    val asm = planOf("agg_state_merge")
+    assert(asm.contains("partial_count") || asm.contains("partial count"), asm.take(800))
+  }
 }
