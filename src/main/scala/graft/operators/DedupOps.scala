@@ -1628,12 +1628,69 @@ object DedupOps extends QueryModule {
              FROM dfq, caps GROUP BY max_df ORDER BY max_df"""),
   )
 
+  /** Containment threshold: |A∩B| / min(|A|,|B|) ≥ this flags the pair.
+    * Deliberately equal to the Jaccard τ so the declared set is a strict
+    * SUPERSET of `ngram_jaccard`'s (containment ≥ Jaccard always) —
+    * the extra rows are exactly the asymmetric near-dups Jaccard misses.
+    */
+  private val ContainTau = 0.3
+
+  /** Asymmetric containment dedup — quote/subset detection: a short
+    * document wholly contained in a long one (a quoted article, an
+    * excerpt page, a doc + boilerplate wrapper) scores LOW Jaccard
+    * (the union is dominated by the long side) but HIGH containment
+    * |A∩B| / min(|A|,|B|). Published pipelines run both: Jaccard for
+    * near-identical pairs, containment for subsumption.
+    *
+    * Plan: identical inverted-index candidate generation to
+    * [[jaccardPairs]] (same df-capped gram rows substrate, same
+    * hash-keyed self-join — candidates are shared-gram-bounded, never
+    * all-pairs); only the scoring projection differs, so the scale
+    * story is the family's. The shared-substrate reuse means a session
+    * running both dedup flavors pays the gram explode once.
+    */
+  private val containmentDedup = DeclaredQuery(
+    "containment_dedup",
+    (s, d) => {
+      val e = capByDf(gramRows(s, d), DefaultMaxDf)
+      val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+      val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
+      x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .withColumn("cont", col("shared").cast("double") / least(col("na"), col("nb")))
+        .filter(col("cont") >= ContainTau)
+        .select(
+          col("da"),
+          col("db"),
+          col("shared"),
+          col("na").cast("long").as("na"),
+          col("nb").cast("long").as("nb"),
+          round(col("cont"), 6).as("containment"),
+        )
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             e0 AS (SELECT doc_id, len(ghs) AS n, unnest(ghs) AS gram FROM h),
+             hot AS (SELECT gram FROM e0 GROUP BY gram HAVING count(*) > $DefaultMaxDf),
+             e AS (SELECT e0.doc_id, e0.n, e0.gram FROM e0
+                   LEFT JOIN hot ON e0.gram = hot.gram WHERE hot.gram IS NULL),
+             p0 AS (SELECT x.doc_id AS da, y.doc_id AS db, x.n AS na, y.n AS nb, count(*) AS shared
+                    FROM e x JOIN e y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                    GROUP BY 1, 2, 3, 4)
+             SELECT da, db, CAST(shared AS BIGINT) AS shared,
+                    CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+                    round(shared::DOUBLE / least(na, nb), 6) AS containment
+             FROM p0 WHERE shared::DOUBLE / least(na, nb) >= $ContainTau
+             ORDER BY da, db"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
       sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
-      dedupSweepCost)
+      dedupSweepCost, containmentDedup)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

@@ -675,27 +675,37 @@ object SimilarityOps extends QueryModule {
     * cached: the declared `knn_graph` and the `knn_components` clustering
     * both consume it, so the banded candidate join runs once per session.
     */
+  /** The sign-coded corpus (vec_id, embedding, dvec, code) behind the
+    * whole LSH family — the SAME "lsh-codes" session substrate
+    * `lshRanked` builds (identical AST, so whichever runs first feeds
+    * the other); factored out so the asymmetric incremental path can
+    * filter it without rebuilding codes.
+    */
+  private def knnCoded(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val e0 = embeddings(s, d)
+      .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val dims = e0.select(col("vec_id"), posexplode(col("dvec")).as(Seq("k", "v")))
+    val sumCols = (0 until 16).map { j =>
+      val plane = ((lit(j.toLong * 73856093L) + col("k").cast("long") * 19349663L) % 10007L)
+        .cast("double") / 10007.0 - 0.5
+      sum(col("v") * plane).as(s"s$j")
+    }
+    val codes = dims
+      .groupBy("vec_id")
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(
+        col("vec_id"),
+        (0 until 16)
+          .map(j => when(col(s"s$j") >= 0d, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("code"),
+      )
+    graft.SubstrateCache.substrate(s, d, "lsh-codes")(e0.join(codes, "vec_id"))
+  }
+
   private def knnEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     graft.SubstrateCache.substrate(s, d, "knn-edges") {
-      val e0 = embeddings(s, d)
-        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      val dims = e0.select(col("vec_id"), posexplode(col("dvec")).as(Seq("k", "v")))
-      val sumCols = (0 until 16).map { j =>
-        val plane = ((lit(j.toLong * 73856093L) + col("k").cast("long") * 19349663L) % 10007L)
-          .cast("double") / 10007.0 - 0.5
-        sum(col("v") * plane).as(s"s$j")
-      }
-      val codes = dims
-        .groupBy("vec_id")
-        .agg(sumCols.head, sumCols.tail: _*)
-        .select(
-          col("vec_id"),
-          (0 until 16)
-            .map(j => when(col(s"s$j") >= 0d, lit(1L << j)).otherwise(lit(0L)))
-            .reduce(_ + _)
-            .as("code"),
-        )
-      val e = graft.SubstrateCache.substrate(s, d, "lsh-codes")(e0.join(codes, "vec_id"))
+      val e = knnCoded(s, d)
       def bandRows(df: org.apache.spark.sql.DataFrame, code: String) =
         df.select(
           col("*"),
@@ -795,7 +805,152 @@ object SimilarityOps extends QueryModule {
              SELECT vec_id, cluster_id FROM lbl ORDER BY vec_id"""),
   )
 
+  /** Embedding drift monitor — the encoder-regression check every
+    * continuously-retrained pipeline runs: per label, the cosine between
+    * the centroid of slice A and slice B (event-id parity stands in for
+    * the before/after ingest slices). A label whose shift_cos drops is a
+    * class the new encoder moved — retraining/backfill triggers read
+    * exactly this table.
+    *
+    * Determinism at scale: per-(label, slice, dim) sums are exact
+    * ×10⁴-quantized BIGINTs (order-invariant under any partitioning);
+    * the centroid cosine is computed from RAW SUMS — the 1/n factors
+    * cancel in cosine, so no division happens before the final
+    * shape-pinned double. One posexplode + one (label, slice, dim)-keyed
+    * map-side-combined agg (labels × 2 × D rows), a dim-keyed self-join
+    * of that MODEL-SIZED table, a label-grain agg. Vectors never
+    * shuffle.
+    */
+  private val centroidShift = DeclaredQuery(
+    "centroid_shift",
+    (s, d) => {
+      val dims = embeddings(s, d)
+        .withColumn(
+          "qv",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
+        )
+        .withColumn("half", pmod(col("vec_id"), lit(2L)))
+        .select(col("label"), col("half"), posexplode(col("qv")).as(Seq("k", "v")))
+        .groupBy("label", "half", "k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      val a = dims
+        .filter(col("half") === 0L)
+        .select(col("label"), col("k"), col("sv").as("sa"), col("cnt").as("na"))
+      val b = dims
+        .filter(col("half") === 1L)
+        .select(col("label"), col("k").as("k2"), col("sv").as("sb"), col("cnt").as("nb"))
+      a.join(b, a("label") === b("label") && a("k") === b("k2"))
+        .groupBy(a("label").as("label"))
+        .agg(
+          max("na").as("n_a"),
+          max("nb").as("n_b"),
+          sum(col("sa") * col("sb")).as("sab"),
+          sum(col("sa") * col("sa")).as("saa"),
+          sum(col("sb") * col("sb")).as("sbb"),
+        )
+        .select(
+          col("label"),
+          col("n_a"),
+          col("n_b"),
+          round(
+            expr("""CAST(sab AS DOUBLE)
+                    / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))"""),
+            6,
+          ).as("shift_cos"),
+        )
+        .orderBy("label")
+    },
+    Some(s"""WITH q AS (SELECT vec_id, label, vec_id % 2 AS half,
+                               list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
+                        FROM embeddings),
+             dims AS (SELECT label, half, k,
+                             CAST(sum(qv[k + 1]) AS BIGINT) AS sv, count(*) AS cnt
+                      FROM q, generate_series(0, ${Dim - 1}) g(k)
+                      GROUP BY 1, 2, 3),
+             a AS (SELECT label, k, sv AS sa, cnt AS na FROM dims WHERE half = 0),
+             b AS (SELECT label, k, sv AS sb, cnt AS nb FROM dims WHERE half = 1),
+             j AS (SELECT a.label, sa, sb, na, nb FROM a JOIN b ON a.label = b.label AND a.k = b.k),
+             g2 AS (SELECT label, max(na) AS n_a, max(nb) AS n_b,
+                           CAST(sum(sa * sb) AS BIGINT) AS sab,
+                           CAST(sum(sa * sa) AS BIGINT) AS saa,
+                           CAST(sum(sb * sb) AS BIGINT) AS sbb
+                    FROM j GROUP BY 1)
+             SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                    round(CAST(sab AS DOUBLE)
+                          / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6) AS shift_cos
+             FROM g2 ORDER BY label"""),
+  )
+
+  /** Per-batch incremental ANN — the continuous-embedding-ingest check
+    * (`incremental_dedup`'s shape on the vector domain, the query side
+    * of EmbedIngest's continuous cell appends): each new vector (the
+    * event-id-residue stand-in for an ingest batch) finds its top-3
+    * nearest STANDING-corpus vectors through the banded code join. The
+    * join is ASYMMETRIC — batch × corpus, never corpus × corpus — so
+    * per-batch cost scales with the batch: the whole point of
+    * incremental maintenance at 100 TB.
+    *
+    * Rides the same session code substrate as `knn_graph`; pigeonhole
+    * exhaustiveness and the confirmed-candidates-only float work carry
+    * over unchanged.
+    */
+  private val incrementalKnn = DeclaredQuery(
+    "incremental_knn",
+    (s, d) => {
+      val e = knnCoded(s, d)
+      def bandRows(df: org.apache.spark.sql.DataFrame, code: String) =
+        df.select(
+          col("*"),
+          posexplode(
+            array((0 until 4).map(b => expr(s"shiftright($code, ${4 * b}) & 15")): _*),
+          ).as(Seq("band", "bv")),
+        )
+      val newB = e.filter(pmod(col("vec_id"), lit(7L)) === 0L)
+        .select(col("vec_id").as("src"), col("code").as("sc"), col("dvec").as("qv"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(7L)) =!= 0L)
+        .select(col("vec_id").as("nbr"), col("code").as("nc"), col("dvec").as("cv"))
+      val cand = bandRows(newB.select("src", "sc"), "sc")
+        .join(bandRows(corpus.select("nbr", "nc"), "nc"), Seq("band", "bv"))
+        .withColumn("code_hd", expr("CAST(bit_count(sc ^ nc) AS BIGINT)"))
+        .filter(col("code_hd") <= 3)
+        .select("src", "nbr", "code_hd")
+        .dropDuplicates("src", "nbr")
+      cand
+        .join(newB.select("src", "qv"), Seq("src"))
+        .join(corpus.select("nbr", "cv"), Seq("nbr"))
+        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("src")
+              .orderBy(col("sim").desc, col("nbr")),
+          ),
+        )
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("rank").cast("long").as("rank"), col("nbr"), col("code_hd"), col("sim"))
+        .orderBy("src", "rank")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
+             p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
+                          CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
+                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                   FROM ec q JOIN ec c
+                     ON q.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
+                   WHERE bit_count(xor(q.code, c.code)) <= 3),
+             r AS (SELECT src, nbr, code_hd, sim,
+                          row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+                   FROM p)
+             SELECT src, CAST(rank AS BIGINT) AS rank, nbr, code_hd, sim
+             FROM r WHERE rank <= 3 ORDER BY src, rank"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
-      embeddingCovariance, hardNegatives, knnGraph, knnComponents)
+      embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
+      incrementalKnn)
 }

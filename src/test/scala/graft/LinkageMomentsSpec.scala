@@ -309,6 +309,60 @@ class LinkageMomentsSpec extends SparkSpec {
     }
   }
 
+  test("containment_dedup is a superset of ngram_jaccard at the same tau; scores dominate") {
+    val cont = q("containment_dedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    val jac = SparkEntry
+      .queries("ngram_jaccard")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3)))
+    assert(jac.nonEmpty)
+    jac.foreach { case (pair, j) =>
+      assert(cont.contains(pair), s"jaccard pair $pair missing from containment set")
+      // j is reported at 3 dp (can round UP by 5e-4); containment at 6 dp
+      assert(cont(pair) + 6e-4 >= j, s"containment must dominate jaccard on $pair")
+    }
+  }
+
+  test("centroid_shift matches driver-side centroid cosines from raw sums") {
+    val vecs = Tables
+      .embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e4 + 0.5).toLong).toArray))
+    val rows = q("centroid_shift").collect()
+    rows.foreach { r =>
+      val lbl = r.getInt(0)
+      val a = vecs.filter(v => v._2 == lbl && v._1 % 2 == 0).map(_._3)
+      val b = vecs.filter(v => v._2 == lbl && v._1 % 2 == 1).map(_._3)
+      assert(r.getLong(1) == a.length.toLong && r.getLong(2) == b.length.toLong)
+      val sa = (0 until 64).map(k => a.map(_(k)).sum).toArray
+      val sb = (0 until 64).map(k => b.map(_(k)).sum).toArray
+      val sab = (0 until 64).map(k => sa(k) * sb(k)).sum.toDouble
+      val saa = (0 until 64).map(k => sa(k) * sa(k)).sum.toDouble
+      val sbb = (0 until 64).map(k => sb(k) * sb(k)).sum.toDouble
+      val exp = BigDecimal(sab / math.sqrt(saa * sbb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - exp) < 1e-9, s"label $lbl: ${r.getDouble(3)} != $exp")
+    }
+    assert(rows.length == 10, "one row per label")
+  }
+
+  test("incremental_knn: batch-only sources, corpus-only neighbors, radius respected") {
+    val rows = q("incremental_knn").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 7 == 0, "sources must be the ingest batch")
+      assert(r.getLong(2) % 7 != 0, "neighbors must be the standing corpus")
+      assert(r.getLong(3) <= 3L)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val ranks = g.map(_.getLong(1)).sorted
+      assert(ranks.sameElements(1L to ranks.length))
+    }
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
