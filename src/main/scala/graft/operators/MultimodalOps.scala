@@ -270,5 +270,65 @@ object MultimodalOps extends QueryModule {
     },
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures, frameSample, mediaResize)
+  /** Frame-hash near-duplicate media — the video-dedup shape (content-ID
+    * style): two media are near-dups when their SAMPLED frame
+    * fingerprints collide; candidates come from an inverted-index
+    * equi-join on the frame hash, never a payload comparison. The df cap
+    * on hot hashes is the text family's boilerplate rule transplanted —
+    * a black frame / station logo appears in everything and carries no
+    * identity signal, and uncapped it alone generates O(df²) pairs.
+    *
+    * Plan: the frame-hash table is the `frame_sample` projection (scan →
+    * generate → hash, payload never shuffles — only (doc_id, hash) pairs
+    * do); hot-hash anti-join, hash-keyed self-join, pair agg. Identical
+    * scale argument to `ngram_jaccard`, one modality over.
+    */
+  private val MaxFrameDf = 100L
+  private val mediaNearDup = DeclaredQuery(
+    "media_near_dup",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val media = mediaFromDocuments(s, d)
+        .toDF()
+        .withColumn("n_frames", (col("n_bytes") / FrameBytes).cast("int"))
+      val fh = sampleFrames(media, col("n_frames"), 2, carry = Seq("data"))
+        .select(
+          col("doc_id"),
+          expr(
+            s"graft_poly_hash(decode(substring(data, frame_idx * $FrameBytes + 1, $FrameBytes), 'UTF-8'))",
+          ).as("fh"),
+        )
+      val withN = fh
+        .withColumn("na", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      val hot = fh.groupBy("fh").agg(count(lit(1)).as("df")).filter(col("df") > MaxFrameDf).select("fh")
+      val e = withN.join(hot, Seq("fh"), "left_anti")
+      val x = e.select(col("doc_id").as("da"), col("na"), col("fh"))
+      val y = e.select(col("doc_id").as("db"), col("na").as("nb"), col("fh").as("fh2"))
+      x.join(y, x("fh") === y("fh2") && x("da") < y("db"))
+        .groupBy("da", "db", "na", "nb")
+        .agg(count(lit(1)).as("shared"))
+        .select(col("da"), col("db"), col("shared"), col("na"), col("nb"))
+        .orderBy("da", "db")
+    },
+    Some(s"""WITH m AS (SELECT doc_id, text, CAST(length(text) // $FrameBytes AS BIGINT) AS nf
+                        FROM documents),
+             f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS fi, text FROM m WHERE nf > 0),
+             h2 AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                        string_split(substr(text, CAST(fi * $FrameBytes + 1 AS INTEGER), $FrameBytes), ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 1000000007) AS fh
+                    FROM f),
+             wn AS (SELECT doc_id, fh, count(*) OVER (PARTITION BY doc_id) AS na FROM h2),
+             hot AS (SELECT fh FROM h2 GROUP BY fh HAVING count(*) > $MaxFrameDf),
+             e AS (SELECT wn.doc_id, wn.fh, wn.na FROM wn
+                   LEFT JOIN hot ON wn.fh = hot.fh WHERE hot.fh IS NULL)
+             SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS shared,
+                    CAST(x.na AS BIGINT) AS na, CAST(y.na AS BIGINT) AS nb
+             FROM e x JOIN e y ON x.fh = y.fh AND x.doc_id < y.doc_id
+             GROUP BY 1, 2, 4, 5
+             ORDER BY da, db"""),
+  )
+
+  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures, frameSample, mediaResize, mediaNearDup)
 }

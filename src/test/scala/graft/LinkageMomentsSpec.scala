@@ -363,6 +363,34 @@ class LinkageMomentsSpec extends SparkSpec {
     }
   }
 
+  test("media_near_dup pairs share real frame windows; exact dups share all frames") {
+    val rows = q("media_near_dup").collect()
+    val txt = texts.map { case (id, ws) => id -> ws.mkString(" ") }.toMap
+    def frames(t: String): Seq[String] =
+      (0 until t.length / 64 by 2).map(i => t.substring(i * 64, i * 64 + 64))
+    rows.foreach { r =>
+      val (da, db, shared, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val fa = frames(txt(da))
+      val fb = frames(txt(db))
+      assert(na == fa.length.toLong && nb == fb.length.toLong)
+      // shared of the hash join >= exact shared-window count (hash is
+      // injective on this fixture, so they should be equal)
+      val inter = fa.zipWithIndex.count { case (f, _) => fb.contains(f) }
+      assert(shared >= 1L && inter >= 1, s"pair ($da,$db) shares no real frame window")
+    }
+    // exact text duplicates must appear with full frame agreement
+    val dups = txt.toSeq.groupBy(_._2).values.filter(_.size >= 2)
+    dups.foreach { g =>
+      val ids = g.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b if frames(txt(a)).nonEmpty) {
+        val hit = rows.find(r => r.getLong(0) == a && r.getLong(1) == b)
+        assert(hit.isDefined, s"exact dup pair ($a,$b) missing")
+        assert(hit.get.getLong(2) >= frames(txt(a)).length.toLong)
+      }
+    }
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
