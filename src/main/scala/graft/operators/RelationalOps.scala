@@ -284,6 +284,73 @@ object RelationalOps extends QueryModule {
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
   )
 
+  /** Winsorization — the quantile-clamp robust-stats step beside
+    * `outlier_filter`'s 3σ screen (heavy-tailed pipeline metrics are
+    * capped at p05/p95 before averaging, not dropped): per event type,
+    * clamp values into the exact interpolated [p05, p95] band and report
+    * the clamp counts plus the before/after means. Exact percentiles are
+    * the `quantile_stats` equivalence (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`); clamped values are ×100-floored to BIGINT before
+    * the sum so the distributed mean is order-invariant (the double
+    * clamp bound never meets a DECIMAL cast's rounding rules).
+    *
+    * Plan: one type-keyed percentile agg (type-cardinality), an
+    * un-hinted type join back (AQE broadcasts the tiny side), scan-local
+    * clamp, one partial+final agg. The percentile buffer is the only
+    * value-cardinality state — at 100 TB swap it for the
+    * `histogram_quantile` bounded-state estimate; the clamp stage is
+    * unchanged.
+    */
+  private val winsorizeValues = DeclaredQuery(
+    "winsorize_values",
+    (s, d) => {
+      val ev = graft.Tables.events(s, d).select(col("event_type"), col("value"))
+      val bounds = ev
+        .groupBy("event_type")
+        .agg(
+          expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"),
+        )
+      ev.join(bounds, Seq("event_type")) // un-hinted: type-cardinality, AQE decides
+        .withColumn("cv", least(greatest(col("value"), col("lo")), col("hi")))
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clamped_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clamped_high"),
+          sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("sv"),
+          sum(expr("CAST(floor(cv * 100.0 + 0.5) AS BIGINT)")).as("sc"),
+        )
+        .select(
+          col("event_type"),
+          col("n"),
+          col("n_clamped_low"),
+          col("n_clamped_high"),
+          round(col("sv").cast("double") / col("n") / 100.0, 4).as("mean_raw"),
+          round(col("sc").cast("double") / col("n") / 100.0, 4).as("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type,
+                              quantile_cont(value, 0.05) AS lo,
+                              quantile_cont(value, 0.95) AS hi
+                       FROM events GROUP BY 1),
+            c AS (SELECT e.event_type, value,
+                         least(greatest(value, lo), hi) AS cv,
+                         lo, hi
+                  FROM events e JOIN b ON e.event_type = b.event_type),
+            a AS (SELECT event_type, count(*) AS n,
+                         CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+                         CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+                         CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+                         CAST(sum(CAST(floor(cv * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+                  FROM c GROUP BY 1)
+            SELECT event_type, n, n_clamped_low, n_clamped_high,
+                   round(CAST(sv AS DOUBLE) / n / 100.0, 4) AS mean_raw,
+                   round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean_winsorized
+            FROM a ORDER BY event_type"""),
+  )
+
   /** RANGE-frame rolling window: per-customer trailing-7-day spend. The
     * frame is on integer day numbers (RANGE BETWEEN 6 PRECEDING AND
     * CURRENT ROW), so same-day orders fall in each other's frames — the
@@ -676,6 +743,7 @@ object RelationalOps extends QueryModule {
     outlierFilter,
     histogramQuantile,
     quantileStats,
+    winsorizeValues,
     rangeFrameAgg,
     pivotCounts,
     rollupAgg,

@@ -645,8 +645,55 @@ object TemporalOps extends QueryModule {
             ORDER BY n DESC, e1, e2, e3 LIMIT 20"""),
   )
 
+  /** Week-over-week growth — the period-over-period report every
+    * operational dashboard runs: weekly event counts and value totals
+    * with the growth rate vs the previous week. ISO week truncation
+    * (`date_trunc('week')` is Monday-based in BOTH engines), counts and
+    * DECIMAL sums are exact, and growth lands as a signed ppm integer
+    * via the shared floor text (floor(x+0.5) rounds half-up identically
+    * for negative growth too). The first week's growth is NULL — no
+    * prior period, stated rather than faked as zero.
+    *
+    * Plan: one partial+final hash agg to week-cardinality rows, then a
+    * single-partition lag window over WEEKS (bounded: 52 rows/year —
+    * the one place a global window is correct because the domain is
+    * calendar-bounded, not corpus-bounded). Order by week.
+    */
+  private val wowGrowth = DeclaredQuery(
+    "wow_growth",
+    (s, d) => {
+      val w = Window.orderBy("week")
+      events(s, d)
+        .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        )
+        .withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn(
+          "growth_ppm",
+          expr(
+            """CAST(floor(CAST(n - prev_n AS DOUBLE) * 1000000.0 / prev_n + 0.5) AS BIGINT)""",
+          ),
+        )
+        .select("week", "n", "total_value", "growth_ppm")
+        .orderBy("week")
+    },
+    Some("""WITH wk AS (SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+                               count(*) AS n,
+                               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+                        FROM events GROUP BY 1),
+            g AS (SELECT week, n, total_value,
+                         lag(n) OVER (ORDER BY week) AS prev_n
+                  FROM wk)
+            SELECT week, n, total_value,
+                   CAST(floor(CAST(n - prev_n AS DOUBLE) * 1000000.0 / prev_n + 0.5) AS BIGINT)
+                     AS growth_ppm
+            FROM g ORDER BY week"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
-      eventTrigrams)
+      eventTrigrams, wowGrowth)
 }

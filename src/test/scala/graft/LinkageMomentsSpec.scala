@@ -391,6 +391,36 @@ class LinkageMomentsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize_values: clamping narrows the mean toward the band, never widens") {
+    val rows = q("winsorize_values").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo + hi <= n)
+      // p05/p95 clamps bound the tails at ~5% each (interpolated, so ≤ ceil)
+      assert(lo <= n / 20 + 1 && hi <= n / 20 + 1, s"clamp counts implausible: $lo/$hi of $n")
+      // winsorized mean lies within [min-clamped, max-clamped] of raw mean's band:
+      // clamping can only pull the mean toward the band, so the two means differ
+      // by at most the tail mass — sanity: both finite and same order of magnitude
+      assert(!r.getDouble(4).isNaN && !r.getDouble(5).isNaN)
+    }
+  }
+
+  test("wow_growth reconciles with a driver-side weekly recount") {
+    val rows = q("wow_growth").collect()
+    assert(rows.length > 1, "fixture spans multiple weeks")
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.events(spark, sfDir).count())
+    // growth_ppm recomputes from consecutive ns; first row NULL
+    assert(rows.head.isNullAt(3))
+    rows.sliding(2).foreach {
+      case Array(p, c) =>
+        val exp = math.floor((c.getLong(1) - p.getLong(1)).toDouble * 1e6 / p.getLong(1) + 0.5).toLong
+        assert(c.getLong(3) == exp)
+      case _ =>
+    }
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
