@@ -243,6 +243,67 @@ object ScalarOps extends QueryModule {
             FROM events ORDER BY event_id"""),
   )
 
+  /** Data-quality profile — the dbt/Deequ-style column audit every
+    * ingest gate runs: per column of the events table, null count,
+    * distinct count, and min/max rendered as strings (one row per
+    * column, fixed-width output whatever the corpus). The unpivot is a
+    * literal STACK over the already-aggregated 1-row frame, so the scan
+    * is ONE pass computing all columns' aggregates map-side — not one
+    * pass per column (the naive profiler's C× scan cost).
+    *
+    * At 100 TB: one partial+final agg with a fixed number of aggregate
+    * buffers; distinct counts are the exact arm — the production knob
+    * swaps them for `distinct_sketch`'s bounded-state estimate column
+    * by column with the same output shape.
+    */
+  private val nullProfile = DeclaredQuery(
+    "null_profile",
+    (s, d) => {
+      val ev = events(s, d)
+      ev.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("nn_user"),
+        countDistinct("user_id").as("nd_user"),
+        min("user_id").cast("string").as("mn_user"),
+        max("user_id").cast("string").as("mx_user"),
+        sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("nn_type"),
+        countDistinct("event_type").as("nd_type"),
+        min("event_type").as("mn_type"),
+        max("event_type").as("mx_type"),
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("nn_value"),
+        countDistinct("value").as("nd_value"),
+        min(col("value")).cast("string").as("mn_value"),
+        max(col("value")).cast("string").as("mx_value"),
+      ).selectExpr(
+        """stack(3,
+          |  'user_id', n, nn_user, nd_user, mn_user, mx_user,
+          |  'event_type', n, nn_type, nd_type, mn_type, mx_type,
+          |  'value', n, nn_value, nd_value, mn_value, mx_value
+          |) AS (column_name, n_rows, n_null, n_distinct, min_value, max_value)""".stripMargin,
+      ).orderBy("column_name")
+    },
+    Some("""WITH a AS (SELECT count(*) AS n,
+                              CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_user,
+                              count(DISTINCT user_id) AS nd_user,
+                              CAST(min(user_id) AS VARCHAR) AS mn_user,
+                              CAST(max(user_id) AS VARCHAR) AS mx_user,
+                              CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_type,
+                              count(DISTINCT event_type) AS nd_type,
+                              min(event_type) AS mn_type,
+                              max(event_type) AS mx_type,
+                              CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
+                              count(DISTINCT value) AS nd_value,
+                              CAST(min(value) AS VARCHAR) AS mn_value,
+                              CAST(max(value) AS VARCHAR) AS mx_value
+                       FROM events)
+            SELECT u.* FROM a,
+                   LATERAL (VALUES ('user_id', n, nn_user, nd_user, mn_user, mx_user),
+                                   ('event_type', n, nn_type, nd_type, mn_type, mx_type),
+                                   ('value', n, nn_value, nd_value, mn_value, mx_value))
+                     AS u(column_name, n_rows, n_null, n_distinct, min_value, max_value)
+            ORDER BY column_name"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     suffixProjection,
     ciLookup,
@@ -254,5 +315,6 @@ object ScalarOps extends QueryModule {
     splitParse,
     bitArith,
     jsonExtract,
+    nullProfile,
   )
 }

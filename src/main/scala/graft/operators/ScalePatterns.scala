@@ -759,8 +759,65 @@ object ScalePatterns extends QueryModule {
             ORDER BY m.user_id"""),
   )
 
+  /** Join-size audit — the pre-flight cardinality measurement that
+    * decides whether a join is safe to run at all (the third member of
+    * the measure-before-you-plan family with `skew_diagnostics` and
+    * `dedup_sweep_cost`): the EXACT output cardinality of orders ⋈
+    * events on the customer key is Σ_k cntA(k)·cntB(k), computable from
+    * two key-grain aggregates WITHOUT running the join. Also reports
+    * each side's distinct keys, the matched-key count, and the top
+    * single-key contribution — the number that says "this one key
+    * produces half the output, salt it".
+    *
+    * Plan: two partial+final key aggs (key-cardinality rows), one
+    * un-hinted key join of THOSE (never the fact tables), a 1-row
+    * summary. At 100 TB this costs two shuffles of (key, count) pairs —
+    * the cheap question to ask before a join that could emit 10¹³ rows.
+    */
+  private val joinSizeAudit = DeclaredQuery(
+    "join_size_audit",
+    (s, d) => {
+      val a = graft.Tables
+        .orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("ca"))
+      val b = graft.Tables
+        .events(s, d)
+        .groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      a.join(b, Seq("k")) // un-hinted: both sides key-cardinality
+        .select(col("k"), (col("ca") * col("cb")).as("contrib"))
+        .agg(
+          count(lit(1)).as("matched_keys"),
+          sum("contrib").as("join_rows"),
+          max("contrib").as("max_key_rows"),
+        )
+        .crossJoin(
+          broadcast(
+            graft.Tables.orders(s, d).agg(countDistinct("o_custkey").as("keys_a")),
+          ),
+        ) // 1-row scalar
+        .crossJoin(
+          broadcast(graft.Tables.events(s, d).agg(countDistinct("user_id").as("keys_b"))),
+        ) // 1-row scalar
+        .select("matched_keys", "join_rows", "max_key_rows", "keys_a", "keys_b")
+        .orderBy("matched_keys")
+    },
+    Some("""WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+            b AS (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1),
+            j AS (SELECT a.k, ca * cb AS contrib FROM a JOIN b ON a.k = b.k),
+            t AS (SELECT count(*) AS matched_keys,
+                         CAST(sum(contrib) AS BIGINT) AS join_rows,
+                         CAST(max(contrib) AS BIGINT) AS max_key_rows
+                  FROM j)
+            SELECT matched_keys, join_rows, max_key_rows,
+                   (SELECT count(DISTINCT o_custkey) FROM orders) AS keys_a,
+                   (SELECT count(DISTINCT user_id) FROM events) AS keys_b
+            FROM t ORDER BY matched_keys"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
       bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics,
-      aggStateMerge)
+      aggStateMerge, joinSizeAudit)
 }

@@ -421,6 +421,31 @@ class LinkageMomentsSpec extends SparkSpec {
     }
   }
 
+  test("join_size_audit predicts the exact join cardinality") {
+    val row = q("join_size_audit").head
+    val actual = Tables
+      .orders(spark, sfDir)
+      .join(
+        Tables.events(spark, sfDir).select(col("user_id")),
+        col("o_custkey") === col("user_id"),
+      )
+      .count()
+    assert(row.getLong(1) == actual, s"predicted ${row.getLong(1)} != actual $actual join rows")
+    assert(row.getLong(0) <= math.min(row.getLong(3), row.getLong(4)))
+    assert(row.getLong(2) <= row.getLong(1))
+  }
+
+  test("null_profile reconciles with per-column recounts") {
+    val rows = q("null_profile").collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("user_id", "event_type", "value"))
+    val ev = Tables.events(spark, sfDir)
+    val n = ev.count()
+    rows.values.foreach(r => assert(r.getLong(1) == n))
+    assert(rows("event_type").getLong(3) == ev.select("event_type").distinct().count())
+    assert(rows("user_id").getLong(3) == ev.select("user_id").distinct().count())
+    rows.values.foreach(r => assert(r.getLong(2) == 0L, "fixture has no nulls"))
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
