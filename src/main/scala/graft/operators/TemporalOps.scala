@@ -692,8 +692,55 @@ object TemporalOps extends QueryModule {
             FROM g ORDER BY week"""),
   )
 
+  /** Trailing-7-day active users — the sliding-window COUNT DISTINCT
+    * every engagement dashboard runs, and a scale trap worth declaring:
+    * distinct counts are NOT mergeable across window panes (a user
+    * active on two days is one user), so the incremental-rollup trick
+    * (`agg_state_merge`) does not apply. The scalable exact shape is:
+    * (1) dedup the corpus to (day, user) grain FIRST — the only
+    * corpus-sized step, one hash agg; (2) fan each (day, user) row out
+    * to the ≤7 windows it can serve (arithmetic explode of SMALL rows —
+    * ×7 of the deduped grain, not of the corpus); (3) one distinct-count
+    * per window end. Windows are clipped to observed days via an
+    * un-hinted day join. The approximate tier of the same question is
+    * `sketch_union` (mergeable by design); this is the exact arm.
+    */
+  private val rollingActiveUsers = DeclaredQuery(
+    "rolling_active_users",
+    (s, d) => {
+      val du = events(s, d)
+        .select(
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+          col("user_id"),
+        )
+        .distinct()
+      val days = du.select(col("day").as("wday")).distinct()
+      du.withColumn("wday", explode(expr("sequence(day, day + 6)")))
+        .join(days, Seq("wday")) // un-hinted: day-cardinality, AQE decides
+        .groupBy("wday")
+        .agg(countDistinct("user_id").as("active_users"))
+        .select(
+          date_format(date_add(lit("1970-01-01").cast("date"), col("wday").cast("int")), "yyyy-MM-dd")
+            .as("window_end"),
+          col("active_users"),
+        )
+        .orderBy("window_end")
+    },
+    Some("""WITH du AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                               user_id
+                        FROM events),
+            days AS (SELECT DISTINCT day AS wday FROM du),
+            f AS (SELECT unnest(generate_series(day, day + 6)) AS wday, user_id FROM du),
+            w AS (SELECT f.wday, count(DISTINCT user_id) AS active_users
+                  FROM f JOIN days ON f.wday = days.wday
+                  GROUP BY 1)
+            SELECT strftime(DATE '1970-01-01' + CAST(wday AS INTEGER), '%Y-%m-%d') AS window_end,
+                   CAST(active_users AS BIGINT) AS active_users
+            FROM w ORDER BY window_end"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
-      eventTrigrams, wowGrowth)
+      eventTrigrams, wowGrowth, rollingActiveUsers)
 }

@@ -446,6 +446,28 @@ class LinkageMomentsSpec extends SparkSpec {
     rows.values.foreach(r => assert(r.getLong(2) == 0L, "fixture has no nulls"))
   }
 
+  test("rolling_active_users matches a driver-side trailing-window recount") {
+    val du = Tables
+      .events(spark, sfDir)
+      .select(
+        datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+        col("user_id"),
+      )
+      .distinct()
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val days = du.map(_._1).distinct.sorted
+    val expected = days.map { wd =>
+      wd -> du.collect { case (d, u) if d >= wd - 6 && d <= wd => u }.distinct.length.toLong
+    }.toMap
+    val rows = q("rolling_active_users").collect()
+    assert(rows.length == days.length, "one window per observed day")
+    rows.foreach { r =>
+      val wd = java.time.LocalDate.parse(r.getString(0)).toEpochDay.toInt
+      assert(r.getLong(1) == expected(wd), s"window ${r.getString(0)}: ${r.getLong(1)} != ${expected(wd)}")
+    }
+  }
+
   test("boilerplate_prefixes: every reported prefix really heads >= 2 docs of that source") {
     val bySource = Tables
       .documents(spark, sfDir)
