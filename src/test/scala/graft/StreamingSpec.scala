@@ -934,5 +934,51 @@ class StreamingSpec extends SparkSpec {
     // dir with identical content — the merged view must not change
     runLoop(Files.createTempDirectory("ck-rollup2").toString)
     assert(mergedRows() == direct, "a replayed run must rewrite, never double-count")
+    // compaction: the merge written back as ONE batch state replaces the
+    // originals and re-merges to the identical view — allowed precisely
+    // because the state algebra is associative (the agg_state_merge gate)
+    val compacted = EventStream
+      .mergedState(spark, stateDir)
+      .select(
+        col("user_id"),
+        col("n").as("pn"),
+        col("total").as("pv"),
+        col("first_us").as("pmin"),
+        col("last_us").as("pmax"),
+      )
+      .collect()
+    val compactDir = Files.createTempDirectory("rollup-compact").toString
+    import scala.jdk.CollectionConverters._
+    spark
+      .createDataFrame(
+        compacted.toSeq.asJava,
+        EventStream.mergedState(spark, stateDir)
+          .select(
+            col("user_id"),
+            col("n").as("pn"),
+            col("total").as("pv"),
+            col("first_us").as("pmin"),
+            col("last_us").as("pmax"),
+          )
+          .schema,
+      )
+      .write
+      .parquet(s"$compactDir/batch_0")
+    assert(
+      EventStream
+        .mergedState(spark, compactDir)
+        .select(
+          col("user_id"),
+          col("n"),
+          col("total").cast("double"),
+          col("first_us"),
+          col("last_us"),
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+        .sortBy(_._1)
+        .toSeq == direct,
+      "compacted states must re-merge to the identical view",
+    )
   }
 }
