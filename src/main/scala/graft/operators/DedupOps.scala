@@ -1652,12 +1652,18 @@ object DedupOps extends QueryModule {
   private val containmentDedup = DeclaredQuery(
     "containment_dedup",
     (s, d) => {
-      val e = capByDf(gramRows(s, d), DefaultMaxDf)
-      val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
-      val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
-      x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
-        .groupBy("da", "db", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
+      // the shared-gram pair table is a substrate like jaccard-pairs:
+      // the inverted-index self-join runs once per (session, dataset),
+      // every rep/consumer reads the persisted (da, db, na, nb, shared)
+      graft.SubstrateCache
+        .substrate(s, d, s"containment-pairs:df$DefaultMaxDf") {
+          val e = capByDf(gramRows(s, d), DefaultMaxDf)
+          val x = e.select(col("doc_id").as("da"), col("n").as("na"), col("gh"))
+          val y = e.select(col("doc_id").as("db"), col("n").as("nb"), col("gh").as("gh2"))
+          x.join(y, x("gh") === y("gh2") && x("da") < y("db"))
+            .groupBy("da", "db", "na", "nb")
+            .agg(count(lit(1)).as("shared"))
+        }
         .withColumn("cont", col("shared").cast("double") / least(col("na"), col("nb")))
         .filter(col("cont") >= ContainTau)
         .select(
