@@ -42,7 +42,7 @@ object AggregatorOps extends QueryModule {
           col("label"),
           col("n_vecs"),
           col("pos").cast("long").as("pos"),
-          round(col("sv").cast("double") / (col("n_vecs") * lit(1000000.0)), 6).as("c"),
+          Disp.roundz(col("sv").cast("double") / (col("n_vecs") * lit(1000000.0)), 6).as("c"),
         )
         .orderBy("label", "pos")
     },
@@ -53,7 +53,7 @@ object AggregatorOps extends QueryModule {
                          count(*) AS n_vecs
                   FROM e GROUP BY 1, 2)
             SELECT label, n_vecs, CAST(pos AS BIGINT) AS pos,
-                   round(CAST(sv AS DOUBLE) / (n_vecs * 1000000.0), 6) AS c
+                   (round(CAST(sv AS DOUBLE) / (n_vecs * 1000000.0), 6) + 0.0) AS c
             FROM s ORDER BY label, pos"""),
   )
 

@@ -590,7 +590,64 @@ object CurationOps extends QueryModule {
              FROM rkd ORDER BY doc_id"""),
   )
 
+  /** Top-p (nucleus) concentration audit — "how many heads cover 90% of
+    * the mass": per event_type, the smallest number of users whose
+    * summed value reaches 90% of the type's total, beside the
+    * participant count. The training-mix twin of nucleus sampling, and
+    * the concentration number (a Lorenz-curve point) every dataset card
+    * reports — a feed where 5 of 10⁶ contributors carry 90% of the mass
+    * needs capping (`winsorize_values`) before it biases the mix.
+    *
+    * Determinism: per-user mass sums in DECIMAL(18,2) (exact), and the
+    * 90% test is the integer-exact cross-multiplication `cum·10 ≥
+    * total·9` — no double ever enters a comparison. Ties in user mass
+    * break on user_id in both engines.
+    *
+    * Plan: (type, user) hash agg collapses the corpus to participant
+    * grain — the only corpus-sized step; the cumulative window and the
+    * covering-count agg run per type over participant-grain rows, the
+    * same one-exchange bound as `score_quantile_norm`. At 100 TB the
+    * heavy-head windows are exactly where AQE skew splitting applies.
+    */
+  private val nucleusCoverage = DeclaredQuery(
+    "nucleus_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val perUser = events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("mass"))
+      val w = Window
+        .partitionBy("event_type")
+        .orderBy(col("mass").desc, col("user_id"))
+      perUser
+        .withColumn("cum", sum("mass").over(w))
+        .withColumn("total", sum("mass").over(Window.partitionBy("event_type")))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("covers", col("cum") * 10 >= col("total") * 9)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_users"),
+          min(when(col("covers"), col("rk"))).cast("long").as("n_for_90pct"),
+        )
+        .orderBy("event_type")
+    },
+    Some("""WITH pu AS (SELECT event_type, user_id,
+                               sum(CAST(value AS DECIMAL(18,2))) AS mass
+                        FROM events GROUP BY 1, 2),
+            c AS (SELECT event_type, user_id, mass,
+                         sum(mass) OVER (PARTITION BY event_type
+                                         ORDER BY mass DESC, user_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum,
+                         sum(mass) OVER (PARTITION BY event_type) AS total,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY mass DESC, user_id) AS rk
+                  FROM pu)
+            SELECT event_type, count(*) AS n_users,
+                   CAST(min(CASE WHEN cum * 10 >= total * 9 THEN rk END) AS BIGINT) AS n_for_90pct
+            FROM c GROUP BY 1 ORDER BY 1"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
-      ruleModelCrosstab, calibrationBins, scoreQuantileNorm)
+      ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage)
 }

@@ -322,7 +322,7 @@ object DedupOps extends QueryModule {
           "exact_j",
           round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
         )
-        .withColumn("est_err", round(col("est_j") - col("exact_j"), 4))
+        .withColumn("est_err", Disp.roundz(col("est_j") - col("exact_j"), 4))
         .select("da", "db", "matches", "est_j", "exact_j", "est_err")
         .orderBy("da", "db")
     },
@@ -337,7 +337,7 @@ object DedupOps extends QueryModule {
                    FROM j)
              SELECT da, db, matches, est_j,
                     round(shared::DOUBLE / (na + nb - shared), 4) AS exact_j,
-                    round(est_j - round(shared::DOUBLE / (na + nb - shared), 4), 4) AS est_err
+                    (round(est_j - round(shared::DOUBLE / (na + nb - shared), 4), 4) + 0.0) AS est_err
              FROM x ORDER BY da, db"""),
   )
 
@@ -1539,29 +1539,69 @@ object DedupOps extends QueryModule {
     * it measures small (supplier here). Skewed blocks (one giant city)
     * are the `salted_join` pattern, composable on the same key.
     */
+  /** Fellegi–Sunter scoring + threshold over candidate pairs produced by
+    * SOME blocking join — the linkage model, separated from the join
+    * strategy so the two compose: the declared query feeds it the plain
+    * un-hinted block join; [[linkedPairsSalted]] feeds it the
+    * `salted_join` exchange for skewed blocks. The scored-pair SET is a
+    * function of the joined row set alone, so any join that produces the
+    * same candidate rows produces the same links — the property
+    * Round11OpsSpec pins.
+    */
+  private[graft] def scoreLinks(cand: DataFrame): DataFrame =
+    cand
+      .withColumn(
+        "score",
+        when(col("c_band") === col("s_band"), lit(24L)).otherwise(lit(-8L))
+          + when(col("c_num") === col("s_num"), lit(18L)).otherwise(lit(-6L)),
+      )
+      .filter(col("score") >= 10L)
+      .select(col("c_custkey"), col("s_suppkey"), col("nationkey"), col("score"))
+
+  /** The two linkage field projections (blocking key + model fields). */
+  private[graft] def linkageSides(s: SparkSession, d: String): (DataFrame, DataFrame) = (
+    customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey").as("nationkey"),
+      floor(col("c_acctbal") / 1000.0).as("c_band"),
+      (expr("CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)") % 100L).as("c_num"),
+    ),
+    supplier(s, d).select(
+      col("s_suppkey"),
+      col("s_nationkey").as("nationkey"),
+      floor(col("s_acctbal") / 1000.0).as("s_band"),
+      (expr("CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)") % 100L).as("s_num"),
+    ),
+  )
+
+  /** `record_linkage` × `salted_join` — the skewed-block composition the
+    * Scaladoc above promises: the customer (fact) side salts each row by
+    * pmod(c_custkey, buckets), the supplier (dimension) side replicates
+    * each block row once per salt, and the block join runs on
+    * (nationkey, __salt) — a giant block (one metro area holding most of
+    * the corpus) then occupies `buckets` reducers instead of one. The
+    * joined row SET is exactly the plain block join's (every (c, s)
+    * pair within a block meets on exactly one salt), so [[scoreLinks]]
+    * emits identical links — Round11OpsSpec asserts set equality and
+    * that the exchange really is keyed on the salt. The `merge` hint
+    * pins the sort-merge path at fixture scale, as in `salted_join`.
+    */
+  private[graft] def linkedPairsSalted(
+      c: DataFrame,
+      p: DataFrame,
+      buckets: Long,
+  ): DataFrame = {
+    val facts = c.withColumn("__salt", pmod(col("c_custkey"), lit(buckets)))
+    val dim = p.withColumn("__salt", explode(sequence(lit(0L), lit(buckets - 1))))
+    scoreLinks(facts.join(dim.hint("merge"), Seq("nationkey", "__salt")))
+  }
+
   private val recordLinkage = DeclaredQuery(
     "record_linkage",
     (s, d) => {
-      val c = customer(s, d).select(
-        col("c_custkey"),
-        col("c_nationkey").as("nationkey"),
-        floor(col("c_acctbal") / 1000.0).as("c_band"),
-        (expr("CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)") % 100L).as("c_num"),
-      )
-      val p = supplier(s, d).select(
-        col("s_suppkey"),
-        col("s_nationkey").as("nationkey"),
-        floor(col("s_acctbal") / 1000.0).as("s_band"),
-        (expr("CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT)") % 100L).as("s_num"),
-      )
-      c.join(p, Seq("nationkey")) // blocking join, un-hinted: AQE decides
-        .withColumn(
-          "score",
-          when(col("c_band") === col("s_band"), lit(24L)).otherwise(lit(-8L))
-            + when(col("c_num") === col("s_num"), lit(18L)).otherwise(lit(-6L)),
-        )
-        .filter(col("score") >= 10L)
-        .select(col("c_custkey"), col("s_suppkey"), col("nationkey"), col("score"))
+      val (c, p) = linkageSides(s, d)
+      // blocking join, un-hinted: AQE decides
+      scoreLinks(c.join(p, Seq("nationkey")))
         .orderBy("c_custkey", "s_suppkey")
     },
     Some("""WITH c AS (SELECT c_custkey, c_nationkey AS nationkey,

@@ -196,7 +196,7 @@ object Ivf extends QueryModule {
       .join(assigned, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), Seq("vec_id"))
-      .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
+      .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cand_vec)"), 6))
       .withColumn(
         "rank",
         row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
@@ -230,7 +230,7 @@ object Ivf extends QueryModule {
        |cand AS (SELECT p.qid, p.qvec, p.qnrm, a.vec_id
        |         FROM probe p JOIN asg1 a USING (cid) WHERE a.vec_id <> p.qid),
        |scored AS (SELECT c.qid, c.vec_id,
-       |                  round(list_inner_product(c.qvec, e.dvec) / (c.qnrm * e.nrm), 6) AS sim
+       |                  (round(list_inner_product(c.qvec, e.dvec) / (c.qnrm * e.nrm), 6) + 0.0) AS sim
        |           FROM cand c JOIN e USING (vec_id)),
        |r AS (SELECT qid, vec_id, sim,
        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
@@ -264,7 +264,7 @@ object Ivf extends QueryModule {
         .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
       val exact = broadcast(q)
         .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), col("vec_id") =!= col("qid"))
-        .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cand_vec)"), 6))
         .withColumn(
           "rank",
           row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
@@ -284,7 +284,7 @@ object Ivf extends QueryModule {
              $ivfRankedDuck,
              ir AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rank <= $TopK),
              xp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                           round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                           (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                     FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
              xr AS (SELECT qid, cid,
                            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -394,7 +394,7 @@ object Ivf extends QueryModule {
           row_number().over(Window.partitionBy("qid").orderBy(col("qdot").desc, col("vec_id"))),
         )
         .filter(col("crank") <= RescoreQ)
-        .withColumn("sim", round(expr("cosine_similarity(qvec, dvec)"), 6))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, dvec)"), 6))
         .withColumn(
           "rank",
           row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
@@ -438,7 +438,7 @@ object Ivf extends QueryModule {
                            row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, vec_id) AS crank
                     FROM coarse),
              rs AS (SELECT cr.qid, cr.vec_id, cr.qdot,
-                           round(list_inner_product(q.qvec, z.dvec) / (q.qnrm * z.nrm), 6) AS sim
+                           (round(list_inner_product(q.qvec, z.dvec) / (q.qnrm * z.nrm), 6) + 0.0) AS sim
                     FROM cr JOIN q ON q.qid = cr.qid JOIN e z ON z.vec_id = cr.vec_id
                     WHERE cr.crank <= $RescoreQ),
              r AS (SELECT qid, vec_id, qdot, sim,

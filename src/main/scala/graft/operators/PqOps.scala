@@ -192,7 +192,7 @@ object PqOps extends QueryModule {
       .join(broadcast(q.select(col("vec_id").as("qid"), col("dvec").as("qfull"))), Seq("qid"))
     broadcast(survivors)
       .join(e.select(col("vec_id"), col("dvec").as("cfull")), Seq("vec_id"))
-      .withColumn("sim", round(expr("cosine_similarity(qfull, cfull)"), 6))
+      .withColumn("sim", Disp.roundz(expr("cosine_similarity(qfull, cfull)"), 6))
       .withColumn(
         "rank",
         row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
@@ -251,7 +251,7 @@ object PqOps extends QueryModule {
         .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
       val exact = broadcast(q)
         .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), col("vec_id") =!= col("qid"))
-        .withColumn("sim", round(expr("cosine_similarity(qvec, cand_vec)"), 6))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cand_vec)"), 6))
         .withColumn(
           "rank",
           row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
@@ -281,7 +281,7 @@ object PqOps extends QueryModule {
              ${rescoreCtesDuck(Rescore)},
              ir AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rank <= $TopK),
              xp AS (SELECT q.qid, c.vec_id AS cid,
-                           round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                           (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                     FROM q JOIN e c ON c.vec_id <> q.qid),
              xr AS (SELECT qid, cid,
                            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -450,7 +450,7 @@ object PqOps extends QueryModule {
     s"""cr AS (SELECT qid, vec_id, adc,
        |              row_number() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS crank FROM cand),
        |rs AS (SELECT c.qid, c.vec_id, c.adc,
-       |              round(list_inner_product(q.dvec, e2.dvec) / (q.nrm * e2.nrm), 6) AS sim
+       |              (round(list_inner_product(q.dvec, e2.dvec) / (q.nrm * e2.nrm), 6) + 0.0) AS sim
        |       FROM cr c JOIN q ON q.qid = c.qid JOIN e e2 ON e2.vec_id = c.vec_id
        |       WHERE crank <= $rescore),
        |r AS (SELECT qid, vec_id, adc, sim,

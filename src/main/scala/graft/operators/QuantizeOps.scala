@@ -130,7 +130,7 @@ object QuantizeOps extends QueryModule {
           row_number().over(Window.partitionBy("qid").orderBy(col("qdot").desc, col("cid"))),
         )
         .filter(col("crank") <= Rescore)
-        .withColumn("sim", round(expr("cosine_similarity(qvec, cvec)"), 6))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cvec)"), 6))
         .withColumn(
           "rank",
           row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("cid"))),
@@ -154,7 +154,7 @@ object QuantizeOps extends QueryModule {
                            row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid) AS crank
                     FROM p),
              rs AS (SELECT qid, cid, qdot,
-                           round(list_inner_product(qvec, cvec) / (qnrm * cnrm), 6) AS sim
+                           (round(list_inner_product(qvec, cvec) / (qnrm * cnrm), 6) + 0.0) AS sim
                     FROM cr WHERE crank <= $Rescore),
              r AS (SELECT qid, cid, qdot, sim,
                           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -215,7 +215,64 @@ object QuantizeOps extends QueryModule {
             FROM a ORDER BY pos"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(embeddingQuantize, quantizedTopk, embeddingDimStats)
+  /** Random-projection (Johnson–Lindenstrauss) dimensionality reduction
+    * 64 → 8 dims with a deterministic ±1 sign matrix (Achlioptas 2003
+    * showed ±1 entries preserve JL's distance guarantees — no Gaussians
+    * needed) — the cheap front-end of every large-scale embedding
+    * pipeline: 8× less vector I/O for downstream clustering/ANN, with
+    * the same banded-code substrates applying unchanged on the projected
+    * space. Sign s(j,k) comes from the suite's shared integer hash
+    * formula ((j·73856093 + k·19349663) mod 10007, parity) — a literal
+    * in both engines, no RNG state, no model file.
+    *
+    * Determinism: inputs quantize to exact ×10⁴ BIGINTs first (the
+    * `embedding_covariance` discipline), so each output component is an
+    * exact integer fold — no float enters the projection at all.
+    *
+    * Plan: pure scan-local HOF arithmetic, zero shuffle beyond the
+    * presentation sort; at 100 TB this is the embarrassingly-parallel
+    * map stage it should be, and the 8 output longs per row are the
+    * only bytes that leave the scan.
+    */
+  private val jlProject = DeclaredQuery(
+    "jl_project",
+    (s, d) => {
+      val q = embeddings(s, d)
+        .withColumn(
+          "qv",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
+        )
+      val ys = (0 until 8).map { j =>
+        expr(
+          s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+             |  (acc, k) -> acc + qv[k] *
+             |    (CASE WHEN ((($j * 73856093 + k * 19349663) % 10007) % 2) = 0
+             |          THEN 1 ELSE -1 END))""".stripMargin,
+        ).as(s"y$j")
+      }
+      q.select(col("vec_id") +: ys: _*).orderBy("vec_id")
+    },
+    Some {
+      val ysDuck = (0 until 8)
+        .map { j =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(generate_series(0, 63), k -> qv[k + 1] *
+             |    (CASE WHEN ((($j * 73856093 + k * 19349663) % 10007) % 2) = 0
+             |          THEN 1 ELSE -1 END))), (a, x) -> a + x) AS y$j""".stripMargin
+        }
+        .mkString(",\n                    ")
+      s"""WITH q AS (SELECT vec_id,
+                            list_transform(embedding::DOUBLE[],
+                              x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
+                     FROM embeddings)
+             SELECT vec_id,
+                    $ysDuck
+             FROM q ORDER BY vec_id"""
+    },
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(embeddingQuantize, quantizedTopk, embeddingDimStats, jlProject)
 
   /** Deflate-compression-ratio quality signal (compressed/raw bytes): the
     * classic cheap gibberish/boilerplate detector a pretraining pipeline

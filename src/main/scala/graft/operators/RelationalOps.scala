@@ -527,7 +527,7 @@ object RelationalOps extends QueryModule {
         .select(
           col("l_returnflag"),
           col("n"),
-          round(
+          Disp.roundz(
             expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
@@ -544,10 +544,10 @@ object RelationalOps extends QueryModule {
                          sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
                   FROM t GROUP BY 1)
             SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                         6) AS corr_qty_price
+                         6) + 0.0) AS corr_qty_price
             FROM a ORDER BY l_returnflag"""),
   )
 

@@ -306,7 +306,7 @@ object RetrievalOps extends QueryModule {
       val dense = e
         .filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)) // 1-row query vector
-        .withColumn("sim", round(expr("cosine_similarity(qv, dvec)"), 6))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qv, dvec)"), 6))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(BmTopK)
         .withColumn(
@@ -354,7 +354,7 @@ object RetrievalOps extends QueryModule {
                 FROM embeddings),
           qv AS (SELECT dvec AS qv, nrm AS qn FROM e WHERE vec_id = 0),
           ds AS (SELECT c.vec_id AS doc_id,
-                        round(list_inner_product(qv.qv, c.dvec) / (qv.qn * c.nrm), 6) AS sim
+                        (round(list_inner_product(qv.qv, c.dvec) / (qv.qn * c.nrm), 6) + 0.0) AS sim
                  FROM e c, qv WHERE c.vec_id <> 0),
           dr AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rank_dense FROM ds),
           r2 AS (SELECT doc_id, rank_dense FROM dr WHERE rank_dense <= $BmTopK),

@@ -272,8 +272,16 @@ object ScalarOps extends QueryModule {
         max("event_type").as("mx_type"),
         sum(when(col("value").isNull, 1L).otherwise(0L)).as("nn_value"),
         countDistinct("value").as("nd_value"),
-        min(col("value")).cast("string").as("mn_value"),
-        max(col("value")).cast("string").as("mx_value"),
+        // DOUBLE extremes render through a PINNED fixed-point format
+        // (micro-units via floor(x·1e6 + 0.5), the suite's integer-scale
+        // discipline), never engine-native casts: Spark's cast(string)
+        // is Java Double.toString (scientific notation for |x| < 1e-3 or
+        // ≥ 1e7) while DuckDB VARCHAR uses shortest-round-trip — same
+        // value, different bytes, and the driver gate hashes bytes.
+        expr("CAST(CAST(floor(min(value) * 1000000.0 + 0.5) AS BIGINT) AS STRING)")
+          .as("mn_value"),
+        expr("CAST(CAST(floor(max(value) * 1000000.0 + 0.5) AS BIGINT) AS STRING)")
+          .as("mx_value"),
       ).selectExpr(
         """stack(3,
           |  'user_id', n, nn_user, nd_user, mn_user, mx_user,
@@ -293,8 +301,8 @@ object ScalarOps extends QueryModule {
                               max(event_type) AS mx_type,
                               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
                               count(DISTINCT value) AS nd_value,
-                              CAST(min(value) AS VARCHAR) AS mn_value,
-                              CAST(max(value) AS VARCHAR) AS mx_value
+                              CAST(CAST(floor(min(value) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mn_value,
+                              CAST(CAST(floor(max(value) * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR) AS mx_value
                        FROM events)
             SELECT u.* FROM a,
                    LATERAL (VALUES ('user_id', n, nn_user, nd_user, mn_user, mx_user),

@@ -816,8 +816,55 @@ object ScalePatterns extends QueryModule {
             FROM t ORDER BY matched_keys"""),
   )
 
+  /** Order-independent table checksum — the anti-entropy primitive of
+    * every 100 TB migration/replication audit (DynamoDB/Cassandra repair,
+    * HDFS distcp -update verification): source and destination each
+    * reduce a slice to (n, Σ rowhash mod M, XOR rowhash) per group and
+    * compare the tiny summaries — no sort, no row transfer, no ordering
+    * assumption. The two digests are complementary: XOR is carry-free
+    * but blind to duplicated row PAIRS (x ⊕ x = 0); the modular sum
+    * catches exactly those. The row hash is an explicit integer
+    * polynomial over the columns (shared-formula discipline — both
+    * engines state the same arithmetic; no engine-native hash()), with
+    * money carried as exact cents.
+    *
+    * Plan: scan-local hash + ONE partial+final agg with constant state
+    * per group — the cheapest possible full-table pass; map-side
+    * partials mean the exchange carries groups × 3 longs. Row hashes are
+    * < 2³¹, so the BIGINT Σ is exact to ~4×10⁹ rows per group; past
+    * that, the `embedding_covariance` DECIMAL(38) accumulator knob
+    * applies unchanged.
+    */
+  private val tableChecksum = DeclaredQuery(
+    "table_checksum",
+    (s, d) => {
+      val rh = expr(
+        """((o_orderkey * 2654435761 + o_custkey * 97381
+          |   + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647)""".stripMargin,
+      )
+      graft.Tables
+        .orders(s, d)
+        .withColumn("rh", rh)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum("rh").as("checksum_sum"),
+          expr("bit_xor(rh)").as("checksum_xor"),
+        )
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH h AS (SELECT o_orderpriority,
+                              ((o_orderkey * 2654435761 + o_custkey * 97381
+                                + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh
+                       FROM orders)
+            SELECT o_orderpriority, count(*) AS n,
+                   CAST(sum(rh) AS BIGINT) AS checksum_sum,
+                   bit_xor(rh) AS checksum_xor
+            FROM h GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
       bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics,
-      aggStateMerge, joinSizeAudit)
+      aggStateMerge, joinSizeAudit, tableChecksum)
 }

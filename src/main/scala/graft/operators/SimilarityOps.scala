@@ -52,7 +52,7 @@ object SimilarityOps extends QueryModule {
     val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"))
     broadcast(q)
       .join(c, col("qid") =!= col("cid"))
-      .withColumn("sim", round(simExpr(s), 6))
+      .withColumn("sim", Disp.roundz(simExpr(s), 6))
       .withColumn(
         "rank",
         row_number().over(
@@ -72,7 +72,7 @@ object SimilarityOps extends QueryModule {
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                         FROM embeddings),
              p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                          (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
              r AS (SELECT qid, cid, sim,
                           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -156,7 +156,7 @@ object SimilarityOps extends QueryModule {
       cand
         .join(broadcast(q.select(col("qid"), col("qv"))), Seq("qid"))
         .join(e.select(col("vec_id").as("cid"), col("dvec").as("cv")), Seq("cid"))
-        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn("sim", Disp.roundz(simExpr(s), 6))
         .withColumn(
           "rank",
           row_number().over(
@@ -178,7 +178,7 @@ object SimilarityOps extends QueryModule {
              ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
              p AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
                           CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
-                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                          (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                    FROM ec q JOIN ec c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
                    WHERE bit_count(xor(q.code, c.code)) <= 3),
              r AS (SELECT qid, cid, code_hd, sim,
@@ -292,7 +292,7 @@ object SimilarityOps extends QueryModule {
                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                        FROM embeddings),
             p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
-                         round(list_inner_product(a.dvec, b.dvec) / (a.nrm * b.nrm), 6) AS sim
+                         (round(list_inner_product(a.dvec, b.dvec) / (a.nrm * b.nrm), 6) + 0.0) AS sim
                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
             SELECT va, vb, sim FROM p WHERE sim >= 0.4 ORDER BY va, vb"""),
   )
@@ -401,7 +401,7 @@ object SimilarityOps extends QueryModule {
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                         FROM embeddings),
              xp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                           round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                           (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                     FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
              xr AS (SELECT qid, cid,
                            row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -409,7 +409,7 @@ object SimilarityOps extends QueryModule {
              x AS (SELECT qid, cid FROM xr WHERE rank <= 5),
              ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
              ap AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                           round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                           (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                     FROM ec q JOIN ec c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
                     WHERE bit_count(xor(q.code, c.code)) <= 3),
              ar AS (SELECT qid, cid,
@@ -467,7 +467,7 @@ object SimilarityOps extends QueryModule {
             .as("cvec"),
         )
       e.join(cent, Seq("label")) // un-hinted: label-cardinality, AQE broadcasts
-        .withColumn("sim", round(expr("cosine_similarity(dvec, cvec)"), 6))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(dvec, cvec)"), 6))
         .groupBy("label")
         .agg(
           count(lit(1)).as("n_vecs"),
@@ -520,9 +520,27 @@ object SimilarityOps extends QueryModule {
     * DECIMAL(38) at full scale — stated knob); the covariance double
     * derives from the exact moments in one shape-pinned expression.
     */
-  private val embeddingCovariance = DeclaredQuery(
-    "embedding_covariance",
-    (s, d) => {
+  /** The moment pipeline behind `embedding_covariance`, with the stated
+    * DECIMAL(38) accumulation knob implemented. `wide = false` (the
+    * declared query) accumulates moments as BIGINT — exact while
+    * N·(10⁵)² < 2⁶³, i.e. to ~9×10⁸ vectors. `wide = true` swaps ONLY
+    * the three accumulator types to DECIMAL(38,0) — headroom to ~10²⁸
+    * products, i.e. any realistic corpus — and leaves every other part
+    * of the plan (map-side product explode, partial+final hash agg,
+    * bounded decode broadcasts) byte-identical; the `cov` derivation
+    * reads the moments through the same double cast either way.
+    * Round11OpsSpec proves (a) value parity with the BIGINT path on
+    * testdata and (b) that the BIGINT path dies on Long-overflow-scale
+    * inputs (ANSI throw — pre-ANSI Spark wrapped silently, worse) where
+    * the DECIMAL(38) path stays exact — the reason the knob exists.
+    */
+  private[graft] def covarianceMoments(
+      s: SparkSession,
+      d: String,
+      wide: Boolean,
+  ): DataFrame = {
+      def acc(c: org.apache.spark.sql.Column) =
+        if (wide) sum(c.cast("decimal(38,0)")) else sum(c)
       val q = embeddings(s, d)
         .withColumn(
           "qv",
@@ -535,7 +553,7 @@ object SimilarityOps extends QueryModule {
       val first = q
         .select(posexplode(col("qv")).as(Seq("k", "qk")))
         .groupBy("k")
-        .agg(count(lit(1)).as("n"), sum("qk").as("s"))
+        .agg(count(lit(1)).as("n"), acc(col("qk")).as("s"))
       // The quadratic path carries ONLY (pos, product) — a primitive int
       // + long per cell, no struct allocation, no per-row i/j columns:
       // the flat array enumerates the upper triangle row-major, so the
@@ -550,7 +568,7 @@ object SimilarityOps extends QueryModule {
           ).as(Seq("pos", "p")),
         )
         .groupBy("pos")
-        .agg(sum("p").as("sij"))
+        .agg(acc(col("p")).as("sij"))
       // pos → (i, j) decode: generated arithmetically (no collect), a
       // D²/2-row bounded broadcast like the first-moment table — both are
       // model-sized (dimension-derived), never corpus-sized.
@@ -568,7 +586,7 @@ object SimilarityOps extends QueryModule {
         .join(broadcast(first.select(col("k").as("j"), col("s").as("sj"))), Seq("j"))
         .withColumn(
           "cov",
-          round(
+          Disp.roundz(
             (col("sij").cast("double") / col("n")
               - (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
               / 1e8,
@@ -577,7 +595,11 @@ object SimilarityOps extends QueryModule {
         )
         .select("i", "j", "n", "si", "sj", "sij", "cov")
         .orderBy("i", "j")
-    },
+  }
+
+  private val embeddingCovariance = DeclaredQuery(
+    "embedding_covariance",
+    (s, d) => covarianceMoments(s, d, wide = false),
     Some(s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
                                 x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
                         FROM embeddings),
@@ -588,9 +610,9 @@ object SimilarityOps extends QueryModule {
              SELECT i, j, count(*) AS n,
                     CAST(sum(qi) AS BIGINT) AS si, CAST(sum(qj) AS BIGINT) AS sj,
                     CAST(sum(qi * qj) AS BIGINT) AS sij,
-                    round((CAST(sum(qi * qj) AS DOUBLE) / count(*)
+                    (round((CAST(sum(qi * qj) AS DOUBLE) / count(*)
                            - (CAST(sum(qi) AS DOUBLE) / count(*)) * (CAST(sum(qj) AS DOUBLE) / count(*)))
-                          / 1e8, 6) AS cov
+                          / 1e8, 6) + 0.0) AS cov
              FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
@@ -618,7 +640,7 @@ object SimilarityOps extends QueryModule {
       val c = e.select(col("vec_id").as("cid"), col("dvec").as("cv"), col("label").as("neg_label"))
       broadcast(q)
         .join(c, col("qlabel") =!= col("neg_label"))
-        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn("sim", Disp.roundz(simExpr(s), 6))
         .withColumn(
           "rank",
           row_number().over(
@@ -641,7 +663,7 @@ object SimilarityOps extends QueryModule {
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                         FROM embeddings),
              p AS (SELECT q.vec_id AS qid, c.vec_id AS cid, c.label AS neg_label,
-                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                          (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.label <> c.label),
              r AS (SELECT qid, cid, neg_label, sim,
                           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
@@ -725,7 +747,7 @@ object SimilarityOps extends QueryModule {
       cand
         .join(e.select(col("vec_id").as("src"), col("dvec").as("qv")), Seq("src"))
         .join(e.select(col("vec_id").as("nbr"), col("dvec").as("cv")), Seq("nbr"))
-        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn("sim", Disp.roundz(simExpr(s), 6))
         .withColumn(
           "rank",
           row_number().over(
@@ -749,7 +771,7 @@ object SimilarityOps extends QueryModule {
        |ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
        |p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
        |             CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
-       |             round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+       |             (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
        |      FROM ec q JOIN ec c ON q.vec_id <> c.vec_id
        |      WHERE bit_count(xor(q.code, c.code)) <= 3),
        |r AS (SELECT src, nbr, code_hd, sim,
@@ -852,7 +874,7 @@ object SimilarityOps extends QueryModule {
           col("label"),
           col("n_a"),
           col("n_b"),
-          round(
+          Disp.roundz(
             expr("""CAST(sab AS DOUBLE)
                     / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))"""),
             6,
@@ -877,8 +899,8 @@ object SimilarityOps extends QueryModule {
                            CAST(sum(sb * sb) AS BIGINT) AS sbb
                     FROM j GROUP BY 1)
              SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-                    round(CAST(sab AS DOUBLE)
-                          / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6) AS shift_cos
+                    (round(CAST(sab AS DOUBLE)
+                          / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6) + 0.0) AS shift_cos
              FROM g2 ORDER BY label"""),
   )
 
@@ -919,7 +941,7 @@ object SimilarityOps extends QueryModule {
       cand
         .join(newB.select("src", "qv"), Seq("src"))
         .join(corpus.select("nbr", "cv"), Seq("nbr"))
-        .withColumn("sim", round(simExpr(s), 6))
+        .withColumn("sim", Disp.roundz(simExpr(s), 6))
         .withColumn(
           "rank",
           row_number().over(
@@ -938,7 +960,7 @@ object SimilarityOps extends QueryModule {
              ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
              p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
                           CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
-                          round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) AS sim
+                          (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
                    FROM ec q JOIN ec c
                      ON q.vec_id % 7 = 0 AND c.vec_id % 7 <> 0
                    WHERE bit_count(xor(q.code, c.code)) <= 3),

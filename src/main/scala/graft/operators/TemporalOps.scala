@@ -705,27 +705,46 @@ object TemporalOps extends QueryModule {
     * un-hinted day join. The approximate tier of the same question is
     * `sketch_union` (mergeable by design); this is the exact arm.
     */
+  /** The post-grain window pipeline of `rolling_active_users`, over an
+    * already-deduped (day, user_id) frame: ×≤7 arithmetic fan-out of the
+    * SMALL grain rows, windows clipped to observed days, one distinct
+    * per window end. Shared verbatim by the declared batch query and the
+    * streaming serve ([[graft.streaming.EventStream.rollingActiveFromGrain]])
+    * so the sliding-distinct semantics cannot drift between the two —
+    * the DuckDB oracle on the batch arm certifies both.
+    *
+    * The input may carry duplicate (day, user) rows (the streaming grain
+    * store appends per-batch slices); the fan-out re-distincts first, so
+    * set-union IS the grain's merge algebra — the mergeable half of a
+    * question whose COUNT is not mergeable.
+    */
+  private[graft] def rollingFromDayUser(dayUser: DataFrame): DataFrame = {
+    val du = dayUser.select("day", "user_id").distinct()
+    val days = du.select(col("day").as("wday")).distinct()
+    du.withColumn("wday", explode(expr("sequence(day, day + 6)")))
+      .join(days, Seq("wday")) // un-hinted: day-cardinality, AQE decides
+      .groupBy("wday")
+      .agg(countDistinct("user_id").as("active_users"))
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), col("wday").cast("int")), "yyyy-MM-dd")
+          .as("window_end"),
+        col("active_users"),
+      )
+      .orderBy("window_end")
+  }
+
+  /** Reduce raw events to the (day, user_id) grain — the only
+    * corpus-sized step; batch and streaming share it.
+    */
+  private[graft] def toDayUserGrain(ev: DataFrame): DataFrame =
+    ev.select(
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+      col("user_id"),
+    ).distinct()
+
   private val rollingActiveUsers = DeclaredQuery(
     "rolling_active_users",
-    (s, d) => {
-      val du = events(s, d)
-        .select(
-          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
-          col("user_id"),
-        )
-        .distinct()
-      val days = du.select(col("day").as("wday")).distinct()
-      du.withColumn("wday", explode(expr("sequence(day, day + 6)")))
-        .join(days, Seq("wday")) // un-hinted: day-cardinality, AQE decides
-        .groupBy("wday")
-        .agg(countDistinct("user_id").as("active_users"))
-        .select(
-          date_format(date_add(lit("1970-01-01").cast("date"), col("wday").cast("int")), "yyyy-MM-dd")
-            .as("window_end"),
-          col("active_users"),
-        )
-        .orderBy("window_end")
-    },
+    (s, d) => rollingFromDayUser(toDayUserGrain(events(s, d))),
     Some("""WITH du AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
                                user_id
                         FROM events),
@@ -739,8 +758,87 @@ object TemporalOps extends QueryModule {
             FROM w ORDER BY window_end"""),
   )
 
+  /** SCD type-2 dimension build from the event stream — the warehouse
+    * pattern (Kimball's slowly-changing dimension) that turns "what is
+    * each user's event_type NOW" into "what was it at any time": one row
+    * per (user, run of equal consecutive types), with [valid_from,
+    * valid_to) microsecond bounds and valid_to NULL on the open current
+    * row. This is the batch materialization every point-in-time join
+    * (`asof_join`) serves from in production.
+    *
+    * Plan — two windows over ONE hash partitioning: both the
+    * change-point filter (lag) and the interval close (lead) partition
+    * by user_id, so Catalyst plans a single exchange + sort and the
+    * second window rides the first's ordering; per-user history scans
+    * once per partition. At 100 TB this is one shuffle of the event
+    * stream, the same bound as sessionize — no self-join, no range join.
+    * Ties are impossible in the order key ((ts µs, event_id), event_id
+    * unique); times are exact integer µs (`unix_micros` ≡ `epoch_us`).
+    */
+  private val scd2Intervals = DeclaredQuery(
+    "scd2_intervals",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      val changes = events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead("tus", 1).over(w))
+        .select(
+          col("user_id"),
+          col("event_type"),
+          col("tus").as("valid_from"),
+          col("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+                              lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                                AS prev_type
+                       FROM events),
+            c AS (SELECT user_id, tus, event_id, event_type FROM e
+                  WHERE prev_type IS NULL OR prev_type <> event_type)
+            SELECT user_id, event_type, tus AS valid_from,
+                   lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS valid_to
+            FROM c ORDER BY user_id, valid_from"""),
+  )
+
+  /** Feed-freshness audit — the ingest-health gate a 100 TB multi-feed
+    * pipeline runs before every training snapshot: per feed (event_type
+    * stands in for the feed id), row count, last-seen timestamp, and the
+    * lag behind the freshest feed, all in exact integer µs. A stale feed
+    * (lag over threshold) blocks the snapshot; the threshold column
+    * makes the gate a WHERE clause.
+    *
+    * Plan: ONE partial+final hash agg over the scan (constant state per
+    * feed); the global max is a rollup OF the per-feed rows joined back
+    * as a broadcast 1-row scalar (never a single-partition global
+    * window) — the whole audit costs one pass whatever the corpus;
+    * nothing corpus-sized ever shuffles.
+    */
+  private val freshnessAudit = DeclaredQuery(
+    "freshness_audit",
+    (s, d) => {
+      val per = events(s, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("last_us"))
+      per
+        .crossJoin(broadcast(per.agg(max("last_us").as("gmax"))))
+        .withColumn("lag_us", col("gmax") - col("last_us"))
+        .select("event_type", "n", "last_us", "lag_us")
+        .orderBy("event_type")
+    },
+    Some("""WITH per AS (SELECT event_type, count(*) AS n, max(epoch_us(ts)) AS last_us
+                         FROM events GROUP BY 1)
+            SELECT event_type, n, last_us,
+                   (max(last_us) OVER ()) - last_us AS lag_us
+            FROM per ORDER BY event_type"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
-      eventTrigrams, wowGrowth, rollingActiveUsers)
+      eventTrigrams, wowGrowth, rollingActiveUsers, scd2Intervals, freshnessAudit)
 }

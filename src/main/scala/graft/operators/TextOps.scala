@@ -1075,7 +1075,7 @@ object TextOps extends QueryModule {
       )
       .withColumn(
         "quality",
-        round(col("score_sum").cast("double") / greatest(col("n_feats"), lit(1L)), 4),
+        Disp.roundz(col("score_sum").cast("double") / greatest(col("n_feats"), lit(1L)), 4),
       )
   }
 
@@ -1124,7 +1124,7 @@ object TextOps extends QueryModule {
     (s, d) => qualityScoredCached(s, d).orderBy("doc_id"),
     Some(s"""WITH $qualityDuckCtes
              SELECT doc_id, n_feats, score_sum,
-                    round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) AS quality
+                    (round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4) + 0.0) AS quality
              FROM qs ORDER BY doc_id"""),
   )
 
@@ -1157,7 +1157,7 @@ object TextOps extends QueryModule {
         )
         .select(
           col("n"),
-          round(
+          Disp.roundz(
             expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                     / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                            * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""),
@@ -1176,10 +1176,10 @@ object TextOps extends QueryModule {
                          sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
                   FROM ln2 JOIN qy USING (doc_id))
             SELECT CAST(n AS BIGINT) AS n,
-                   round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                          / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
-                         6) AS corr_len_quality
+                         6) + 0.0) AS corr_len_quality
             FROM a ORDER BY n"""),
   )
 

@@ -234,6 +234,54 @@ object EventStream {
         max("pmax").as("last_us"),
       )
 
+  // ---- rolling distinct (rolling_active_users streaming twin) -------------
+
+  /** Streaming half of `rolling_active_users` — the sliding COUNT
+    * DISTINCT whose count is NOT mergeable across panes, maintained the
+    * only way that scales: persist the mergeable PART (the (day, user)
+    * dedup grain, whose merge algebra is set union) and leave the
+    * distinct-per-window to the serving query over that small grain.
+    *
+    * Each micro-batch reduces its slice to (day, user) and lands it in
+    * its own `batch_<id>` dir with Overwrite — the same
+    * idempotent-replay move as [[startStateMerge]] (foreachBatch is
+    * at-least-once; a crash-replayed batch rewrites identical content).
+    * Cross-batch duplicates are expected and harmless: the serve
+    * re-distincts, and compaction (read all dirs, distinct, write one
+    * dir) is the same union algebra written back.
+    *
+    * At 100 TB: per-batch cost is one slice dedup; stored state is
+    * O(days × active users/day) — grain-sized, not corpus-sized; the
+    * serve is windows × grain arithmetic, never a raw-event rescan.
+    */
+  def startDayUserGrain(
+      events: DataFrame,
+      grainDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.operators.TemporalOps
+          .toDayUserGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$grainDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the trailing-7-day active-user counts from the persisted
+    * grain — byte-identical to the declared batch query because the
+    * post-grain pipeline IS the batch query's
+    * ([[graft.operators.TemporalOps.rollingFromDayUser]]).
+    */
+  def rollingActiveFromGrain(spark: SparkSession, grainDir: String): DataFrame =
+    graft.operators.TemporalOps.rollingFromDayUser(
+      spark.read.parquet(s"$grainDir/batch_*"),
+    )
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

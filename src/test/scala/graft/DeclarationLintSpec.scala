@@ -17,7 +17,7 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 167, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 172, "declared-query count changed — update SURVEY.md §2.12")
   }
 
   test("SCALE.md and README.md carry the live declared-query count") {
@@ -36,6 +36,52 @@ class DeclarationLintSpec extends SparkSpec {
     val survey = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
     val missing = SparkEntry.queries.keySet.filterNot(n => survey.contains(s"`$n`"))
     assert(missing.isEmpty, s"queries missing from SURVEY.md §2.12: $missing")
+  }
+
+  test("Disp.roundz pins zero's sign to +0.0") {
+    // The round-10 regression class: Spark round() (BigDecimal, no -0)
+    // vs DuckDB round() (IEEE sign) diverge on tiny negatives that
+    // round to zero; the driver hash-compares bytes where -0.0 != +0.0.
+    import org.apache.spark.sql.functions.lit
+    val rows = spark
+      .range(1)
+      .select(
+        graft.operators.Disp.roundz(lit(-1e-9), 6).as("neg"),
+        graft.operators.Disp.roundz(lit(1e-9), 6).as("pos"),
+        graft.operators.Disp.roundz(lit(-0.25), 2).as("nz"),
+      )
+      .collect()
+    val (neg, pos, nz) =
+      (rows(0).getDouble(0), rows(0).getDouble(1), rows(0).getDouble(2))
+    assert(java.lang.Double.doubleToRawLongBits(neg) == 0L, "roundz(-1e-9) must be +0.0")
+    assert(java.lang.Double.doubleToRawLongBits(pos) == 0L, "roundz(+1e-9) must be +0.0")
+    assert(nz == -0.25, "roundz must not perturb nonzero values")
+  }
+
+  test("no new bare round() display sites — use Disp.roundz / SQL '+ 0.0'") {
+    // Every display-rounded DOUBLE whose operand can cross zero must go
+    // through Disp.roundz (Spark) and a '(round(...) + 0.0)' wrapper in
+    // the oracle SQL, or the engines disagree on the sign of zero and
+    // the driver's byte-hash gate flips red (round-10
+    // embedding_covariance). The 36 bare sites pinned here were audited
+    // as non-negative by construction (count ratios, costs, prices);
+    // a changed count means a new/removed site — audit its sign range
+    // and either use Disp.roundz or update this pin with the audit.
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val bare = java.nio.file.Files
+      .walk(root)
+      .iterator()
+      .asScala
+      .filter(p => p.toString.endsWith(".scala") && !p.toString.endsWith("Disp.scala"))
+      .map { p =>
+        var t = java.nio.file.Files.readString(p)
+        t = t.replaceAll("(?s)\"\"\".*?\"\"\"", "\"\"")
+        t = t.replaceAll("\"(?:\\\\.|[^\"\\\\])*\"", "\"\"")
+        "(?<![\\w.])round\\(".r.findAllMatchIn(t).size
+      }
+      .sum
+    assert(bare == 36, s"bare round( display sites changed: $bare (pinned 36)")
   }
 
   test("oracles reference only driver testdata tables") {

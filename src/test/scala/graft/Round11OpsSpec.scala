@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-11 invariants: the DECIMAL(38) moment-accumulation knob
+  * (value parity + the Long-wrap hazard it exists to remove) and the
+  * `record_linkage` × `salted_join` skew composition (identical links,
+  * salt really in the exchange).
+  */
+class Round11OpsSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("wide (DECIMAL 38) covariance moments equal the BIGINT path exactly") {
+    val narrow = operators.SimilarityOps
+      .covarianceMoments(spark, sfDir, wide = false)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+      .toSeq
+    val wide = operators.SimilarityOps
+      .covarianceMoments(spark, sfDir, wide = true)
+      .select(
+        col("i"), col("j"), col("n"),
+        col("si").cast("long"), col("sj").cast("long"), col("sij").cast("long"),
+        col("cov"),
+      )
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getDouble(6)))
+      .toSeq
+    assert(narrow.nonEmpty && wide == narrow,
+      "DECIMAL(38) accumulators must reproduce the BIGINT moments bit-for-bit in range")
+  }
+
+  test("BIGINT sum fails at Long scale where DECIMAL(38) stays exact — the knob's reason") {
+    import spark.implicits._
+    // 4 addends of ~0.9 * Long.MaxValue: the true sum (~3.3e19) exceeds
+    // Long range. Under Spark 4's ANSI default the BIGINT accumulator
+    // THROWS mid-job — a 100 TB moment aggregation that dies hours in —
+    // while DECIMAL(38) holds ~1e38 of headroom and returns the true
+    // value. (Pre-ANSI Spark wrapped silently — worse: corrupt moments,
+    // no error. Either way the knob is the fix.)
+    val v = (Long.MaxValue / 10L) * 9L
+    val df = Seq(v, v, v, v).toDF("x")
+    val truth = java.math.BigInteger.valueOf(v).multiply(java.math.BigInteger.valueOf(4L))
+    val wideSum = df.agg(sum($"x".cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+    assert(wideSum.toBigInteger == truth, "DECIMAL(38) must carry the true sum")
+    val longOutcome =
+      try Left(df.agg(sum($"x")).collect()(0).getLong(0))
+      catch { case e: Throwable => Right(e) }
+    longOutcome match {
+      case Right(e) =>
+        assert(e.toString.toLowerCase.contains("overflow"),
+          s"BIGINT path failed for an unexpected reason: $e")
+      case Left(got) =>
+        assert(java.math.BigInteger.valueOf(got) != truth,
+          "BIGINT must overflow (throw or wrap) — if this holds, the knob's premise changed")
+    }
+  }
+
+  test("salted record linkage links exactly the plain blocking join's pairs") {
+    val (c, p) = operators.DedupOps.linkageSides(spark, sfDir)
+    val plain = q("record_linkage")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+      .toSet
+    val salted = operators.DedupOps
+      .linkedPairsSalted(c, p, buckets = 8L)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+      .toSet
+    assert(plain.nonEmpty && salted == plain,
+      "salting the blocking join must not change the linked-pair set")
+  }
+
+  test("salted linkage under a pathological block: one nation holds 90% of rows") {
+    // Synthetic skew the fixture doesn't have: block 0 carries ~90% of
+    // both sides. The composition must still produce exactly the plain
+    // join's links — salting redistributes work, never candidates.
+    import spark.implicits._
+    val c = (0L until 400L)
+      .map(i => (i, if (i % 10L < 9L) 0L else i % 10L, i % 7L, i % 100L))
+      .toDF("c_custkey", "nationkey", "c_band", "c_num")
+    val p = (0L until 80L)
+      .map(i => (i, if (i % 10L < 9L) 0L else i % 10L, i % 7L, i % 100L))
+      .toDF("s_suppkey", "nationkey", "s_band", "s_num")
+    val plain = operators.DedupOps
+      .scoreLinks(c.join(p, Seq("nationkey")))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+      .toSet
+    val salted = operators.DedupOps
+      .linkedPairsSalted(c, p, buckets = 8L)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).longValue))
+      .toSet
+    assert(plain.nonEmpty && salted == plain)
+  }
+
+  test("the salted linkage exchange is keyed on (nationkey, __salt)") {
+    val (c, p) = operators.DedupOps.linkageSides(spark, sfDir)
+    val plan = operators.DedupOps
+      .linkedPairsSalted(c, p, buckets = 8L)
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("__salt"),
+      "salt column must survive into the physical plan's exchange keys")
+    assert("hashpartitioning\\([^)]*__salt".r.findFirstIn(plan).isDefined,
+      s"expected hashpartitioning on __salt in:\n$plan")
+  }
+}

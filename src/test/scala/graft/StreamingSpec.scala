@@ -981,4 +981,60 @@ class StreamingSpec extends SparkSpec {
       "compacted states must re-merge to the identical view",
     )
   }
+
+  test("streaming (day,user) grain serves the exact rolling_active_users counts") {
+    import org.apache.spark.sql.functions._
+    // two files → two micro-batches; splitting by event_id parity puts
+    // the SAME (day, user) pair into both batches for active users, so
+    // the serve's re-distinct over appended grain slices is exercised
+    val streamDir = Files.createTempDirectory("rau-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val grainDir = Files.createTempDirectory("rau-grain").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = EventStream.startDayUserGrain(stream, grainDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-rau").toString)
+    val dirs = new java.io.File(grainDir).listFiles().filter(_.getName.startsWith("batch_"))
+    assert(dirs.length == 2, s"expected 2 grain batch dirs, got ${dirs.length}")
+    def served() = EventStream
+      .rollingActiveFromGrain(spark, grainDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val batch = SparkEntry
+      .queries("rolling_active_users")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(batch.nonEmpty && served() == batch,
+      "grain-served rolling counts must equal the declared batch query")
+    // replay from a fresh checkpoint rewrites identical grain slices
+    runLoop(Files.createTempDirectory("ck-rau2").toString)
+    assert(served() == batch, "a replayed grain run must not change the serve")
+    // compaction IS set union written back — the mergeable half of a
+    // question whose count is not mergeable
+    val compactDir = Files.createTempDirectory("rau-compact").toString
+    spark.read
+      .parquet(s"$grainDir/batch_*")
+      .distinct()
+      .write
+      .parquet(s"$compactDir/batch_0")
+    assert(
+      EventStream
+        .rollingActiveFromGrain(spark, compactDir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == batch,
+      "compacted grain must serve the identical counts",
+    )
+  }
 }
