@@ -813,23 +813,22 @@ object TemporalOps extends QueryModule {
     * makes the gate a WHERE clause.
     *
     * Plan: ONE partial+final hash agg over the scan (constant state per
-    * feed); the global max is a rollup OF the per-feed rows joined back
-    * as a broadcast 1-row scalar (never a single-partition global
-    * window) — the whole audit costs one pass whatever the corpus;
-    * nothing corpus-sized ever shuffles.
+    * feed), then the global max folds in as a window over the PER-FEED
+    * rows — single-partition, but over feed-cardinality input (the
+    * `wow_growth` calendar-bounded-window rule: a global window is right
+    * exactly when its input is bounded by construction). The whole audit
+    * is one corpus pass — the alternative broadcast-scalar self-join
+    * reads the corpus twice, which is the wrong trade at 100 TB.
     */
   private val freshnessAudit = DeclaredQuery(
     "freshness_audit",
-    (s, d) => {
-      val per = events(s, d)
+    (s, d) =>
+      events(s, d)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("last_us"))
-      per
-        .crossJoin(broadcast(per.agg(max("last_us").as("gmax"))))
-        .withColumn("lag_us", col("gmax") - col("last_us"))
+        .withColumn("lag_us", max("last_us").over(Window.partitionBy()) - col("last_us"))
         .select("event_type", "n", "last_us", "lag_us")
-        .orderBy("event_type")
-    },
+        .orderBy("event_type"),
     Some("""WITH per AS (SELECT event_type, count(*) AS n, max(epoch_us(ts)) AS last_us
                          FROM events GROUP BY 1)
             SELECT event_type, n, last_us,
