@@ -736,7 +736,69 @@ object RelationalOps extends QueryModule {
             FROM j GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Referential-integrity scorecard over the star schema's FK edges —
+    * the dbt-test/Deequ constraint suite as ONE query: per edge, child
+    * row count and orphan count (child keys missing in the parent). The
+    * multi-edge rollup of `antijoin_missing` (which LISTS one edge's
+    * missing rows): the gate reads this table, the investigation drills
+    * into the anti-join.
+    *
+    * Plan: each edge is a left join of the child's KEY COLUMN against
+    * the parent's primary key (unique by schema — the join cannot fan
+    * out) reduced to a 1-row count pair, then a 4-row union — per edge
+    * one exchange of (key) pairs, never whole rows, and AQE picks
+    * broadcast vs shuffle per edge as parent size dictates (un-hinted:
+    * parents are corpus-sized at 100 TB). Null FKs count as orphans
+    * here by design — the audit wants "rows that will not join".
+    */
+  private val refIntegrityAudit = DeclaredQuery(
+    "ref_integrity_audit",
+    (s, d) => {
+      def edge(
+          fk: String,
+          child: DataFrame,
+          key: String,
+          parent: DataFrame,
+          pk: String,
+      ): DataFrame =
+        child
+          .select(col(key).as("k"))
+          .join(parent.select(col(pk).as("k"), lit(1L).as("hit")), Seq("k"), "left")
+          .agg(
+            count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"),
+          )
+          .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"))
+      edge("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey", orders(s, d), "o_orderkey")
+        .unionByName(
+          edge("lineitem.l_partkey->part", lineitem(s, d), "l_partkey", part(s, d), "p_partkey"))
+        .unionByName(
+          edge("lineitem.l_suppkey->supplier", lineitem(s, d), "l_suppkey",
+            supplier(s, d), "s_suppkey"))
+        .unionByName(
+          edge("orders.o_custkey->customer", orders(s, d), "o_custkey",
+            customer(s, d), "c_custkey"))
+        .orderBy("fk")
+    },
+    Some("""WITH e1 AS (SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_child,
+                               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+                        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            e2 AS (SELECT 'lineitem.l_partkey->part', count(*),
+                          CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey),
+            e3 AS (SELECT 'lineitem.l_suppkey->supplier', count(*),
+                          CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+            e4 AS (SELECT 'orders.o_custkey->customer', count(*),
+                          CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey)
+            SELECT * FROM e1 UNION ALL SELECT * FROM e2
+            UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+            ORDER BY fk"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    refIntegrityAudit,
     audienceOverlap,
     snapshotDiff,
     corrStats,

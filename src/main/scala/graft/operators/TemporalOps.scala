@@ -836,8 +836,64 @@ object TemporalOps extends QueryModule {
             FROM per ORDER BY event_type"""),
   )
 
+  /** Day-of-week seasonality envelope — the traffic-anomaly baseline
+    * every ops dashboard draws: per (feed, weekday), observed days,
+    * total events, the min/max single-day counts (the envelope an
+    * alerting band sits on) and the exact-integer mean events/day in
+    * ppm. Weekday comes from shared epoch-day arithmetic ((days since
+    * 1970-01-01 + 4) mod 7, 0 = Sunday — 1970-01-01 was a Thursday),
+    * NOT engine dow() functions (Spark's dayofweek is 1-based-Sunday,
+    * DuckDB's 0-based — a silent off-by-one across engines).
+    *
+    * Plan: the corpus collapses to (feed, day) grain in one partial+
+    * final hash agg — the only corpus-sized step; the (feed, dow)
+    * envelope is a rollup OF those day rows (≤ feeds × days), the
+    * two-level-agg discipline of `rolling_active_users`.
+    */
+  private val dowSeasonality = DeclaredQuery(
+    "dow_seasonality",
+    (s, d) => {
+      val byDay = events(s, d)
+        .groupBy(
+          col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+        )
+        .agg(count(lit(1)).as("dn"))
+      byDay
+        .withColumn("dow", ((col("day") + 4) % 7).cast("long"))
+        .groupBy("event_type", "dow")
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum("dn").as("n_events"),
+          min("dn").as("min_day_n"),
+          max("dn").as("max_day_n"),
+        )
+        .withColumn(
+          "mean_per_day_ppm",
+          expr("CAST(floor(CAST(n_events AS DOUBLE) * 1000000.0 / n_days + 0.5) AS BIGINT)"),
+        )
+        .select("event_type", "dow", "n_days", "n_events", "min_day_n", "max_day_n",
+          "mean_per_day_ppm")
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH byday AS (SELECT event_type,
+                                  date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                                  count(*) AS dn
+                           FROM events GROUP BY 1, 2),
+            env AS (SELECT event_type, (day + 4) % 7 AS dow,
+                           count(*) AS n_days,
+                           CAST(sum(dn) AS BIGINT) AS n_events,
+                           min(dn) AS min_day_n, max(dn) AS max_day_n
+                    FROM byday GROUP BY 1, 2)
+            SELECT event_type, dow, n_days, n_events, min_day_n, max_day_n,
+                   CAST(floor(CAST(n_events AS DOUBLE) * 1000000.0 / n_days + 0.5) AS BIGINT)
+                     AS mean_per_day_ppm
+            FROM env ORDER BY event_type, dow"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
-      eventTrigrams, wowGrowth, rollingActiveUsers, scd2Intervals, freshnessAudit)
+      eventTrigrams, wowGrowth, rollingActiveUsers, scd2Intervals, freshnessAudit,
+      dowSeasonality)
 }
