@@ -234,6 +234,142 @@ object RelationalOps extends QueryModule {
             ORDER BY priority, status"""),
   )
 
+  /** Full CUBE over (priority, status) — `rollup_agg`'s complete
+    * lattice: rollup emits the (p, s) / (p, ·) / (·, ·) prefix chain,
+    * cube adds the (·, s) marginals, which is exactly what a pivoted
+    * dashboard reads down its column headers. Same exact-DECIMAL sums,
+    * same sentinel rendering.
+    *
+    * Plan: Spark expands grouping sets map-side (one Expand + one
+    * partial+final hash agg) — 4× the agg input rows of the plain
+    * group-by but still ONE exchange whose payload is grouping-set ×
+    * key cardinality, corpus-independent. At 100 TB that Expand factor
+    * is the knob: cube over high-cardinality keys explodes state, so
+    * cube only over enum-like dimensions (priority × status here).
+    */
+  private val cubeAgg = DeclaredQuery(
+    "cube_agg",
+    (s, d) =>
+      orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        )
+        .select(
+          coalesce(col("o_orderpriority"), lit("<all>")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("<all>")).as("status"),
+          col("n"),
+          col("total"),
+        )
+        .orderBy("priority", "status"),
+    Some("""SELECT coalesce(o_orderpriority, '<all>') AS priority,
+                   coalesce(o_orderstatus, '<all>') AS status,
+                   count(*) AS n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
+            ORDER BY priority, status"""),
+  )
+
+  /** Median absolute deviation per order priority — the robust spread
+    * the 3σ screen (`outlier_filter`) should really use when the data
+    * is heavy-tailed: MAD = median(|x − median(x)|) has a 50% breakdown
+    * point where stddev has 0%. Money is carried as exact cents
+    * (BIGINT), so both engines' exact medians agree bit-for-bit
+    * (`quantile_stats`' percentile ≡ quantile_cont equivalence, and
+    * cent medians are either a cent value or a .5 between two — exact
+    * in a double either way).
+    *
+    * Plan: two grouped percentile passes (centers, then deviations) —
+    * the second input derives from a key-grain broadcast-joined center
+    * table, so the corpus shuffles twice at (key) grain and never
+    * self-joins. At 100 TB exact medians swap for
+    * `histogram_quantile`'s fixed-bin two-pass estimate with this
+    * query's shape unchanged — the swap the Scaladoc there states.
+    */
+  private val madRobust = DeclaredQuery(
+    "mad_robust",
+    (s, d) => {
+      val cents = orders(s, d)
+        .select(
+          col("o_orderpriority").as("pri"),
+          expr("CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)").as("c"),
+        )
+      val centers = cents
+        .groupBy("pri")
+        .agg(expr("percentile(c, 0.5)").as("med_c"))
+      cents
+        .join(broadcast(centers), Seq("pri")) // key-grain: ≤ #priorities rows
+        .select(col("pri"), abs(col("c").cast("double") - col("med_c")).as("dev"))
+        .groupBy("pri")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(dev, 0.5)").as("mad_c"),
+        )
+        .orderBy("pri")
+    },
+    Some("""WITH cents AS (SELECT o_orderpriority AS pri,
+                                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+                           FROM orders),
+            ctr AS (SELECT pri, quantile_cont(c, 0.5) AS med_c FROM cents GROUP BY 1)
+            SELECT cents.pri, count(*) AS n,
+                   quantile_cont(abs(CAST(c AS DOUBLE) - med_c), 0.5) AS mad_c
+            FROM cents JOIN ctr ON cents.pri = ctr.pri
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Ordered group concatenation — the report-rendering primitive
+    * (string_agg / LISTAGG): per event type, the top-5 users by exact
+    * DECIMAL mass, joined "id:mass_cents" in rank order into ONE string
+    * column. Every BI export and alert message does this; the trap at
+    * scale is UNORDERED collect_list (nondeterministic across
+    * partitionings) — here the order is pinned by sorting the
+    * (bounded) per-type struct array AFTER collection, and only top-5
+    * survivors are ever concatenated.
+    *
+    * Plan: corpus → (type, user) grain hash agg; a rank-truncating
+    * window keeps 5 rows per type BEFORE collection (WindowGroupLimit
+    * prunes map-side), so the collect_list input is ≤ 5 rows per type —
+    * the array-building stage is bounded by construction, never
+    * corpus-fed.
+    */
+  private val groupConcatTopk = DeclaredQuery(
+    "group_concat_topk",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+        .orderBy(col("mass").desc, col("user_id"))
+      graft.Tables
+        .events(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(sum(expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)")).as("mass"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .groupBy("event_type")
+        .agg(collect_list(struct(col("rk"), col("user_id"), col("mass"))).as("rows"))
+        .select(
+          col("event_type"),
+          expr("""array_join(transform(array_sort(rows),
+                    r -> concat(CAST(r.user_id AS STRING), ':', CAST(r.mass AS STRING))), ',')""")
+            .as("top_users"),
+        )
+        .orderBy("event_type")
+    },
+    Some("""WITH pu AS (SELECT event_type, user_id,
+                               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS mass
+                        FROM events GROUP BY 1, 2),
+            rk AS (SELECT event_type, user_id, mass,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY mass DESC, user_id) AS rk
+                   FROM pu)
+            SELECT event_type,
+                   string_agg(CAST(user_id AS VARCHAR) || ':' || CAST(mass AS VARCHAR), ','
+                              ORDER BY rk) AS top_users
+            FROM rk WHERE rk <= 5
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Beyond the reference surface: per-user inter-event gaps via lag —
     * the batch twin of sessionization's gap test (EventStream.sessionize).
     */
@@ -809,6 +945,9 @@ object RelationalOps extends QueryModule {
     rangeFrameAgg,
     pivotCounts,
     rollupAgg,
+    cubeAgg,
+    madRobust,
+    groupConcatTopk,
     lagGaps,
     dedupDistinct,
     equiJoinLookup,

@@ -102,6 +102,52 @@ class Round11OpsSpec extends SparkSpec {
     assert(plain.nonEmpty && salted == plain)
   }
 
+  test("scd2_intervals is a correct point-in-time index of the event stream") {
+    // The property the SCD-2 shape exists for: for EVERY event, the
+    // interval covering its timestamp carries that event's type; plus
+    // the structural invariants (per-user chain contiguity, adjacent
+    // types differ, exactly one open row per user). Checked against a
+    // driver-side replay — an oracle independent of the window plan.
+    val rows = q("scd2_intervals")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3)))
+      .toSeq
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, ivs) =>
+      val sorted = ivs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq((_, t1, _, to1), (_, t2, from2, _)) =>
+          assert(to1 == from2, s"user $u: intervals must chain (valid_to == next valid_from)")
+          assert(t1 != t2, s"user $u: adjacent interval types must differ")
+        case _ => ()
+      }
+      assert(sorted.count(_._4 == Long.MaxValue) == 1, s"user $u: exactly one open interval")
+      assert(sorted.last._4 == Long.MaxValue, s"user $u: the open interval is the latest")
+    }
+    val events = Tables
+      .events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(events.nonEmpty)
+    // precondition: the point-in-time read is only unambiguous when no
+    // user has two events at the same µs (at a tie the query breaks the
+    // RUN order by event_id, but "the" type at that instant is not well
+    // defined). Tie-free holds on current testdata; if regeneration
+    // introduces ties, this names the reason instead of failing weirdly.
+    assert(events.groupBy(e => (e._1, e._2)).forall(_._2.size == 1),
+      "fixture grew same-user same-µs ties — restrict the check to tie-free instants")
+    events.foreach { case (u, t, typ) =>
+      val covering = byUser(u).filter(iv => iv._3 <= t && t < iv._4)
+      assert(covering.size == 1, s"event at $t (user $u) must fall in exactly one interval")
+      assert(covering.head._2 == typ,
+        s"user $u at $t: interval type ${covering.head._2} != event type $typ")
+    }
+  }
+
   test("the salted linkage exchange is keyed on (nationkey, __salt)") {
     val (c, p) = operators.DedupOps.linkageSides(spark, sfDir)
     val plan = operators.DedupOps

@@ -982,6 +982,78 @@ class StreamingSpec extends SparkSpec {
     )
   }
 
+  test("streaming SCD-2 state emits exactly the batch query's closed intervals") {
+    import org.apache.spark.sql.functions._
+    // stage TWO TIME-SPLIT files (not the id-parity split the associative
+    // rollup tests use): SCD-2 runs are order-sensitive, so cross-batch
+    // arrival must respect event time — the in-order contract incremental
+    // SCD merges assume. mtimes are spaced so the file source replays
+    // them oldest-first.
+    val streamDir = Files.createTempDirectory("scd2-stream")
+    val ev = Tables.events(spark, sfDir)
+    val cutUs = ev
+      .select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0)
+      .getDouble(0)
+      .toLong
+    val early = streamDir.resolve("f0")
+    val late = streamDir.resolve("f1")
+    ev.filter(expr(s"unix_micros(ts) < ${cutUs}L")).coalesce(1)
+      .write.parquet(early.toString)
+    ev.filter(expr(s"unix_micros(ts) >= ${cutUs}L")).coalesce(1)
+      .write.parquet(late.toString)
+    val dir = Files.createTempDirectory("scd2-in")
+    def stage(src: java.nio.file.Path, name: String, mtime: Long): Unit = {
+      val part = Files.list(src).iterator()
+      val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) files += p }
+      assert(files.size == 1)
+      val dst = dir.resolve(name)
+      Files.copy(files.head, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    stage(early, "a.parquet", 1000000L)
+    stage(late, "b.parquet", 2000000L)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream
+      .scd2(EventStream.typedEvents(stream))
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("scd2_closed")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-scd2").toString)
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val streamed = spark
+      .table("scd2_closed")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = SparkEntry
+      .queries("scd2_intervals")(spark, sfDir)
+      .filter(col("valid_to").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(batch.nonEmpty && streamed == batch,
+      "streaming closed SCD-2 rows must equal the batch query's non-open intervals")
+    // the open rows the state still holds are one per user, by invariant
+    val openRows = SparkEntry
+      .queries("scd2_intervals")(spark, sfDir)
+      .filter(col("valid_to").isNull)
+      .count()
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(openRows == users, "exactly one open interval per user")
+  }
+
   test("streaming (day,user) grain serves the exact rolling_active_users counts") {
     import org.apache.spark.sql.functions._
     // two files → two micro-batches; splitting by event_id parity puts
