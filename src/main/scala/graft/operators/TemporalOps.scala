@@ -34,9 +34,12 @@ object TemporalOps extends QueryModule {
     * DuckDB's ASOF LEFT JOIN semantics stated by the oracle), and among
     * equal-instant right rows the largest event_id is scanned last.
     */
-  private val asofJoin = DeclaredQuery(
-    "asof_join",
-    (s, d) => {
+  /** The as-of pair table (purchase_id, user_id, t_us, click_id,
+    * gap_us), unordered — shared by the declared `asof_join` and the
+    * `funnel_latency` rollup, so the attribution semantics cannot drift
+    * between the pair list and its latency report.
+    */
+  private[graft] def asofPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
       val ev = events(s, d)
         .select(
           col("event_id"),
@@ -81,8 +84,24 @@ object TemporalOps extends QueryModule {
           col("click_id"),
           (col("t_us") - col("click_t")).as("gap_us"),
         )
-        .orderBy("purchase_id")
-    },
+  }
+
+  /** DuckDB twin of [[asofPairs]] as CTE text, ending in
+    * `pairs(purchase_id, user_id, t_us, click_id, gap_us)`.
+    */
+  private lazy val asofPairsDuckCtes: String =
+    """ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),
+      |l AS (SELECT event_id AS purchase_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
+      |r0 AS (SELECT event_id AS click_id, user_id, t_us,
+      |              row_number() OVER (PARTITION BY user_id, t_us ORDER BY event_id DESC) AS rn
+      |       FROM ev WHERE event_type = 'click'),
+      |r AS (SELECT click_id, user_id, t_us FROM r0 WHERE rn = 1),
+      |pairs AS (SELECT l.purchase_id, l.user_id, l.t_us, r.click_id, l.t_us - r.t_us AS gap_us
+      |          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us)""".stripMargin
+
+  private val asofJoin = DeclaredQuery(
+    "asof_join",
+    (s, d) => asofPairs(s, d).orderBy("purchase_id"),
     Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),
             l AS (SELECT event_id AS purchase_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
             r0 AS (SELECT event_id AS click_id, user_id, t_us,
@@ -891,9 +910,96 @@ object TemporalOps extends QueryModule {
             FROM env ORDER BY event_type, dow"""),
   )
 
+  /** Click→purchase attribution latency — the SLA/behavior report on
+    * top of the as-of attribution: per purchase day, pair count and
+    * exact p50/p90 of the click-to-purchase gap. Rides [[asofPairs]]
+    * VERBATIM (and the oracle rides the same CTE chain), so the
+    * latency report can never disagree with the declared `asof_join`
+    * pair list about which click a purchase attributes to.
+    *
+    * Plan: the as-of union-window (one exchange by user) feeds a
+    * day-grain percentile agg — the second exchange carries only
+    * attributed pairs. Gaps are exact integer µs; percentiles hit the
+    * `quantile_stats` percentile ≡ quantile_cont equivalence (at worst
+    * a .5 between two integers — exact in a double). At 100 TB the
+    * exact percentile buffer swaps for `histogram_quantile`'s bounded
+    * state, shape unchanged.
+    */
+  private val funnelLatency = DeclaredQuery(
+    "funnel_latency",
+    (s, d) =>
+      asofPairs(s, d)
+        .filter(col("click_id").isNotNull)
+        .groupBy(
+          date_format(
+            timestamp_micros(col("t_us")).cast("date"),
+            "yyyy-MM-dd",
+          ).as("purchase_day"),
+        )
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          expr("percentile(gap_us, 0.5)").as("p50_gap_us"),
+          expr("percentile(gap_us, 0.9)").as("p90_gap_us"),
+        )
+        .orderBy("purchase_day"),
+    Some(s"""WITH $asofPairsDuckCtes
+             SELECT strftime(CAST(make_timestamp(t_us) AS DATE), '%Y-%m-%d') AS purchase_day,
+                    count(*) AS n_pairs,
+                    quantile_cont(gap_us, 0.5) AS p50_gap_us,
+                    quantile_cont(gap_us, 0.9) AS p90_gap_us
+             FROM pairs WHERE click_id IS NOT NULL
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Per-user behavioral diversity — Shannon entropy of the user's
+    * event-type mix, the engagement/bot-screen feature (a bot hammering
+    * one endpoint scores 0; a uniform 5-type user scores ln 5). Exact
+    * cross-engine by the suite's integer discipline: each type's
+    * c·ln(c) term quantizes to a BIGINT µnat AT THE ROW (where both
+    * engines compute the identical double from identical integers — the
+    * `sketch_union` ln-parity precedent), so the per-user Σ is an exact
+    * integer sum, order-invariant under any partitioning; no raw double
+    * is ever aggregated.
+    *
+    * Plan: (user, type) grain hash agg — the only corpus-sized step —
+    * then a user-grain rollup of ≤ |types| rows each; both partial+final.
+    */
+  private val userTypeEntropy = DeclaredQuery(
+    "user_type_entropy",
+    (s, d) =>
+      events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("term_e6", expr("CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(
+          sum("c").as("n"),
+          count(lit(1)).as("k_types"),
+          sum("term_e6").as("sum_e6"),
+        )
+        .withColumn(
+          "entropy_e6",
+          expr("""CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(floor(CAST(sum_e6 AS DOUBLE) / n + 0.5) AS BIGINT)"""),
+        )
+        .select("user_id", "n", "k_types", "entropy_e6")
+        .orderBy("user_id"),
+    Some("""WITH ct AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+            t AS (SELECT user_id, c,
+                         CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+                  FROM ct),
+            u AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS k_types,
+                         CAST(sum(term_e6) AS BIGINT) AS sum_e6
+                  FROM t GROUP BY 1)
+            SELECT user_id, n, k_types,
+                   CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT)
+                   - CAST(floor(CAST(sum_e6 AS DOUBLE) / n + 0.5) AS BIGINT) AS entropy_e6
+            FROM u ORDER BY user_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
       eventTrigrams, wowGrowth, rollingActiveUsers, scd2Intervals, freshnessAudit,
-      dowSeasonality)
+      dowSeasonality, funnelLatency, userTypeEntropy)
 }

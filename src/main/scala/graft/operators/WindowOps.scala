@@ -130,10 +130,64 @@ object WindowOps extends QueryModule {
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"""),
   )
 
+  /** Gaps-and-islands over an id sequence — the classic run detector
+    * (missing-invoice audits, retention streaks, free-range discovery
+    * for the W2 allocator family): islands of consecutive click
+    * event_ids via the id − row_number() constant-per-run trick, top-20
+    * by (length desc, start). The filter to one type is what PUNCHES
+    * the gaps — a dense unique id column has exactly one island.
+    *
+    * Declared at DAY grain (`islands within each day`), which is what
+    * makes it scale-honest: the window partitions by day, so at 100 TB
+    * each day's sequence sorts inside its partition and no global
+    * single-partition window exists (a cross-day island splits at
+    * midnight BY DEFINITION of the declared semantics, not as an
+    * approximation). The grain generalizes: any id-range sharding works
+    * the same way.
+    */
+  private val idGapIslands = DeclaredQuery(
+    "id_gap_islands",
+    (s, d) => {
+      val w = Window
+        .partitionBy("day")
+        .orderBy("event_id")
+      events(s, d)
+        .filter(col("event_type") === "click")
+        .select(
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long")
+            .as("day"),
+          col("event_id"),
+        )
+        .withColumn("grp", col("event_id") - row_number().over(w))
+        .groupBy("day", "grp")
+        .agg(
+          min("event_id").as("island_start"),
+          max("event_id").as("island_end"),
+          count(lit(1)).as("island_len"),
+        )
+        .select("day", "island_start", "island_end", "island_len")
+        .orderBy(col("island_len").desc, col("day"), col("island_start"))
+        .limit(20)
+    },
+    Some("""WITH c AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                              event_id
+                       FROM events WHERE event_type = 'click'),
+            g AS (SELECT day, event_id,
+                         event_id - row_number() OVER (PARTITION BY day ORDER BY event_id) AS grp
+                  FROM c),
+            isl AS (SELECT day, grp, min(event_id) AS island_start,
+                           max(event_id) AS island_end, count(*) AS island_len
+                    FROM g GROUP BY 1, 2)
+            SELECT day, island_start, island_end, island_len
+            FROM isl ORDER BY island_len DESC, day, island_start LIMIT 20"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     idAllocation,
     collisionAvoidAlloc,
     phaseOrderUnion,
     runningTotal,
+    idGapIslands,
   )
 }
