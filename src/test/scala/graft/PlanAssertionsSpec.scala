@@ -488,14 +488,22 @@ class PlanAssertionsSpec extends SparkSpec {
       }.isDefined, s"hard_negatives: hint must be the bounded anchor set:\n$h")
     }
     // embedding_covariance: hints are model-sized by construction — the
-    // Range-generated decode table or a dimension-keyed (k) moment rollup
+    // Range-generated decode table, a dimension-keyed (k) moment rollup
+    // (the wide/DECIMAL tier), or the collected-moment LocalRelation
+    // (the BIGINT tier: D / D²/2 rows from the one-pass Aggregator,
+    // the ivf collected-probe precedent)
     hints("embedding_covariance").foreach { h =>
       val rangeRooted = h.collectFirst { case r: LRange => r }.isDefined
       val dimKeyed = h.collectFirst {
         case a: Aggregate if a.groupingExpressions.nonEmpty => a
       }.exists(_.groupingExpressions.exists(_.toString.contains("k")))
-      assert(rangeRooted || dimKeyed,
-        s"embedding_covariance: hint must be the decode table or the D-row moment rollup:\n$h")
+      val collectedMoments = h.collectFirst { case l: LocalRelation => l }.isDefined &&
+        h.collectFirst {
+          case f: org.apache.spark.sql.execution.datasources.LogicalRelation => f
+        }.isEmpty
+      assert(rangeRooted || dimKeyed || collectedMoments,
+        s"embedding_covariance: hint must be the decode table, the D-row moment rollup, " +
+          s"or the collected-moment LocalRelation:\n$h")
     }
   }
 
