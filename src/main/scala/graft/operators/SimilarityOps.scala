@@ -908,7 +908,7 @@ object SimilarityOps extends QueryModule {
           col("n_b"),
           Disp.roundz(
             expr("""CAST(sab AS DOUBLE)
-                    / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))"""),
+                    / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0.0D)"""),
             6,
           ).as("shift_cos"),
         )
@@ -932,7 +932,7 @@ object SimilarityOps extends QueryModule {
                     FROM j GROUP BY 1)
              SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                     (round(CAST(sab AS DOUBLE)
-                          / sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6) + 0.0) AS shift_cos
+                          / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0.0), 6) + 0.0) AS shift_cos
              FROM g2 ORDER BY label"""),
   )
 
