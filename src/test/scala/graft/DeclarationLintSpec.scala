@@ -58,6 +58,37 @@ class DeclarationLintSpec extends SparkSpec {
     assert(nz == -0.25, "roundz must not perturb nonzero values")
   }
 
+  test("roundz never emits -0.0 over a dense sample of sign-crossing doubles") {
+    import org.apache.spark.sql.functions._
+    // 40k deterministic pseudo-random doubles spanning ±[1e-9, 1e3] plus
+    // exact zeros — every rounded value must carry a non-negative sign
+    // bit and equal plain round() elsewhere.
+    val checked = spark
+      .range(40000)
+      .select(
+        (when(col("id") % 100 === 0, lit(0.0)).otherwise(
+          (col("id") % 2 * 2 - 1).cast("double") *
+            expr("pow(10.0, CAST(id % 13 AS DOUBLE) - 9.0)") *
+            (col("id").cast("double") / 40000.0 + 0.5),
+        )).as("x"),
+      )
+      .select(
+        col("x"),
+        graft.operators.Disp.roundz(col("x"), 6).as("rz"),
+        round(col("x"), 6).as("r"),
+      )
+      .collect()
+    checked.foreach { row =>
+      val (x, rz, r) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      if (rz == 0.0)
+        assert(
+          java.lang.Double.doubleToRawLongBits(rz) == 0L,
+          s"roundz($x) rounded to zero with a negative sign bit",
+        )
+      else assert(rz == r, s"roundz($x) = $rz != round = $r")
+    }
+  }
+
   test("no new bare round() display sites — use Disp.roundz / SQL '+ 0.0'") {
     // Every display-rounded DOUBLE whose operand can cross zero must go
     // through Disp.roundz (Spark) and a '(round(...) + 0.0)' wrapper in
