@@ -642,9 +642,12 @@ object SimilarityOps extends QueryModule {
              SELECT i, j, count(*) AS n,
                     CAST(sum(qi) AS BIGINT) AS si, CAST(sum(qj) AS BIGINT) AS sj,
                     CAST(sum(qi * qj) AS BIGINT) AS sij,
-                    (round((CAST(sum(qi * qj) AS DOUBLE) / count(*)
+                    ${Disp.roundzSql(
+      """(CAST(sum(qi * qj) AS DOUBLE) / count(*)
                            - (CAST(sum(qi) AS DOUBLE) / count(*)) * (CAST(sum(qj) AS DOUBLE) / count(*)))
-                          / 1e8, 6) + 0.0) AS cov
+                          / 1e8""",
+      6,
+    )} AS cov
              FROM p GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
