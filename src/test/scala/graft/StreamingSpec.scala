@@ -1054,6 +1054,76 @@ class StreamingSpec extends SparkSpec {
     assert(openRows == users, "exactly one open interval per user")
   }
 
+  test("SCD-2 state survives a restart: stop, ingest more, resume from checkpoint") {
+    import org.apache.spark.sql.functions._
+    // Phase 1 processes only the early half; the query then STOPS (the
+    // crash stand-in). Phase 2 adds the late half and restarts from the
+    // SAME checkpoint — the state store must hand back every open
+    // interval, so the closed rows accumulated across both lives equal
+    // exactly the batch result, and the cross-cut runs (opened in life
+    // 1, closed in life 2) can only be right if the open intervals came
+    // from the recovered state. The parquet sink's write-ahead log
+    // carries exactly-once across the restart.
+    val ev = Tables.events(spark, sfDir)
+    val cutUs = ev
+      .select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0)
+      .getDouble(0)
+      .toLong
+    val dir = Files.createTempDirectory("scd2-restart-in")
+    val ck = Files.createTempDirectory("ck-scd2-restart").toString
+    def land(pred: String, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"scd2-$name")
+      ev.filter(expr(pred)).coalesce(1).write.parquet(tmp.resolve("d").toString)
+      val part = Files
+        .list(tmp.resolve("d"))
+        .iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) src = p }
+      Files.copy(src, dir.resolve(name))
+      ()
+    }
+    val outDir = Files.createTempDirectory("scd2-restart-out").toString
+    def runLife(): Set[(Long, String, Long, Long)] = {
+      val stream = spark.readStream
+        .schema(EventStream.rawSchema)
+        .parquet(dir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = EventStream
+        .scd2(EventStream.typedEvents(stream))
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      spark.read
+        .parquet(outDir)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    }
+    land(s"unix_micros(ts) < ${cutUs}L", "a.parquet")
+    val life1 = runLife()
+    land(s"unix_micros(ts) >= ${cutUs}L", "b.parquet")
+    val life2 = runLife()
+    val batch = SparkEntry
+      .queries("scd2_intervals")(spark, sfDir)
+      .filter(col("valid_to").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert((life2 -- life1).nonEmpty, "the resumed life must emit the cross-cut closed rows")
+    assert(life2 == batch,
+      "closed rows accumulated across both lives must equal the batch result")
+    assert(life1.subsetOf(life2) && life2.size == life1.size + (life2 -- life1).size,
+      "the restart must append, never replay — exactly-once via the sink's write-ahead log")
+  }
+
   test("streaming (day,user) grain serves the exact rolling_active_users counts") {
     import org.apache.spark.sql.functions._
     // two files → two micro-batches; splitting by event_id parity puts
