@@ -133,14 +133,19 @@ class Round11OpsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     assert(events.nonEmpty)
-    // precondition: the point-in-time read is only unambiguous when no
-    // user has two events at the same µs (at a tie the query breaks the
-    // RUN order by event_id, but "the" type at that instant is not well
-    // defined). Tie-free holds on current testdata; if regeneration
-    // introduces ties, this names the reason instead of failing weirdly.
-    assert(events.groupBy(e => (e._1, e._2)).forall(_._2.size == 1),
-      "fixture grew same-user same-µs ties — restrict the check to tie-free instants")
-    events.foreach { case (u, t, typ) =>
+    // the point-in-time read is only unambiguous when no user has two
+    // events at the same µs (at a tie the query breaks the RUN order by
+    // event_id, but "the" type at that instant is not well defined) —
+    // so the check covers exactly the tie-free instants, which must be
+    // essentially all of them (current testdata has zero ties; a
+    // regenerated fixture may grow a few without voiding the property).
+    val tieFree = events
+      .groupBy(e => (e._1, e._2))
+      .collect { case (_, es) if es.size == 1 => es.head }
+      .toSeq
+    assert(tieFree.size * 10 >= events.length * 9,
+      "fixture became tie-dominated — the point-in-time check lost its teeth")
+    tieFree.foreach { case (u, t, typ) =>
       val covering = byUser(u).filter(iv => iv._3 <= t && t < iv._4)
       assert(covering.size == 1, s"event at $t (user $u) must fall in exactly one interval")
       assert(covering.head._2 == typ,
