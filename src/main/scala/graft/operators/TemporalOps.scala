@@ -997,9 +997,57 @@ object TemporalOps extends QueryModule {
             FROM u ORDER BY user_id"""),
   )
 
+  /** Cumulative unique users by day — the user-acquisition growth curve
+    * every product dashboard opens with, and the OTHER sliding-distinct
+    * scale lesson beside `rolling_active_users`: a cumulative COUNT
+    * DISTINCT is not window-mergeable either, but unlike the trailing
+    * window it REDUCES exactly — each user contributes only at their
+    * FIRST-SEEN day, so one (user → min day) dedup turns the cumulative
+    * distinct into a plain running SUM of day-grain new-user counts.
+    *
+    * Plan: (user) hash agg (the only corpus-sized step) → day-grain
+    * count → running sum over calendar-bounded day rows (the
+    * `wow_growth` single-partition-window rule). Windows are clipped to
+    * days with ≥1 first-seen user, which is exactly the days that exist
+    * at this grain.
+    */
+  private val cumulativeUniqueUsers = DeclaredQuery(
+    "cumulative_unique_users",
+    (s, d) => {
+      val firstSeen = events(s, d)
+        .groupBy("user_id")
+        .agg(min(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long")).as("day"))
+      firstSeen
+        .groupBy("day")
+        .agg(count(lit(1)).as("new_users"))
+        .withColumn(
+          "cum_users",
+          sum("new_users").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select(
+          date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+            "yyyy-MM-dd").as("day"),
+          col("new_users"),
+          col("cum_users"),
+        )
+        .orderBy("day")
+    },
+    Some("""WITH fs AS (SELECT user_id,
+                               min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS day
+                        FROM events GROUP BY 1),
+            nd AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+            SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS day,
+                   new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cum_users
+            FROM nd ORDER BY day"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
       eventTrigrams, wowGrowth, rollingActiveUsers, scd2Intervals, freshnessAudit,
-      dowSeasonality, funnelLatency, userTypeEntropy)
+      dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers)
 }
