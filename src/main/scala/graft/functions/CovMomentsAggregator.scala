@@ -24,10 +24,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * Determinism: all-Long arithmetic — associative, commutative, exact —
   * so the result is bit-identical to the explode path under any
   * partitioning (Round11OpsSpec cross-checks the two implementations).
-  * Long overflow bounds the BIGINT tier at ~9×10⁸ vectors exactly as
-  * before; past that, `covarianceMoments(wide = true)` keeps the
-  * DECIMAL(38) explode path (ANSI mode makes the Long tier fail loudly,
-  * not wrap).
+  * Long overflow bounds the BIGINT tier at ~9×10⁸ vectors; every
+  * accumulation below goes through `Math.addExact`/`Math.multiplyExact`,
+  * so crossing that bound throws `ArithmeticException` rather than
+  * silently wrapping (JVM `+`/`*` wrap; ANSI mode only guards Catalyst
+  * expressions, not JVM code inside a typed Aggregator — round-11's
+  * Scaladoc claimed ANSI covered this path, which was wrong). Past the
+  * bound, `covarianceMoments(wide = true)` is the DECIMAL(38) tier.
+  * The overflow property is tested ON this class directly
+  * (Round12OpsSpec): adversarial-magnitude inputs throw, they do not
+  * produce a wrapped finite value.
   */
 final class CovMomentsAggregator(dim: Int)
     extends Aggregator[Seq[Long], (Array[Long], Long), (Seq[Long], Seq[Long], Long)] {
@@ -43,16 +49,16 @@ final class CovMomentsAggregator(dim: Int)
     var i = 0
     var pos = dim
     while (i < dim) {
-      a(i) += qa(i)
+      a(i) = Math.addExact(a(i), qa(i))
       var j = i
       while (j < dim) {
-        a(pos) += qa(i) * qa(j)
+        a(pos) = Math.addExact(a(pos), Math.multiplyExact(qa(i), qa(j)))
         pos += 1
         j += 1
       }
       i += 1
     }
-    (a, buf._2 + 1L)
+    (a, Math.addExact(buf._2, 1L))
   }
 
   override def merge(
@@ -65,8 +71,8 @@ final class CovMomentsAggregator(dim: Int)
       val a = x._1
       val b = y._1
       var i = 0
-      while (i < a.length) { a(i) += b(i); i += 1 }
-      (a, x._2 + y._2)
+      while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+      (a, Math.addExact(x._2, y._2))
     }
 
   override def finish(buf: (Array[Long], Long)): (Seq[Long], Seq[Long], Long) =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout patterns for 100 TB joins (SURVEY.md §4, SCALE.md):
@@ -832,27 +832,41 @@ object ScalePatterns extends QueryModule {
     * per group — the cheapest possible full-table pass; map-side
     * partials mean the exchange carries groups × 3 longs. Row hashes are
     * < 2³¹, so the BIGINT Σ is exact to ~4×10⁹ rows per group; past
-    * that, the `embedding_covariance` DECIMAL(38) accumulator knob
-    * applies unchanged.
+    * that, `wide = true` swaps ONLY the Σ accumulator to DECIMAL(38,0)
+    * (headroom ~10³⁸ ≫ any corpus×hash product) — the
+    * `embedding_covariance` knob pattern (SimilarityOps
+    * .covarianceMoments), applied here because a 100 TB anti-entropy
+    * digest over a hot group genuinely crosses the BIGINT bound. Under
+    * ANSI the BIGINT tier fails loudly at the bound (Round12OpsSpec
+    * proves both the loud failure and DECIMAL/BIGINT parity in range);
+    * the XOR digest and the count are overflow-free either way (XOR is
+    * fixed-width, counts cap at corpus rows).
     */
+  private[graft] def tableChecksumFrame(
+      s: SparkSession,
+      d: String,
+      wide: Boolean,
+  ): DataFrame = {
+    val rh = expr(
+      """((o_orderkey * 2654435761 + o_custkey * 97381
+        |   + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647)""".stripMargin,
+    )
+    val acc = if (wide) sum(col("rh").cast("decimal(38,0)")) else sum(col("rh"))
+    graft.Tables
+      .orders(s, d)
+      .withColumn("rh", rh)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        acc.as("checksum_sum"),
+        expr("bit_xor(rh)").as("checksum_xor"),
+      )
+      .orderBy("o_orderpriority")
+  }
+
   private val tableChecksum = DeclaredQuery(
     "table_checksum",
-    (s, d) => {
-      val rh = expr(
-        """((o_orderkey * 2654435761 + o_custkey * 97381
-          |   + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647)""".stripMargin,
-      )
-      graft.Tables
-        .orders(s, d)
-        .withColumn("rh", rh)
-        .groupBy("o_orderpriority")
-        .agg(
-          count(lit(1)).as("n"),
-          sum("rh").as("checksum_sum"),
-          expr("bit_xor(rh)").as("checksum_xor"),
-        )
-        .orderBy("o_orderpriority")
-    },
+    (s, d) => tableChecksumFrame(s, d, wide = false),
     Some("""WITH h AS (SELECT o_orderpriority,
                               ((o_orderkey * 2654435761 + o_custkey * 97381
                                 + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh

@@ -566,12 +566,23 @@ object SimilarityOps extends QueryModule {
           val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
           val r = q.agg(mom(col("qv")).as("m")).collect()(0).getStruct(0)
           val n = r.getLong(2)
-          val firstLocal = r.getSeq[Long](0).zipWithIndex
-            .map { case (sv, k) => (k, n, sv) }
-            .toDF("k", "n", "s")
-          val prodsLocal = r.getSeq[Long](1).zipWithIndex
-            .map { case (p, pos) => (pos, p) }
-            .toDF("pos", "sij")
+          // Empty corpus: the grouped formulations (oracle, explode
+          // tier) produce 0 groups, but a global Aggregator always
+          // returns its zero — without this guard the LocalRelations
+          // would fabricate 64+2080 rows with n=0 (cov = 0/0 = NaN), a
+          // cross-engine divergence on the empty edge.
+          val firstLocal =
+            if (n == 0L) Seq.empty[(Int, Long, Long)].toDF("k", "n", "s")
+            else
+              r.getSeq[Long](0).zipWithIndex
+                .map { case (sv, k) => (k, n, sv) }
+                .toDF("k", "n", "s")
+          val prodsLocal =
+            if (n == 0L) Seq.empty[(Int, Long)].toDF("pos", "sij")
+            else
+              r.getSeq[Long](1).zipWithIndex
+                .map { case (p, pos) => (pos, p) }
+                .toDF("pos", "sij")
           (firstLocal, prodsLocal)
         } else {
           def acc(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(38,0)"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
@@ -102,15 +102,12 @@ object TemporalOps extends QueryModule {
   private val asofJoin = DeclaredQuery(
     "asof_join",
     (s, d) => asofPairs(s, d).orderBy("purchase_id"),
-    Some("""WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type FROM events),
-            l AS (SELECT event_id AS purchase_id, user_id, t_us FROM ev WHERE event_type = 'purchase'),
-            r0 AS (SELECT event_id AS click_id, user_id, t_us,
-                          row_number() OVER (PARTITION BY user_id, t_us ORDER BY event_id DESC) AS rn
-                   FROM ev WHERE event_type = 'click'),
-            r AS (SELECT click_id, user_id, t_us FROM r0 WHERE rn = 1)
-            SELECT l.purchase_id, l.user_id, l.t_us, r.click_id, l.t_us - r.t_us AS gap_us
-            FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us
-            ORDER BY l.purchase_id"""),
+    // Composed from the SAME CTE text funnel_latency's oracle uses, so
+    // the attribution semantics cannot drift on the DuckDB side either
+    // (previously this was a second hand-maintained copy of the chain).
+    Some(s"""WITH $asofPairsDuckCtes
+             SELECT purchase_id, user_id, t_us, click_id, gap_us
+             FROM pairs ORDER BY purchase_id"""),
   )
 
   /** Gap-based sessionization: a new session starts when a user is idle
@@ -961,29 +958,56 @@ object TemporalOps extends QueryModule {
     * integer sum, order-invariant under any partitioning; no raw double
     * is ever aggregated.
     *
+    * Quantization caveat (inherited from the ln-parity precedent, stated
+    * rather than hidden): `floor(c·ln(c)·10⁶ + 0.5)` depends on the
+    * PLATFORM's `ln` being bit-identical between engines. Java
+    * `Math.log` and DuckDB's libm are each ≤1-ulp correct but not
+    * formally the SAME function; a value landing within 1 ulp of a .5
+    * boundary could quantize differently. The suite pins one platform
+    * (this box's JVM + DuckDB build — where the two agree on every
+    * fixture value, verified tri-scale), so the hash gate is
+    * deterministic HERE; porting the oracle to another libm would need
+    * either a boundary audit or a shared fixed-point ln. The same pin
+    * already underwrites `sketch_union`/`char_entropy`.
+    *
     * Plan: (user, type) grain hash agg — the only corpus-sized step —
     * then a user-grain rollup of ≤ |types| rows each; both partial+final.
+    * The µnat terms reach ~2×10¹⁶ for a 10⁹-event user, so the BIGINT
+    * Σ holds to ~460 such users per group — fine at any real fan-in —
+    * but `wide = true` swaps the two Σ accumulators to DECIMAL(38,0)
+    * (the `embedding_covariance` knob pattern) for the pathological
+    * tail; ANSI makes the BIGINT tier fail loudly at the bound
+    * (Round12OpsSpec: parity in range + loud failure at magnitude).
     */
+  private[graft] def userTypeEntropyFrame(
+      s: SparkSession,
+      d: String,
+      wide: Boolean,
+  ): DataFrame = {
+    def acc(c: org.apache.spark.sql.Column) =
+      if (wide) sum(c.cast("decimal(38,0)")) else sum(c)
+    events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term_e6", expr("CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(
+        acc(col("c")).as("n"),
+        count(lit(1)).as("k_types"),
+        acc(col("term_e6")).as("sum_e6"),
+      )
+      .withColumn(
+        "entropy_e6",
+        expr("""CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT)
+                - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT)"""),
+      )
+      .select("user_id", "n", "k_types", "entropy_e6")
+      .orderBy("user_id")
+  }
+
   private val userTypeEntropy = DeclaredQuery(
     "user_type_entropy",
-    (s, d) =>
-      events(s, d)
-        .groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("term_e6", expr("CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)"))
-        .groupBy("user_id")
-        .agg(
-          sum("c").as("n"),
-          count(lit(1)).as("k_types"),
-          sum("term_e6").as("sum_e6"),
-        )
-        .withColumn(
-          "entropy_e6",
-          expr("""CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT)
-                  - CAST(floor(CAST(sum_e6 AS DOUBLE) / n + 0.5) AS BIGINT)"""),
-        )
-        .select("user_id", "n", "k_types", "entropy_e6")
-        .orderBy("user_id"),
+    (s, d) => userTypeEntropyFrame(s, d, wide = false),
     Some("""WITH ct AS (SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
             t AS (SELECT user_id, c,
                          CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT) AS term_e6
@@ -1005,35 +1029,46 @@ object TemporalOps extends QueryModule {
     * FIRST-SEEN day, so one (user → min day) dedup turns the cumulative
     * distinct into a plain running SUM of day-grain new-user counts.
     *
-    * Plan: (user) hash agg (the only corpus-sized step) → day-grain
-    * count → running sum over calendar-bounded day rows (the
-    * `wow_growth` single-partition-window rule). Windows are clipped to
-    * days with ≥1 first-seen user, which is exactly the days that exist
-    * at this grain.
+    * Plan: (day, user) grain dedup (the only corpus-sized step — the
+    * SAME [[toDayUserGrain]] substrate `rolling_active_users` reduces
+    * through, so the streaming grain store serves both dashboards) →
+    * (user) min-day agg → day-grain count → running sum over
+    * calendar-bounded day rows (the `wow_growth`
+    * single-partition-window rule). Windows are clipped to days with ≥1
+    * first-seen user, which is exactly the days that exist at this
+    * grain.
     */
+  /** Post-grain half of `cumulative_unique_users`, over the SAME
+    * (day, user) grain [[toDayUserGrain]] produces and
+    * [[graft.streaming.EventStream.startDayUserGrain]] persists. The
+    * first-seen reduction is a MIN — which merges correctly over any
+    * union of grain slices (min over union = min of mins), so the
+    * streaming store's overlapping batch dirs serve this query
+    * byte-identically to batch (EventStream.cumulativeFromGrain; the
+    * same algebra argument as [[rollingFromDayUser]]).
+    */
+  private[graft] def cumulativeFromDayUser(dayUser: DataFrame): DataFrame =
+    dayUser
+      .groupBy("user_id")
+      .agg(min(col("day").cast("long")).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn(
+        "cum_users",
+        sum("new_users").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      )
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("new_users"),
+        col("cum_users"),
+      )
+      .orderBy("day")
+
   private val cumulativeUniqueUsers = DeclaredQuery(
     "cumulative_unique_users",
-    (s, d) => {
-      val firstSeen = events(s, d)
-        .groupBy("user_id")
-        .agg(min(datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
-          .cast("long")).as("day"))
-      firstSeen
-        .groupBy("day")
-        .agg(count(lit(1)).as("new_users"))
-        .withColumn(
-          "cum_users",
-          sum("new_users").over(
-            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        .select(
-          date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
-            "yyyy-MM-dd").as("day"),
-          col("new_users"),
-          col("cum_users"),
-        )
-        .orderBy("day")
-    },
+    (s, d) => cumulativeFromDayUser(toDayUserGrain(events(s, d))),
     Some("""WITH fs AS (SELECT user_id,
                                min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS day
                         FROM events GROUP BY 1),

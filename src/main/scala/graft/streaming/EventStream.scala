@@ -282,6 +282,20 @@ object EventStream {
       spark.read.parquet(s"$grainDir/batch_*"),
     )
 
+  /** Serve the cumulative-unique-users growth curve from the SAME
+    * persisted grain — byte-identical to the declared batch query
+    * because the post-grain pipeline IS the batch query's
+    * ([[graft.operators.TemporalOps.cumulativeFromDayUser]]). The
+    * first-seen-day reduction is a MIN, so the store's overlapping
+    * batch slices merge correctly by construction (min over a union of
+    * slices = min of slice minima) — the second dashboard one grain
+    * store serves, closing the sliding-distinct family's twin gap.
+    */
+  def cumulativeFromGrain(spark: SparkSession, grainDir: String): DataFrame =
+    graft.operators.TemporalOps.cumulativeFromDayUser(
+      spark.read.parquet(s"$grainDir/batch_*"),
+    )
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)
@@ -376,8 +390,12 @@ object EventStream {
     */
   final case class TypedEvent(user_id: Long, t_us: Long, event_id: Long, event_type: String)
 
-  /** Per-user open interval: the one SCD-2 row whose valid_to is NULL. */
-  final case class Scd2Open(event_type: String, valid_from_us: Long)
+  /** Per-user open interval: the one SCD-2 row whose valid_to is NULL.
+    * `max_seen_us` is the guard high-water mark — the newest event time
+    * this user's state has absorbed (≥ valid_from_us when a same-type
+    * run extends the open row without moving its start).
+    */
+  final case class Scd2Open(event_type: String, valid_from_us: Long, max_seen_us: Long)
 
   /** A closed SCD-2 row ([valid_from, valid_to) in exact µs). */
   final case class Scd2Closed(
@@ -399,9 +417,16 @@ object EventStream {
     * user, exactly how a 1000-executor stateful job shards; no timeout,
     * because an open current row is the semantics, not a leak. Within a
     * micro-batch events sort by (t_us, event_id) — the batch query's
-    * total order; arrival across batches must respect event time (the
-    * parity spec stages time-split files), the same in-order contract
-    * incremental SCD merges assume.
+    * total order; arrival ACROSS batches must respect event time (the
+    * same in-order contract incremental SCD merges assume), and since
+    * round 12 that contract is ENFORCED, not assumed: state carries the
+    * per-user max event time seen, and an event older than it fails the
+    * batch loudly (`IllegalStateException` → the stream dies with the
+    * offending user/time in the message) instead of silently fabricating
+    * an interval that never existed. Loudly late beats silently wrong —
+    * the parity specs stage in-order files by construction, so only this
+    * runtime guard can catch a mis-ordered producer; StreamingSpec
+    * stages an out-of-order second batch and asserts the failure.
     */
   def scd2(events: Dataset[TypedEvent]): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
@@ -416,12 +441,23 @@ object EventStream {
         val closed = Seq.newBuilder[Scd2Closed]
         var cur = state.getOption
         sorted.foreach { e =>
+          cur.foreach { o =>
+            if (e.t_us < o.max_seen_us)
+              throw new IllegalStateException(
+                s"scd2: out-of-order arrival for user $user — event ${e.event_id} at " +
+                  s"t_us=${e.t_us} is older than already-absorbed state " +
+                  s"(max_seen_us=${o.max_seen_us}); an incremental SCD-2 merge cannot " +
+                  "retract emitted intervals, so this batch is rejected rather than " +
+                  "fabricating history. Re-stage the producer in event-time order.",
+              )
+          }
           cur match {
             case Some(o) if o.event_type != e.event_type =>
               closed += Scd2Closed(user, o.event_type, o.valid_from_us, e.t_us)
-              cur = Some(Scd2Open(e.event_type, e.t_us))
-            case Some(_) => () // same type: the open run simply extends
-            case None => cur = Some(Scd2Open(e.event_type, e.t_us))
+              cur = Some(Scd2Open(e.event_type, e.t_us, e.t_us))
+            case Some(o) => // same type: the open run simply extends
+              cur = Some(o.copy(max_seen_us = e.t_us))
+            case None => cur = Some(Scd2Open(e.event_type, e.t_us, e.t_us))
           }
         }
         cur.foreach(state.update)

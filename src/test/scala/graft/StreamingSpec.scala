@@ -1179,4 +1179,94 @@ class StreamingSpec extends SparkSpec {
       "compacted grain must serve the identical counts",
     )
   }
+
+  test("the SAME grain store serves the exact cumulative_unique_users curve") {
+    import org.apache.spark.sql.functions._
+    // id-parity split again: a user's true first-seen day can land in
+    // either (or both) batches, so the min-merge over overlapping grain
+    // slices — the algebra the serve depends on — is really exercised.
+    val streamDir = Files.createTempDirectory("cuu-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val grainDir = Files.createTempDirectory("cuu-grain").toString
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream.startDayUserGrain(
+      stream, grainDir, Files.createTempDirectory("ck-cuu").toString)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    def canon(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+    val served = EventStream.cumulativeFromGrain(spark, grainDir).collect().map(canon).toSeq
+    val batch = SparkEntry
+      .queries("cumulative_unique_users")(spark, sfDir)
+      .collect()
+      .map(canon)
+      .toSeq
+    assert(batch.nonEmpty && served == batch,
+      "grain-served cumulative uniques must equal the declared batch query")
+  }
+
+  test("SCD-2 rejects an out-of-order second batch loudly (no fabricated history)") {
+    import org.apache.spark.sql.functions._
+    // The inverse of the parity test's staging: the LATE half lands
+    // FIRST, so batch 2 delivers events older than state already
+    // absorbed. Before the round-12 guard this silently produced
+    // intervals that never existed (the batch twin can't catch it — its
+    // global sort is immune); now the run must die with the guard's
+    // message, not complete.
+    val streamDir = Files.createTempDirectory("scd2-ooo-stream")
+    val ev = Tables.events(spark, sfDir)
+    val cutUs = ev
+      .select(expr("percentile(unix_micros(ts), 0.5)"))
+      .collect()(0)
+      .getDouble(0)
+      .toLong
+    val early = streamDir.resolve("f0")
+    val late = streamDir.resolve("f1")
+    ev.filter(expr(s"unix_micros(ts) < ${cutUs}L")).coalesce(1)
+      .write.parquet(early.toString)
+    ev.filter(expr(s"unix_micros(ts) >= ${cutUs}L")).coalesce(1)
+      .write.parquet(late.toString)
+    val dir = Files.createTempDirectory("scd2-ooo-in")
+    def stage(src: java.nio.file.Path, name: String, mtime: Long): Unit = {
+      val part = Files.list(src).iterator()
+      val files = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+      while (part.hasNext) { val p = part.next(); if (p.toString.endsWith(".parquet")) files += p }
+      assert(files.size == 1)
+      val dst = dir.resolve(name)
+      Files.copy(files.head, dst)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    stage(late, "a.parquet", 1000000L) // newest half arrives FIRST
+    stage(early, "b.parquet", 2000000L)
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream
+      .scd2(EventStream.typedEvents(stream))
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("scd2_ooo")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-scd2-ooo").toString)
+      .start()
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(failure).exists(_.getMessage != null)
+      && chain(failure).exists(t =>
+        t.getMessage != null && t.getMessage.contains("out-of-order arrival")),
+      s"expected the scd2 guard's message in the failure chain, got: $failure")
+  }
 }
