@@ -209,7 +209,7 @@ object DedupOps extends QueryModule {
     "ngram_jaccard",
     (s, d) =>
       jaccardPairs(s, d, 0.3, maxDf = Some(DefaultMaxDf))
-        .select(col("da"), col("db"), col("shared"), round(col("j"), 3).as("j"))
+        .select(col("da"), col("db"), col("shared"), Disp.roundz(col("j"), 3).as("j"))
         .orderBy("da", "db"),
     Some(s"""WITH $hashedGramsDuck,
              ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))}
@@ -280,7 +280,7 @@ object DedupOps extends QueryModule {
         "matches",
         expr("CAST(size(filter(zip_with(ma, mb, (x, y) -> x = y), v -> v)) AS BIGINT)"),
       )
-      .withColumn("est_j", round(col("matches").cast("double") / 16.0, 4))
+      .withColumn("est_j", Disp.roundz(col("matches").cast("double") / 16.0, 4))
       .select("da", "db", "matches", "est_j")
   }
 
@@ -320,7 +320,7 @@ object DedupOps extends QueryModule {
         .withColumn("shared", expr("CAST(size(array_intersect(ga, gb)) AS BIGINT)"))
         .withColumn(
           "exact_j",
-          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
+          Disp.roundz(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
         )
         .withColumn("est_err", Disp.roundz(col("est_j") - col("exact_j"), 4))
         .select("da", "db", "matches", "est_j", "exact_j", "est_err")
@@ -456,7 +456,7 @@ object DedupOps extends QueryModule {
         )
         .withColumn(
           "exact_j",
-          round(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
+          Disp.roundz(col("shared").cast("double") / (col("na") + col("nb") - col("shared")), 4),
         )
         .select("da", "db", "hd", "est_s", "exact_j")
         .orderBy("da", "db")
@@ -962,7 +962,7 @@ object DedupOps extends QueryModule {
         nearDupsFromGrams(g.filter(col("is_new")), g, minJ = 0.3)
       }
       pairs
-        .select(col("new_id"), col("other_id"), col("shared"), round(col("j"), 3).as("j"))
+        .select(col("new_id"), col("other_id"), col("shared"), Disp.roundz(col("j"), 3).as("j"))
         .orderBy("new_id", "other_id")
     },
     Some(s"""WITH $hashedGramsDuck,
@@ -1712,7 +1712,7 @@ object DedupOps extends QueryModule {
           col("shared"),
           col("na").cast("long").as("na"),
           col("nb").cast("long").as("nb"),
-          round(col("cont"), 6).as("containment"),
+          Disp.roundz(col("cont"), 6).as("containment"),
         )
         .orderBy("da", "db")
     },

@@ -158,10 +158,10 @@ object MultimodalOps extends QueryModule {
           col("doc_id"),
           col("kind"),
           col("n_bytes"),
-          round(col("f0"), 3).as("f0"),
-          round(col("f1"), 3).as("f1"),
-          round(col("f2"), 3).as("f2"),
-          round(col("f3"), 3).as("f3"),
+          Disp.roundz(col("f0"), 3).as("f0"),
+          Disp.roundz(col("f1"), 3).as("f1"),
+          Disp.roundz(col("f2"), 3).as("f2"),
+          Disp.roundz(col("f3"), 3).as("f3"),
         )
         .orderBy("doc_id")
     },

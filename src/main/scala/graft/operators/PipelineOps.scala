@@ -83,7 +83,7 @@ object PipelineOps extends QueryModule {
           col("doc_id"),
           col("lang"),
           col("n_words"),
-          round(col("uniq_ratio"), 4).as("uniq_ratio"),
+          Disp.roundz(col("uniq_ratio"), 4).as("uniq_ratio"),
           ceil(length(col("text")).cast("double") / 4.0).cast("long").as("est_bpe"),
         )
         .orderBy("doc_id")

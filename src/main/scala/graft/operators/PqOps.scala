@@ -269,7 +269,7 @@ object PqOps extends QueryModule {
         .join(approx, Seq("qid", "cand_id"), "left")
         .groupBy("qid")
         .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-        .withColumn("recall", round(col("n_hit").cast("double") / col("k"), 4))
+        .withColumn("recall", Disp.roundz(col("n_hit").cast("double") / col("k"), 4))
         .orderBy("qid")
     },
     Some(s"""WITH $EDuck,

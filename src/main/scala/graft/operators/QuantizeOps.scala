@@ -79,7 +79,7 @@ object QuantizeOps extends QueryModule {
       sq8Codes(s, d)
         .select(
           col("vec_id"),
-          round(col("scale"), 6).as("scale"),
+          Disp.roundz(col("scale"), 6).as("scale"),
           expr("CAST(array_min(qv) AS INT)").as("q_min"),
           expr("CAST(array_max(qv) AS INT)").as("q_max"),
           expr("""round(aggregate(zip_with(dvec, qv, (v, qq) -> abs(v - qq * scale)),

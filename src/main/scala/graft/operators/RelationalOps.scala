@@ -406,10 +406,10 @@ object RelationalOps extends QueryModule {
         .groupBy("o_orderpriority")
         .agg(
           count(lit(1)).as("n"),
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
-          round(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
-          round(min("o_totalprice"), 2).as("lo"),
-          round(max("o_totalprice"), 2).as("hi"),
+          Disp.roundz(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          Disp.roundz(expr("percentile(o_totalprice, 0.95)"), 2).as("p95"),
+          Disp.roundz(min("o_totalprice"), 2).as("lo"),
+          Disp.roundz(max("o_totalprice"), 2).as("hi"),
         )
         .orderBy("o_orderpriority"),
     Some("""SELECT o_orderpriority, count(*) AS n,
@@ -462,8 +462,8 @@ object RelationalOps extends QueryModule {
           col("n"),
           col("n_clamped_low"),
           col("n_clamped_high"),
-          round(col("sv").cast("double") / col("n") / 100.0, 4).as("mean_raw"),
-          round(col("sc").cast("double") / col("n") / 100.0, 4).as("mean_winsorized"),
+          Disp.roundz(col("sv").cast("double") / col("n") / 100.0, 4).as("mean_raw"),
+          Disp.roundz(col("sc").cast("double") / col("n") / 100.0, 4).as("mean_winsorized"),
         )
         .orderBy("event_type")
     },
@@ -792,7 +792,7 @@ object RelationalOps extends QueryModule {
           col("ta"),
           col("tb"),
           col("co"),
-          round(col("co").cast("double") / (col("na") + col("nb") - col("co")), 4).as("jaccard"),
+          Disp.roundz(col("co").cast("double") / (col("na") + col("nb") - col("co")), 4).as("jaccard"),
         )
         .orderBy("ta", "tb")
     },

@@ -341,7 +341,7 @@ object SimilarityOps extends QueryModule {
     val dropped = a
       .join(b, Seq("cid"))
       .filter(col("u") < col("v"))
-      .filter(round(expr("cosine_similarity(du, dv)"), 6) >= tau)
+      .filter(Disp.roundz(expr("cosine_similarity(du, dv)"), 6) >= tau)
       .select(col("v"))
       .distinct()
     asg
@@ -394,7 +394,7 @@ object SimilarityOps extends QueryModule {
           count(lit(1)).as("k"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
         )
-        .withColumn("recall", round(col("n_hit").cast("double") / col("k"), 4))
+        .withColumn("recall", Disp.roundz(col("n_hit").cast("double") / col("k"), 4))
         .orderBy("qid")
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,

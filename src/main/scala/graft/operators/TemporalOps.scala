@@ -460,7 +460,7 @@ object TemporalOps extends QueryModule {
         .filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("event_type").as("next"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("share", round(col("n").cast("double") / sum(col("n")).over(wp), 4))
+        .withColumn("share", Disp.roundz(col("n").cast("double") / sum(col("n")).over(wp), 4))
         .orderBy("prev", "next")
     },
     Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),

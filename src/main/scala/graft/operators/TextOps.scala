@@ -58,16 +58,16 @@ object TextOps extends QueryModule {
           length(col("text")).cast("long").as("n_chars"),
           size(col("ws")).cast("long").as("n_words"),
           size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
-          round(
+          Disp.roundz(
             (length(col("text")) - size(col("ws")) + 1).cast("double") / size(col("ws")),
             4,
           ).as("avg_word_len"),
-          round(
+          Disp.roundz(
             expr("size(filter(ws, w -> w = 'the' OR w = 'a'))").cast("double")
               / size(col("ws")),
             4,
           ).as("stopword_ratio"),
-          round(
+          Disp.roundz(
             size(array_distinct(col("ws"))).cast("double") / size(col("ws")),
             4,
           ).as("uniq_ratio"),
@@ -263,7 +263,7 @@ object TextOps extends QueryModule {
         )
         .withColumn(
           "novelty",
-          round(col("novel").cast("double") / col("n_grams"), 4),
+          Disp.roundz(col("novel").cast("double") / col("n_grams"), 4),
         )
         .orderBy("doc_id")
     },
@@ -576,7 +576,7 @@ object TextOps extends QueryModule {
       .agg(count(lit(1)).as("n_tokens"), sum("cost").as("cost_sum"))
       .withColumn(
         "mean_surprisal",
-        round(col("cost_sum").cast("double") / col("n_tokens") / 1e6, 4),
+        Disp.roundz(col("cost_sum").cast("double") / col("n_tokens") / 1e6, 4),
       )
   }
 
@@ -877,7 +877,7 @@ object TextOps extends QueryModule {
         .agg(count(lit(1)).as("n_bigrams"), sum("cost").as("cost_sum"))
         .withColumn(
           "mean_surprisal",
-          round(col("cost_sum").cast("double") / col("n_bigrams") / 1e6, 4),
+          Disp.roundz(col("cost_sum").cast("double") / col("n_bigrams") / 1e6, 4),
         )
         .orderBy("doc_id")
     },
@@ -956,7 +956,7 @@ object TextOps extends QueryModule {
         .agg(count(lit(1)).as("n_bigrams"), sum("cost").as("cost_sum"))
         .withColumn(
           "mean_surprisal",
-          round(col("cost_sum").cast("double") / col("n_bigrams") / 1e6, 4),
+          Disp.roundz(col("cost_sum").cast("double") / col("n_bigrams") / 1e6, 4),
         )
         .orderBy("doc_id")
     },
