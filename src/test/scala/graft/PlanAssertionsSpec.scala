@@ -524,4 +524,46 @@ class PlanAssertionsSpec extends SparkSpec {
     val asm = planOf("agg_state_merge")
     assert(asm.contains("partial_count") || asm.contains("partial count"), asm.take(800))
   }
+
+  test("round-11 plan shapes: cube Expand factor, pruned concat, fused SCD-2, flat checksum") {
+    // cube_agg: exactly ONE Expand (the 2^dims row multiplier — the knob
+    // the Scaladoc documents) feeding ONE partial+final agg; the only
+    // other exchange is the presentation sort
+    val cube = planOf("cube_agg")
+    assert("\\bExpand\\b".r.findAllIn(cube).size == 1,
+      "cube must multiply rows in exactly one Expand:\n" + cube.take(800))
+    assert("Exchange".r.findAllIn(cube).size == 2,
+      "cube_agg: one agg exchange + one output sort only:\n" + cube.take(800))
+    assert(cube.contains("partial_count"), cube.take(800))
+
+    // group_concat_topk: the rank prune (WindowGroupLimit) must sit
+    // UNDER the collect_list aggregation — rows are discarded BEFORE any
+    // list state exists (tree prints parents first, so the collect
+    // appears earlier in the string than the limit below it)
+    val gct = planOf("group_concat_topk")
+    assert(gct.contains("WindowGroupLimit"), gct.take(800))
+    assert(gct.contains("ObjectHashAggregate"), gct.take(800))
+    assert(gct.indexOf("ObjectHashAggregate") < gct.indexOf("WindowGroupLimit"),
+      "top-k prune must run below the collect_list, not above:\n" + gct.take(1200))
+
+    // scd2_intervals: BOTH windows (lag change-flag, lead interval
+    // close) ride ONE hashpartitioning(user_id) exchange — the second
+    // window reuses the first's distribution+ordering; the only other
+    // exchange is the presentation sort
+    val scd = planOf("scd2_intervals")
+    assert("\\bWindow\\b".r.findAllIn(scd).size == 2, scd.take(800))
+    assert("hashpartitioning\\(user_id".r.findAllIn(scd).size == 1,
+      "both SCD-2 windows must share one user_id exchange:\n" + scd.take(1200))
+    assert("Exchange".r.findAllIn(scd).size == 2,
+      "scd2_intervals: one data shuffle + one output sort only:\n" + scd.take(800))
+
+    // table_checksum: scan-local hash + ONE partial+final agg (bit_xor
+    // partials prove map-side state), no join, no sort below the agg
+    val tc = planOf("table_checksum")
+    assert(!tc.contains("Join"), tc.take(800))
+    assert(tc.contains("partial_bit_xor"),
+      "checksum digests must accumulate map-side:\n" + tc.take(800))
+    assert("Exchange".r.findAllIn(tc).size == 2,
+      "table_checksum: one agg exchange + one output sort only:\n" + tc.take(800))
+  }
 }

@@ -55,4 +55,52 @@ class SqlSpec extends SparkSpec {
     assert(filtered.length < direct.length && filtered.nonEmpty)
     assert(filtered.length == direct.count(_._1 > cutoff))
   }
+
+  test("a FRESH session serves the persistent catalog with zero re-registration") {
+    Sql.registerPersistent(spark, sfDir)
+    // newSession() = clean session state (temp views GONE) sharing the
+    // catalog — the JDBC/Thrift gateway situation this tier exists for.
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.register(s2) // function registry is per-session
+    val viaCatalog = s2
+      .sql("""SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+              FROM graft.lineitem GROUP BY 1 ORDER BY 1""")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .toSeq
+    val direct = Tables
+      .table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.sum("l_quantity").as("sum_qty"))
+      .orderBy("l_returnflag")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .toSeq
+    assert(direct.nonEmpty && viaCatalog == direct,
+      "the catalog view must serve the same rows as the Scala loader")
+    // the events ts normalization is compiled into the view text: exact
+    // integer microseconds must work from the fresh session
+    val tsCount = s2
+      .sql("SELECT count(*) FROM graft.events WHERE unix_micros(ts) > 0")
+      .collect()(0)
+      .getLong(0)
+    assert(tsCount == Tables.events(spark, sfDir).count(),
+      "unix_micros over the catalog events view must see every row")
+    // and the session views really are absent in s2 — the catalog is
+    // what crossed the boundary, not a leaked temp view
+    intercept[Exception] { s2.sql("SELECT count(*) FROM lineitem").collect() }
+    // a materialized query table serves cross-session too
+    val table = Sql.materializeQuery(spark, sfDir, "rolling_active_users")
+    val viaTable = s2
+      .sql(s"SELECT * FROM $table ORDER BY window_end")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val directQ = SparkEntry
+      .queries("rolling_active_users")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    assert(directQ.nonEmpty && viaTable == directQ)
+  }
 }
