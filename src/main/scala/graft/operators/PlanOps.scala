@@ -147,13 +147,20 @@ object PlanOps extends QueryModule {
     },
   )
 
-  /** Sharded-allocation scenario constants: 4 shards of capacity 10 000
-    * starting at 100 000; taken ids derive from supplier keys via a
-    * deterministic multiplicative spread so every shard range contains
-    * squatters the free-list must skip.
+  /** Sharded-allocation scenario constants: 4 shards starting at
+    * 100 000; taken ids derive from supplier keys via a deterministic
+    * multiplicative spread so every shard range contains squatters the
+    * free-list must skip. The shard CAPACITY is derived from corpus
+    * bounds (|part|/shards + |supplier| — demand is exactly |part|/4
+    * per shard and squatters are ≤ |supplier|), NOT a fixed literal:
+    * a fixed 10 000 held to sf0.1 but a 10× fixture overflows it, and
+    * a scenario constant that only fits SOME scale factors violates the
+    * satisfiable-at-every-sf rule the fixed-literal-predicate class
+    * taught (zorder_scan precedent). Both engines compute the same two
+    * counts, so the capacity literal agrees; production callers pass
+    * their real range size and keep the loud overflow guard.
     */
   private val ShardStart = 100000L
-  private val ShardCapacity = 10000L
   private val NShards = 4L
 
   /** The 100 TB variant of the W1/W2 allocator, gate-visible: each shard
@@ -169,6 +176,12 @@ object PlanOps extends QueryModule {
   private val shardedAlloc = DeclaredQuery(
     "sharded_alloc",
     (s, d) => {
+      // two 1-row scalar fetches size the scenario (bounded driver
+      // traffic, the collected-probe precedent) — the capacity formula
+      // must match the oracle's `cap` CTE exactly
+      val np = graft.Tables.part(s, d).count()
+      val ns = graft.Tables.supplier(s, d).count()
+      val shardCapacity = np / NShards + ns
       val demand = graft.Tables
         .part(s, d)
         .select(
@@ -178,21 +191,24 @@ object PlanOps extends QueryModule {
         )
       val taken = graft.Tables
         .supplier(s, d)
-        .select((pmod(col("s_suppkey") * 97L, lit(NShards * ShardCapacity)) + ShardStart).as("id"))
+        .select(
+          (pmod(col("s_suppkey") * 97L, lit(NShards * shardCapacity)) + ShardStart).as("id"))
       IdentityPlanner
-        .allocateIdsSharded(demand, taken, ShardStart, ShardCapacity)
+        .allocateIdsSharded(demand, taken, ShardStart, shardCapacity)
         .orderBy("seq")
     },
-    Some(s"""WITH demand AS (SELECT p_name AS name, p_partkey AS seq,
-                                    p_partkey % $NShards AS shard FROM part),
-             taken AS (SELECT (s_suppkey * 97) % ${NShards * ShardCapacity} + $ShardStart AS id
+    Some(s"""WITH cap AS (SELECT (SELECT count(*) FROM part) // $NShards
+                                 + (SELECT count(*) FROM supplier) AS c),
+             demand AS (SELECT p_name AS name, p_partkey AS seq,
+                               p_partkey % $NShards AS shard FROM part),
+             taken AS (SELECT (s_suppkey * 97) % ($NShards * (SELECT c FROM cap)) + $ShardStart AS id
                        FROM supplier),
              dm AS (SELECT shard, count(*) AS nd FROM demand GROUP BY 1),
-             tk AS (SELECT (id - $ShardStart) // $ShardCapacity AS shard, count(*) AS nt
+             tk AS (SELECT (id - $ShardStart) // (SELECT c FROM cap) AS shard, count(*) AS nt
                     FROM taken WHERE id >= $ShardStart GROUP BY 1),
              pool AS (SELECT dm.shard,
-                             unnest(generate_series($ShardStart + dm.shard * $ShardCapacity,
-                                                    $ShardStart + dm.shard * $ShardCapacity
+                             unnest(generate_series($ShardStart + dm.shard * (SELECT c FROM cap),
+                                                    $ShardStart + dm.shard * (SELECT c FROM cap)
                                                       + dm.nd + coalesce(tk.nt, 0) - 1)) AS id
                       FROM dm LEFT JOIN tk USING (shard)),
              free AS (SELECT shard, id, row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
