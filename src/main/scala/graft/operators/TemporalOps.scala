@@ -1080,9 +1080,153 @@ object TemporalOps extends QueryModule {
             FROM nd ORDER BY day"""),
   )
 
+  // ---- approximate (sketch) twins of the sliding-distinct dashboards ----
+
+  /** Occupancy-sketch register count — `sketch_union`'s exact integer
+    * hash chain and m, so the approximate tier is ONE discipline
+    * engine-wide, not a per-query invention.
+    */
+  private val SketchM = 8192L
+
+  /** Reduce raw events to the (day, bucket) SKETCH grain — the
+    * approximate counterpart of [[toDayUserGrain]]: same corpus-sized
+    * dedup shape, but the second column is the user's sketch register,
+    * so grain state is bounded by days × m (≈ days × 8 KB) instead of
+    * days × active users. Register sets merge by UNION across any
+    * slicing — the mergeability the exact distinct lacks — which is
+    * exactly why this is the tier a dashboard flips to when the user
+    * dimension outgrows its state budget (SCALE.md, exact/approx
+    * pairing note).
+    */
+  private def toDayBktGrain(ev: DataFrame): DataFrame =
+    ev.select(
+      datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
+      expr(s"""(((((user_id * 2654435761) % 2147483647)
+                   ^ shiftright((user_id * 2654435761) % 2147483647, 7)) * 97381)
+                % 2147483647) % $SketchM""").as("bkt"),
+    ).distinct()
+
+  /** Linear-counting estimate from v occupied registers (shared formula
+    * with `sketch_union`; ln-parity discipline — identical doubles both
+    * engines).
+    */
+  private def sketchEst(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(s"CAST(floor(-$SketchM.0 * ln(1.0 - least(v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)")
+
+  private val sketchGrainDuck: String =
+    s"""sg AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+       |              ((xor((user_id * 2654435761) % 2147483647,
+       |                    (user_id * 2654435761) % 2147483647 >> 7) * 97381)
+       |               % 2147483647) % $SketchM AS bkt
+       |       FROM events)""".stripMargin
+
+  private def sketchEstDuck(v: String): String =
+    s"CAST(floor(-$SketchM.0 * ln(1.0 - least($v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)"
+
+  /** Approximate twin of `rolling_active_users`: the trailing-7-day
+    * distinct served from the (day, register) sketch grain — same
+    * fan-out×7 + per-window distinct pipeline, but over ≤ m rows/day,
+    * with the exact count joined alongside so the error is visible in
+    * the result (the `sketch_union` reporting shape). Register-set
+    * union IS pane-mergeable, so unlike the exact tier this ALSO merges
+    * incrementally across streaming batches with no re-distinct caveat.
+    */
+  private val rollingActiveSketch = DeclaredQuery(
+    "rolling_active_sketch",
+    (s, d) => {
+      val g = toDayBktGrain(events(s, d))
+      val days = g.select(col("day").as("wday")).distinct()
+      val approx = g
+        .withColumn("wday", explode(expr("sequence(day, day + 6)")))
+        .join(days, Seq("wday"))
+        .groupBy("wday")
+        .agg(countDistinct("bkt").as("v"))
+        .select(
+          date_format(date_add(lit("1970-01-01").cast("date"), col("wday").cast("int")),
+            "yyyy-MM-dd").as("window_end"),
+          col("v"),
+          sketchEst(col("v")).as("est"),
+        )
+      approx
+        .join(
+          rollingFromDayUser(toDayUserGrain(events(s, d)))
+            .select(col("window_end"), col("active_users").as("exact_active")),
+          Seq("window_end"),
+        )
+        .orderBy("window_end")
+    },
+    Some(s"""WITH $sketchGrainDuck,
+             du AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                           user_id FROM events),
+             days AS (SELECT DISTINCT day AS wday FROM sg),
+             f AS (SELECT unnest(generate_series(day, day + 6)) AS wday, bkt FROM sg),
+             a AS (SELECT f.wday, count(DISTINCT bkt) AS v
+                   FROM f JOIN days ON f.wday = days.wday GROUP BY 1),
+             fe AS (SELECT unnest(generate_series(day, day + 6)) AS wday, user_id FROM du),
+             e AS (SELECT fe.wday, count(DISTINCT user_id) AS exact_active
+                   FROM fe JOIN days ON fe.wday = days.wday GROUP BY 1)
+             SELECT strftime(DATE '1970-01-01' + CAST(a.wday AS INTEGER), '%Y-%m-%d') AS window_end,
+                    CAST(a.v AS BIGINT) AS v, ${sketchEstDuck("a.v")} AS est,
+                    CAST(e.exact_active AS BIGINT) AS exact_active
+             FROM a JOIN e ON a.wday = e.wday
+             ORDER BY window_end"""),
+  )
+
+  /** Approximate twin of `cumulative_unique_users`: the distinct-to-date
+    * curve from the sketch grain. The SAME first-seen reduction works at
+    * register grain — a register contributes from its first-seen day —
+    * so cumulative occupancy is a min-merge + running sum, exactly the
+    * exact tier's shape with m-bounded state; the exact curve rides
+    * alongside for visible error.
+    */
+  private val cumulativeUniqueSketch = DeclaredQuery(
+    "cumulative_unique_sketch",
+    (s, d) => {
+      val approx = toDayBktGrain(events(s, d))
+        .groupBy("bkt")
+        .agg(min(col("day").cast("long")).as("day"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("new_regs"))
+        .withColumn(
+          "v",
+          sum("new_regs").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select(
+          date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+            "yyyy-MM-dd").as("day"),
+          col("v"),
+          sketchEst(col("v")).as("est"),
+        )
+      approx
+        .join(
+          cumulativeFromDayUser(toDayUserGrain(events(s, d)))
+            .select(col("day"), col("cum_users").as("exact_cum")),
+          Seq("day"),
+        )
+        .orderBy("day")
+    },
+    Some(s"""WITH $sketchGrainDuck,
+             fs AS (SELECT bkt, min(day) AS day FROM sg GROUP BY 1),
+             nd AS (SELECT day, count(*) AS new_regs FROM fs GROUP BY 1),
+             a AS (SELECT day, CAST(sum(new_regs) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
+                   FROM nd),
+             duf AS (SELECT user_id,
+                            min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS day
+                     FROM events GROUP BY 1),
+             dun AS (SELECT day, count(*) AS new_users FROM duf GROUP BY 1),
+             e AS (SELECT day, CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum
+                   FROM dun)
+             SELECT strftime(DATE '1970-01-01' + CAST(a.day AS INTEGER), '%Y-%m-%d') AS day,
+                    a.v, ${sketchEstDuck("a.v")} AS est, e.exact_cum
+             FROM a JOIN e ON a.day = e.day
+             ORDER BY day"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
-      eventTrigrams, wowGrowth, rollingActiveUsers, scd2Intervals, freshnessAudit,
+      eventTrigrams, wowGrowth, rollingActiveUsers, rollingActiveSketch, cumulativeUniqueSketch,
+      scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers)
 }

@@ -119,6 +119,23 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch twins track their exact dashboards within linear-counting error") {
+    // n ≈ 150 users against m = 8192 registers: the linear-counting
+    // standard error is ~sqrt(m·(exp(n/m) − n/m − 1))/n < 1% here, so a
+    // 5%+3 envelope is loose enough to never flake and tight enough to
+    // catch a broken hash chain or estimate formula instantly.
+    for (name <- Seq("rolling_active_sketch", "cumulative_unique_sketch")) {
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+      assert(rows.nonEmpty, s"$name must produce rows")
+      rows.foreach { r =>
+        val est = r.getLong(2)
+        val exact = r.getLong(3)
+        assert(math.abs(est - exact) <= 0.05 * exact + 3,
+          s"$name ${r.get(0)}: est $est vs exact $exact drifted past the error envelope")
+      }
+    }
+  }
+
   test("wide tiers leave the plan family unchanged: one partial+final agg, no extra exchange") {
     // The knob swaps an accumulator TYPE, not the plan: the wide
     // checksum must still be a single partial+final hash agg over the
