@@ -428,16 +428,36 @@ object DedupOps extends QueryModule {
     * disagree cross-engine); exact_j mirrors minhash_est's left-join
     * (a chunk collision CAN pair docs with zero shared grams).
     *
-    * At 100 TB: same cost class as `simhash_near_dup` (the widened
-    * threshold only grows the post-filter survivor set, not the
-    * chunk-collision candidate volume); the exact arm is
-    * candidate-bounded gh-keyed joins, never all-pairs — and in
-    * production runs over a candidate sample with the identical plan.
+    * Scale shape (measured in the round-12 sf1 sweep, not argued): the
+    * chunk-collision candidate volume is Θ(n²/2⁶) — 6-bit bands have
+    * only 64 values, so candidates are the quadratic pair space damped
+    * by a CONSTANT, not by corpus structure. The hd ≤ 4 production
+    * filter kills ~all of it cheaply (`simhash_near_dup` scaled 4.2×
+    * across the sf0.1→sf1 decade), but the widened hd ≤ 10 calibration
+    * keeps ~27% of collisions (P[Bin(24,½) ≤ 10] — 6 band bits agree by
+    * construction), and the exact-Jaccard arm then pays gram-array work
+    * per survivor: measured 56× across the decade, the suite's one real
+    * super-linear query before this fix. The fix is the line the old
+    * Scaladoc only alluded to, mechanized: calibration DENSITY scales
+    * inversely with corpus size — a deterministic (da·31+db) mod r
+    * pair sample with r = ⌈|docs|/5000⌉, identical in both engines, so
+    * the exact arm sees Θ(n) pairs at any scale. r = 1 at every driver
+    * fixture (≤ 5000 docs ⇒ bit-identical results, nothing sampled
+    * away); at sf1 r = 10 cut the query 83.6 s → 3.5 s (measured, warm
+    * substrate both times) with the calibration curve statistically
+    * unchanged (a ~2.6M-pair stratum).
+    * Widening the signature (4×16-bit bands at 64 bits) is the OTHER
+    * lever — it shrinks the collision constant itself — and is what a
+    * 100 TB corpus does to `simhash_near_dup` too; documented in
+    * SCALE.md's near-dup section.
     */
   private val simhashEst = DeclaredQuery(
     "simhash_est",
     (s, d) => {
+      val nd = documents(s, d).count() // 1-row scalar, sizes the sample rate
+      val rate = math.max(1L, (nd + 4999L) / 5000L)
       val cand = simhashPairs(s, d, EstMaxHd)
+        .filter(pmod(col("da") * 31L + col("db"), lit(rate)) === 0L)
       // exact arm as per-doc gram-SET array joins (the oracle's own
       // list_intersect formulation): with ~100× more candidates than
       // minhash_est, the exploded gh-join fanout (pairs × grams rows +
@@ -463,12 +483,14 @@ object DedupOps extends QueryModule {
     },
     Some(s"""WITH $hashedGramsDuck,
              sg AS (SELECT doc_id, $simhashDuck AS sim FROM h),
+             rate AS (SELECT greatest(1, ((SELECT count(*) FROM documents) + 4999) // 5000) AS r),
              cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
                              CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hd
                       FROM sg a JOIN sg b ON a.doc_id < b.doc_id
                       WHERE bit_count(xor(a.sim, b.sim)) <= $EstMaxHd
                         AND len(list_filter(generate_series(0, 4),
-                              c -> ((a.sim >> (6 * c)) & 63) = ((b.sim >> (6 * c)) & 63))) > 0),
+                              c -> ((a.sim >> (6 * c)) & 63) = ((b.sim >> (6 * c)) & 63))) > 0
+                        AND (a.doc_id * 31 + b.doc_id) % (SELECT r FROM rate) = 0),
              j AS (SELECT c.da, c.db, c.hd, ha.ghs AS ga, hb.ghs AS gb
                    FROM cand c JOIN h ha ON c.da = ha.doc_id JOIN h hb ON c.db = hb.doc_id),
              x AS (SELECT da, db, hd,

@@ -66,8 +66,17 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Optional subsetting for long sweeps (e.g. the sf1 scaling run,
+    # where a handful of deliberately-quadratic all-pairs ORACLE
+    # formulations cost hours in DuckDB): COMPARE_ONLY / COMPARE_SKIP
+    # are comma lists of query names. Unset -> full gate, driver-identical.
+    import os
+    only = {s for s in os.environ.get("COMPARE_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("COMPARE_SKIP", "").split(",") if s}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if (only and name not in only) or name in skip:
+            continue
         try:
             exp = con.sql(sql).df()
             got = con.sql(
