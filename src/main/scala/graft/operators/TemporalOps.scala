@@ -1098,7 +1098,7 @@ object TemporalOps extends QueryModule {
     * dimension outgrows its state budget (SCALE.md, exact/approx
     * pairing note).
     */
-  private def toDayBktGrain(ev: DataFrame): DataFrame =
+  private[graft] def toDayBktGrain(ev: DataFrame): DataFrame =
     ev.select(
       datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
       expr(s"""(((((user_id * 2654435761) % 2147483647)
@@ -1131,30 +1131,39 @@ object TemporalOps extends QueryModule {
     * union IS pane-mergeable, so unlike the exact tier this ALSO merges
     * incrementally across streaming batches with no re-distinct caveat.
     */
+  /** Post-grain half of `rolling_active_sketch`, over the two grains —
+    * shared verbatim by the declared batch query and the streaming
+    * serve ([[graft.streaming.EventStream.rollingSketchFromGrains]]),
+    * so the tiers cannot drift. Both inputs re-distinct on read, which
+    * makes overlapping streaming slices free to serve: register-set
+    * union (and user-set union) is exactly the merge algebra.
+    */
+  private[graft] def rollingSketchFrom(bktGrain: DataFrame, userGrain: DataFrame): DataFrame = {
+    val g = bktGrain.select("day", "bkt").distinct()
+    val days = g.select(col("day").as("wday")).distinct()
+    val approx = g
+      .withColumn("wday", explode(expr("sequence(day, day + 6)")))
+      .join(days, Seq("wday"))
+      .groupBy("wday")
+      .agg(countDistinct("bkt").as("v"))
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), col("wday").cast("int")),
+          "yyyy-MM-dd").as("window_end"),
+        col("v"),
+        sketchEst(col("v")).as("est"),
+      )
+    approx
+      .join(
+        rollingFromDayUser(userGrain)
+          .select(col("window_end"), col("active_users").as("exact_active")),
+        Seq("window_end"),
+      )
+      .orderBy("window_end")
+  }
+
   private val rollingActiveSketch = DeclaredQuery(
     "rolling_active_sketch",
-    (s, d) => {
-      val g = toDayBktGrain(events(s, d))
-      val days = g.select(col("day").as("wday")).distinct()
-      val approx = g
-        .withColumn("wday", explode(expr("sequence(day, day + 6)")))
-        .join(days, Seq("wday"))
-        .groupBy("wday")
-        .agg(countDistinct("bkt").as("v"))
-        .select(
-          date_format(date_add(lit("1970-01-01").cast("date"), col("wday").cast("int")),
-            "yyyy-MM-dd").as("window_end"),
-          col("v"),
-          sketchEst(col("v")).as("est"),
-        )
-      approx
-        .join(
-          rollingFromDayUser(toDayUserGrain(events(s, d)))
-            .select(col("window_end"), col("active_users").as("exact_active")),
-          Seq("window_end"),
-        )
-        .orderBy("window_end")
-    },
+    (s, d) => rollingSketchFrom(toDayBktGrain(events(s, d)), toDayUserGrain(events(s, d))),
     Some(s"""WITH $sketchGrainDuck,
              du AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
                            user_id FROM events),
@@ -1179,33 +1188,44 @@ object TemporalOps extends QueryModule {
     * exact tier's shape with m-bounded state; the exact curve rides
     * alongside for visible error.
     */
+  /** Post-grain half of `cumulative_unique_sketch` — see
+    * [[rollingSketchFrom]] for the sharing contract; the first-seen
+    * reduction is a MIN at register grain, so overlapping slices merge
+    * by the same argument as [[cumulativeFromDayUser]].
+    */
+  private[graft] def cumulativeSketchFrom(
+      bktGrain: DataFrame,
+      userGrain: DataFrame,
+  ): DataFrame = {
+    val approx = bktGrain
+      .select("day", "bkt")
+      .groupBy("bkt")
+      .agg(min(col("day").cast("long")).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_regs"))
+      .withColumn(
+        "v",
+        sum("new_regs").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+      )
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
+          "yyyy-MM-dd").as("day"),
+        col("v"),
+        sketchEst(col("v")).as("est"),
+      )
+    approx
+      .join(
+        cumulativeFromDayUser(userGrain)
+          .select(col("day"), col("cum_users").as("exact_cum")),
+        Seq("day"),
+      )
+      .orderBy("day")
+  }
+
   private val cumulativeUniqueSketch = DeclaredQuery(
     "cumulative_unique_sketch",
-    (s, d) => {
-      val approx = toDayBktGrain(events(s, d))
-        .groupBy("bkt")
-        .agg(min(col("day").cast("long")).as("day"))
-        .groupBy("day")
-        .agg(count(lit(1)).as("new_regs"))
-        .withColumn(
-          "v",
-          sum("new_regs").over(
-            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        .select(
-          date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
-            "yyyy-MM-dd").as("day"),
-          col("v"),
-          sketchEst(col("v")).as("est"),
-        )
-      approx
-        .join(
-          cumulativeFromDayUser(toDayUserGrain(events(s, d)))
-            .select(col("day"), col("cum_users").as("exact_cum")),
-          Seq("day"),
-        )
-        .orderBy("day")
-    },
+    (s, d) => cumulativeSketchFrom(toDayBktGrain(events(s, d)), toDayUserGrain(events(s, d))),
     Some(s"""WITH $sketchGrainDuck,
              fs AS (SELECT bkt, min(day) AS day FROM sg GROUP BY 1),
              nd AS (SELECT day, count(*) AS new_regs FROM fs GROUP BY 1),

@@ -296,6 +296,60 @@ object EventStream {
       spark.read.parquet(s"$grainDir/batch_*"),
     )
 
+  /** Streaming store for the APPROXIMATE tier: per micro-batch, reduce
+    * the slice to the (day, register) sketch grain and land it as its
+    * own idempotent batch dir — the same foreachBatch/Overwrite replay
+    * contract as [[startDayUserGrain]], but with state bounded by
+    * days × m (≈ days × 8 KB) instead of days × active users. This is
+    * where the sketch tier's mergeability actually PAYS in streaming:
+    * register-set union is the merge algebra, so overlapping slices,
+    * replays, and compaction are all correct by construction — no
+    * re-distinct caveat to document, it IS the serve's first step.
+    */
+  def startDayBktGrain(
+      events: DataFrame,
+      grainDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.operators.TemporalOps
+          .toDayBktGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$grainDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve both sketch dashboards from the persisted grain pair —
+    * byte-identical to the declared batch queries because the
+    * post-grain pipelines ARE the batch queries'
+    * ([[graft.operators.TemporalOps.rollingSketchFrom]] /
+    * [[graft.operators.TemporalOps.cumulativeSketchFrom]]).
+    */
+  def rollingSketchFromGrains(
+      spark: SparkSession,
+      bktGrainDir: String,
+      userGrainDir: String,
+  ): DataFrame =
+    graft.operators.TemporalOps.rollingSketchFrom(
+      spark.read.parquet(s"$bktGrainDir/batch_*"),
+      spark.read.parquet(s"$userGrainDir/batch_*"),
+    )
+
+  def cumulativeSketchFromGrains(
+      spark: SparkSession,
+      bktGrainDir: String,
+      userGrainDir: String,
+  ): DataFrame =
+    graft.operators.TemporalOps.cumulativeSketchFrom(
+      spark.read.parquet(s"$bktGrainDir/batch_*"),
+      spark.read.parquet(s"$userGrainDir/batch_*"),
+    )
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -1210,6 +1210,45 @@ class StreamingSpec extends SparkSpec {
       "grain-served cumulative uniques must equal the declared batch query")
   }
 
+  test("sketch grain store serves BOTH approximate dashboards exactly (mergeable registers)") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: the same (day, register) can land in both batch
+    // slices, exercising the union-merge the sketch tier exists for.
+    val streamDir = Files.createTempDirectory("skg-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val bktDir = Files.createTempDirectory("skg-bkt").toString
+    val userDir = Files.createTempDirectory("skg-user").toString
+    def ingest(start: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery, dir: String): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = start(stream, dir, Files.createTempDirectory("ck-skg").toString)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    ingest(EventStream.startDayBktGrain, bktDir)
+    ingest(EventStream.startDayUserGrain, userDir)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val servedRolling = EventStream
+      .rollingSketchFromGrains(spark, bktDir, userDir).collect().map(canon).toSeq
+    val batchRolling = SparkEntry
+      .queries("rolling_active_sketch")(spark, sfDir).collect().map(canon).toSeq
+    assert(batchRolling.nonEmpty && servedRolling == batchRolling,
+      "grain-served rolling sketch must equal the declared batch query")
+    val servedCum = EventStream
+      .cumulativeSketchFromGrains(spark, bktDir, userDir).collect().map(canon).toSeq
+    val batchCum = SparkEntry
+      .queries("cumulative_unique_sketch")(spark, sfDir).collect().map(canon).toSeq
+    assert(batchCum.nonEmpty && servedCum == batchCum,
+      "grain-served cumulative sketch must equal the declared batch query")
+  }
+
   test("SCD-2 rejects an out-of-order second batch loudly (no fabricated history)") {
     import org.apache.spark.sql.functions._
     // The inverse of the parity test's staging: the LATE half lands
