@@ -1618,6 +1618,17 @@ object DedupOps extends QueryModule {
     scoreLinks(facts.join(dim.hint("merge"), Seq("nationkey", "__salt")))
   }
 
+  /** Measured scale shape (round-12 sf1→sf2 doubling panel, SCALE.md):
+    * **4.04× per data doubling** once parallel slack is exhausted —
+    * the nation block key has 25 values, so the scored pair volume is
+    * (|customer|·|supplier|)/25, a PRODUCT of the side sizes. That is
+    * the declared semantics (score every within-block pair), not a
+    * plan defect; the measured number is the argument for production's
+    * blocking-key choice: `fuzzy_name_join` runs the SAME scoring
+    * pipeline behind a high-cardinality (band, name-prefix) composite
+    * and reads 1.3× across the full sf0.1→sf1 decade. The two queries
+    * bookend the blocking-key decision with measurements.
+    */
   private val recordLinkage = DeclaredQuery(
     "record_linkage",
     (s, d) => {
