@@ -864,6 +864,72 @@ object ScalePatterns extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** The row-hash and partial-digest grain of [[eventsChecksum]] —
+    * shared by the declared batch query and the streaming state store
+    * ([[graft.streaming.EventStream.startChecksumState]]), so the
+    * digest definition cannot drift between the two. Money rides as
+    * exact cents; the polynomial is the shared-formula discipline
+    * (both engines state the same integer arithmetic, no engine-native
+    * hash()). Output: (event_type, pn, psum, pxor) — one partial row
+    * per (input slice × feed), merged by [[mergeChecksumParts]].
+    */
+  private[graft] def eventsChecksumParts(ev: DataFrame): DataFrame =
+    ev.withColumn(
+      "rh",
+      expr("""((event_id * 2654435761 + user_id * 97381
+              |  + CAST(floor(value * 100.0 + 0.5) AS BIGINT)) % 2147483647)""".stripMargin),
+    ).groupBy("event_type")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum("rh").as("psum"),
+        expr("bit_xor(rh)").as("pxor"),
+      )
+
+  /** Merge partial digests — associative and commutative in every
+    * component (count: +, modular-free exact sum: +, xor: ⊕), so ANY
+    * slicing of the corpus into parts merges to the same digests: the
+    * property that makes the checksum continuously maintainable
+    * (streaming batch dirs), distributable (partial+final agg), and
+    * comparable across replicas.
+    */
+  private[graft] def mergeChecksumParts(parts: DataFrame): DataFrame =
+    parts
+      .groupBy("event_type")
+      .agg(
+        sum("pn").as("n"),
+        sum("psum").as("checksum_sum"),
+        expr("bit_xor(pxor)").as("checksum_xor"),
+      )
+      .orderBy("event_type")
+
+  /** Anti-entropy digest of the EVENT STREAM per feed — the
+    * `table_checksum` discipline pointed at the table that arrives
+    * continuously, which is where the anti-entropy question is asked
+    * in practice (did the replica ingest exactly what the source
+    * emitted?). Declared as parts→merge so the batch query IS the
+    * merge of one giant part — the identical code path the streaming
+    * store serves through, parity-tested in StreamingSpec with
+    * overlapping slices and an idempotent replay.
+    *
+    * Plan: scan-local hash, ONE partial+final agg pair (the parts agg
+    * and the merge agg collapse — feed-cardinality intermediate), no
+    * sort below the output ordering. BIGINT Σ is exact to ~4×10⁹ rows
+    * per feed; past that the `tableChecksumFrame(wide = true)`
+    * DECIMAL(38) knob applies to the two sum accumulators unchanged.
+    */
+  private val eventsChecksum = DeclaredQuery(
+    "events_checksum",
+    (s, d) => mergeChecksumParts(eventsChecksumParts(graft.Tables.events(s, d))),
+    Some("""WITH h AS (SELECT event_type,
+                              ((event_id * 2654435761 + user_id * 97381
+                                + CAST(floor(value * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh
+                       FROM events)
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(rh) AS BIGINT) AS checksum_sum,
+                   bit_xor(rh) AS checksum_xor
+            FROM h GROUP BY 1 ORDER BY 1"""),
+  )
+
   private val tableChecksum = DeclaredQuery(
     "table_checksum",
     (s, d) => tableChecksumFrame(s, d, wide = false),
@@ -880,5 +946,5 @@ object ScalePatterns extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
       bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics,
-      aggStateMerge, joinSizeAudit, tableChecksum)
+      aggStateMerge, joinSizeAudit, tableChecksum, eventsChecksum)
 }

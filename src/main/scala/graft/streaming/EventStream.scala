@@ -350,6 +350,44 @@ object EventStream {
       spark.read.parquet(s"$userGrainDir/batch_*"),
     )
 
+  /** Continuous anti-entropy: per micro-batch, reduce the slice to its
+    * per-feed partial digests (count, Σ rowhash, XOR rowhash — the
+    * SHARED [[graft.operators.ScalePatterns.eventsChecksumParts]]
+    * grain) and land them as an idempotent batch dir. Every component
+    * is associative+commutative, so the serve is a plain merge over
+    * whatever slices exist — replays overwrite, compaction is the
+    * merge written back, and a source↔replica comparison is two tiny
+    * digest frames diffed. This is the `events_checksum` batch query
+    * maintained continuously instead of recomputed — the shape a
+    * replication audit actually runs.
+    */
+  def startChecksumState(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.operators.ScalePatterns
+          .eventsChecksumParts(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the merged digests — byte-identical to the declared
+    * `events_checksum` because the merge IS the batch query's
+    * ([[graft.operators.ScalePatterns.mergeChecksumParts]]).
+    */
+  def checksumFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.ScalePatterns.mergeChecksumParts(
+      spark.read.parquet(s"$stateDir/batch_*"),
+    )
+
   // ---- custom state: per-user sessionization ------------------------------
 
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp)

@@ -1249,6 +1249,53 @@ class StreamingSpec extends SparkSpec {
       "grain-served cumulative sketch must equal the declared batch query")
   }
 
+  test("continuous checksum state merges to the exact events_checksum digests") {
+    import org.apache.spark.sql.functions._
+    val streamDir = Files.createTempDirectory("cks-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("cks-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = EventStream.startChecksumState(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-cks").toString)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    def served() = EventStream.checksumFromState(spark, stateDir).collect().map(canon).toSeq
+    val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
+    assert(batch.nonEmpty && served() == batch,
+      "merged streaming digests must equal the declared batch checksum")
+    // replay from a fresh checkpoint rewrites identical partials
+    runLoop(Files.createTempDirectory("ck-cks2").toString)
+    assert(served() == batch, "a replayed run must not change the digests")
+    // compaction = the merge written back as one part (pn/psum/pxor names)
+    val compactDir = Files.createTempDirectory("cks-compact").toString
+    EventStream
+      .checksumFromState(spark, stateDir)
+      .select(col("event_type"), col("n").as("pn"),
+        col("checksum_sum").as("psum"), col("checksum_xor").as("pxor"))
+      .write
+      .parquet(s"$compactDir/batch_0")
+    assert(EventStream.checksumFromState(spark, compactDir).collect().map(canon).toSeq == batch,
+      "compacted digest state must serve identically")
+    // the anti-entropy diff itself: a replica missing ONE row diverges
+    val replicaDir = Files.createTempDirectory("cks-replica").toString
+    graft.operators.ScalePatterns
+      .eventsChecksumParts(ev.filter(col("event_id") =!= 0))
+      .write
+      .parquet(s"$replicaDir/batch_0")
+    val replica = EventStream.checksumFromState(spark, replicaDir).collect().map(canon).toSeq
+    assert(replica != batch, "a replica missing one row must produce different digests")
+  }
+
   test("SCD-2 rejects an out-of-order second batch loudly (no fabricated history)") {
     import org.apache.spark.sql.functions._
     // The inverse of the parity test's staging: the LATE half lands
