@@ -565,5 +565,15 @@ class PlanAssertionsSpec extends SparkSpec {
       "checksum digests must accumulate map-side:\n" + tc.take(800))
     assert("Exchange".r.findAllIn(tc).size == 2,
       "table_checksum: one agg exchange + one output sort only:\n" + tc.take(800))
+
+    // events_checksum: the parts→merge declaration must COLLAPSE onto
+    // the same feed-keyed exchange — the merge agg rides the parts
+    // agg's distribution, so continuous maintainability costs zero
+    // extra shuffles over the flat formulation
+    val ec = planOf("events_checksum")
+    assert(!ec.contains("Join"), ec.take(800))
+    assert(ec.contains("partial_bit_xor"), ec.take(800))
+    assert("Exchange".r.findAllIn(ec).size == 2,
+      "events_checksum: parts+merge must not add an exchange:\n" + ec.take(800))
   }
 }
