@@ -15,7 +15,7 @@ object SparkEntry {
     Seq(RelationalOps, WindowOps, ScalarOps, ExplodeOps, TextOps, DedupOps,
       SimilarityOps, PlanOps, MultimodalOps, PipelineOps, TemporalOps,
       AggregatorOps, SourceOps, ScalePatterns, Ivf, QuantizeOps, RetrievalOps,
-      PqOps, BpeOps, CurationOps)
+      PqOps, BpeOps, CurationOps, KMeansOps)
 
   private val declared: Seq[DeclaredQuery] = modules.flatMap(_.queries)
 

@@ -1111,7 +1111,8 @@ object TemporalOps extends QueryModule {
     * engines).
     */
   private def sketchEst(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    expr(s"CAST(floor(-$SketchM.0 * ln(1.0 - least(v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)")
+    floor(lit(-SketchM.toDouble) * log(lit(1.0) - least(v, lit(SketchM - 1)) / lit(SketchM.toDouble)) + lit(0.5))
+      .cast("long")
 
   private val sketchGrainDuck: String =
     s"""sg AS (SELECT DISTINCT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -1192,33 +1193,46 @@ object TemporalOps extends QueryModule {
     * [[rollingSketchFrom]] for the sharing contract; the first-seen
     * reduction is a MIN at register grain, so overlapping slices merge
     * by the same argument as [[cumulativeFromDayUser]].
+    *
+    * The day axis is the EVENT-day set, not the new-register day set:
+    * once the m registers saturate (users ≳ m — precisely the regime
+    * the sketch tier exists for), later days occupy no new register,
+    * and a curve keyed on first-occupancy days would silently stop
+    * emitting rows. Both running sums are therefore left-joined onto
+    * the event days and forward-filled by the running-sum window
+    * itself (a missing day contributes 0 new regs / 0 new users), so
+    * every active day gets a row for the whole corpus lifetime — the
+    * dashboard contract a truncating inner join would break.
     */
   private[graft] def cumulativeSketchFrom(
       bktGrain: DataFrame,
       userGrain: DataFrame,
   ): DataFrame = {
-    val approx = bktGrain
+    val days = bktGrain.select(col("day").cast("long").as("day")).distinct()
+    val newRegs = bktGrain
       .select("day", "bkt")
       .groupBy("bkt")
       .agg(min(col("day").cast("long")).as("day"))
       .groupBy("day")
       .agg(count(lit(1)).as("new_regs"))
-      .withColumn(
-        "v",
-        sum("new_regs").over(
-          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-      )
+    val newUsers = userGrain
+      .select("day", "user_id")
+      .groupBy("user_id")
+      .agg(min(col("day").cast("long")).as("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("new_users"))
+    val cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days
+      .join(newRegs, Seq("day"), "left")
+      .join(newUsers, Seq("day"), "left")
+      .withColumn("v", sum(coalesce(col("new_regs"), lit(0L))).over(cum))
+      .withColumn("exact_cum", sum(coalesce(col("new_users"), lit(0L))).over(cum))
       .select(
         date_format(date_add(lit("1970-01-01").cast("date"), col("day").cast("int")),
           "yyyy-MM-dd").as("day"),
         col("v"),
         sketchEst(col("v")).as("est"),
-      )
-    approx
-      .join(
-        cumulativeFromDayUser(userGrain)
-          .select(col("day"), col("cum_users").as("exact_cum")),
-        Seq("day"),
+        col("exact_cum"),
       )
       .orderBy("day")
   }
@@ -1227,20 +1241,75 @@ object TemporalOps extends QueryModule {
     "cumulative_unique_sketch",
     (s, d) => cumulativeSketchFrom(toDayBktGrain(events(s, d)), toDayUserGrain(events(s, d))),
     Some(s"""WITH $sketchGrainDuck,
+             days AS (SELECT DISTINCT day FROM sg),
              fs AS (SELECT bkt, min(day) AS day FROM sg GROUP BY 1),
              nd AS (SELECT day, count(*) AS new_regs FROM fs GROUP BY 1),
-             a AS (SELECT day, CAST(sum(new_regs) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v
-                   FROM nd),
              duf AS (SELECT user_id,
                             min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS day
                      FROM events GROUP BY 1),
              dun AS (SELECT day, count(*) AS new_users FROM duf GROUP BY 1),
-             e AS (SELECT day, CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum
-                   FROM dun)
-             SELECT strftime(DATE '1970-01-01' + CAST(a.day AS INTEGER), '%Y-%m-%d') AS day,
-                    a.v, ${sketchEstDuck("a.v")} AS est, e.exact_cum
-             FROM a JOIN e ON a.day = e.day
-             ORDER BY day"""),
+             j AS (SELECT days.day,
+                          coalesce(nd.new_regs, 0) AS new_regs,
+                          coalesce(dun.new_users, 0) AS new_users
+                   FROM days LEFT JOIN nd ON days.day = nd.day
+                             LEFT JOIN dun ON days.day = dun.day),
+             a AS (SELECT day,
+                          CAST(sum(new_regs) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS v,
+                          CAST(sum(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum
+                   FROM j)
+             SELECT strftime(DATE '1970-01-01' + CAST(day AS INTEGER), '%Y-%m-%d') AS day,
+                    v, ${sketchEstDuck("v")} AS est, exact_cum
+             FROM a ORDER BY day"""),
+  )
+
+  /** First-touch attribution: each user's credit goes to the type of
+    * their FIRST event ever (the `(ts, event_id)` total order every
+    * temporal query here uses); a user converts if they ever purchase.
+    * Per touch type: users touched, users converted, and an exact ×10⁶
+    * integer conversion rate (the engine-wide integer-display
+    * discipline — no cross-engine double division).
+    *
+    * At scale: first-touch is ONE row_number window over the (user_id)
+    * exchange; the purchaser set is a semi-join-shaped aggregate on the
+    * same key, so AQE can plan the small side; output is
+    * type-cardinality rows. No corpus-sized state anywhere.
+    */
+  private val firstTouchAttribution = DeclaredQuery(
+    "first_touch_attribution",
+    (s, d) => {
+      val ev = events(s, d)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val first = ev
+        .select(col("user_id"), col("event_type").as("touch"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") === 1)
+        .drop("rn")
+      val buyers = ev
+        .filter(col("event_type") === "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", lit(1L))
+      first
+        .join(buyers, Seq("user_id"), "left")
+        .groupBy("touch")
+        .agg(
+          count(lit(1)).as("touches"),
+          sum(coalesce(col("conv"), lit(0L))).as("conversions"),
+        )
+        .withColumn("conv_rate_e6", expr("conversions * 1000000 DIV touches"))
+        .orderBy("touch")
+    },
+    Some("""WITH f AS (SELECT user_id, event_type AS touch,
+                              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                       FROM events),
+            ft AS (SELECT user_id, touch FROM f WHERE rn = 1),
+            b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT touch, count(*) AS touches,
+                   CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS conversions,
+                   (CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) * 1000000)
+                     // count(*) AS conv_rate_e6
+            FROM ft LEFT JOIN b ON ft.user_id = b.user_id
+            GROUP BY 1 ORDER BY 1"""),
   )
 
   val queries: Seq[DeclaredQuery] =
@@ -1248,5 +1317,6 @@ object TemporalOps extends QueryModule {
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
       eventTrigrams, wowGrowth, rollingActiveUsers, rollingActiveSketch, cumulativeUniqueSketch,
       scd2Intervals, freshnessAudit,
-      dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers)
+      dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
+      firstTouchAttribution)
 }

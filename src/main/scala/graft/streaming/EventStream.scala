@@ -360,6 +360,19 @@ object EventStream {
     * digest frames diffed. This is the `events_checksum` batch query
     * maintained continuously instead of recomputed — the shape a
     * replication audit actually runs.
+    *
+    * Unlike the day-user/sketch grains (whose serve re-distincts, so
+    * union absorbs overlap), count/Σ/XOR partials are ADDITIVE: the
+    * batch dirs must be an exact partition of the stream, or the
+    * digest double-counts — the precise corruption an anti-entropy
+    * tool exists to detect. That precondition is enforced, not
+    * documented: a checkpoint lineage starts at batch id 0, and batch
+    * 0 can only (re)run while no later batch has committed, so on
+    * `bid == 0` any existing contents of `stateDir` are by
+    * construction stale partials from a DIFFERENT lineage (a prior
+    * run with its own batching) and are wiped before the first write.
+    * Resuming the same checkpoint never re-enters bid 0 once batch 1
+    * committed, so live state is never dropped.
     */
   def startChecksumState(
       events: DataFrame,
@@ -368,6 +381,11 @@ object EventStream {
   ): StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
         graft.operators.ScalePatterns
           .eventsChecksumParts(batch.toDF())
           .write
@@ -483,11 +501,21 @@ object EventStream {
   final case class TypedEvent(user_id: Long, t_us: Long, event_id: Long, event_type: String)
 
   /** Per-user open interval: the one SCD-2 row whose valid_to is NULL.
-    * `max_seen_us` is the guard high-water mark — the newest event time
-    * this user's state has absorbed (≥ valid_from_us when a same-type
-    * run extends the open row without moving its start).
+    * `(max_seen_us, max_seen_id)` is the guard high-water mark — the
+    * newest event this user's state has absorbed, in the SAME
+    * `(t_us, event_id)` lexicographic total order the batch twin sorts
+    * by (max_seen_us ≥ valid_from_us when a same-type run extends the
+    * open row without moving its start). Tracking the id too means a
+    * later batch delivering an equal-time, smaller-id event — which
+    * would violate the tie-broken total order without moving event
+    * time — is rejected just as loudly as a plainly-late one.
     */
-  final case class Scd2Open(event_type: String, valid_from_us: Long, max_seen_us: Long)
+  final case class Scd2Open(
+      event_type: String,
+      valid_from_us: Long,
+      max_seen_us: Long,
+      max_seen_id: Long,
+  )
 
   /** A closed SCD-2 row ([valid_from, valid_to) in exact µs). */
   final case class Scd2Closed(
@@ -512,8 +540,9 @@ object EventStream {
     * total order; arrival ACROSS batches must respect event time (the
     * same in-order contract incremental SCD merges assume), and since
     * round 12 that contract is ENFORCED, not assumed: state carries the
-    * per-user max event time seen, and an event older than it fails the
-    * batch loudly (`IllegalStateException` → the stream dies with the
+    * per-user `(t_us, event_id)` high-water mark, and an event sorting
+    * strictly below it in that lexicographic order fails the batch
+    * loudly (`IllegalStateException` → the stream dies with the
     * offending user/time in the message) instead of silently fabricating
     * an interval that never existed. Loudly late beats silently wrong —
     * the parity specs stage in-order files by construction, so only this
@@ -534,11 +563,13 @@ object EventStream {
         var cur = state.getOption
         sorted.foreach { e =>
           cur.foreach { o =>
-            if (e.t_us < o.max_seen_us)
+            if (e.t_us < o.max_seen_us ||
+              (e.t_us == o.max_seen_us && e.event_id < o.max_seen_id))
               throw new IllegalStateException(
                 s"scd2: out-of-order arrival for user $user — event ${e.event_id} at " +
-                  s"t_us=${e.t_us} is older than already-absorbed state " +
-                  s"(max_seen_us=${o.max_seen_us}); an incremental SCD-2 merge cannot " +
+                  s"t_us=${e.t_us} sorts below already-absorbed state " +
+                  s"(max_seen_us=${o.max_seen_us}, max_seen_id=${o.max_seen_id}) in the " +
+                  "(t_us, event_id) total order; an incremental SCD-2 merge cannot " +
                   "retract emitted intervals, so this batch is rejected rather than " +
                   "fabricating history. Re-stage the producer in event-time order.",
               )
@@ -546,10 +577,10 @@ object EventStream {
           cur match {
             case Some(o) if o.event_type != e.event_type =>
               closed += Scd2Closed(user, o.event_type, o.valid_from_us, e.t_us)
-              cur = Some(Scd2Open(e.event_type, e.t_us, e.t_us))
+              cur = Some(Scd2Open(e.event_type, e.t_us, e.t_us, e.event_id))
             case Some(o) => // same type: the open run simply extends
-              cur = Some(o.copy(max_seen_us = e.t_us))
-            case None => cur = Some(Scd2Open(e.event_type, e.t_us, e.t_us))
+              cur = Some(o.copy(max_seen_us = e.t_us, max_seen_id = e.event_id))
+            case None => cur = Some(Scd2Open(e.event_type, e.t_us, e.t_us, e.event_id))
           }
         }
         cur.foreach(state.update)

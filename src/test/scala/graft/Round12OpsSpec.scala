@@ -110,13 +110,16 @@ class Round12OpsSpec extends SparkSpec {
     val truth = java.math.BigInteger.valueOf(v).multiply(java.math.BigInteger.valueOf(4L))
     val wideSum = df.agg(sum($"x".cast("decimal(38,0)"))).collect()(0).getDecimal(0)
     assert(wideSum.toBigInteger == truth)
-    val longOutcome =
-      try Left(df.agg(sum($"x")).collect()(0).getLong(0))
-      catch { case e: Throwable => Right(e) }
-    longOutcome match {
-      case Right(e) => assert(e.toString.toLowerCase.contains("overflow"))
-      case Left(got) => assert(java.math.BigInteger.valueOf(got) != truth)
-    }
+    // The loud-failure guarantee is an ANSI-mode property; a session
+    // with ANSI off would wrap silently, which is exactly the behavior
+    // the wide-tier docs rule out — so the test REQUIRES the exception,
+    // it does not accept a wrong finite sum as an alternate pass.
+    assert(spark.conf.get("spark.sql.ansi.enabled").toBoolean,
+      "wide-tier loud-failure tests must run under ANSI mode")
+    val e = intercept[Throwable] { df.agg(sum($"x")).collect() }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+    assert(chain.exists(_.toString.toLowerCase.contains("overflow")),
+      s"BIGINT sum past Long.MaxValue must fail with an overflow error, got: $e")
   }
 
   test("sketch twins track their exact dashboards within linear-counting error") {

@@ -1355,4 +1355,97 @@ class StreamingSpec extends SparkSpec {
         t.getMessage != null && t.getMessage.contains("out-of-order arrival")),
       s"expected the scd2 guard's message in the failure chain, got: $failure")
   }
+
+  test("SCD-2 rejects an equal-time, smaller-id arrival (tie-broken total order)") {
+    import org.apache.spark.sql.functions._
+    // The high-water mark is the (t_us, event_id) PAIR: a later batch
+    // delivering an event at the exact high-water time but a smaller id
+    // violates the tie-broken total order the batch twin sorts by, so it
+    // must fail just as loudly as a plainly-late event — a time-only
+    // guard would let it through and the interval boundaries could
+    // diverge from batch without the promised loud failure.
+    val t0 = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+    def oneEvent(id: Long, typ: String): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          org.apache.spark.sql.Row(id, t0, 1L, typ, 0.0, "{}")),
+        EventStream.rawSchema)
+    val dir = Files.createTempDirectory("scd2-tie-in")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val src = Files.createTempDirectory(s"scd2-tie-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(src.toString)
+      val part = Files.list(src).iterator()
+      var staged = false
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.toString.endsWith(".parquet")) {
+          val dst = dir.resolve(name)
+          Files.copy(p, dst)
+          dst.toFile.setLastModified(mtime)
+          staged = true
+        }
+      }
+      assert(staged)
+    }
+    stage(oneEvent(5L, "click"), "a.parquet", 1000000L) // id 5 absorbed first
+    stage(oneEvent(3L, "purchase"), "b.parquet", 2000000L) // equal time, smaller id
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream
+      .scd2(EventStream.typedEvents(stream))
+      .toDF()
+      .writeStream
+      .format("memory")
+      .queryName("scd2_tie")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("ck-scd2-tie").toString)
+      .start()
+    val failure = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(failure).exists(t =>
+      t.getMessage != null && t.getMessage.contains("out-of-order arrival")),
+      s"expected the scd2 guard to reject the equal-time smaller-id event, got: $failure")
+  }
+
+  test("a fresh checksum lineage wipes stale partials instead of double-counting them") {
+    import org.apache.spark.sql.functions._
+    // count/Σ/XOR partials are ADDITIVE, not union-mergeable: leftover
+    // batch dirs from a prior, differently-batched run are not absorbed
+    // the way the distinct-merged grains absorb overlap — they would
+    // silently double-count, the exact corruption an anti-entropy tool
+    // exists to detect. Batch 0 of a fresh checkpoint can only run while
+    // no later batch has committed, so the writer wipes the state dir
+    // there; this stages a stale high-numbered partial and proves the
+    // served digest still equals the batch truth.
+    val streamDir = Files.createTempDirectory("cks-stale-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("cks-stale-state").toString
+    graft.operators.ScalePatterns
+      .eventsChecksumParts(ev.limit(100)) // a prior lineage's partial slice
+      .write
+      .parquet(s"$stateDir/batch_7")
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream.startChecksumState(
+      stream, stateDir, Files.createTempDirectory("ck-cks-stale").toString)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val served = EventStream.checksumFromState(spark, stateDir).collect().map(canon).toSeq
+    val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
+    assert(batch.nonEmpty && served == batch,
+      "stale partials from a prior lineage must not survive into a fresh run's digest")
+  }
 }
