@@ -132,29 +132,29 @@ object KMeansOps extends QueryModule {
     */
   private def lloydCtes: String = {
     val init =
-      s"""q AS (SELECT vec_id, label, $QuantDuck AS q FROM embeddings),
-         |pe AS (SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS dim,
+      s"""q AS MATERIALIZED (SELECT vec_id, label, $QuantDuck AS q FROM embeddings),
+         |pe AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS dim,
          |              unnest(q) AS val FROM q),
          |init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
          |         FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $K)),
-         |c0 AS (SELECT init.cl, pe.dim, pe.val FROM init JOIN pe ON init.vec_id = pe.vec_id)""".stripMargin
+         |c0 AS MATERIALIZED (SELECT init.cl, pe.dim, pe.val FROM init JOIN pe ON init.vec_id = pe.vec_id)""".stripMargin
     val rounds = (1 to Rounds)
       .map { r =>
-        s"""d$r AS (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
+        s"""d$r AS MATERIALIZED (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
            |       FROM pe JOIN c${r - 1} c ON pe.dim = c.dim GROUP BY 1, 2),
-           |a$r AS (SELECT vec_id, cl,
+           |a$r AS MATERIALIZED (SELECT vec_id, cl,
            |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM d$r),
-           |s$r AS (SELECT a.cl, pe.dim, CAST(sum(pe.val) AS BIGINT) AS sv, count(*) AS n
+           |s$r AS MATERIALIZED (SELECT a.cl, pe.dim, CAST(sum(pe.val) AS BIGINT) AS sv, count(*) AS n
            |       FROM (SELECT vec_id, cl FROM a$r WHERE rn = 1) a
            |       JOIN pe ON a.vec_id = pe.vec_id GROUP BY 1, 2),
-           |c$r AS (SELECT p.cl, p.dim, coalesce(s.sv // s.n, p.val) AS val
+           |c$r AS MATERIALIZED (SELECT p.cl, p.dim, coalesce(s.sv // s.n, p.val) AS val
            |       FROM c${r - 1} p LEFT JOIN s$r s ON p.cl = s.cl AND p.dim = s.dim)""".stripMargin
       }
       .mkString(",\n")
     val fin =
-      s"""df AS (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
+      s"""df AS MATERIALIZED (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
          |      FROM pe JOIN c$Rounds c ON pe.dim = c.dim GROUP BY 1, 2),
-         |af AS (SELECT vec_id, cl, dist,
+         |af AS MATERIALIZED (SELECT vec_id, cl, dist,
          |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM df)""".stripMargin
     s"$init,\n$rounds,\n$fin"
   }
@@ -238,6 +238,148 @@ object KMeansOps extends QueryModule {
              GROUP BY 1, 2 ORDER BY 1, 2"""),
   )
 
+  // ---- PCA: exact-integer power iteration on the covariance moments ------
+
+  private val PowerRounds = 12
+
+  /** Dominant eigenvector of the (scaled) covariance matrix, ×10⁶
+    * integer-quantized, by `PowerRounds` power-iteration steps — ALL in
+    * exact integer arithmetic, so the iterative linear algebra
+    * hash-matches an unrolled DuckDB CTE oracle:
+    *
+    *  - ONE corpus pass collects the exact moments (n, Σqᵢ, Σqᵢqⱼ) via
+    *    [[graft.functions.CovMomentsAggregator]] — the same bounded
+    *    ~17 KB exchange as `embedding_covariance`, and the ONLY
+    *    corpus-dependent work in the whole query.
+    *  - Mᵢⱼ = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ (= n²·Cov, shift-invariant — the
+    *    kmeans +2×10⁶ shift cancels exactly) is a 64×64 BigInt matrix
+    *    built on the driver; each step is y = M·x, then renormalize to
+    *    ×10⁶ by truncating division (BigInt `/` ≡ DuckDB `//`, both
+    *    toward zero — exact agreement including negative components,
+    *    so NO sign canonicalization is needed: both engines produce
+    *    the identical signed vector).
+    *  - 64² × 8 driver multiplies — microseconds; corpus never moves.
+    *
+    * At 100 TB the Long moment tier bounds at ~10⁶ vectors of this
+    * magnitude (|q| ≤ 3×10⁶ ⇒ Σq² ≈ n·9×10¹²) and fails loudly via
+    * `Math.addExact`; past it, `covarianceMoments(wide = true)`'s
+    * DECIMAL(38) tier is the documented swap — the iteration itself is
+    * corpus-size-free either way.
+    */
+  private[graft] def principalE6(s: SparkSession, d: String): Array[Long] = {
+    val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
+    val r = quantized(s, d).agg(mom(col("q")).as("m")).collect()(0).getStruct(0)
+    val sm = r.getSeq[Long](0)
+    val pr = r.getSeq[Long](1)
+    val n = BigInt(r.getLong(2))
+    val m = Array.ofDim[BigInt](Dim, Dim)
+    var pos = 0
+    var i = 0
+    while (i < Dim) {
+      var j = i
+      while (j < Dim) {
+        val v = n * BigInt(pr(pos)) - BigInt(sm(i)) * BigInt(sm(j))
+        m(i)(j) = v
+        m(j)(i) = v
+        pos += 1
+        j += 1
+      }
+      i += 1
+    }
+    var x = Array.fill(Dim)(BigInt(1000000))
+    var step = 0
+    while (step < PowerRounds) {
+      val y = Array.tabulate(Dim)(a => (0 until Dim).map(b => m(a)(b) * x(b)).sum)
+      val mx = y.map(_.abs).max
+      if (mx != 0) x = y.map(v => v * 1000000 / mx) // BigInt /: trunc ≡ DuckDB //
+      step += 1
+    }
+    x.map(_.toLong)
+  }
+
+  /** The same moments + `PowerRounds` steps unrolled as DuckDB CTEs
+    * (HUGEINT throughout — Σ and M·x stay far under 2¹²⁷).
+    */
+  private def powerCtes: String = {
+    val init =
+      s"""q AS MATERIALIZED (SELECT vec_id, $QuantDuck AS q FROM embeddings),
+         |pe AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(q, 1) - 1 AS INTEGER) AS dim,
+         |              unnest(q) AS val FROM q),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM q),
+         |m1 AS MATERIALIZED (SELECT dim, CAST(sum(val) AS HUGEINT) AS s FROM pe GROUP BY 1),
+         |p2 AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.val * b.val) AS HUGEINT) AS p
+         |       FROM pe a JOIN pe b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |mm AS MATERIALIZED (SELECT p2.i, p2.j, nn.n * p2.p - si.s * sj.s AS mv
+         |       FROM p2 CROSS JOIN nn
+         |       JOIN m1 si ON si.dim = p2.i JOIN m1 sj ON sj.dim = p2.j),
+         |x0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(1000000 AS HUGEINT) AS x FROM pe)""".stripMargin
+    val steps = (1 to PowerRounds)
+      .map { r =>
+        s"""y$r AS MATERIALIZED (SELECT mm.i AS dim, sum(mm.mv * x.x) AS y
+           |       FROM mm JOIN x${r - 1} x ON mm.j = x.dim GROUP BY 1),
+           |mx$r AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y$r),
+           |x$r AS MATERIALIZED (SELECT dim, CASE WHEN mx = 0 THEN y ELSE (y * 1000000) // mx END AS x
+           |       FROM y$r, mx$r)""".stripMargin
+      }
+      .mkString(",\n")
+    s"$init,\n$steps"
+  }
+
+  private val pcaPowerIter = DeclaredQuery(
+    "pca_power_iter",
+    (s, d) => {
+      import s.implicits._
+      principalE6(s, d).zipWithIndex
+        .map { case (v, dim) => (dim, v) }
+        .toSeq
+        .toDF("dim", "v_e6")
+        .orderBy("dim")
+    },
+    Some(s"""WITH $powerCtes
+             SELECT dim, CAST(x AS BIGINT) AS v_e6 FROM x$PowerRounds ORDER BY dim"""),
+  )
+
+  /** Every vector's coordinate along the principal direction: one
+    * codegen'd dot-product projection (pc1 = q·v − ⌊S·v/n⌋ — the
+    * centering term is a driver-computed integer constant, so the
+    * per-row work is a 64-term integer fold, no join, no shuffle
+    * beyond the output sort). The distributed half is a pure map at
+    * any corpus size; |q·v| ≤ 64·3×10⁶·10⁶ ≈ 2×10¹⁴ keeps every row
+    * term in Long regardless of n.
+    */
+  private val pcaProject = DeclaredQuery(
+    "pca_project",
+    (s, d) => {
+      val v = principalE6(s, d)
+      val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
+      val r = quantized(s, d).agg(mom(col("q")).as("m")).collect()(0).getStruct(0)
+      val sm = r.getSeq[Long](0)
+      val n = BigInt(r.getLong(2))
+      val center =
+        if (n == 0) 0L
+        else ((0 until Dim).map(i => BigInt(sm(i)) * BigInt(v(i))).sum / n).toLong
+      quantized(s, d)
+        .select(
+          col("vec_id"),
+          (aggregate(
+            zip_with(col("q"), typedlit(v.toSeq), (a, b) => a * b),
+            lit(0L),
+            (acc, x) => acc + x,
+          ) - lit(center)).as("pc1"),
+        )
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $powerCtes,
+             v AS (SELECT dim, x FROM x$PowerRounds),
+             c AS (SELECT (sum(m1.s * v.x) // (SELECT n FROM nn)) AS center
+                   FROM m1 JOIN v ON m1.dim = v.dim)
+             SELECT pe.vec_id,
+                    CAST(CAST(sum(pe.val * v.x) AS HUGEINT) - c.center AS BIGINT) AS pc1
+             FROM pe JOIN v ON pe.dim = v.dim CROSS JOIN c
+             GROUP BY pe.vec_id, c.center ORDER BY pe.vec_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion)
+    Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
+      pcaPowerIter, pcaProject)
 }

@@ -17,7 +17,7 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 189, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 191, "declared-query count changed — update SURVEY.md §2.12")
   }
 
   test("SCALE.md and README.md carry the live declared-query count") {
@@ -134,7 +134,8 @@ class DeclarationLintSpec extends SparkSpec {
     val fromRe = """(?i)(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)""".r
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       // strip CTE names declared in this query; whatever remains must be testdata
-      val cteRe = """(?i)([a-z_][a-z0-9_]*)(?:\s*\([^)]*\))?\s+AS\s*\(""".r
+      val cteRe =
+        """(?i)([a-z_][a-z0-9_]*)(?:\s*\([^)]*\))?\s+AS\s*(?:MATERIALIZED\s*)?\(""".r
       val ctes = cteRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- ctes -- tables
