@@ -1269,36 +1269,64 @@ object TemporalOps extends QueryModule {
     * integer conversion rate (the engine-wide integer-display
     * discipline — no cross-engine double division).
     *
-    * At scale: first-touch is ONE row_number window over the (user_id)
-    * exchange; the purchaser set is a semi-join-shaped aggregate on the
-    * same key, so AQE can plan the small side; output is
-    * type-cardinality rows. No corpus-sized state anywhere.
+    * At scale: ONE partial+final struct-min aggregation keyed by user
+    * (map-side combine — the exchange carries user-cardinality grain
+    * rows, not events), then a type-cardinality rollup. No window sort,
+    * no join, no corpus-sized state anywhere; the grain itself is the
+    * streaming store ([[toFirstTouchGrain]]).
     */
+  /** Reduce raw events to the per-user FIRST-TOUCH grain — the third
+    * mergeable event store (after the day-user/sketch grains): one row
+    * per user carrying the argmin event over `(t_us, event_id)` (the
+    * engine-wide total order; the struct-min keeps the winning event's
+    * type attached) plus an OR-merged purchased flag. Both components
+    * are idempotent, commutative merges — min and max — so overlapping
+    * streaming slices, replays, and compaction are correct by
+    * construction, exactly like the other grains.
+    *
+    * This is also the better BATCH shape: a partial+final struct-min
+    * aggregation (map-side combine, one (user_id) exchange of user-
+    * cardinality rows) replaces the row_number window's full
+    * events-sized sort — at 100 TB the difference between shuffling
+    * user-cardinality grain and sorting every event.
+    */
+  private[graft] def toFirstTouchGrain(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(
+        min(struct(unix_micros(col("ts")).as("first_us"), col("event_id").as("first_id"),
+          col("event_type").as("first_type"))).as("f"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"),
+      )
+      .select(
+        col("user_id"),
+        col("f.first_us").as("first_us"),
+        col("f.first_id").as("first_id"),
+        col("f.first_type").as("first_type"),
+        col("purchased"),
+      )
+
+  /** Post-grain half of `first_touch_attribution` — shared verbatim by
+    * the declared batch query and the streaming serve
+    * ([[graft.streaming.EventStream.attributionFromGrain]]), so the
+    * tiers cannot drift. The first step RE-MERGES per user (struct-min
+    * + max), which is what makes overlapping slices free to serve.
+    */
+  private[graft] def attributionFromGrain(grain: DataFrame): DataFrame =
+    grain
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("first_us"), col("first_id"), col("first_type"))).as("f"),
+        max(col("purchased")).as("purchased"),
+      )
+      .select(col("f.first_type").as("touch"), col("purchased"))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("touches"), sum(col("purchased")).as("conversions"))
+      .withColumn("conv_rate_e6", expr("conversions * 1000000 DIV touches"))
+      .orderBy("touch")
+
   private val firstTouchAttribution = DeclaredQuery(
     "first_touch_attribution",
-    (s, d) => {
-      val ev = events(s, d)
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val first = ev
-        .select(col("user_id"), col("event_type").as("touch"),
-          row_number().over(w).as("rn"))
-        .filter(col("rn") === 1)
-        .drop("rn")
-      val buyers = ev
-        .filter(col("event_type") === "purchase")
-        .select("user_id")
-        .distinct()
-        .withColumn("conv", lit(1L))
-      first
-        .join(buyers, Seq("user_id"), "left")
-        .groupBy("touch")
-        .agg(
-          count(lit(1)).as("touches"),
-          sum(coalesce(col("conv"), lit(0L))).as("conversions"),
-        )
-        .withColumn("conv_rate_e6", expr("conversions * 1000000 DIV touches"))
-        .orderBy("touch")
-    },
+    (s, d) => attributionFromGrain(toFirstTouchGrain(events(s, d))),
     Some("""WITH f AS (SELECT user_id, event_type AS touch,
                               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
                        FROM events),

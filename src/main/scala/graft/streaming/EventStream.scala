@@ -350,6 +350,43 @@ object EventStream {
       spark.read.parquet(s"$userGrainDir/batch_*"),
     )
 
+  /** Continuous first-touch attribution: per micro-batch, reduce the
+    * slice to the per-user (argmin event, purchased) grain — the SHARED
+    * [[graft.operators.TemporalOps.toFirstTouchGrain]] — and land it as
+    * an idempotent batch dir. Both grain components merge (struct-min /
+    * max-OR), so overlapping slices, replays, and compaction are
+    * correct by construction: a user's true first event can arrive in
+    * ANY batch and the serve's re-merge still finds it — no ordering
+    * contract at all, unlike SCD-2.
+    */
+  def startFirstTouchGrain(
+      events: DataFrame,
+      grainDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.operators.TemporalOps
+          .toFirstTouchGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$grainDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the attribution dashboard from the persisted grain —
+    * byte-identical to the declared batch query because the post-grain
+    * pipeline IS the batch query's
+    * ([[graft.operators.TemporalOps.attributionFromGrain]]).
+    */
+  def attributionFromGrain(spark: SparkSession, grainDir: String): DataFrame =
+    graft.operators.TemporalOps.attributionFromGrain(
+      spark.read.parquet(s"$grainDir/batch_*"),
+    )
+
   /** Continuous anti-entropy: per micro-batch, reduce the slice to its
     * per-feed partial digests (count, Σ rowhash, XOR rowhash — the
     * SHARED [[graft.operators.ScalePatterns.eventsChecksumParts]]

@@ -1249,6 +1249,38 @@ class StreamingSpec extends SparkSpec {
       "grain-served cumulative sketch must equal the declared batch query")
   }
 
+  test("first-touch grain store serves the exact attribution dashboard") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: a user's true first event and their purchase can
+    // land in DIFFERENT batches, so the serve's struct-min re-merge and
+    // the OR-merge of the purchased flag are both really exercised —
+    // per-batch grains alone would misattribute.
+    val streamDir = Files.createTempDirectory("ft-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val grainDir = Files.createTempDirectory("ft-grain").toString
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream.startFirstTouchGrain(
+      stream, grainDir, Files.createTempDirectory("ck-ft").toString)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val served = EventStream.attributionFromGrain(spark, grainDir).collect().map(canon).toSeq
+    val batch = SparkEntry
+      .queries("first_touch_attribution")(spark, sfDir)
+      .collect()
+      .map(canon)
+      .toSeq
+    assert(batch.nonEmpty && served == batch,
+      "grain-served attribution must equal the declared batch query")
+  }
+
   test("continuous checksum state merges to the exact events_checksum digests") {
     import org.apache.spark.sql.functions._
     val streamDir = Files.createTempDirectory("cks-stream").toString
