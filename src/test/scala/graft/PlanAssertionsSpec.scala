@@ -576,4 +576,30 @@ class PlanAssertionsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(ec).size == 2,
       "events_checksum: parts+merge must not add an exchange:\n" + ec.take(800))
   }
+
+  test("round-13 plan shapes: joinless kmeans/pca maps, windowless attribution") {
+    // kmeans_assign: the k-centroid argmin is folded into the scan's
+    // projection — literals, not a centroid TABLE, so there is no join
+    // and no broadcast anywhere; the only exchange is the output sort.
+    val ka = planOf("kmeans_assign")
+    assert(!ka.contains("Join"), ka.take(800))
+    assert("Exchange".r.findAllIn(ka).size == 1,
+      "kmeans_assign: output sort must be the only exchange:\n" + ka.take(800))
+
+    // pca_project: the 64-term principal projection is one codegen'd
+    // fold per row — pure map + output sort, nothing else.
+    val pp = planOf("pca_project")
+    assert(!pp.contains("Join"), pp.take(800))
+    assert("Exchange".r.findAllIn(pp).size == 1,
+      "pca_project: output sort must be the only exchange:\n" + pp.take(800))
+
+    // first_touch_attribution: the grain formulation replaced the
+    // row_number window — no Window node, no join; the struct-min grain
+    // aggregates map-side (partial SortAggregate under the exchange).
+    val ft = planOf("first_touch_attribution")
+    assert(!ft.contains("Window"), ft.take(800))
+    assert(!ft.contains("Join"), ft.take(800))
+    assert(ft.contains("SortAggregate"),
+      "struct-min grain must aggregate map-side:\n" + ft.take(800))
+  }
 }
