@@ -139,4 +139,16 @@ class KMeansSpec extends SparkSpec {
     assert(cos > 0.995, s"after the power steps M·v must align with v (cos = $cos)")
     assert(v.map(_.abs).max == BigInt(1000000), "v is normalized to max|component| = 1e6")
   }
+
+  test("VecSumAggregator fails loudly at Long scale (no silent wrap)") {
+    // The centroid accumulator is JVM code — ANSI guards Catalyst
+    // expressions, not typed Aggregators — so the loud-failure contract
+    // is Math.addExact's (the CovMomentsAggregator discipline).
+    val agg = new graft.functions.VecSumAggregator(2)
+    val big = Long.MaxValue / 2 + 1
+    val one = agg.reduce(agg.zero, Seq(big, 1L))
+    intercept[ArithmeticException] { agg.reduce(one, Seq(big, 1L)) }
+    val other = agg.reduce(agg.zero, Seq(big, 1L))
+    intercept[ArithmeticException] { agg.merge(agg.reduce(agg.zero, Seq(big, 1L)), other) }
+  }
 }
