@@ -460,7 +460,112 @@ object KMeansOps extends QueryModule {
              GROUP BY j.cl ORDER BY cluster"""),
   )
 
+  /** Centroid-based silhouette — the cluster-quality gate: per vector,
+    * a = distance to its own centroid, b = distance to the runner-up
+    * (the FIRST TWO entries of the sorted (dist, cluster) array — the
+    * same folded-literal projection as assignment, still joinless);
+    * s = (b−a)·10³ ÷ max(a,b) in exact integers (b ≥ a by
+    * construction, so everything stays non-negative). Per cluster:
+    * n, mean a, mean b, mean s — all truncating integer means.
+    *
+    * Magnitudes: dist ≤ 64·(4×10⁶)² ≈ 10¹⁵, so the ×10³ scale keeps
+    * per-row terms under Long and ANSI makes any pathological Σ fail
+    * loudly; the DECIMAL(38) accumulator swap is the documented tier
+    * past ~10³ vectors·max-dist per cluster (never near testdata).
+    */
+  private val kmeansSilhouette = DeclaredQuery(
+    "kmeans_silhouette",
+    (s, d) => {
+      val cents = lloydCentroids(s, d)
+      val arr = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(sqDist(col("q"), c).as("dist"), lit(i.toLong).as("cluster"))
+      }: _*))
+      quantized(s, d)
+        .select(element_at(arr, 1).as("own"), element_at(arr, 2).as("nxt"))
+        .select(
+          col("own.cluster").as("cluster"),
+          col("own.dist").as("a"),
+          col("nxt.dist").as("b"),
+        )
+        .withColumn(
+          "sil_e3",
+          expr("CASE WHEN greatest(a, b) = 0 THEN 0L ELSE (b - a) * 1000 DIV greatest(a, b) END"),
+        )
+        .groupBy("cluster")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("sum(a) DIV count(1)").as("mean_a"),
+          expr("sum(b) DIV count(1)").as("mean_b"),
+          expr("sum(sil_e3) DIV count(1)").as("mean_sil_e3"),
+        )
+        .orderBy("cluster")
+    },
+    Some(s"""WITH $lloydCtes,
+             own AS (SELECT vec_id, cl, dist FROM af WHERE rn = 1),
+             nxt AS (SELECT vec_id, dist AS b FROM af WHERE rn = 2),
+             sil AS (SELECT o.cl, o.dist AS a, n.b,
+                            CASE WHEN greatest(o.dist, n.b) = 0 THEN 0
+                                 ELSE ((n.b - o.dist) * 1000) // greatest(o.dist, n.b) END AS sil_e3
+                     FROM own o JOIN nxt n ON o.vec_id = n.vec_id)
+             SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n,
+                    CAST(sum(a) // count(*) AS BIGINT) AS mean_a,
+                    CAST(sum(b) // count(*) AS BIGINT) AS mean_b,
+                    CAST(sum(sil_e3) // count(*) AS BIGINT) AS mean_sil_e3
+             FROM sil GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Variance explained by the principal direction: λ₁ ≈ v′Mv ÷ v′v
+    * (Rayleigh quotient, exact truncating BigInt steps), as a ×10⁶
+    * share of trace(M) — the one-row dashboard number that says whether
+    * 1-D projection is faithful. The corpus pass is the SAME memoized
+    * moment struct; everything else is 64²-bounded driver arithmetic.
+    * (The two-step truncating division is the defined computation both
+    * engines replicate — within 10⁻⁶ + truncation of the real ratio.)
+    */
+  private val pcaVarExplained = DeclaredQuery(
+    "pca_var_explained",
+    (s, d) => {
+      import s.implicits._
+      val v = principalE6(s, d).map(BigInt(_))
+      val r = momentsOf(s, d)
+      val sm = r.getSeq[Long](0)
+      val pr = r.getSeq[Long](1)
+      val n = BigInt(r.getLong(2))
+      val m = Array.ofDim[BigInt](Dim, Dim)
+      var pos = 0
+      var i = 0
+      while (i < Dim) {
+        var j = i
+        while (j < Dim) {
+          val x = n * BigInt(pr(pos)) - BigInt(sm(i)) * BigInt(sm(j))
+          m(i)(j) = x
+          m(j)(i) = x
+          pos += 1
+          j += 1
+        }
+        i += 1
+      }
+      val vmv = (0 until Dim).map(a => v(a) * (0 until Dim).map(b => m(a)(b) * v(b)).sum).sum
+      val vv = v.map(x => x * x).sum
+      val trace = (0 until Dim).map(a => m(a)(a)).sum
+      val lam = vmv / vv
+      val share = if (trace == 0) BigInt(0) else lam * 1000000 / trace
+      Seq((n.toLong, share.toLong)).toDF("n", "var_explained_e6").orderBy("n")
+    },
+    Some(s"""WITH $powerCtes,
+             v AS (SELECT dim, x FROM x$PowerRounds),
+             vmv AS (SELECT sum(va.x * mm.mv * vb.x) AS q
+                     FROM mm JOIN v va ON va.dim = mm.i JOIN v vb ON vb.dim = mm.j),
+             vv AS (SELECT sum(x * x) AS d FROM v),
+             tr AS (SELECT sum(mv) AS t FROM mm WHERE i = j),
+             lam AS (SELECT (vmv.q // vv.d) AS l FROM vmv CROSS JOIN vv)
+             SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+                    CAST(CASE WHEN tr.t = 0 THEN 0 ELSE (lam.l * 1000000) // tr.t END AS BIGINT)
+                      AS var_explained_e6
+             FROM lam CROSS JOIN tr ORDER BY n"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
-      pcaPowerIter, pcaProject, clusterTextProfile)
+      pcaPowerIter, pcaProject, clusterTextProfile, kmeansSilhouette, pcaVarExplained)
 }
