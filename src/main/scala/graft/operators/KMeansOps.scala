@@ -264,6 +264,15 @@ object KMeansOps extends QueryModule {
 
   private val PowerRounds = 12
 
+  /** The exact (Σqᵢ, Σqᵢqⱼ, n) moment struct — one corpus pass, shared
+    * by both PCA queries via the driver-value memo.
+    */
+  private def momentsOf(s: SparkSession, d: String): org.apache.spark.sql.Row =
+    memoized(s, d, "pca-moments") {
+      val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
+      quantized(s, d).agg(mom(col("q")).as("m")).collect()(0).getStruct(0)
+    }
+
   /** Dominant eigenvector of the (scaled) covariance matrix, ×10⁶
     * integer-quantized, by `PowerRounds` power-iteration steps — ALL in
     * exact integer arithmetic, so the iterative linear algebra
@@ -280,7 +289,8 @@ object KMeansOps extends QueryModule {
     *    toward zero — exact agreement including negative components,
     *    so NO sign canonicalization is needed: both engines produce
     *    the identical signed vector).
-    *  - 64² × 8 driver multiplies — microseconds; corpus never moves.
+    *  - 64² × `PowerRounds` driver multiplies — microseconds; the
+    *    corpus never moves.
     *
     * At 100 TB the Long moment tier bounds at ~10⁶ vectors of this
     * magnitude (|q| ≤ 3×10⁶ ⇒ Σq² ≈ n·9×10¹²) and fails loudly via
@@ -288,15 +298,6 @@ object KMeansOps extends QueryModule {
     * DECIMAL(38) tier is the documented swap — the iteration itself is
     * corpus-size-free either way.
     */
-  /** The exact (Σqᵢ, Σqᵢqⱼ, n) moment struct — one corpus pass, shared
-    * by both PCA queries via the driver-value memo.
-    */
-  private def momentsOf(s: SparkSession, d: String): org.apache.spark.sql.Row =
-    memoized(s, d, "pca-moments") {
-      val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
-      quantized(s, d).agg(mom(col("q")).as("m")).collect()(0).getStruct(0)
-    }
-
   private[graft] def principalE6(s: SparkSession, d: String): Array[Long] =
     memoized(s, d, "pca-principal") { principalE6Build(s, d) }
 
