@@ -140,6 +140,19 @@ class KMeansSpec extends SparkSpec {
     assert(v.map(_.abs).max == BigInt(1000000), "v is normalized to max|component| = 1e6")
   }
 
+  test("family queries share one Lloyd run / one moments pass (driver-value memo)") {
+    // The SubstrateCache discipline for driver values: a second call
+    // must return the SAME object, not a recomputation — this is what
+    // keeps assign/cost/centroids/silhouette/profile from each paying
+    // the corpus iterations in Bench and Verify.
+    val a = operators.KMeansOps.lloydCentroids(spark, sfDir)
+    val b = operators.KMeansOps.lloydCentroids(spark, sfDir)
+    assert(a eq b, "lloydCentroids must memoize per (session, dataset)")
+    val p = operators.KMeansOps.principalE6(spark, sfDir)
+    val q = operators.KMeansOps.principalE6(spark, sfDir)
+    assert(p eq q, "principalE6 must memoize per (session, dataset)")
+  }
+
   test("VecSumAggregator fails loudly at Long scale (no silent wrap)") {
     // The centroid accumulator is JVM code — ANSI guards Catalyst
     // expressions, not typed Aggregators — so the loud-failure contract
