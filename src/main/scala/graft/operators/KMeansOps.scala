@@ -96,14 +96,12 @@ object KMeansOps extends QueryModule {
     val best = array_min(array(cents.zipWithIndex.map { case (c, i) =>
       struct(sqDist(col("q"), c).as("dist"), lit(i.toLong).as("cluster"))
     }: _*))
+    // schema-preserving: whatever rode in (label for the confusion
+    // query, nothing extra for the streaming refresh frames) rides out
     q.withColumn("best", best)
-      .select(
-        col("vec_id"),
-        col("label"),
-        col("q"),
-        col("best.cluster").as("cluster"),
-        col("best.dist").as("dist"),
-      )
+      .withColumn("cluster", col("best.cluster"))
+      .withColumn("dist", col("best.dist"))
+      .drop("best")
   }
 
   /** `Rounds` Lloyd updates from the deterministic seed (the k lowest
@@ -113,9 +111,61 @@ object KMeansOps extends QueryModule {
   private[graft] def lloydCentroids(s: SparkSession, d: String): Seq[Array[Long]] =
     memoized(s, d, "kmeans-centroids") { lloydCentroidsBuild(s, d) }
 
+  /** One Lloyd update's distributed half: the per-cluster `(Σq, n)`
+    * PARTIALS under the given standing centroids — a (cluster, s,
+    * n) frame of ≤ k rows. Kept separate from the division so the
+    * partials are a mergeable store: Σq and n are additive, so
+    * slice-wise partials sum to the full-corpus partials (the
+    * continuous centroid-refresh loop in
+    * [[graft.streaming.EmbedIngest]] lands exactly this frame per
+    * micro-batch).
+    */
+  private[graft] def centroidPartials(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val vecSum = udaf(new graft.functions.VecSumAggregator(Dim))
+    assignTo(q, cents)
+      .groupBy("cluster")
+      .agg(vecSum(col("q")).as("s"), count(lit(1)).as("n"))
+  }
+
+  /** Merge collected `(cluster, Σq, n)` partials and divide — the
+    * driver half of one Lloyd update. `Math.addExact` keeps the merge
+    * as loud-on-overflow as the distributed accumulation; empty
+    * clusters keep their previous centroid (both engines).
+    */
+  private[graft] def mergeCentroidPartials(
+      rows: Seq[(Int, Seq[Long], Long)],
+      cents: Seq[Array[Long]],
+  ): Seq[Array[Long]] = {
+    val acc = collection.mutable.Map.empty[Int, (Array[Long], Long)]
+    rows.foreach { case (cl, s, n) =>
+      acc.get(cl) match {
+        case Some((sum, cnt)) =>
+          var i = 0
+          while (i < sum.length) { sum(i) = Math.addExact(sum(i), s(i)); i += 1 }
+          acc(cl) = (sum, Math.addExact(cnt, n))
+        case None => acc(cl) = (s.toArray, n)
+      }
+    }
+    cents.zipWithIndex.map { case (prev, cl) =>
+      acc.get(cl) match {
+        case Some((sums, n)) => sums.map(_ / n) // non-negative: floor ≡ trunc ≡ //
+        case None => prev
+      }
+    }
+  }
+
+  /** One full Lloyd update round (distributed partials + driver merge). */
+  private[graft] def updateRound(q: DataFrame, cents: Seq[Array[Long]]): Seq[Array[Long]] =
+    mergeCentroidPartials(
+      centroidPartials(q, cents)
+        .collect()
+        .map(row => (row.getLong(0).toInt, row.getSeq[Long](1), row.getLong(2)))
+        .toSeq,
+      cents,
+    )
+
   private def lloydCentroidsBuild(s: SparkSession, d: String): Seq[Array[Long]] = {
     val q = quantized(s, d)
-    val vecSum = udaf(new graft.functions.VecSumAggregator(Dim))
     var cents: Seq[Array[Long]] = q
       .orderBy("vec_id")
       .limit(K)
@@ -124,22 +174,18 @@ object KMeansOps extends QueryModule {
       .toSeq
     var r = 0
     while (r < Rounds) {
-      val updates = assignTo(q, cents)
-        .groupBy("cluster")
-        .agg(vecSum(col("q")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .map(row => row.getLong(0).toInt -> (row.getSeq[Long](1), row.getLong(2)))
-        .toMap
-      cents = cents.zipWithIndex.map { case (prev, cl) =>
-        updates.get(cl) match {
-          case Some((sums, n)) => sums.map(_ / n).toArray // non-negative: floor ≡ trunc ≡ //
-          case None => prev // empty cluster keeps its centroid, both engines
-        }
-      }
+      cents = updateRound(q, cents)
       r += 1
     }
     cents
   }
+
+  /** The quantized projection of an ALREADY-LOADED embeddings frame
+    * (the streaming refresh loop's entry — same expression as
+    * [[quantized]], which is the batch-table convenience over it).
+    */
+  private[graft] def quantizeFrame(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), expr(QuantSql).as("q"))
 
   private def finalAssign(s: SparkSession, d: String): DataFrame =
     assignTo(quantized(s, d), lloydCentroids(s, d))

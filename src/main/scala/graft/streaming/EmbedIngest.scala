@@ -14,8 +14,11 @@ import graft.operators.Ivf
   * against a broadcast k-row table), and the rows append to the
   * `partitionBy(cid)` layout that `Ivf.searchCellLayout` prunes at
   * planning time. The index is built BY ingest, not by nightly
-  * rebuilds; centroid refresh (re-running Lloyd when drift accumulates)
-  * stays a batch concern, exactly as in production IVF serving.
+  * rebuilds; and since round 13 centroid refresh is ALSO continuous —
+  * [[startCentroidPartials]] accumulates a full Lloyd update as
+  * mergeable per-batch partials, so "re-run Lloyd when drift
+  * accumulates" becomes "flip to [[refreshedCentroids]]" with no
+  * corpus rescan.
   *
   * CRASH-REPLAY IDEMPOTENCE: each batch writes under its own `b=<id>`
   * partition with dynamic partition overwrite, so a replayed batch
@@ -80,4 +83,70 @@ object EmbedIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  // ---- continuous k-means centroid refresh --------------------------------
+
+  /** Continuous centroid REFRESH for the k-means family: per
+    * micro-batch, reduce the slice to its per-cluster `(Σq, n)` Lloyd
+    * partials under the STANDING centroids (the SHARED
+    * [[graft.operators.KMeansOps.centroidPartials]] — the same
+    * assignment projection and the same `VecSumAggregator`) and land
+    * them as an idempotent batch dir. Σq and n are ADDITIVE — like the
+    * checksum store and unlike the distinct-merged grains — so the
+    * batch dirs must be an exact partition of the stream: the same
+    * bid-0 wipe as [[EventStream.startChecksumState]] enforces it (a
+    * fresh checkpoint lineage can only enter batch 0 before any later
+    * batch committed, so whatever is in the state dir then is a stale
+    * prior lineage).
+    *
+    * This is the production "drift refresh" shape: serving keeps the
+    * standing centroids; the refresh loop accumulates one FULL Lloyd
+    * update across arbitrary micro-batching, and flipping the
+    * dimension to the served table is one bounded read
+    * ([[refreshedCentroids]]) — no corpus rescan, no downtime.
+    */
+  def startCentroidPartials(
+      embeds: DataFrame,
+      standing: Seq[Array[Long]],
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    embeds.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.KMeansOps
+          .centroidPartials(graft.operators.KMeansOps.quantizeFrame(batch.toDF()), standing)
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the landed partials into the refreshed centroids —
+    * byte-identical to ONE batch Lloyd update over the full stream
+    * ([[graft.operators.KMeansOps.updateRound]]) because the merge IS
+    * that update's driver half
+    * ([[graft.operators.KMeansOps.mergeCentroidPartials]]); the read
+    * is ≤ k rows per batch dir, corpus never moves.
+    */
+  def refreshedCentroids(
+      spark: SparkSession,
+      stateDir: String,
+      standing: Seq[Array[Long]],
+  ): Seq[Array[Long]] =
+    graft.operators.KMeansOps.mergeCentroidPartials(
+      spark.read
+        .parquet(s"$stateDir/batch_*")
+        .collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](1), r.getLong(2)))
+        .toSeq,
+      standing,
+    )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.streaming.EventStream
+import graft.streaming.{EmbedIngest, EventStream}
 
 /** Streaming/batch parity: the AvailableNow streaming run over the same
   * parquet files must produce exactly the DuckDB-verified batch result of
@@ -1326,6 +1326,38 @@ class StreamingSpec extends SparkSpec {
       .parquet(s"$replicaDir/batch_0")
     val replica = EventStream.checksumFromState(spark, replicaDir).collect().map(canon).toSeq
     assert(replica != batch, "a replica missing one row must produce different digests")
+  }
+
+  test("continuous centroid partials merge to exactly one batch Lloyd update") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: every cluster's members straddle both batches,
+    // so the additive (Σq, n) merge is really exercised — a per-batch
+    // division instead of a partial merge would produce different
+    // centroids (means of means ≠ mean).
+    val standing = operators.KMeansOps.lloydCentroids(spark, sfDir)
+    val streamDir = Files.createTempDirectory("ckm-stream").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("ckm-state").toString
+    val stream = spark.readStream
+      .schema(emb.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+    val q = EmbedIngest.startCentroidPartials(
+      stream, standing, stateDir, Files.createTempDirectory("ck-ckm").toString)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    val served = EmbedIngest.refreshedCentroids(spark, stateDir, standing)
+    val batch = operators.KMeansOps.updateRound(
+      operators.KMeansOps.quantizeFrame(emb), standing)
+    assert(served.length == batch.length &&
+      served.zip(batch).forall { case (a, b) => a.sameElements(b) },
+      "streamed partial-merge must equal the one-shot Lloyd update")
+    // and the refresh genuinely moved the dimension (standing ≠ refreshed
+    // on this corpus — the drift the loop exists to absorb)
+    assert(served.zip(standing).exists { case (a, b) => !a.sameElements(b) },
+      "refresh should differ from the standing centroids on real data")
   }
 
   test("SCD-2 rejects an out-of-order second batch loudly (no fabricated history)") {
