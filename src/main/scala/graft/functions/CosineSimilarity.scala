@@ -145,6 +145,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[IntDot].getName, "graft_int_dot"),
         (children: Seq[Expression]) => IntDot(children(0), children(1)),
       ),
+      (
+        FunctionIdentifier("graft_int_sqdist"),
+        new ExpressionInfo(classOf[IntSqDist].getName, "graft_int_sqdist"),
+        (children: Seq[Expression]) => IntSqDist(children(0), children(1)),
+      ),
     )
 
   /** Imperative per-session registration (idempotent) — usable from any

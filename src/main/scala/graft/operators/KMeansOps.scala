@@ -56,8 +56,10 @@ object KMeansOps extends QueryModule {
   private val QuantDuck =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)"
 
-  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s) // graft_int_sqdist kernel
     Tables.embeddings(s, d).select(col("vec_id"), col("label"), expr(QuantSql).as("q"))
+  }
 
   /** Driver-value twin of [[graft.SubstrateCache]]: the Lloyd centroids,
     * the principal direction, and the moment struct are k·D-bounded
@@ -79,14 +81,16 @@ object KMeansOps extends QueryModule {
   }
 
   /** Exact integer squared distance of the vector column to one centroid
-    * literal — a codegen'd fold, no explode.
+    * literal — the native codegen kernel
+    * ([[graft.functions.IntSqDist]]). The HOF spelling
+    * (`aggregate(zip_with(...))`) computes the same Longs but is
+    * CodegenFallback: two interpreted lambdas per centroid per row, and
+    * the k-way argmin projection falls out of whole-stage codegen —
+    * measured 2×+ on the assignment scan. Values are bit-identical
+    * either way (all-Long), so the oracle is untouched.
     */
   private def sqDist(q: Column, c: Array[Long]): Column =
-    aggregate(
-      zip_with(q, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L),
-      (acc, x) => acc + x,
-    )
+    call_function("graft_int_sqdist", q, typedlit(c.toSeq))
 
   /** Nearest centroid per row: one projection carrying (vec_id, label, q,
     * cluster, dist). Ties break to the smallest cluster id (struct

@@ -585,6 +585,8 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!ka.contains("Join"), ka.take(800))
     assert("Exchange".r.findAllIn(ka).size == 1,
       "kmeans_assign: output sort must be the only exchange:\n" + ka.take(800))
+    assert(ka.contains("graft_int_sqdist"),
+      "assignment must use the codegen distance kernel, not interpreted HOFs:\n" + ka.take(800))
 
     // pca_project: the 64-term principal projection is one codegen'd
     // fold per row — pure map + output sort, nothing else.
