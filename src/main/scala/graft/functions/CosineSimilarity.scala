@@ -150,6 +150,11 @@ object GraftFunctions {
         new ExpressionInfo(classOf[IntSqDist].getName, "graft_int_sqdist"),
         (children: Seq[Expression]) => IntSqDist(children(0), children(1)),
       ),
+      (
+        FunctionIdentifier("graft_double_sqdist"),
+        new ExpressionInfo(classOf[DoubleSqDist].getName, "graft_double_sqdist"),
+        (children: Seq[Expression]) => DoubleSqDist(children(0), children(1)),
+      ),
     )
 
   /** Imperative per-session registration (idempotent) — usable from any

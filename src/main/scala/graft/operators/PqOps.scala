@@ -76,14 +76,19 @@ object PqOps extends QueryModule {
         )
     }
 
-  /** Squared-L2 between a row slice and a centroid slice, as the
-    * sequential fold both engines state identically.
+  /** Squared-L2 between a row slice and a centroid slice — the native
+    * codegen kernel ([[graft.functions.DoubleSqDist]]), which runs the
+    * SAME sequential left fold both engines state (bit-identical
+    * doubles), but inside whole-stage codegen instead of two
+    * interpreted HOF lambdas per (row, centroid) — this projection
+    * sits under the corpus × NSub × K training join, the hottest loop
+    * in the PQ path.
     */
-  private val DistExpr =
-    "aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+  private val DistExpr = "graft_double_sqdist(svec, cvec)"
 
   /** Nearest-centroid assignment per (vector, subspace): (vec_id, sub, cid). */
-  private def assign(sv: DataFrame, cb: DataFrame): DataFrame =
+  private def assign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(sv.sparkSession)
     sv.join(broadcast(cb), Seq("sub"))
       .withColumn("dist", expr(DistExpr))
       .withColumn(
@@ -93,6 +98,7 @@ object PqOps extends QueryModule {
       )
       .filter(col("rk") === 1)
       .select("vec_id", "sub", "cid")
+  }
 
   /** Exact integer-scaled centroid means per (subspace, cell) — the
     * [[Ivf]] lloydStep keyed by one more column.
