@@ -467,8 +467,7 @@ object Ivf extends QueryModule {
       )
     (0 until iters).foreach { _ =>
       val assigned = assign(s, e, centroids)
-      val byDim = assigned
-        .join(e, "vec_id")
+      val byDim = assigned // schema-preserving: dvec rides through, no re-join
         .select(col("cid"), posexplode(col("dvec")).as(Seq("k", "v")))
         .groupBy("cid", "k")
         .agg(avg("v").as("m"))
@@ -482,7 +481,11 @@ object Ivf extends QueryModule {
   }
 
   /** Nearest-centroid assignment: broadcast the centroids, window-argmax.
-    * @return (vec_id, cid, csim)
+    * SCHEMA-PRESERVING (the [[graft.operators.KMeansOps]] assignTo
+    * discipline): every input column rides through beside the appended
+    * `cid`/`csim`, so consumers that need the vector back — the cell
+    * layout writers, the streaming ingest loop — never pay a
+    * re-join-to-self to recover what the assignment just dropped.
     */
   def assign(s: SparkSession, e: DataFrame, centroids: DataFrame): DataFrame =
     e.join(broadcast(centroids))
@@ -492,7 +495,7 @@ object Ivf extends QueryModule {
         row_number().over(Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))),
       )
       .filter(col("rk") === 1)
-      .select("vec_id", "cid", "csim")
+      .select(e.columns.map(col).toSeq :+ col("cid") :+ col("csim"): _*)
 
   /** Persist the index in its durable 100 TB layout: one directory per
     * cell (`partitionBy(cid)`), each vector riding beside its assignment.
@@ -506,9 +509,7 @@ object Ivf extends QueryModule {
       centroids: DataFrame,
       dir: String,
   ): Unit =
-    assign(s, e, centroids)
-      .select(col("vec_id"), col("cid"))
-      .join(e, "vec_id")
+    assign(s, e, centroids) // schema-preserving: dvec rides through, no re-join
       .select(col("cid"), col("vec_id"), col("dvec"))
       .write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)

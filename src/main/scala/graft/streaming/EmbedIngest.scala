@@ -69,9 +69,7 @@ object EmbedIngest {
           expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("dvec"),
         )
         Ivf
-          .assign(spark, e, centroids)
-          .select("vec_id", "cid")
-          .join(e, "vec_id")
+          .assign(spark, e, centroids) // schema-preserving: dvec rides through, no per-batch self-join
           .select(lit(batchId).as("b"), col("cid"), col("vec_id"), col("dvec"))
           .write
           .option("partitionOverwriteMode", "dynamic")
@@ -140,7 +138,11 @@ object EmbedIngest {
       spark: SparkSession,
       stateDir: String,
       standing: Seq[Array[Long]],
-  ): Seq[Array[Long]] =
+  ): Seq[Array[Long]] = {
+    // an empty stream commits zero batch dirs — the refresh is then the
+    // identity (no partials ⇒ every cluster keeps its standing centroid),
+    // not a path-not-found AnalysisException
+    if (listBatchDirs(spark, stateDir).isEmpty) return standing
     graft.operators.KMeansOps.mergeCentroidPartials(
       spark.read
         .parquet(s"$stateDir/batch_*")
@@ -149,4 +151,19 @@ object EmbedIngest {
         .toSeq,
       standing,
     )
+  }
+
+  /** The committed `batch_*` dirs under a partial-state root (empty when
+    * the stream never committed — both refresh readers guard on this).
+    */
+  private[streaming] def listBatchDirs(spark: SparkSession, stateDir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else
+      fs.listStatus(p)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+        .map(_.getPath.toString)
+        .toSeq
+  }
 }

@@ -594,6 +594,10 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!pp.contains("Join"), pp.take(800))
     assert("Exchange".r.findAllIn(pp).size == 1,
       "pca_project: output sort must be the only exchange:\n" + pp.take(800))
+    assert(pp.contains("graft_int_dot"),
+      "projection must use the codegen dot kernel, not interpreted HOFs:\n" + pp.take(800))
+    assert(!pp.contains("aggregate(") && !pp.contains("zip_with("),
+      "no interpreted HOF fold may remain in the projection:\n" + pp.take(800))
 
     // first_touch_attribution: the grain formulation replaced the
     // row_number window — no Window node, no join; the struct-min grain
