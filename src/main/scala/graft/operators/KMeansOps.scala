@@ -395,9 +395,13 @@ object KMeansOps extends QueryModule {
     * corpus-size-free either way.
     */
   private[graft] def principalE6(s: SparkSession, d: String): Array[Long] =
-    memoized(s, d, "pca-principal") { principalE6Build(s, d) }
+    memoized(s, d, "pca-principal") { powerIterate(momentMatrix(s, d)) }
 
-  private def principalE6Build(s: SparkSession, d: String): Array[Long] = {
+  /** The 64×64 BigInt matrix M = n²·Cov rebuilt from the memoized moment
+    * struct — 64² driver multiplies, so cheap enough to rebuild per
+    * caller (the memo holds the corpus-pass moments, not this).
+    */
+  private def momentMatrix(s: SparkSession, d: String): Array[Array[BigInt]] = {
     val r = momentsOf(s, d)
     val sm = r.getSeq[Long](0)
     val pr = r.getSeq[Long](1)
@@ -416,6 +420,16 @@ object KMeansOps extends QueryModule {
       }
       i += 1
     }
+    m
+  }
+
+  /** `PowerRounds` exact-integer power-iteration steps on an arbitrary
+    * symmetric BigInt matrix, ×10⁶-renormalized per step — shared by the
+    * principal direction (on M) and the deflated second direction (on
+    * the scaled-deflated matrix), so the iteration discipline (trunc
+    * division, zero-guard, round count) cannot drift between them.
+    */
+  private def powerIterate(m: Array[Array[BigInt]]): Array[Long] = {
     var x = Array.fill(Dim)(BigInt(1000000))
     var step = 0
     while (step < PowerRounds) {
@@ -426,6 +440,41 @@ object KMeansOps extends QueryModule {
     }
     x.map(_.toLong)
   }
+
+  /** M rescaled so max|entry| = 10⁹ (truncating division — exact,
+    * engine-replicable). The rescale exists for the ORACLE's sake: the
+    * deflation products (λ̂·vᵢ·vⱼ and v′M̂v) must stay under HUGEINT at
+    * any corpus size, and M itself grows as n² — worst case
+    * |λ̂·vᵢ·vⱼ| ≤ 4×10²⁴·10¹² ≈ 4×10³⁶ < 2¹²⁷ once entries are
+    * 10⁹-bounded, REGARDLESS of n. Eigenvectors are scale-invariant, so
+    * the deflated direction is unchanged (up to the shared truncation,
+    * which both engines replicate bit-for-bit).
+    */
+  private def scaledMatrix(m: Array[Array[BigInt]]): Array[Array[BigInt]] = {
+    val mmax = m.flatten.map(_.abs).max
+    if (mmax == 0) Array.fill(Dim, Dim)(BigInt(0))
+    else m.map(_.map(v => v * 1000000000 / mmax))
+  }
+
+  /** Second principal direction by Hotelling deflation ON THE SCALED
+    * matrix: D = M̂ − λ̂·(v₁v₁′)/(v₁′v₁) with λ̂ = v₁′M̂v₁/(v₁′v₁), every
+    * division truncating BigInt (≡ DuckDB `//` toward zero), then the
+    * SAME `PowerRounds` iteration as pc1. Deflation is 64² driver
+    * arithmetic on the memoized moments — no second corpus pass.
+    */
+  private[graft] def principal2E6(s: SparkSession, d: String): Array[Long] =
+    memoized(s, d, "pca-principal2") {
+      val ms = scaledMatrix(momentMatrix(s, d))
+      val v1 = principalE6(s, d).map(BigInt(_))
+      val vv = v1.map(x => x * x).sum
+      val vmv =
+        (0 until Dim).map(a => v1(a) * (0 until Dim).map(b => ms(a)(b) * v1(b)).sum).sum
+      val dm = Array.tabulate(Dim, Dim) { (i, j) =>
+        // two SEQUENTIAL truncating divisions — the oracle's (… // d) // d
+        ms(i)(j) - vmv * v1(i) * v1(j) / vv / vv
+      }
+      powerIterate(dm)
+    }
 
   /** The same moments + `PowerRounds` steps unrolled as DuckDB CTEs
     * (HUGEINT throughout — Σ and M·x stay far under 2¹²⁷).
@@ -450,6 +499,40 @@ object KMeansOps extends QueryModule {
            |mx$r AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM y$r),
            |x$r AS MATERIALIZED (SELECT dim, CASE WHEN mx = 0 THEN y ELSE (y * 1000000) // mx END AS x
            |       FROM y$r, mx$r)""".stripMargin
+      }
+      .mkString(",\n")
+    s"$init,\n$steps"
+  }
+
+  /** [[principal2E6]] unrolled as CTEs APPENDED to [[powerCtes]]: scale
+    * `mm` to 10⁹ max-abs (`ms`), deflate by the converged `x$PowerRounds`
+    * direction (`dm`), then the same `PowerRounds` steps under `w*`
+    * names. HUGEINT bounds hold at any n because `ms` is 10⁹-bounded by
+    * construction (see [[scaledMatrix]]).
+    */
+  private def deflateCtes: String = {
+    val init =
+      s"""v1f AS MATERIALIZED (SELECT dim, x FROM x$PowerRounds),
+         |mabs AS (SELECT max(abs(mv)) AS m FROM mm),
+         |ms AS MATERIALIZED (SELECT i, j,
+         |       CASE WHEN mabs.m = 0 THEN CAST(0 AS HUGEINT)
+         |            ELSE (mm.mv * 1000000000) // mabs.m END AS mv
+         |       FROM mm CROSS JOIN mabs),
+         |dvv AS (SELECT sum(x * x) AS d FROM v1f),
+         |dvmv AS (SELECT sum(a.x * ms.mv * b.x) AS q
+         |         FROM ms JOIN v1f a ON a.dim = ms.i JOIN v1f b ON b.dim = ms.j),
+         |dm AS MATERIALIZED (SELECT ms.i, ms.j,
+         |       ms.mv - ((dvmv.q * a.x * b.x) // dvv.d) // dvv.d AS mv
+         |       FROM ms JOIN v1f a ON a.dim = ms.i JOIN v1f b ON b.dim = ms.j
+         |       CROSS JOIN dvmv CROSS JOIN dvv),
+         |w0 AS MATERIALIZED (SELECT DISTINCT dim, CAST(1000000 AS HUGEINT) AS x FROM pe)""".stripMargin
+    val steps = (1 to PowerRounds)
+      .map { r =>
+        s"""wy$r AS MATERIALIZED (SELECT dm.i AS dim, sum(dm.mv * x.x) AS y
+           |       FROM dm JOIN w${r - 1} x ON dm.j = x.dim GROUP BY 1),
+           |wmx$r AS MATERIALIZED (SELECT max(abs(y)) AS mx FROM wy$r),
+           |w$r AS MATERIALIZED (SELECT dim, CASE WHEN mx = 0 THEN y ELSE (y * 1000000) // mx END AS x
+           |       FROM wy$r, wmx$r)""".stripMargin
       }
       .mkString(",\n")
     s"$init,\n$steps"
@@ -505,6 +588,51 @@ object KMeansOps extends QueryModule {
                     CAST(CAST(sum(pe.val * v.x) AS HUGEINT) - c.center AS BIGINT) AS pc1
              FROM pe JOIN v ON pe.dim = v.dim CROSS JOIN c
              GROUP BY pe.vec_id, c.center ORDER BY pe.vec_id"""),
+  )
+
+  /** 2-D principal-subspace coordinates: pc1 as in `pca_project`, pc2
+    * along the deflated second direction ([[principal2E6]]) — BOTH dots
+    * are [[graft.functions.IntDot]] codegen kernels in ONE projection
+    * (the per-row work is two 64-term integer folds inside whole-stage
+    * codegen; the corpus moves zero times beyond the scan). This is the
+    * "then what" after `pca_var_explained` says pc1 alone is not
+    * faithful: the 2-D map a curation dashboard scatters. Centering
+    * constants are driver integers exactly as in pc1.
+    */
+  private val pcaProject2 = DeclaredQuery(
+    "pca_project2",
+    (s, d) => {
+      val v1 = principalE6(s, d)
+      val v2 = principal2E6(s, d)
+      val r = momentsOf(s, d)
+      val sm = r.getSeq[Long](0)
+      val n = BigInt(r.getLong(2))
+      def center(v: Array[Long]): Long =
+        if (n == 0) 0L
+        else ((0 until Dim).map(i => BigInt(sm(i)) * BigInt(v(i))).sum / n).toLong
+      quantized(s, d)
+        .select(
+          col("vec_id"),
+          (call_function("graft_int_dot", col("q"), typedlit(v1.toSeq)) - lit(center(v1)))
+            .as("pc1"),
+          (call_function("graft_int_dot", col("q"), typedlit(v2.toSeq)) - lit(center(v2)))
+            .as("pc2"),
+        )
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH $powerCtes,
+             $deflateCtes,
+             c1 AS (SELECT (sum(m1.s * v.x) // (SELECT n FROM nn)) AS center
+                    FROM m1 JOIN v1f v ON m1.dim = v.dim),
+             c2 AS (SELECT (sum(m1.s * v.x) // (SELECT n FROM nn)) AS center
+                    FROM m1 JOIN w$PowerRounds v ON m1.dim = v.dim)
+             SELECT pe.vec_id,
+                    CAST(CAST(sum(pe.val * a.x) AS HUGEINT) - c1.center AS BIGINT) AS pc1,
+                    CAST(CAST(sum(pe.val * b.x) AS HUGEINT) - c2.center AS BIGINT) AS pc2
+             FROM pe JOIN v1f a ON pe.dim = a.dim
+             JOIN w$PowerRounds b ON pe.dim = b.dim
+             CROSS JOIN c1 CROSS JOIN c2
+             GROUP BY pe.vec_id, c1.center, c2.center ORDER BY pe.vec_id"""),
   )
 
   /** What each semantic bucket CONTAINS: the final k-means assignment
@@ -610,12 +738,17 @@ object KMeansOps extends QueryModule {
              FROM sil GROUP BY 1 ORDER BY 1"""),
   )
 
-  /** Variance explained by the principal direction: λ₁ ≈ v′Mv ÷ v′v
+  /** Variance explained by the principal subspace: λ₁ ≈ v′Mv ÷ v′v
     * (Rayleigh quotient, exact truncating BigInt steps), as a ×10⁶
     * share of trace(M) — the one-row dashboard number that says whether
-    * 1-D projection is faithful. The corpus pass is the SAME memoized
-    * moment struct; everything else is 64²-bounded driver arithmetic.
-    * (The two-step truncating division is the defined computation both
+    * 1-D projection is faithful — plus (round 14) the λ₂ and λ₁+λ₂
+    * shares that answer "and is 2-D enough?". The pc2 shares are
+    * Rayleigh quotients ON THE SCALED matrix M̂ (trace share is
+    * scale-invariant up to the shared truncation; M̂ keeps the λ̂₂·10⁶
+    * product under HUGEINT at any n — the same bound argument as
+    * [[scaledMatrix]]). The corpus pass is the SAME memoized moment
+    * struct; everything else is 64²-bounded driver arithmetic. (The
+    * two-step truncating division is the defined computation both
     * engines replicate — within 10⁻⁶ + truncation of the real ratio.)
     */
   private val pcaVarExplained = DeclaredQuery(
@@ -624,44 +757,58 @@ object KMeansOps extends QueryModule {
       import s.implicits._
       val v = principalE6(s, d).map(BigInt(_))
       val r = momentsOf(s, d)
-      val sm = r.getSeq[Long](0)
-      val pr = r.getSeq[Long](1)
       val n = BigInt(r.getLong(2))
-      val m = Array.ofDim[BigInt](Dim, Dim)
-      var pos = 0
-      var i = 0
-      while (i < Dim) {
-        var j = i
-        while (j < Dim) {
-          val x = n * BigInt(pr(pos)) - BigInt(sm(i)) * BigInt(sm(j))
-          m(i)(j) = x
-          m(j)(i) = x
-          pos += 1
-          j += 1
-        }
-        i += 1
-      }
+      val m = momentMatrix(s, d)
       val vmv = (0 until Dim).map(a => v(a) * (0 until Dim).map(b => m(a)(b) * v(b)).sum).sum
       val vv = v.map(x => x * x).sum
       val trace = (0 until Dim).map(a => m(a)(a)).sum
       val lam = vmv / vv
       val share = if (trace == 0) BigInt(0) else lam * 1000000 / trace
-      Seq((n.toLong, share.toLong)).toDF("n", "var_explained_e6").orderBy("n")
+      // pc2/pc12 shares on the scaled matrix (oracle-replicable bounds)
+      val msM = scaledMatrix(m)
+      def lamS(u: Array[BigInt]): BigInt = {
+        val q = (0 until Dim).map(a => u(a) * (0 until Dim).map(b => msM(a)(b) * u(b)).sum).sum
+        q / u.map(x => x * x).sum
+      }
+      val traceS = (0 until Dim).map(a => msM(a)(a)).sum
+      val l1s = lamS(v)
+      val l2s = lamS(principal2E6(s, d).map(BigInt(_)))
+      val var2 = if (traceS == 0) BigInt(0) else l2s * 1000000 / traceS
+      val var12 = if (traceS == 0) BigInt(0) else (l1s + l2s) * 1000000 / traceS
+      Seq((n.toLong, share.toLong, var2.toLong, var12.toLong))
+        .toDF("n", "var_explained_e6", "var2_e6", "var12_e6")
+        .orderBy("n")
     },
     Some(s"""WITH $powerCtes,
+             $deflateCtes,
              v AS (SELECT dim, x FROM x$PowerRounds),
              vmv AS (SELECT sum(va.x * mm.mv * vb.x) AS q
                      FROM mm JOIN v va ON va.dim = mm.i JOIN v vb ON vb.dim = mm.j),
              vv AS (SELECT sum(x * x) AS d FROM v),
              tr AS (SELECT sum(mv) AS t FROM mm WHERE i = j),
-             lam AS (SELECT (vmv.q // vv.d) AS l FROM vmv CROSS JOIN vv)
+             lam AS (SELECT (vmv.q // vv.d) AS l FROM vmv CROSS JOIN vv),
+             v2 AS (SELECT dim, x FROM w$PowerRounds),
+             l1s AS (SELECT (SELECT sum(a.x * ms.mv * b.x)
+                             FROM ms JOIN v1f a ON a.dim = ms.i JOIN v1f b ON b.dim = ms.j)
+                            // (SELECT sum(x * x) FROM v1f) AS l),
+             l2s AS (SELECT (SELECT sum(a.x * ms.mv * b.x)
+                             FROM ms JOIN v2 a ON a.dim = ms.i JOIN v2 b ON b.dim = ms.j)
+                            // (SELECT sum(x * x) FROM v2) AS l),
+             trs AS (SELECT sum(mv) AS t FROM ms WHERE i = j)
              SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
                     CAST(CASE WHEN tr.t = 0 THEN 0 ELSE (lam.l * 1000000) // tr.t END AS BIGINT)
-                      AS var_explained_e6
-             FROM lam CROSS JOIN tr ORDER BY n"""),
+                      AS var_explained_e6,
+                    CAST(CASE WHEN trs.t = 0 THEN 0 ELSE (l2s.l * 1000000) // trs.t END AS BIGINT)
+                      AS var2_e6,
+                    CAST(CASE WHEN trs.t = 0 THEN 0
+                              ELSE ((l1s.l + l2s.l) * 1000000) // trs.t END AS BIGINT)
+                      AS var12_e6
+             FROM lam CROSS JOIN tr CROSS JOIN l1s CROSS JOIN l2s CROSS JOIN trs
+             ORDER BY n"""),
   )
 
   val queries: Seq[DeclaredQuery] =
     Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
-      pcaPowerIter, pcaProject, clusterTextProfile, kmeansSilhouette, pcaVarExplained)
+      pcaPowerIter, pcaProject, pcaProject2, clusterTextProfile, kmeansSilhouette,
+      pcaVarExplained)
 }

@@ -599,6 +599,18 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!pp.contains("aggregate(") && !pp.contains("zip_with("),
       "no interpreted HOF fold may remain in the projection:\n" + pp.take(800))
 
+    // pca_project2: BOTH subspace dots are codegen kernels inside ONE
+    // per-row projection — still joinless, still one output-sort
+    // exchange; the deflation is driver arithmetic, invisible here.
+    val p2 = planOf("pca_project2")
+    assert(!p2.contains("Join"), p2.take(800))
+    assert("Exchange".r.findAllIn(p2).size == 1,
+      "pca_project2: output sort must be the only exchange:\n" + p2.take(800))
+    assert("graft_int_dot".r.findAllIn(p2).size >= 2,
+      "both pc1 and pc2 must use the codegen dot kernel:\n" + p2.take(800))
+    assert(!p2.contains("aggregate(") && !p2.contains("zip_with("),
+      "no interpreted HOF fold may remain in the projection:\n" + p2.take(800))
+
     // first_touch_attribution: the grain formulation replaced the
     // row_number window — no Window node, no join; the struct-min grain
     // aggregates map-side (partial SortAggregate under the exchange).
