@@ -369,6 +369,41 @@ object KMeansOps extends QueryModule {
       quantized(s, d).agg(mom(col("q")).as("m")).collect()(0).getStruct(0)
     }
 
+  /** The covariance-moment PARTIALS of a quantized frame as a 1-row
+    * (s, p, n) DataFrame — the distributed half of the moment pass,
+    * kept separate from the collect so it is a mergeable store: Σq,
+    * Σqᵢqⱼ and n are all additive, so slice-wise partials sum to the
+    * full-corpus moments (the continuous PCA-refresh loop in
+    * [[graft.streaming.EmbedIngest]] lands exactly this frame per
+    * micro-batch — the CovMoments twin of [[centroidPartials]]).
+    */
+  private[graft] def momentPartials(q: DataFrame): DataFrame = {
+    val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
+    q.agg(mom(col("q")).as("m"))
+      .select(col("m._1").as("s"), col("m._2").as("p"), col("m._3").as("n"))
+  }
+
+  /** Merge collected (s, p, n) moment partials — elementwise
+    * `Math.addExact` sums, as loud-on-overflow as the distributed
+    * accumulation (the driver half of the streamed moment pass).
+    */
+  private[graft] def mergeMomentPartials(
+      rows: Seq[(Seq[Long], Seq[Long], Long)],
+  ): (Seq[Long], Seq[Long], Long) = {
+    val nProds = Dim * (Dim + 1) / 2
+    val s = new Array[Long](Dim)
+    val p = new Array[Long](nProds)
+    var n = 0L
+    rows.foreach { case (bs, bp, bn) =>
+      var i = 0
+      while (i < Dim) { s(i) = Math.addExact(s(i), bs(i)); i += 1 }
+      var j = 0
+      while (j < nProds) { p(j) = Math.addExact(p(j), bp(j)); j += 1 }
+      n = Math.addExact(n, bn)
+    }
+    (s.toSeq, p.toSeq, n)
+  }
+
   /** Dominant eigenvector of the (scaled) covariance matrix, ×10⁶
     * integer-quantized, by `PowerRounds` power-iteration steps — ALL in
     * exact integer arithmetic, so the iterative linear algebra
@@ -403,9 +438,20 @@ object KMeansOps extends QueryModule {
     */
   private def momentMatrix(s: SparkSession, d: String): Array[Array[BigInt]] = {
     val r = momentsOf(s, d)
-    val sm = r.getSeq[Long](0)
-    val pr = r.getSeq[Long](1)
-    val n = BigInt(r.getLong(2))
+    matrixFromMoments(r.getSeq[Long](0), r.getSeq[Long](1), r.getLong(2))
+  }
+
+  /** M = n·Σqq′ − SS′ from a raw (Σq, Σqᵢqⱼ upper-triangle, n) moment
+    * triple — shared by the batch path and the streaming moment-refresh
+    * merge ([[graft.streaming.EmbedIngest.refreshedPrincipal]]), so the
+    * matrix definition cannot drift between them.
+    */
+  private[graft] def matrixFromMoments(
+      sm: Seq[Long],
+      pr: Seq[Long],
+      nRows: Long,
+  ): Array[Array[BigInt]] = {
+    val n = BigInt(nRows)
     val m = Array.ofDim[BigInt](Dim, Dim)
     var pos = 0
     var i = 0
@@ -422,6 +468,14 @@ object KMeansOps extends QueryModule {
     }
     m
   }
+
+  /** The dominant direction from a raw moment triple — the batch
+    * [[principalE6]] is exactly this over the memoized corpus moments;
+    * the streaming refresh serves it over ADDITIVELY MERGED per-batch
+    * moments, and the two are bit-identical because the moments are.
+    */
+  private[graft] def principalFromMoments(sm: Seq[Long], pr: Seq[Long], n: Long): Array[Long] =
+    powerIterate(matrixFromMoments(sm, pr, n))
 
   /** `PowerRounds` exact-integer power-iteration steps on an arbitrary
     * symmetric BigInt matrix, ×10⁶-renormalized per step — shared by the

@@ -153,6 +153,76 @@ object EmbedIngest {
     )
   }
 
+  // ---- continuous covariance/PCA moment refresh ---------------------------
+
+  /** Continuous covariance-moment refresh for the PCA family: per
+    * micro-batch, reduce the slice to its exact (Σq, Σqᵢqⱼ, n) moment
+    * partials (the SHARED [[graft.operators.KMeansOps.momentPartials]] —
+    * the same `CovMomentsAggregator` as the batch queries) and land the
+    * 1-row frame as an idempotent batch dir. The moments are ADDITIVE —
+    * the same algebra as the checksum store and the centroid partials —
+    * so the batch dirs must be an exact partition of the stream: the
+    * identical bid-0 wipe enforces it. Serving the refreshed principal
+    * direction ([[refreshedPrincipal]]) is then pure driver arithmetic
+    * over ≤ one ~17 KB row per batch — no corpus rescan, closing the
+    * last un-twinned driver-value family (centroids, checksums, grains,
+    * and now moments all stream).
+    */
+  def startMomentPartials(
+      embeds: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    embeds.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.KMeansOps
+          .momentPartials(graft.operators.KMeansOps.quantizeFrame(batch.toDF()))
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the landed moment partials — byte-identical to the one-shot
+    * corpus moment pass because addition is the only operation on
+    * either path. `None` when the stream committed zero batches (there
+    * is no "standing" moment to fall back on — the caller decides).
+    */
+  def refreshedMoments(
+      spark: SparkSession,
+      stateDir: String,
+  ): Option[(Seq[Long], Seq[Long], Long)] = {
+    if (listBatchDirs(spark, stateDir).isEmpty) return None
+    Some(
+      graft.operators.KMeansOps.mergeMomentPartials(
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .collect()
+          .map(r => (r.getSeq[Long](0), r.getSeq[Long](1), r.getLong(2)))
+          .toSeq,
+      ),
+    )
+  }
+
+  /** The refreshed principal direction: merged streamed moments → the
+    * SAME 64×64 BigInt power iteration as the batch `pca_power_iter`
+    * ([[graft.operators.KMeansOps.principalFromMoments]]) — bit-identical
+    * to a batch run over the full stream, at the cost of reading ≤ one
+    * moment row per batch.
+    */
+  def refreshedPrincipal(spark: SparkSession, stateDir: String): Option[Array[Long]] =
+    refreshedMoments(spark, stateDir).map { case (s, p, n) =>
+      graft.operators.KMeansOps.principalFromMoments(s, p, n)
+    }
+
   /** The committed `batch_*` dirs under a partial-state root (empty when
     * the stream never committed — both refresh readers guard on this).
     */

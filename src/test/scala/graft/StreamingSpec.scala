@@ -1360,6 +1360,52 @@ class StreamingSpec extends SparkSpec {
       "refresh should differ from the standing centroids on real data")
   }
 
+  test("continuous moment partials serve the exact batch principal direction") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: both batches contribute to every moment cell, so
+    // the additive (Σq, Σqq′, n) merge is really exercised (per-batch
+    // covariance instead of merged raw moments would differ — means of
+    // slices don't compose, raw sums do).
+    val streamDir = Files.createTempDirectory("pca-stream").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.filter(col("vec_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    emb.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("pca-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EmbedIngest.startMomentPartials(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-pca").toString)
+    // merged streamed moments ≡ the one-shot corpus moment pass
+    val (ms, mp, mn) = EmbedIngest.refreshedMoments(spark, stateDir).get
+    val batchRow = operators.KMeansOps
+      .momentPartials(operators.KMeansOps.quantizeFrame(emb))
+      .collect()(0)
+    assert(mn == batchRow.getLong(2))
+    assert(ms == batchRow.getSeq[Long](0))
+    assert(mp == batchRow.getSeq[Long](1))
+    // and the served principal direction is the declared pca_power_iter
+    // value bit-for-bit (same moments → same BigInt iteration)
+    val served = EmbedIngest.refreshedPrincipal(spark, stateDir).get
+    val declared = operators.KMeansOps.principalE6(spark, sfDir)
+    assert(served.sameElements(declared),
+      "streamed principal must equal the batch power iteration exactly")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the wipe discipline rewrites identical partials, no double count
+    runLoop(Files.createTempDirectory("ck-pca2").toString)
+    val (_, _, n2) = EmbedIngest.refreshedMoments(spark, stateDir).get
+    assert(n2 == mn, "a replayed lineage must not double-count moments")
+    assert(EmbedIngest.refreshedPrincipal(spark, stateDir).get.sameElements(declared))
+    // zero-batch state serves None, not an exception
+    val empty = Files.createTempDirectory("pca-empty").toString
+    assert(EmbedIngest.refreshedMoments(spark, s"$empty/never").isEmpty)
+  }
+
   test("SCD-2 rejects an out-of-order second batch loudly (no fabricated history)") {
     import org.apache.spark.sql.functions._
     // The inverse of the parity test's staging: the LATE half lands
