@@ -230,6 +230,64 @@ object KMeansOps extends QueryModule {
     cents
   }
 
+  /** The shared avalanche hash of `vec_id` (the `dsir_resample` chain:
+    * Knuth multiply, xor-fold, odd-constant multiply — identical text in
+    * both engines), the derandomizer for the ++ seed draw.
+    */
+  private val HashSql =
+    "(((a ^ shiftright(a, 7)) * 97381) % 2147483647)"
+  private val HashDuck =
+    "((xor(a, a >> 7) * 97381) % 2147483647)"
+  private val ASql = "((vec_id * 2654435761) % 2147483647)"
+
+  /** Deterministic k-means++ (D²-weighted) seeds: seed 1 is the max-hash
+    * vector; each later seed is the argmax of d²(x, nearest seed) ×
+    * (h(x) % 1024 + 1) — the exact-integer derandomization of the ++
+    * draw (weight × a fixed pseudo-uniform factor; the `dsir_resample`
+    * Gumbel trick's integer sibling — products stay under 2⁶³ because
+    * d² ≤ 64·(2·10⁶)² ≈ 2.6×10¹⁴ and the factor ≤ 2¹⁰). Ties break to
+    * the smallest vec_id. Each of the k−1 steps is one scan +
+    * TakeOrderedAndProject(1): no shuffle, no join — at 100 TB the
+    * seeding costs k bounded corpus scans (production would sample a
+    * coreset first; the RULE is what's declared and compared).
+    */
+  private[graft] def ppSeeds(s: SparkSession, d: String): Seq[Array[Long]] =
+    memoized(s, d, "kmeanspp-seeds") {
+      val q = quantized(s, d)
+        .withColumn("a", expr(ASql))
+        .withColumn("h", expr(HashSql))
+      def takeTop(keyed: DataFrame): Array[Long] =
+        keyed
+          .orderBy(col("key").desc, col("vec_id"))
+          .limit(1)
+          .collect()(0)
+          .getSeq[Long](1)
+          .toArray
+      var seeds = Seq(takeTop(q.select(col("vec_id"), col("q"), col("h").as("key"))))
+      while (seeds.length < K) {
+        val dmin = seeds.map(c => sqDist(col("q"), c)).reduce(least(_, _))
+        seeds = seeds :+ takeTop(
+          q.select(col("vec_id"), col("q"), (dmin * (col("h") % 1024 + 1)).as("key")),
+        )
+      }
+      seeds
+    }
+
+  /** The ++ chain's final centroids: `Rounds` Lloyd updates from
+    * [[ppSeeds]] — the identical update path as the lowid chain.
+    */
+  private[graft] def ppCentroids(s: SparkSession, d: String): Seq[Array[Long]] =
+    memoized(s, d, "kmeanspp-centroids") {
+      val q = quantized(s, d)
+      var cents = ppSeeds(s, d)
+      var r = 0
+      while (r < Rounds) {
+        cents = updateRound(q, cents)
+        r += 1
+      }
+      cents
+    }
+
   /** The quantized projection of an ALREADY-LOADED embeddings frame
     * (the streaming refresh loop's entry — same expression as
     * [[quantized]], which is the batch-table convenience over it).
@@ -275,6 +333,60 @@ object KMeansOps extends QueryModule {
          |af AS MATERIALIZED (SELECT vec_id, cl, dist,
          |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM df)""".stripMargin
     s"$init,\n$rounds,\n$fin"
+  }
+
+  /** [[ppSeeds]] + the ++ chain's Lloyd rounds unrolled as CTEs APPENDED
+    * to [[lloydCtes]] (which provides q/pe): hash chain, k−1 weighted
+    * argmax picks, then the same round shape under `pp`-prefixed names.
+    */
+  private def ppCtes: String = {
+    val init =
+      s"""hh AS MATERIALIZED (SELECT vec_id, $HashDuck AS h
+         |      FROM (SELECT vec_id, $ASql AS a FROM q)),
+         |pk1 AS (SELECT vec_id FROM hh ORDER BY h DESC, vec_id LIMIT 1),
+         |sd1 AS MATERIALIZED (SELECT pe.dim, pe.val FROM pe JOIN pk1 ON pe.vec_id = pk1.vec_id),
+         |dm1 AS MATERIALIZED (SELECT pe.vec_id, sum((pe.val - s.val) * (pe.val - s.val)) AS d2
+         |      FROM pe JOIN sd1 s ON pe.dim = s.dim GROUP BY 1)""".stripMargin
+    val picks = (2 to K)
+      .map { r =>
+        val pick =
+          s"""pk$r AS (SELECT dm${r - 1}.vec_id FROM dm${r - 1} JOIN hh ON dm${r - 1}.vec_id = hh.vec_id
+             |       ORDER BY dm${r - 1}.d2 * (hh.h % 1024 + 1) DESC, dm${r - 1}.vec_id LIMIT 1),
+             |sd$r AS MATERIALIZED (SELECT pe.dim, pe.val FROM pe JOIN pk$r ON pe.vec_id = pk$r.vec_id)""".stripMargin
+        val dmin =
+          if (r == K) ""
+          else
+            s""",
+               |dm$r AS MATERIALIZED (SELECT dm${r - 1}.vec_id, least(dm${r - 1}.d2, nx.d2) AS d2
+               |      FROM dm${r - 1} JOIN (SELECT pe.vec_id, sum((pe.val - s.val) * (pe.val - s.val)) AS d2
+               |                            FROM pe JOIN sd$r s ON pe.dim = s.dim GROUP BY 1) nx
+               |        ON dm${r - 1}.vec_id = nx.vec_id)""".stripMargin
+        pick + dmin
+      }
+      .mkString(",\n")
+    val c0 =
+      s"""pc0 AS MATERIALIZED (${(1 to K)
+          .map(r => s"SELECT CAST(${r - 1} AS BIGINT) AS cl, dim, val FROM sd$r")
+          .mkString(" UNION ALL ")})"""
+    val rounds = (1 to Rounds)
+      .map { r =>
+        s"""pd$r AS MATERIALIZED (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
+           |       FROM pe JOIN pc${r - 1} c ON pe.dim = c.dim GROUP BY 1, 2),
+           |pa$r AS MATERIALIZED (SELECT vec_id, cl,
+           |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM pd$r),
+           |ps$r AS MATERIALIZED (SELECT a.cl, pe.dim, CAST(sum(pe.val) AS BIGINT) AS sv, count(*) AS n
+           |       FROM (SELECT vec_id, cl FROM pa$r WHERE rn = 1) a
+           |       JOIN pe ON a.vec_id = pe.vec_id GROUP BY 1, 2),
+           |pc$r AS MATERIALIZED (SELECT p.cl, p.dim, coalesce(s.sv // s.n, p.val) AS val
+           |       FROM pc${r - 1} p LEFT JOIN ps$r s ON p.cl = s.cl AND p.dim = s.dim)""".stripMargin
+      }
+      .mkString(",\n")
+    val fin =
+      s"""ppdf AS MATERIALIZED (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
+         |      FROM pe JOIN pc$Rounds c ON pe.dim = c.dim GROUP BY 1, 2),
+         |ppaf AS MATERIALIZED (SELECT vec_id, cl, dist,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM ppdf)""".stripMargin
+    s"$init,\n$picks,\n$c0,\n$rounds,\n$fin"
   }
 
   // ---- declared queries ---------------------------------------------------
@@ -689,6 +801,38 @@ object KMeansOps extends QueryModule {
              GROUP BY pe.vec_id, c1.center, c2.center ORDER BY pe.vec_id"""),
   )
 
+  /** Seed-quality comparison — does D²-weighted (k-means++) seeding beat
+    * the arbitrary k-lowest-vec_id seed after the same `Rounds` Lloyd
+    * updates? One row per seed rule with the corpus SSE under its final
+    * centroids — the experiment a clustering pipeline runs before
+    * pinning a seeding policy. Both chains share [[updateRound]] and the
+    * codegen'd assignment projection; the ++ draw is derandomized by the
+    * shared avalanche hash so the whole experiment is reproducible and
+    * oracle-checkable ([[ppCtes]] restates both chains).
+    */
+  private val kmeansSeedQuality = DeclaredQuery(
+    "kmeans_seed_quality",
+    (s, d) => {
+      val q = quantized(s, d)
+      def sseOf(cents: Seq[Array[Long]], rule: String): DataFrame =
+        assignTo(q, cents)
+          .agg(count(lit(1)).as("n"), sum("dist").as("sse"))
+          .select(lit(rule).as("seed_rule"), col("n"), col("sse"))
+      sseOf(lloydCentroids(s, d), "lowid")
+        .unionAll(sseOf(ppCentroids(s, d), "dsq_pp"))
+        .orderBy("seed_rule")
+    },
+    Some(s"""WITH $lloydCtes,
+             $ppCtes
+             SELECT * FROM (
+               SELECT 'lowid' AS seed_rule, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
+               FROM af WHERE rn = 1
+               UNION ALL
+               SELECT 'dsq_pp' AS seed_rule, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
+               FROM ppaf WHERE rn = 1
+             ) ORDER BY seed_rule"""),
+  )
+
   /** What each semantic bucket CONTAINS: the final k-means assignment
     * joined back to the documents table (vec_id ≡ doc_id in the
     * testdata star) — per cluster: docs, exact integer mean length, and
@@ -863,6 +1007,6 @@ object KMeansOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
-      pcaPowerIter, pcaProject, pcaProject2, clusterTextProfile, kmeansSilhouette,
-      pcaVarExplained)
+      kmeansSeedQuality, pcaPowerIter, pcaProject, pcaProject2, clusterTextProfile,
+      kmeansSilhouette, pcaVarExplained)
 }
