@@ -155,6 +155,21 @@ object GraftFunctions {
         new ExpressionInfo(classOf[DoubleSqDist].getName, "graft_double_sqdist"),
         (children: Seq[Expression]) => DoubleSqDist(children(0), children(1)),
       ),
+      (
+        FunctionIdentifier("graft_gram_pairs"),
+        new ExpressionInfo(classOf[GramPairs].getName, "graft_gram_pairs"),
+        (children: Seq[Expression]) => GramPairs(children(0)),
+      ),
+      (
+        FunctionIdentifier("graft_gram2_join"),
+        new ExpressionInfo(classOf[GramJoin].getName, "graft_gram2_join"),
+        (children: Seq[Expression]) => GramJoin(children(0), 2),
+      ),
+      (
+        FunctionIdentifier("graft_gram3_join"),
+        new ExpressionInfo(classOf[GramJoin].getName, "graft_gram3_join"),
+        (children: Seq[Expression]) => GramJoin(children(0), 3),
+      ),
     )
 
   /** Imperative per-session registration (idempotent) — usable from any

@@ -326,25 +326,14 @@ object TextOps extends QueryModule {
     */
   private val repetitionRatio = DeclaredQuery(
     "repetition_ratio",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       documents(s, d)
         .withColumn("ws", split(col("text"), " "))
-        .withColumn(
-          "g2",
-          expr("""IF(size(ws) >= 2,
-                    zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
-                             (a, b) -> concat(a, ' ', b)),
-                    array())"""),
-        )
-        .withColumn(
-          "g3",
-          expr("""IF(size(ws) >= 3,
-                    zip_with(slice(ws, 1, size(ws) - 2),
-                             zip_with(slice(ws, 2, size(ws) - 2), slice(ws, 3, size(ws) - 2),
-                                      (b, c) -> concat(b, ' ', c)),
-                             (a, bc) -> concat(a, ' ', bc)),
-                    array())"""),
-        )
+        // native gram kernels — identical strings to the zip_with HOFs,
+        // but inside whole-stage codegen (round-14 kernel census)
+        .withColumn("g2", expr("graft_gram2_join(ws)"))
+        .withColumn("g3", expr("graft_gram3_join(ws)"))
         .select(
           col("doc_id"),
           size(col("g2")).cast("long").as("n_2grams"),
@@ -355,7 +344,8 @@ object TextOps extends QueryModule {
                            1.0D - CAST(size(array_distinct(g3)) AS DOUBLE) / size(g3)), 4)""")
             .as("dup_3gram_frac"),
         )
-        .orderBy("doc_id"),
+        .orderBy("doc_id")
+    },
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             g AS (SELECT doc_id,
                          list_transform(range(1, greatest(len(ws), 1)),
@@ -807,25 +797,23 @@ object TextOps extends QueryModule {
     * 1×1 scalar ride broadcast cross joins. Only (w1, w2, cost) and
     * (doc_id, cost) pairs shuffle — the text never does.
     */
-  /** Per-document word transitions (doc_id, w1, w2) — one zip_with over
-    * shifted slices, no per-index element_at. Shared by the Laplace
-    * (`bigram_logprob`) and Kneser–Ney (`kneser_ney_logprob`) scorers so
-    * the transition extraction cannot drift between the two models.
+  /** Per-document word transitions (doc_id, w1, w2) — ONE native codegen
+    * pair kernel ([[graft.functions.GramPairs]]; the zip_with-over-
+    * shifted-slices HOF computed the same pairs but was CodegenFallback:
+    * two array copies + an interpreted lambda per word, and the explode
+    * projection fell out of whole-stage codegen — the round-14 kernel
+    * census measured the swap at ~1.2-1.3× on both LM scorers). Shared
+    * by the Laplace (`bigram_logprob`) and Kneser–Ney
+    * (`kneser_ney_logprob`) scorers so the transition extraction cannot
+    * drift between the two models.
     */
-  private def docBigrams(s: org.apache.spark.sql.SparkSession, d: String) =
+  private def docBigrams(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.GraftFunctions.register(s)
     documents(s, d)
       .withColumn("toks", split(col("text"), " "))
-      .select(
-        col("doc_id"),
-        explode(
-          expr("""IF(size(toks) >= 2,
-                 |   zip_with(slice(toks, 1, size(toks) - 1),
-                 |            slice(toks, 2, size(toks) - 1),
-                 |            (a, b) -> struct(a AS w1, b AS w2)),
-                 |   CAST(array() AS array<struct<w1: string, w2: string>>))""".stripMargin),
-        ).as("p"),
-      )
+      .select(col("doc_id"), explode(expr("graft_gram_pairs(toks)")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+  }
 
   /** The corpus bigram count table (w1, w2, cb) — substrate-cached: both
     * LM smoothers (`bigram_logprob`, `kneser_ney_logprob`) derive ALL
@@ -1051,18 +1039,11 @@ object TextOps extends QueryModule {
   private[graft] def qualityScored(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val wlit = QsWeights.mkString("array(", "L, ", "L)")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .withColumn("toks", expr("filter(split(text, ' '), w -> w <> '')"))
-      .withColumn(
-        "feats",
-        expr("""concat(
-               |  toks,
-               |  IF(size(toks) >= 2,
-               |     zip_with(slice(toks, 1, size(toks) - 1),
-               |              slice(toks, 2, size(toks) - 1),
-               |              (a, b) -> concat(a, ' ', b)),
-               |     CAST(array() AS array<string>)))""".stripMargin),
-      )
+      // native bigram-join kernel for the feature grams (round-14 census)
+      .withColumn("feats", expr("concat(toks, graft_gram2_join(toks))"))
       .select(
         col("doc_id"),
         size(col("feats")).cast("long").as("n_feats"),
@@ -1206,17 +1187,12 @@ object TextOps extends QueryModule {
   private val cooccurrencePmi = DeclaredQuery(
     "cooccurrence_pmi",
     (s, d) => {
+      graft.functions.GraftFunctions.register(s)
       val pairs = documents(s, d)
         .withColumn("toks", split(col("text"), " "))
-        .select(
-          explode(
-            expr("""IF(size(toks) >= 2,
-                   |   zip_with(slice(toks, 1, size(toks) - 1),
-                   |            slice(toks, 2, size(toks) - 1),
-                   |            (a, b) -> struct(a AS w1, b AS w2)),
-                   |   CAST(array() AS array<struct<w1: string, w2: string>>))""".stripMargin),
-          ).as("p"),
-        )
+        // native pair kernel — same strings as the zip_with HOF, inside
+        // whole-stage codegen (round-14 kernel census)
+        .select(explode(expr("graft_gram_pairs(toks)")).as("p"))
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val lm = bi.groupBy("w1").agg(sum("c12").as("c1"))

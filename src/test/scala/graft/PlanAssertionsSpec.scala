@@ -611,6 +611,19 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!p2.contains("aggregate(") && !p2.contains("zip_with("),
       "no interpreted HOF fold may remain in the projection:\n" + p2.take(800))
 
+    // round-14 gram kernels: the bigram extraction and the n-gram joins
+    // run as native codegen expressions — no interpreted zip_with/slice
+    // HOF may reappear in these hot projections (measured 1.4-1.9×).
+    val bl = planOf("bigram_logprob")
+    assert(bl.contains("graft_gram_pairs"),
+      "LM transitions must use the native pair kernel:\n" + bl.take(800))
+    assert(!bl.contains("zip_with("),
+      "no interpreted zip_with may remain in the LM scan:\n" + bl.take(800))
+    val rr = planOf("repetition_ratio")
+    assert(rr.contains("graft_gram2_join") && rr.contains("graft_gram3_join"),
+      "gram fractions must use the native join kernels:\n" + rr.take(800))
+    assert(!rr.contains("zip_with("), rr.take(800))
+
     // first_touch_attribution: the grain formulation replaced the
     // row_number window — no Window node, no join; the struct-min grain
     // aggregates map-side (partial SortAggregate under the exchange).

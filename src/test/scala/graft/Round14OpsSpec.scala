@@ -68,6 +68,44 @@ class Round14OpsSpec extends SparkSpec {
     assert(first.schema.fieldNames.toSeq == Seq("vec_id", "pc1", "pc2"))
   }
 
+  test("gram kernels agree with the HOF spelling and honor the null contract") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = spark
+      .createDataFrame(Seq(
+        (1L, "a b c d"), (2L, "x"), (3L, ""), (4L, "p q"),
+      ))
+      .toDF("id", "text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(
+        col("id"),
+        expr("graft_gram_pairs(ws)").as("pairs"),
+        expr("graft_gram2_join(ws)").as("g2"),
+        expr("graft_gram3_join(ws)").as("g3"),
+        expr("""IF(size(ws) >= 2,
+                  zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+                           (a, b) -> concat(a, ' ', b)), array())""").as("hof2"),
+        expr("""IF(size(ws) >= 3,
+                  zip_with(slice(ws, 1, size(ws) - 2),
+                           zip_with(slice(ws, 2, size(ws) - 2), slice(ws, 3, size(ws) - 2),
+                                    (b, c) -> concat(b, ' ', c)),
+                           (a, bc) -> concat(a, ' ', bc)), array())""").as("hof3"),
+      )
+      .orderBy("id")
+      .collect()
+    df.foreach { r =>
+      assert(r.getSeq[String](2) == r.getSeq[String](4), s"g2 != hof2 on row $r")
+      assert(r.getSeq[String](3) == r.getSeq[String](5), s"g3 != hof3 on row $r")
+      val pairs = r.getSeq[org.apache.spark.sql.Row](1)
+      assert(pairs.map(p => s"${p.getString(0)} ${p.getString(1)}") == r.getSeq[String](2))
+    }
+    // null contract: null array → null; null element → null (GramHashes parity)
+    val nulls = spark
+      .sql("""SELECT graft_gram_pairs(CAST(NULL AS ARRAY<STRING>)) AS a,
+                     graft_gram2_join(array('x', CAST(NULL AS STRING))) AS b""")
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
   test("Ivf.assign is schema-preserving: input columns ride through beside cid/csim") {
     val e = spark.read
       .parquet(s"$sfDir/embeddings.parquet")
