@@ -895,33 +895,39 @@ object KMeansOps extends QueryModule {
     * loudly; the DECIMAL(38) accumulator swap is the documented tier
     * past ~10³ vectors·max-dist per cluster (never near testdata).
     */
+  /** The silhouette computation over an ARBITRARY centroid set — the
+    * declared query runs it under the lowid Lloyd chain; it is equally
+    * readable under the ++ chain ([[ppCentroids]] — Round14OpsSpec
+    * proves it), so a seed-policy comparison can read cluster quality
+    * under either candidate without new machinery.
+    */
+  private[graft] def silhouetteOf(q: DataFrame, cents: Seq[Array[Long]]): DataFrame = {
+    val arr = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("q"), c).as("dist"), lit(i.toLong).as("cluster"))
+    }: _*))
+    q.select(element_at(arr, 1).as("own"), element_at(arr, 2).as("nxt"))
+      .select(
+        col("own.cluster").as("cluster"),
+        col("own.dist").as("a"),
+        col("nxt.dist").as("b"),
+      )
+      .withColumn(
+        "sil_e3",
+        expr("CASE WHEN greatest(a, b) = 0 THEN 0L ELSE (b - a) * 1000 DIV greatest(a, b) END"),
+      )
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("sum(a) DIV count(1)").as("mean_a"),
+        expr("sum(b) DIV count(1)").as("mean_b"),
+        expr("sum(sil_e3) DIV count(1)").as("mean_sil_e3"),
+      )
+      .orderBy("cluster")
+  }
+
   private val kmeansSilhouette = DeclaredQuery(
     "kmeans_silhouette",
-    (s, d) => {
-      val cents = lloydCentroids(s, d)
-      val arr = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
-        struct(sqDist(col("q"), c).as("dist"), lit(i.toLong).as("cluster"))
-      }: _*))
-      quantized(s, d)
-        .select(element_at(arr, 1).as("own"), element_at(arr, 2).as("nxt"))
-        .select(
-          col("own.cluster").as("cluster"),
-          col("own.dist").as("a"),
-          col("nxt.dist").as("b"),
-        )
-        .withColumn(
-          "sil_e3",
-          expr("CASE WHEN greatest(a, b) = 0 THEN 0L ELSE (b - a) * 1000 DIV greatest(a, b) END"),
-        )
-        .groupBy("cluster")
-        .agg(
-          count(lit(1)).as("n"),
-          expr("sum(a) DIV count(1)").as("mean_a"),
-          expr("sum(b) DIV count(1)").as("mean_b"),
-          expr("sum(sil_e3) DIV count(1)").as("mean_sil_e3"),
-        )
-        .orderBy("cluster")
-    },
+    (s, d) => silhouetteOf(quantized(s, d), lloydCentroids(s, d)),
     Some(s"""WITH $lloydCtes,
              own AS (SELECT vec_id, cl, dist FROM af WHERE rn = 1),
              nxt AS (SELECT vec_id, dist AS b FROM af WHERE rn = 2),

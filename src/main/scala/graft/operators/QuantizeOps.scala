@@ -173,6 +173,15 @@ object QuantizeOps extends QueryModule {
     * exact integers via shared expression text. One posexplode + one
     * (pos)-keyed map-side-combined agg — the exchange is dims ×
     * partitions rows, the vectors never shuffle.
+    *
+    * The variance products n·Σx² and (Σx)² run in the WIDE tier
+    * (DECIMAL(38,0) ≡ DuckDB HUGEINT): n·Σx² ≈ n²·10¹² crosses 2⁶³ at
+    * ~25k vectors — the round-14 full-suite sf2 sweep caught exactly
+    * this (green at sf1's 20k, ANSI loud-fail at sf2's 40k), vindicating
+    * the loud-overflow discipline and the second measured decade point.
+    * Both engines cast the exact wide integer to DOUBLE before the one
+    * defined division, so results are bit-identical and unchanged at
+    * every sf where the Long tier was valid.
     */
   private val embeddingDimStats = DeclaredQuery(
     "embedding_dim_stats",
@@ -196,7 +205,8 @@ object QuantizeOps extends QueryModule {
         )
         .withColumn(
           "var_e12",
-          expr("CAST(floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * n) + 0.5) AS BIGINT)"),
+          expr("""CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
+                 |           / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) + 0.5) AS BIGINT)""".stripMargin),
         )
         .select("pos", "n", "s1", "s2", "mean", "var_e12")
         .orderBy("pos"),
@@ -211,7 +221,8 @@ object QuantizeOps extends QueryModule {
                   FROM x GROUP BY 1)
             SELECT pos, n, s1, s2,
                    CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean,
-                   CAST(floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * n) + 0.5) AS BIGINT) AS var_e12
+                   CAST(floor(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                              / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) + 0.5) AS BIGINT) AS var_e12
             FROM a ORDER BY pos"""),
   )
 

@@ -749,7 +749,7 @@ object SimilarityOps extends QueryModule {
     * the other); factored out so the asymmetric incremental path can
     * filter it without rebuilding codes.
     */
-  private def knnCoded(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private[graft] def knnCoded(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val e0 = embeddings(s, d)
       .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
     val dims = e0.select(col("vec_id"), posexplode(col("dvec")).as(Seq("k", "v")))
@@ -963,42 +963,58 @@ object SimilarityOps extends QueryModule {
     * exhaustiveness and the confirmed-candidates-only float work carry
     * over unchanged.
     */
+  /** The incremental banded batch×corpus top-3 over ANY (src, sc, qv) /
+    * (nbr, nc, cv) split — the declared query feeds it the 1/7-residue
+    * twin (whose batch GROWS with the corpus, so the full-suite doubling
+    * table reads ~4× on it: both join sides double); [[graft.KnobBench]]
+    * feeds it a FIXED-size batch and measures the production shape —
+    * linear in bucket density. The batch/corpus split is a parameter
+    * for exactly that reason.
+    */
+  private[graft] def incrementalTopK(
+      s: SparkSession,
+      newB: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    def bandRows(df: org.apache.spark.sql.DataFrame, code: String) =
+      df.select(
+        col("*"),
+        posexplode(
+          array((0 until 4).map(b => expr(s"shiftright($code, ${4 * b}) & 15")): _*),
+        ).as(Seq("band", "bv")),
+      )
+    val cand = bandRows(newB.select("src", "sc"), "sc")
+      .join(bandRows(corpus.select("nbr", "nc"), "nc"), Seq("band", "bv"))
+      .withColumn("code_hd", expr("CAST(bit_count(sc ^ nc) AS BIGINT)"))
+      .filter(col("code_hd") <= 3)
+      .select("src", "nbr", "code_hd")
+      .dropDuplicates("src", "nbr")
+    cand
+      .join(newB.select("src", "qv"), Seq("src"))
+      .join(corpus.select("nbr", "cv"), Seq("nbr"))
+      .withColumn("sim", Disp.roundz(simExpr(s), 6))
+      .withColumn(
+        "rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("src")
+            .orderBy(col("sim").desc, col("nbr")),
+        ),
+      )
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank").cast("long").as("rank"), col("nbr"), col("code_hd"), col("sim"))
+      .orderBy("src", "rank")
+  }
+
   private val incrementalKnn = DeclaredQuery(
     "incremental_knn",
     (s, d) => {
       val e = knnCoded(s, d)
-      def bandRows(df: org.apache.spark.sql.DataFrame, code: String) =
-        df.select(
-          col("*"),
-          posexplode(
-            array((0 until 4).map(b => expr(s"shiftright($code, ${4 * b}) & 15")): _*),
-          ).as(Seq("band", "bv")),
-        )
       val newB = e.filter(pmod(col("vec_id"), lit(7L)) === 0L)
         .select(col("vec_id").as("src"), col("code").as("sc"), col("dvec").as("qv"))
       val corpus = e.filter(pmod(col("vec_id"), lit(7L)) =!= 0L)
         .select(col("vec_id").as("nbr"), col("code").as("nc"), col("dvec").as("cv"))
-      val cand = bandRows(newB.select("src", "sc"), "sc")
-        .join(bandRows(corpus.select("nbr", "nc"), "nc"), Seq("band", "bv"))
-        .withColumn("code_hd", expr("CAST(bit_count(sc ^ nc) AS BIGINT)"))
-        .filter(col("code_hd") <= 3)
-        .select("src", "nbr", "code_hd")
-        .dropDuplicates("src", "nbr")
-      cand
-        .join(newB.select("src", "qv"), Seq("src"))
-        .join(corpus.select("nbr", "cv"), Seq("nbr"))
-        .withColumn("sim", Disp.roundz(simExpr(s), 6))
-        .withColumn(
-          "rank",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("src")
-              .orderBy(col("sim").desc, col("nbr")),
-          ),
-        )
-        .filter(col("rank") <= 3)
-        .select(col("src"), col("rank").cast("long").as("rank"), col("nbr"), col("code_hd"), col("sim"))
-        .orderBy("src", "rank")
+      incrementalTopK(s, newB, corpus)
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm

@@ -68,6 +68,21 @@ class Round14OpsSpec extends SparkSpec {
     assert(first.schema.fieldNames.toSeq == Seq("vec_id", "pc1", "pc2"))
   }
 
+  test("silhouette is readable under either seed chain (lowid and ++ centroids)") {
+    val q = operators.KMeansOps.quantized(spark, sfDir)
+    def rows(cents: Seq[Array[Long]]) =
+      operators.KMeansOps.silhouetteOf(q, cents).collect()
+    val lowid = rows(operators.KMeansOps.lloydCentroids(spark, sfDir))
+    val pp = rows(operators.KMeansOps.ppCentroids(spark, sfDir))
+    assert(lowid.nonEmpty && pp.nonEmpty)
+    // same schema, full corpus covered under both centroid sets
+    assert(lowid.map(_.getLong(1)).sum == pp.map(_.getLong(1)).sum,
+      "both chains must assign every vector")
+    Seq(lowid, pp).foreach(_.foreach { r =>
+      assert(r.getLong(4) >= -1000 && r.getLong(4) <= 1000, s"sil out of range: $r")
+    })
+  }
+
   test("gram kernels agree with the HOF spelling and honor the null contract") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark
