@@ -214,11 +214,11 @@ object KMeansOps extends QueryModule {
       cents,
     )
 
-  private def lloydCentroidsBuild(s: SparkSession, d: String): Seq[Array[Long]] = {
+  private def lloydCentroidsBuild(s: SparkSession, d: String, k: Int = K): Seq[Array[Long]] = {
     val q = quantized(s, d)
     var cents: Seq[Array[Long]] = q
       .orderBy("vec_id")
-      .limit(K)
+      .limit(k)
       .collect()
       .map(_.getSeq[Long](2).toArray)
       .toSeq
@@ -229,6 +229,14 @@ object KMeansOps extends QueryModule {
     }
     cents
   }
+
+  /** The lowid Lloyd chain at an ARBITRARY k — the elbow sweep's per-k
+    * runs ([[lloydCentroids]] is the k=K instance and shares its memo
+    * slot, so the declared k=8 family never recomputes).
+    */
+  private[graft] def lloydCentroidsK(s: SparkSession, d: String, k: Int): Seq[Array[Long]] =
+    if (k == K) lloydCentroids(s, d)
+    else memoized(s, d, s"kmeans-centroids-k$k") { lloydCentroidsBuild(s, d, k) }
 
   /** The shared avalanche hash of `vec_id` (the `dsir_resample` chain:
     * Knuth multiply, xor-fold, odd-constant multiply — identical text in
@@ -388,6 +396,82 @@ object KMeansOps extends QueryModule {
          |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM ppdf)""".stripMargin
     s"$init,\n$picks,\n$c0,\n$rounds,\n$fin"
   }
+
+  /** One lowid Lloyd chain at cluster count `k` with `p`-prefixed CTE
+    * names — [[lloydCtes]]'s shape parameterized for the elbow sweep
+    * (the k=8 oracle keeps its original unprefixed text so the existing
+    * kmeans oracles are byte-unchanged).
+    */
+  private def elbowCtes(k: Int, p: String): String = {
+    val init =
+      s"""${p}init AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cl
+         |         FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT $k)),
+         |${p}c0 AS MATERIALIZED (SELECT i.cl, pe.dim, pe.val FROM ${p}init i JOIN pe ON i.vec_id = pe.vec_id)""".stripMargin
+    val rounds = (1 to Rounds)
+      .map { r =>
+        s"""${p}d$r AS MATERIALIZED (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
+           |       FROM pe JOIN ${p}c${r - 1} c ON pe.dim = c.dim GROUP BY 1, 2),
+           |${p}a$r AS MATERIALIZED (SELECT vec_id, cl,
+           |              row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM ${p}d$r),
+           |${p}s$r AS MATERIALIZED (SELECT a.cl, pe.dim, CAST(sum(pe.val) AS BIGINT) AS sv, count(*) AS n
+           |       FROM (SELECT vec_id, cl FROM ${p}a$r WHERE rn = 1) a
+           |       JOIN pe ON a.vec_id = pe.vec_id GROUP BY 1, 2),
+           |${p}c$r AS MATERIALIZED (SELECT p.cl, p.dim, coalesce(s.sv // s.n, p.val) AS val
+           |       FROM ${p}c${r - 1} p LEFT JOIN ${p}s$r s ON p.cl = s.cl AND p.dim = s.dim)""".stripMargin
+      }
+      .mkString(",\n")
+    val fin =
+      s"""${p}df AS MATERIALIZED (SELECT pe.vec_id, c.cl, sum((pe.val - c.val) * (pe.val - c.val)) AS dist
+         |      FROM pe JOIN ${p}c$Rounds c ON pe.dim = c.dim GROUP BY 1, 2),
+         |${p}af AS MATERIALIZED (SELECT vec_id, cl, dist,
+         |             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn FROM ${p}df)""".stripMargin
+    s"$init,\n$rounds,\n$fin"
+  }
+
+  /** The k-selection elbow: total SSE (and its per-point mean) after the
+    * same `Rounds` Lloyd updates at k = 2, 4, 8 — THE diagnostic a
+    * clustering pipeline reads before pinning k (the production knob
+    * `semantic_dedup`/IVF docs point at). Each k is an independent
+    * memoized chain sharing [[updateRound]]; the k=8 row is the
+    * declared family's exact chain (shared memo slot, zero recompute).
+    * At 100 TB the sweep is (#k values) × the Lloyd cost — runs as one
+    * driver loop over the same persisted quantized projection.
+    */
+  private val kmeansElbow = DeclaredQuery(
+    "kmeans_elbow",
+    (s, d) => {
+      val q = quantized(s, d)
+      Seq(2, 4, 8)
+        .map { k =>
+          assignTo(q, lloydCentroidsK(s, d, k))
+            .agg(count(lit(1)).as("n"), sum("dist").as("sse"))
+            .select(
+              lit(k.toLong).as("k"),
+              col("n"),
+              col("sse"),
+              expr("sse DIV n").as("mean_sse"),
+            )
+        }
+        .reduce(_ unionAll _)
+        .orderBy("k")
+    },
+    Some(s"""WITH $lloydCtes,
+             ${elbowCtes(2, "e2")},
+             ${elbowCtes(4, "e4")}
+             SELECT * FROM (
+               SELECT CAST(2 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
+                      CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse
+               FROM e2af WHERE rn = 1
+               UNION ALL
+               SELECT CAST(4 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
+                      CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse
+               FROM e4af WHERE rn = 1
+               UNION ALL
+               SELECT CAST(8 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
+                      CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse
+               FROM af WHERE rn = 1
+             ) ORDER BY k"""),
+  )
 
   // ---- declared queries ---------------------------------------------------
 
@@ -1013,6 +1097,6 @@ object KMeansOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
-      kmeansSeedQuality, pcaPowerIter, pcaProject, pcaProject2, clusterTextProfile,
-      kmeansSilhouette, pcaVarExplained)
+      kmeansSeedQuality, kmeansElbow, pcaPowerIter, pcaProject, pcaProject2,
+      clusterTextProfile, kmeansSilhouette, pcaVarExplained)
 }
