@@ -83,6 +83,17 @@ class Round14OpsSpec extends SparkSpec {
     })
   }
 
+  test("kmeans_elbow SSE is non-increasing in k and k=8 matches kmeans_cost") {
+    val rows = operators.KMeansOps.queries.find(_.name == "kmeans_elbow").get
+      .run(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    val sses = rows.map(_.getLong(2)).toSeq
+    assert(sses == sses.sorted.reverse, s"SSE must not increase with k: $sses")
+    val costTotal = operators.KMeansOps.queries.find(_.name == "kmeans_cost").get
+      .run(spark, sfDir).collect().map(_.getLong(2)).sum
+    assert(sses.last == costTotal, "the k=8 elbow row must be kmeans_cost's total SSE")
+  }
+
   test("gram kernels agree with the HOF spelling and honor the null contract") {
     graft.functions.GraftFunctions.register(spark)
     val df = spark
