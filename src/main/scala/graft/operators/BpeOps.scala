@@ -34,12 +34,21 @@ import graft.Tables._
   */
 object BpeOps extends QueryModule {
 
-  /** (w, wc) word-frequency vocabulary of the corpus. */
-  private[graft] def vocab(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** (w, wc) word-frequency vocabulary of any documents-shaped frame —
+    * the corpus-to-vocab reduction every tokenizer/LM query rides, and
+    * (because word counts over a disjoint document partition are purely
+    * ADDITIVE) the per-batch partial the streaming vocab refresh lands
+    * ([[graft.streaming.DocIngest.startVocabPartials]]).
+    */
+  private[graft] def vocabOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w")
       .agg(count(lit(1)).as("wc"))
+
+  /** (w, wc) word-frequency vocabulary of the corpus. */
+  private[graft] def vocab(s: SparkSession, d: String): DataFrame =
+    vocabOf(documents(s, d))
 
   /** Adjacent symbol pairs of an array column via zip_with over shifted
     * slices — the documented escape from the CollapseProject per-index

@@ -306,4 +306,81 @@ object DocIngest {
       .start()
     Ingest(query, standing)
   }
+
+  // ---- continuous vocabulary refresh ---------------------------------------
+
+  /** Continuous word-frequency-vocabulary refresh for the tokenizer/LM
+    * family: per micro-batch, reduce the document slice to its (w, wc)
+    * vocab partial (the SHARED [[graft.operators.BpeOps.vocabOf]] — the
+    * same corpus-to-vocab reduction the batch `bpe_*`/`unigram_logprob`
+    * queries ride) and land it as an idempotent batch dir. Word counts
+    * over a disjoint document partition are purely ADDITIVE — the same
+    * algebra as the checksum store, the centroid partials, and the
+    * moment partials — so the batch dirs must be an exact partition of
+    * the stream: the identical bid-0 wipe enforces it (a fresh
+    * checkpoint lineage can only enter batch 0 before any later batch
+    * committed, so whatever is in the state dir then is a stale prior
+    * lineage).
+    *
+    * Unlike the centroid/moment twins, whose merged state is k·D driver
+    * values, the vocab is VOCABULARY-CARDINALITY — so the merge
+    * ([[refreshedVocab]]) stays a distributed groupBy-sum over the batch
+    * dirs and never drives through the driver. This is the production
+    * "retrain the tokenizer on the refreshed corpus" shape: serving
+    * keeps the standing merge list; the refresh loop accumulates exact
+    * vocab partials across arbitrary micro-batching, and retraining
+    * ([[graft.operators.BpeOps.bpeTrain]] over [[refreshedVocab]]) reads
+    * the landed partials — no corpus rescan, merge-for-merge identical
+    * to batch training on the full stream.
+    */
+  def startVocabPartials(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.BpeOps
+          .vocabOf(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Merge the landed vocab partials into the refreshed (w, wc)
+    * vocabulary — byte-identical to the one-shot corpus reduction
+    * ([[graft.operators.BpeOps.vocabOf]] over the full stream) because
+    * addition is the only operation on either path, and DISTRIBUTED:
+    * the merge is one groupBy-sum over the batch dirs (the vocab is
+    * vocabulary-cardinality state; it never collects). Zero committed
+    * batches serve the empty vocabulary, not a path-not-found
+    * exception.
+    */
+  def refreshedVocab(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("wc", org.apache.spark.sql.types.LongType),
+          ),
+        ),
+      )
+    else
+      spark.read
+        .parquet(s"$stateDir/batch_*")
+        .groupBy("w")
+        .agg(sum(col("wc")).as("wc"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.streaming.{EmbedIngest, EventStream}
+import graft.streaming.{DocIngest, EmbedIngest, EventStream}
 
 /** Streaming/batch parity: the AvailableNow streaming run over the same
   * parquet files must produce exactly the DuckDB-verified batch result of
@@ -1358,6 +1358,53 @@ class StreamingSpec extends SparkSpec {
     // on this corpus — the drift the loop exists to absorb)
     assert(served.zip(standing).exists { case (a, b) => !a.sameElements(b) },
       "refresh should differ from the standing centroids on real data")
+  }
+
+  test("continuous vocab partials merge to the exact batch vocabulary (and retrain equally)") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: common words appear in BOTH batches, so the
+    // additive (w, wc) merge is really exercised — serving either
+    // batch's partial alone (or a last-batch-wins overwrite) would
+    // produce different counts for every shared word.
+    val streamDir = Files.createTempDirectory("vocab-stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("vocab-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = DocIngest.startVocabPartials(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-vocab").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val servedVocab = DocIngest.refreshedVocab(spark, stateDir)
+    val batchVocab = operators.BpeOps.vocabOf(docs)
+    assert(canon(servedVocab) == canon(batchVocab),
+      "merged streamed vocab partials must equal the one-shot corpus vocabulary")
+    // the merge itself is distributed (vocabulary-cardinality state):
+    // the served plan is a parquet scan + hash agg, no collect boundary
+    assert(servedVocab.queryExecution.executedPlan.toString.contains("HashAggregate"))
+    // retraining on the refreshed vocab = batch training on the full
+    // stream, merge-for-merge (same counts => same argmax chain)
+    val servedMerges = operators.BpeOps.bpeTrain(servedVocab.filter(col("w") =!= ""), 3)
+    val batchMerges = operators.BpeOps.bpeTrain(batchVocab.filter(col("w") =!= ""), 3)
+    assert(servedMerges == batchMerges && servedMerges.size == 3,
+      "BPE retrained from streamed vocab state must equal batch training")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the wipe discipline rewrites identical partials, no double count
+    runLoop(Files.createTempDirectory("ck-vocab2").toString)
+    assert(canon(DocIngest.refreshedVocab(spark, stateDir)) == canon(batchVocab),
+      "a replayed lineage must not double-count word frequencies")
+    // zero-batch state serves the empty vocabulary, not an exception
+    val empty = Files.createTempDirectory("vocab-empty").toString
+    val none = DocIngest.refreshedVocab(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("w", "wc") && none.count() == 0)
   }
 
   test("continuous moment partials serve the exact batch principal direction") {
