@@ -690,6 +690,79 @@ object PipelineOps extends QueryModule {
              FROM sl GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Sliding-window chunk geometry: [[ChunkWindow]]-token chunks every
+    * [[ChunkStride]] tokens (16-token overlap) — the standard RAG /
+    * retrieval-indexing split, a LAYOUT property like [[PackBudget]]
+    * (production tunes both to the embedder's context; the census
+    * arithmetic is parameterized, never hard-coded to the data).
+    */
+  private val ChunkWindow = 64L
+  private val ChunkStride = 48L
+
+  /** Sliding-window chunk census — the audit a retrieval-indexing
+    * pipeline runs before embedding a corpus: per language, how many
+    * overlapping [[ChunkWindow]]-token chunks at [[ChunkStride]] stride
+    * the documents produce, the token inflation the overlap costs
+    * (`chunk_tok` vs `doc_tok` — each overlap re-embeds W−S tokens),
+    * and how many trailing chunks run short. Complements the packers:
+    * `sequence_pack_split` tiles the GLOBAL token line for pretraining
+    * loaders; chunking tiles EACH DOCUMENT independently for retrieval,
+    * so it needs no prefix sum at all.
+    *
+    * A doc of `tok` tokens yields 1 chunk when tok ≤ W, else
+    * ⌈(tok−W)/S⌉+1; chunk i covers [i·S, min(i·S+W, tok)) — the last
+    * chunk is short, never empty (ctok ≥ W−S+1). At 100 TB this is
+    * embarrassingly parallel: per-row bounded explode (Σ tok/S + #docs
+    * rows — the `sequence_pack_split` fan-out argument), map-side
+    * combine collapses to one row per (partition, lang) before the
+    * language-cardinality exchange; per-doc counts never shuffle.
+    */
+  private val chunkCensus = DeclaredQuery(
+    "chunk_census",
+    (s, d) => {
+      documents(s, d)
+        .select(
+          col("lang"),
+          size(split(col("text"), "\\s+")).cast("long").as("tok"),
+        )
+        .withColumn(
+          "n_chunks",
+          expr(
+            s"IF(tok <= $ChunkWindow, 1L," +
+              s" (tok - $ChunkWindow + $ChunkStride - 1) DIV $ChunkStride + 1L)",
+          ),
+        )
+        .withColumn("i", explode(expr("sequence(0L, n_chunks - 1L)")))
+        .withColumn("ctok", expr(s"least(CAST($ChunkWindow AS BIGINT), tok - i * $ChunkStride)"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("i") === 0L, 1L).otherwise(0L)).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("i") === 0L, col("tok")).otherwise(0L)).as("doc_tok"),
+          sum("ctok").as("chunk_tok"),
+          sum(when(col("ctok") < ChunkWindow, 1L).otherwise(0L)).as("short_chunks"),
+        )
+        .orderBy("lang")
+    },
+    Some(s"""WITH t AS (SELECT lang,
+                               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+                        FROM documents),
+             c AS (SELECT lang, tok,
+                          CASE WHEN tok <= $ChunkWindow THEN 1
+                               ELSE (tok - $ChunkWindow + $ChunkStride - 1) // $ChunkStride + 1
+                          END AS n_chunks
+                   FROM t),
+             e AS (SELECT lang, tok, unnest(range(0, n_chunks)) AS i FROM c),
+             sl AS (SELECT lang, tok, i, least($ChunkWindow, tok - i * $ChunkStride) AS ctok FROM e)
+             SELECT lang,
+                    CAST(sum(CASE WHEN i = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                    CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(sum(CASE WHEN i = 0 THEN tok ELSE 0 END) AS BIGINT) AS doc_tok,
+                    CAST(sum(ctok) AS BIGINT) AS chunk_tok,
+                    CAST(sum(CASE WHEN ctok < $ChunkWindow THEN 1 ELSE 0 END) AS BIGINT) AS short_chunks
+             FROM sl GROUP BY lang ORDER BY lang"""),
+  )
+
   /** Shard count for the declared shuffle — a LAYOUT property like
     * `JoinBuckets`: 8 matches testdata scale, production uses
     * O(corpus / target-shard-size). The assignment arithmetic is
@@ -933,6 +1006,6 @@ object PipelineOps extends QueryModule {
 
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
-      corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix, sequencePackBpe,
-      vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets)
+      chunkCensus, corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix,
+      sequencePackBpe, vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets)
 }

@@ -132,6 +132,24 @@ class Round14OpsSpec extends SparkSpec {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("chunk_census tiling invariant: overlap inflation is exactly (n_chunks - n_docs)*(W - S)") {
+    // Per doc, chunk i covers [i*S, min(i*S+W, tok)) and only the LAST
+    // chunk is partial, so Σ ctok = tok + (n_chunks-1)*(W-S) exactly —
+    // summed per language: chunk_tok = doc_tok + (n_chunks - n_docs)*16.
+    // A wrong chunk count, a dropped trailing chunk, or an off-by-one
+    // stride all break this identity.
+    val rows = SparkEntry.queries("chunk_census")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nChunks) = (r.getLong(1), r.getLong(2))
+      val (docTok, chunkTok, short) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(chunkTok == docTok + (nChunks - nDocs) * 16L,
+        s"tiling identity broken for lang=${r.getString(0)}: $r")
+      assert(nChunks >= nDocs && short <= nDocs,
+        s"at most one short trailing chunk per doc: $r")
+    }
+  }
+
   test("Ivf.assign is schema-preserving: input columns ride through beside cid/csim") {
     val e = spark.read
       .parquet(s"$sfDir/embeddings.parquet")
