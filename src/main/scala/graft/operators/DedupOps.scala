@@ -253,7 +253,12 @@ object DedupOps extends QueryModule {
     * declared `minhash_near_dup` and the `minhash_est` calibration
     * query, so the estimator cannot drift from its calibration.
     */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  /** The banded signature table (doc_id, mhs, band, sig) — the
+    * "minhash-banded" session substrate, factored out so the band-bucket
+    * diagnostics (`minhash_band_stats`) read the IDENTICAL table the
+    * candidate join runs on.
+    */
+  private def minhashBanded(s: SparkSession, d: String): DataFrame = {
     val minCols = seeds.zipWithIndex.map { case ((a, b), i) =>
       min((col("gh") * a + b) % P).as(s"m$i")
     }
@@ -263,13 +268,17 @@ object DedupOps extends QueryModule {
         s"named_struct('band', $b, 'sig', concat_ws(',', $sig))"
       }
       .mkString("inline(array(", ", ", "))")
-    val banded = graft.SubstrateCache.substrate(s, d, "minhash-banded") {
+    graft.SubstrateCache.substrate(s, d, "minhash-banded") {
       gramRows(s, d)
         .groupBy("doc_id")
         .agg(minCols.head, minCols.tail: _*)
         .withColumn("mhs", array((0 until 16).map(i => col(s"m$i")): _*))
         .select(col("doc_id"), col("mhs"), expr(bandsExpr))
     }
+  }
+
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val banded = minhashBanded(s, d)
     val l = banded.select(col("doc_id").as("da"), col("mhs").as("ma"), col("band"), col("sig"))
     val r = banded
       .select(col("doc_id").as("db"), col("mhs").as("mb"), col("band").as("band2"), col("sig").as("sig2"))
@@ -1764,12 +1773,54 @@ object DedupOps extends QueryModule {
              ORDER BY da, db"""),
   )
 
+  /** LSH band-bucket diagnostics — the candidate-generation cost dial
+    * (the within-LSH sibling of `ivf_balance`): per band, bucket count,
+    * the largest bucket, the exact candidate-pair mass Σ c·(c−1)/2, and
+    * the ×10³ mean bucket size. A hot bucket is quadratic pair work by
+    * definition — this is the number the df-cap and the banding shape
+    * (4×4 here) are tuned against, read straight off the SHARED
+    * "minhash-banded" substrate with one (band, sig)-keyed count agg
+    * (map-side combine) and a band-cardinality rollup. Pure counts —
+    * the diagnostic never generates a single candidate pair.
+    */
+  private val minhashBandStats = DeclaredQuery(
+    "minhash_band_stats",
+    (s, d) =>
+      minhashBanded(s, d)
+        .groupBy("band", "sig")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum("c").as("n_rows"),
+          max("c").as("max_bucket"),
+          sum(expr("c * (c - 1) DIV 2")).as("cand_pairs"),
+        )
+        .withColumn("mean_bucket_e3", expr("n_rows * 1000 DIV n_buckets"))
+        .select(
+          col("band").cast("long").as("band"),
+          col("n_buckets"),
+          col("max_bucket"),
+          col("cand_pairs"),
+          col("mean_bucket_e3"),
+        )
+        .orderBy("band"),
+    Some(s"""WITH $hashedGramsDuck,
+             $minhashCandDuck,
+             bkt AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c FROM sg GROUP BY 1, 2)
+             SELECT CAST(band AS BIGINT) AS band, count(*) AS n_buckets,
+                    CAST(max(c) AS BIGINT) AS max_bucket,
+                    CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs,
+                    CAST((sum(c) * 1000) // count(*) AS BIGINT) AS mean_bucket_e3
+             FROM bkt GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
       sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
-      dedupSweepCost, containmentDedup)
+      dedupSweepCost, containmentDedup, minhashBandStats)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

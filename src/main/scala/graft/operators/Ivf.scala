@@ -254,23 +254,43 @@ object Ivf extends QueryModule {
     * brute-forces only the NQueries query rows (why production samples
     * queries); the fusion is a k-row-per-query left join.
     */
+  /** The exact brute-force top-K per sampled query — the ground-truth
+    * arm shared by `ivf_recall` and the `ivf_nprobe_sweep` curve, so the
+    * truth both are measured against is one definition.
+    */
+  private def exactTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (e, _) = scaledEmbeddings(s, d)
+    val q = e
+      .filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+    broadcast(q)
+      .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), col("vec_id") =!= col("qid"))
+      .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cand_vec)"), 6))
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+      )
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("cand_id"))
+  }
+
+  /** The exact arm as DuckDB CTEs ending in `x(qid, cid)` — the oracle
+    * text shared verbatim by both recall consumers.
+    */
+  private lazy val exactTopKDuck =
+    s"""xp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |              (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
+       |       FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
+       |xr AS (SELECT qid, cid,
+       |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |       FROM xp),
+       |x AS (SELECT qid, cid FROM xr WHERE rank <= $TopK)""".stripMargin
+
   private val ivfRecall = DeclaredQuery(
     "ivf_recall",
     (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val (e, _) = scaledEmbeddings(s, d)
-      val q = e
-        .filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
-      val exact = broadcast(q)
-        .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), col("vec_id") =!= col("qid"))
-        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cand_vec)"), 6))
-        .withColumn(
-          "rank",
-          row_number().over(Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
-        )
-        .filter(col("rank") <= TopK)
-        .select(col("qid"), col("vec_id").as("cand_id"))
+      val exact = exactTopK(s, d)
       val approx = ivfRanked(s, d).select(col("qid"), col("cand_id"), lit(1L).as("hit"))
       exact
         .join(approx, Seq("qid", "cand_id"), "left")
@@ -283,13 +303,7 @@ object Ivf extends QueryModule {
              $LloydOracleCte,
              $ivfRankedDuck,
              ir AS (SELECT qid, vec_id, 1 AS hit FROM r WHERE rank <= $TopK),
-             xp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
-                           (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
-                    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id),
-             xr AS (SELECT qid, cid,
-                           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-                    FROM xp),
-             x AS (SELECT qid, cid FROM xr WHERE rank <= $TopK)
+             $exactTopKDuck
              SELECT x.qid,
                     CAST(count(*) AS BIGINT) AS k,
                     CAST(coalesce(sum(ir.hit), 0) AS BIGINT) AS n_hit,
@@ -448,7 +462,141 @@ object Ivf extends QueryModule {
              FROM r WHERE rank <= $TopK ORDER BY qid, rank"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(ivfAnn, ivfQuantizedTopk, ivfRecall)
+  /** IVF cell-balance audit — the index-health diagnostic every IVF
+    * deployment watches: per cell, its member count and exact ×10³ load
+    * factor vs a uniform spread (load_e3 = n·K·10³ ÷ corpus). A hot cell
+    * (load ≫ 1000) concentrates probe latency and within-cell pair work
+    * (`semantic_dedup`'s Σn_c² cost is exactly this statistic squared);
+    * empty cells waste probes — both are the signal that triggers a
+    * re-train or a cell-count bump (the documented `semanticSurvivors(k)`
+    * knob). Rides the SHARED cell-assignment substrate (zero new corpus
+    * work when any IVF consumer already ran): one k-cardinality count
+    * agg + a left join from the K-row centroid table for empty cells.
+    */
+  private val ivfBalance = DeclaredQuery(
+    "ivf_balance",
+    (s, d) => {
+      val (_, total) = scaledEmbeddings(s, d)
+      val counts = cellAssignment(s, d).groupBy("cid").agg(count(lit(1)).as("n"))
+      refinedCentroids(s, d)
+        .select("cid")
+        .join(counts, Seq("cid"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("load_e3", expr(s"n * $K * 1000 DIV ${total}L"))
+        .select(col("cid").cast("long").as("cid"), col("n"), col("load_e3"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH $ivfBaseDuck,
+             $LloydOracleCte,
+             tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM e),
+             cnts AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg1 GROUP BY 1)
+             SELECT CAST(cn.cid AS BIGINT) AS cid, coalesce(cnts.n, 0) AS n,
+                    CAST((coalesce(cnts.n, 0) * $K * 1000) // tot.t AS BIGINT) AS load_e3
+             FROM cn LEFT JOIN cnts ON cn.cid = cnts.cid CROSS JOIN tot
+             ORDER BY cid"""),
+  )
+
+  /** The nprobe sweep values — 1 is the cheapest probe, 2 the declared
+    * `ivf_ann` operating point, 4 the headroom read.
+    */
+  private val SweepProbes = Seq(1, 2, 4)
+
+  /** The recall-vs-nprobe CURVE — the tuning table an IVF deployment
+    * reads before pinning its operating point (`ivf_recall` measures the
+    * pinned point; this measures the knob): mean recall@$TopK over the
+    * sampled queries at nprobe ∈ {1, 2, 4}. The candidate set is scored
+    * ONCE at the widest probe (each candidate's probe rank `pr` is the
+    * rank of its ONE home cell, so "reachable at nprobe p" is the pure
+    * filter pr ≤ p) — three rank windows over one scored table, not
+    * three search passes; the exact arm is the SHARED [[exactTopK]].
+    * At 100 TB the sweep costs one widest-probe search — exactly the
+    * production methodology (sample queries, score once, slice by
+    * probe rank).
+    */
+  private val ivfNprobeSweep = DeclaredQuery(
+    "ivf_nprobe_sweep",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val (e, _) = scaledEmbeddings(s, d)
+      val q = e
+        .filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("dvec").as("qvec"))
+      val probed = q
+        .crossJoin(broadcast(refinedCentroids(s, d)))
+        .withColumn("csim", sim(s, "qvec", "cvec"))
+        .withColumn(
+          "pr",
+          row_number().over(Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))),
+        )
+        .filter(col("pr") <= SweepProbes.max)
+        .select("qid", "qvec", "cid", "pr")
+      val scored = probed
+        .join(cellAssignment(s, d), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(e.select(col("vec_id"), col("dvec").as("cand_vec")), Seq("vec_id"))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qvec, cand_vec)"), 6))
+        .select("qid", "vec_id", "pr", "sim")
+      val exact = exactTopK(s, d)
+      SweepProbes
+        .map { p =>
+          val topk = scored
+            .filter(col("pr") <= p)
+            .withColumn(
+              "rank",
+              row_number().over(
+                Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))),
+            )
+            .filter(col("rank") <= TopK)
+            .select(col("qid"), col("vec_id").as("cand_id"), lit(1L).as("hit"))
+          exact
+            .join(topk, Seq("qid", "cand_id"), "left")
+            .agg(count(lit(1)).as("k_total"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+            .select(
+              lit(p.toLong).as("nprobe"),
+              col("k_total"),
+              col("n_hit"),
+              Disp.roundz(col("n_hit").cast("double") / col("k_total"), 4).as("recall"),
+            )
+        }
+        .reduce(_ unionAll _)
+        .orderBy("nprobe")
+    },
+    Some {
+      val maxP = SweepProbes.max
+      val arms = SweepProbes
+        .map { p =>
+          s"""r$p AS (SELECT qid, vec_id,
+             |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+             |       FROM sc WHERE pr <= $p),
+             |h$p AS (SELECT CAST($p AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS k_total,
+             |               CAST(coalesce(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_hit
+             |        FROM x LEFT JOIN (SELECT qid, vec_id FROM r$p WHERE rank <= $TopK) t
+             |          ON x.qid = t.qid AND x.cid = t.vec_id)""".stripMargin
+        }
+        .mkString(",\n")
+      val union = SweepProbes.map(p => s"SELECT * FROM h$p").mkString(" UNION ALL ")
+      s"""WITH $ivfBaseDuck,
+         $LloydOracleCte,
+         $exactTopKDuck,
+         qv AS (SELECT vec_id AS qid, dvec AS qvec, nrm AS qnrm FROM e WHERE vec_id < $NQueries),
+         qp AS (SELECT qv.qid, qv.qvec, qv.qnrm, c.cid,
+                       row_number() OVER (PARTITION BY qv.qid
+                         ORDER BY list_inner_product(qv.qvec, c.cvec) / (qv.qnrm * c.cnrm) DESC, c.cid) AS pr
+                FROM qv CROSS JOIN cn c),
+         pb AS (SELECT qid, qvec, qnrm, cid, pr FROM qp WHERE pr <= $maxP),
+         sc AS (SELECT p.qid, a.vec_id, p.pr,
+                       (round(list_inner_product(p.qvec, e.dvec) / (p.qnrm * e.nrm), 6) + 0.0) AS sim
+                FROM pb p JOIN asg1 a USING (cid) JOIN e ON e.vec_id = a.vec_id
+                WHERE a.vec_id <> p.qid),
+         $arms
+         SELECT nprobe, k_total, n_hit,
+                (round(CAST(n_hit AS DOUBLE) / k_total, 4) + 0.0) AS recall
+         FROM ($union) ORDER BY nprobe"""
+    },
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(ivfAnn, ivfQuantizedTopk, ivfRecall, ivfBalance, ivfNprobeSweep)
 
   /** k deterministic seeds refined by `iters` Lloyd iterations.
     * @param e (vec_id, dvec: array<double>)

@@ -885,6 +885,93 @@ object KMeansOps extends QueryModule {
              GROUP BY pe.vec_id, c1.center, c2.center ORDER BY pe.vec_id"""),
   )
 
+  /** PCA reconstruction-residual outliers — "what the 2-D subspace
+    * misses": the top-20 vectors by residual energy
+    * r = |q − μ|² − p1²/‖v₁‖² − p2²/‖v₂‖², the complement of
+    * `pca_var_explained`'s aggregate share (that says how faithful the
+    * subspace is on average; this names the individual vectors it
+    * represents worst — the screen a curation dashboard reads next to
+    * `embedding_outliers`' distance-from-mean tier). All inputs are the
+    * memoized exact-integer driver values (μ as per-dim ⌊S/n⌋, both
+    * projections via the codegen [[graft.functions.IntDot]] kernel, the
+    * centered distance via [[graft.functions.IntSqDist]]); every Long is
+    * < 2⁵³ so the Long→DOUBLE casts are exact, and the residual chain is
+    * one IEEE double expression stated as identical text in both engines
+    * (products of exact doubles — deterministic), display-rounded to 2dp
+    * through the shared sign discipline. One pure map over the corpus +
+    * TakeOrderedAndProject(20) — no join, no shuffle.
+    */
+  private val pcaOutliers = DeclaredQuery(
+    "pca_outliers",
+    (s, d) => {
+      val v1 = principalE6(s, d)
+      val v2 = principal2E6(s, d)
+      val r = momentsOf(s, d)
+      val sm = r.getSeq[Long](0)
+      val n = BigInt(r.getLong(2))
+      val mu = sm.map(x => (BigInt(x) / n).toLong).toArray
+      def center(v: Array[Long]): Long =
+        if (n == 0) 0L
+        else ((0 until Dim).map(i => BigInt(sm(i)) * BigInt(v(i))).sum / n).toLong
+      val vv1 = v1.map(x => BigInt(x) * BigInt(x)).sum.toLong
+      val vv2 = v2.map(x => BigInt(x) * BigInt(x)).sum.toLong
+      quantized(s, d)
+        .select(
+          col("vec_id"),
+          col("label"),
+          call_function("graft_int_sqdist", col("q"), typedlit(mu.toSeq)).as("a"),
+          (call_function("graft_int_dot", col("q"), typedlit(v1.toSeq)) - lit(center(v1)))
+            .as("p1"),
+          (call_function("graft_int_dot", col("q"), typedlit(v2.toSeq)) - lit(center(v2)))
+            .as("p2"),
+        )
+        .withColumn(
+          "resid",
+          Disp.roundz(
+            expr(
+              s"CAST(a AS DOUBLE) - CAST(p1 AS DOUBLE) * CAST(p1 AS DOUBLE) / ${vv1}.0" +
+                s" - CAST(p2 AS DOUBLE) * CAST(p2 AS DOUBLE) / ${vv2}.0",
+            ),
+            2,
+          ),
+        )
+        .select("vec_id", "label", "resid")
+        .orderBy(col("resid").desc, col("vec_id"))
+        .limit(20)
+    },
+    Some(s"""WITH $powerCtes,
+             $deflateCtes,
+             c1 AS (SELECT (sum(m1.s * v.x) // (SELECT n FROM nn)) AS center
+                    FROM m1 JOIN v1f v ON m1.dim = v.dim),
+             c2 AS (SELECT (sum(m1.s * v.x) // (SELECT n FROM nn)) AS center
+                    FROM m1 JOIN w$PowerRounds v ON m1.dim = v.dim),
+             vv1 AS (SELECT sum(x * x) AS d FROM v1f),
+             vv2 AS (SELECT sum(x * x) AS d FROM w$PowerRounds),
+             mu AS (SELECT m1.dim, CAST(m1.s // nn.n AS BIGINT) AS m FROM m1 CROSS JOIN nn),
+             aa AS (SELECT pe.vec_id, CAST(sum((pe.val - mu.m) * (pe.val - mu.m)) AS BIGINT) AS a
+                    FROM pe JOIN mu ON pe.dim = mu.dim GROUP BY 1),
+             p1t AS (SELECT pe.vec_id,
+                            CAST(CAST(sum(pe.val * v.x) AS HUGEINT) - c1.center AS BIGINT) AS p1
+                     FROM pe JOIN v1f v ON pe.dim = v.dim CROSS JOIN c1
+                     GROUP BY pe.vec_id, c1.center),
+             p2t AS (SELECT pe.vec_id,
+                            CAST(CAST(sum(pe.val * v.x) AS HUGEINT) - c2.center AS BIGINT) AS p2
+                     FROM pe JOIN w$PowerRounds v ON pe.dim = v.dim CROSS JOIN c2
+                     GROUP BY pe.vec_id, c2.center),
+             res AS (SELECT aa.vec_id, emb.label,
+                            (round(CAST(aa.a AS DOUBLE)
+                                   - CAST(p1t.p1 AS DOUBLE) * CAST(p1t.p1 AS DOUBLE)
+                                     / CAST(vv1.d AS DOUBLE)
+                                   - CAST(p2t.p2 AS DOUBLE) * CAST(p2t.p2 AS DOUBLE)
+                                     / CAST(vv2.d AS DOUBLE), 2) + 0.0) AS resid
+                     FROM aa JOIN p1t ON aa.vec_id = p1t.vec_id
+                     JOIN p2t ON aa.vec_id = p2t.vec_id
+                     JOIN embeddings emb ON aa.vec_id = emb.vec_id
+                     CROSS JOIN vv1 CROSS JOIN vv2)
+             SELECT vec_id, label, resid FROM res
+             ORDER BY resid DESC, vec_id LIMIT 20"""),
+  )
+
   /** Seed-quality comparison — does D²-weighted (k-means++) seeding beat
     * the arbitrary k-lowest-vec_id seed after the same `Rounds` Lloyd
     * updates? One row per seed rule with the corpus SSE under its final
@@ -1098,5 +1185,5 @@ object KMeansOps extends QueryModule {
   val queries: Seq[DeclaredQuery] =
     Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
       kmeansSeedQuality, kmeansElbow, pcaPowerIter, pcaProject, pcaProject2,
-      clusterTextProfile, kmeansSilhouette, pcaVarExplained)
+      pcaOutliers, clusterTextProfile, kmeansSilhouette, pcaVarExplained)
 }

@@ -1004,8 +1004,118 @@ object PipelineOps extends QueryModule {
             FROM b GROUP BY cap ORDER BY cap"""),
   )
 
+  /** Effective sample size of the DSIR importance weights, per source —
+    * THE diagnostic importance sampling is judged by (Kong 1992:
+    * ESS = (Σw)²/Σw²; as a fraction of n it says how many of a source's
+    * documents the weighted resample effectively keeps — a collapsed
+    * source (few huge weights) reads near 0, a flat one near 1000).
+    * Weights are exp(avg logratio) ×10⁶-floored to exact integers (the
+    * shared dsir substrate + one expression text in both engines), the
+    * two power sums are exact wide-tier integers (DECIMAL(38,0) ≡
+    * HUGEINT, ANSI-loud past ~10¹¹ max-weight docs per source — the
+    * documented bound; production shards ESS per source exactly as
+    * declared here), and the one defined division chain runs in doubles
+    * from identical exact inputs. One doc-keyed join + one
+    * source-cardinality agg on the cached weight substrate.
+    */
+  private val dsirEss = DeclaredQuery(
+    "dsir_ess",
+    (s, d) => {
+      dsirScored(s, d)
+        .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .withColumn(
+          "w_e6",
+          expr(
+            "CAST(floor(exp(CAST(weight_sum AS DOUBLE) / n_feats / 1000000.0)" +
+              " * 1000000.0 + 0.5) AS BIGINT)",
+          ),
+        )
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("w_e6").cast("decimal(38,0)")).as("sw"),
+          sum((col("w_e6").cast("decimal(38,0)") * col("w_e6")).cast("decimal(38,0)")).as("sww"),
+        )
+        .select(
+          col("source"),
+          col("n_docs"),
+          expr(
+            "CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)" +
+              " / CAST(n_docs AS DOUBLE) * 1000.0 + 0.5) AS BIGINT)",
+          ).as("ess_frac_e3"),
+        )
+        .orderBy("source")
+    },
+    Some(s"""WITH $dsirDuckCtes,
+             dwv AS (SELECT doc.source,
+                            CAST(floor(exp(CAST(dw.weight_sum AS DOUBLE) / dw.n_feats / 1000000.0)
+                                       * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+                     FROM dw JOIN documents doc ON dw.doc_id = doc.doc_id),
+             agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(w_e6) AS HUGEINT) AS sw,
+                            CAST(sum(CAST(w_e6 AS HUGEINT) * w_e6) AS HUGEINT) AS sww
+                     FROM dwv GROUP BY 1)
+             SELECT source, n_docs,
+                    CAST(floor(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sww AS DOUBLE)
+                               / CAST(n_docs AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS ess_frac_e3
+             FROM agg ORDER BY source"""),
+  )
+
+  /** Heaps-law curve — distinct vocabulary types seen by the time the
+    * global token line reaches {10,25,50,75,100}% of its length: the
+    * growth curve that says whether a corpus is still yielding new
+    * vocabulary (types ∝ tokens^β, β≈0.5 for natural text) or has gone
+    * repetitive — the signal vocab-budget and dedup decisions read
+    * together. The token line is the packers' SHARED two-phase
+    * distributed prefix sum ([[packedCumOf]] — no global window), each
+    * token's global position is pure row arithmetic (cum − tok + pos),
+    * first occurrence is ONE vocab-cardinality min-agg (map-side
+    * combine), and the 5-row threshold grid rides a broadcast. Text is
+    * exploded once and reduced immediately to (word, min gpos) — the
+    * corpus never shuffles as text.
+    */
+  private val heapsLaw = DeclaredQuery(
+    "heaps_law",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val cum = packedCumOf(docs.select(col("doc_id"), size(col("ws")).cast("long").as("tok")))
+      val firstPos = docs
+        .join(cum, Seq("doc_id")) // un-hinted: both sides corpus-cardinality, doc_id-keyed
+        .select(col("cum"), col("tok"), posexplode(col("ws")).as(Seq("pos", "w")))
+        .select(col("w"), (col("cum") - col("tok") + col("pos") + lit(1L)).as("gpos"))
+        .groupBy("w")
+        .agg(min("gpos").as("fp"))
+      val grid = cum
+        .agg(max("cum").as("n"))
+        .select(explode(expr("array(10L, 25L, 50L, 75L, 100L)")).as("pct"), col("n"))
+        .withColumn("t", expr("n * pct DIV 100"))
+        .select("pct", "t")
+      firstPos
+        .crossJoin(broadcast(grid)) // 5-row threshold grid
+        .filter(col("fp") <= col("t"))
+        .groupBy("pct", "t")
+        .agg(count(lit(1)).as("types"))
+        .select(col("pct"), col("t").as("token_threshold"), col("types"))
+        .orderBy("pct")
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            c AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS tok,
+                         CAST(sum(len(ws)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM t),
+            w AS (SELECT unnest(ws) AS w, cum - tok + generate_subscripts(ws, 1) AS gpos FROM c),
+            f AS (SELECT w, min(gpos) AS fp FROM w GROUP BY 1),
+            n AS (SELECT max(cum) AS n FROM c),
+            g AS (SELECT CAST(pct AS BIGINT) AS pct, CAST((n.n * pct) // 100 AS BIGINT) AS t
+                  FROM (VALUES (10), (25), (50), (75), (100)) v(pct) CROSS JOIN n)
+            SELECT g.pct, g.t AS token_threshold, count(*) AS types
+            FROM g JOIN f ON f.fp <= g.t
+            GROUP BY 1, 2 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
       chunkCensus, corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix,
-      sequencePackBpe, vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets)
+      sequencePackBpe, vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets,
+      heapsLaw, dsirEss)
 }

@@ -562,41 +562,75 @@ object RelationalOps extends QueryModule {
     */
   private val HistBins = 16
 
+  /** Fixed-extent histogram partials of a (pri, x) frame: (pri, bin, lo,
+    * hi, cnt) under the given 1-row (lo, hi) extent frame. Bin counts
+    * under a FIXED extent are ADDITIVE — slice-wise partials merge by
+    * plain summation ([[mergeHistogramParts]]) — the property the
+    * continuous monitoring twin
+    * ([[graft.streaming.EventStream.startHistogramParts]]) rides, and
+    * exactly how production monitoring pins its bucket layout up front
+    * instead of re-deriving it per window.
+    */
+  private[graft] def histogramParts(
+      o: org.apache.spark.sql.DataFrame,
+      ext: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    val w = s"((hi - lo) / $HistBins.0)"
+    o.crossJoin(broadcast(ext)) // 2-value extent scalar
+      .withColumn(
+        "bin",
+        expr(s"CAST(least(floor((x - lo) / $w), ${HistBins - 1}) AS INT)"),
+      )
+      .groupBy("pri", "bin", "lo", "hi")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge landed histogram partials — one groupBy-sum (the bin table is
+    * groups × bins rows; it never collects).
+    */
+  private[graft] def mergeHistogramParts(
+      parts: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame =
+    parts.groupBy("pri", "bin", "lo", "hi").agg(sum("cnt").as("cnt"))
+
+  /** The cumulative-histogram quantile walk over a (pri, bin, lo, hi,
+    * cnt) table → (pri, ql, est) for p50/p90 — shared by the declared
+    * query and the streamed serve, so the estimate's interpolation
+    * cannot drift between them.
+    */
+  private[graft] def quantilesFromHistogram(
+      counts: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = s"((hi - lo) / $HistBins.0)"
+    val withCum = counts
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("pri").orderBy("bin")))
+    val targets = counts
+      .groupBy("pri")
+      .agg(sum("cnt").as("n"))
+      .withColumn(
+        "qq",
+        explode(expr(
+          "array(named_struct('ql', 'p50', 'q', 0.5D), named_struct('ql', 'p90', 'q', 0.9D))")),
+      )
+      .select(col("pri"), col("qq.ql").as("ql"), col("qq.q").as("q"), col("n"))
+      .withColumn("target", expr("CAST(ceil(q * n) AS BIGINT)"))
+    targets
+      .join(withCum, Seq("pri"))
+      .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .withColumn(
+        "est",
+        expr(s"round(lo + bin * $w + (target - (cum - cnt)) / cnt * $w, 2)"),
+      )
+      .select("pri", "ql", "est")
+  }
+
   private val histogramQuantile = DeclaredQuery(
     "histogram_quantile",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val o = orders(s, d).select(col("o_orderpriority").as("pri"), col("o_totalprice").as("x"))
       val ext = o.agg(min("x").as("lo"), max("x").as("hi"))
-      val w = s"((hi - lo) / $HistBins.0)"
-      val counts = o
-        .crossJoin(broadcast(ext)) // 2-value extent scalar
-        .withColumn(
-          "bin",
-          expr(s"CAST(least(floor((x - lo) / $w), ${HistBins - 1}) AS INT)"),
-        )
-        .groupBy("pri", "bin", "lo", "hi")
-        .agg(count(lit(1)).as("cnt"))
-      val withCum = counts
-        .withColumn("cum", sum("cnt").over(Window.partitionBy("pri").orderBy("bin")))
-      val targets = counts
-        .groupBy("pri")
-        .agg(sum("cnt").as("n"))
-        .withColumn(
-          "qq",
-          explode(expr(
-            "array(named_struct('ql', 'p50', 'q', 0.5D), named_struct('ql', 'p90', 'q', 0.9D))")),
-        )
-        .select(col("pri"), col("qq.ql").as("ql"), col("qq.q").as("q"), col("n"))
-        .withColumn("target", expr("CAST(ceil(q * n) AS BIGINT)"))
-      val pick = targets
-        .join(withCum, Seq("pri"))
-        .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
-        .withColumn(
-          "est",
-          expr(s"round(lo + bin * $w + (target - (cum - cnt)) / cnt * $w, 2)"),
-        )
-        .select("pri", "ql", "est")
+      val pick = quantilesFromHistogram(histogramParts(o, ext))
       val exact = o
         .groupBy("pri")
         .agg(

@@ -1033,8 +1033,92 @@ object SimilarityOps extends QueryModule {
              FROM r WHERE rank <= 3 ORDER BY src, rank"""),
   )
 
+  /** Label-noise screen over the kNN graph (the Confident-Learning
+    * shape): per vector, how many of its top-3 hd ≤ 3 neighbors share
+    * its label, aggregated per label as an exact ×10³ integer mean plus
+    * a "suspect" count (zero agreeing neighbors among ≥ 2 — the rows an
+    * annotation audit reads first). Composes two existing substrates —
+    * the banded kNN edge set and the corpus label column — with two
+    * un-hinted corpus-cardinality equi-joins (the label frame is two
+    * narrow columns; AQE sizes them) and two partial+final aggs; no new
+    * float work — the similarity already rode the edge substrate, this
+    * query only counts. Vectors with NO hd ≤ 3 candidate have no
+    * neighbor evidence and are out of scope by definition (`nodes`
+    * counts judged vectors). At 100 TB: edges are 3n rows, both joins
+    * key-partitioned, the final exchange is label-cardinality.
+    */
+  private val knnLabelAgreement = DeclaredQuery(
+    "knn_label_agreement",
+    (s, d) => {
+      val lbl = embeddings(s, d).select(col("vec_id"), col("label"))
+      val perSrc = knnEdges(s, d)
+        .select("src", "nbr")
+        .join(lbl.select(col("vec_id").as("src"), col("label").as("src_label")), Seq("src"))
+        .join(lbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")), Seq("nbr"))
+        .groupBy("src", "src_label")
+        .agg(
+          count(lit(1)).as("deg"),
+          sum(when(col("nbr_label") === col("src_label"), 1L).otherwise(0L)).as("agree"),
+        )
+        .withColumn("agree_e3", expr("agree * 1000 DIV deg"))
+      perSrc
+        .groupBy("src_label")
+        .agg(
+          count(lit(1)).as("nodes"),
+          expr("sum(agree_e3) DIV count(1)").as("mean_agree_e3"),
+          sum(when(col("agree") === 0L && col("deg") >= 2L, 1L).otherwise(0L)).as("suspects"),
+        )
+        .select(col("src_label").as("label"), col("nodes"), col("mean_agree_e3"), col("suspects"))
+        .orderBy("label")
+    },
+    Some(s"""WITH $knnEdgesDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             l AS (SELECT vec_id, label FROM embeddings),
+             ps AS (SELECT ke.src, ls.label AS src_label,
+                           CAST(count(*) AS BIGINT) AS deg,
+                           CAST(sum(CASE WHEN ln.label = ls.label THEN 1 ELSE 0 END) AS BIGINT) AS agree
+                    FROM ke JOIN l ls ON ke.src = ls.vec_id JOIN l ln ON ke.nbr = ln.vec_id
+                    GROUP BY 1, 2),
+             pa AS (SELECT src, src_label, deg, agree, (agree * 1000) // deg AS agree_e3 FROM ps)
+             SELECT src_label AS label, count(*) AS nodes,
+                    CAST(sum(agree_e3) // count(*) AS BIGINT) AS mean_agree_e3,
+                    CAST(sum(CASE WHEN agree = 0 AND deg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS suspects
+             FROM pa GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Hubness diagnostic — the high-dimensional pathology check
+    * (Radovanović et al., JMLR 2010): the exact in-degree distribution
+    * of the directed top-3 kNN edge set, 0 bucket included (a left join
+    * from the corpus). Hubs (in-degree ≫ k) mean a few vectors dominate
+    * every neighbor list and poison graph dedup and retrieval; antihubs
+    * (in-degree 0) are unreachable through the graph. One count agg on
+    * the 3n-row edge substrate (map-side combine), one un-hinted
+    * corpus-keyed join, one in-degree-cardinality histogram agg — the
+    * corpus vectors themselves never move.
+    */
+  private val hubnessStats = DeclaredQuery(
+    "hubness_stats",
+    (s, d) => {
+      val indeg = knnEdges(s, d).groupBy("nbr").agg(count(lit(1)).as("indeg"))
+      embeddings(s, d)
+        .select(col("vec_id"))
+        .join(indeg.select(col("nbr").as("vec_id"), col("indeg")), Seq("vec_id"), "left")
+        .withColumn("indeg", coalesce(col("indeg"), lit(0L)))
+        .groupBy("indeg")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("indeg")
+    },
+    Some(s"""WITH $knnEdgesDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             ind AS (SELECT nbr AS vec_id, CAST(count(*) AS BIGINT) AS indeg FROM ke GROUP BY 1),
+             fd AS (SELECT e.vec_id, coalesce(ind.indeg, 0) AS indeg
+                    FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.vec_id)
+             SELECT indeg, count(*) AS n_nodes
+             FROM fd GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
-      incrementalKnn)
+      incrementalKnn, knnLabelAgreement, hubnessStats)
 }

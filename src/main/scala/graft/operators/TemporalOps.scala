@@ -1324,6 +1324,78 @@ object TemporalOps extends QueryModule {
       .withColumn("conv_rate_e6", expr("conversions * 1000000 DIV touches"))
       .orderBy("touch")
 
+  /** Reduce raw events to the per-user LAST-TOUCH grain — the argmax
+    * NON-purchase event over `(t_us, event_id)` plus the same OR-merged
+    * purchased flag: struct-max (nulls skipped — a purchase-only user
+    * carries a null touch) and max, both idempotent commutative merges,
+    * so the store has exactly the first-touch grain's streaming
+    * properties. The purchase filter is ROW-LOCAL, which is what keeps
+    * the grain mergeable: "last non-purchase touch" needs no cross-slice
+    * ordering, unlike "last touch before the first purchase" (which
+    * would need the purchase time joined in before the argmax and stops
+    * being a one-pass grain).
+    */
+  private[graft] def toLastTouchGrain(ev: DataFrame): DataFrame =
+    ev.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") =!= "purchase",
+          struct(unix_micros(col("ts")).as("last_us"), col("event_id").as("last_id"),
+            col("event_type").as("last_type")))).as("l"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchased"),
+      )
+      .select(
+        col("user_id"),
+        col("l.last_us").as("last_us"),
+        col("l.last_id").as("last_id"),
+        col("l.last_type").as("last_type"),
+        col("purchased"),
+      )
+
+  /** Post-grain half of `last_touch_attribution` — shared by the batch
+    * query and the streaming serve
+    * ([[graft.streaming.EventStream.lastTouchFromGrain]]). The re-merge
+    * wraps the touch back into a null-when-absent struct so overlapping
+    * slices merge exactly as the raw pass did.
+    */
+  private[graft] def lastTouchFromGrain(grain: DataFrame): DataFrame =
+    grain
+      .groupBy("user_id")
+      .agg(
+        max(when(col("last_us").isNotNull,
+          struct(col("last_us"), col("last_id"), col("last_type")))).as("l"),
+        max(col("purchased")).as("purchased"),
+      )
+      .filter(col("l").isNotNull)
+      .select(col("l.last_type").as("touch"), col("purchased"))
+      .groupBy("touch")
+      .agg(count(lit(1)).as("touches"), sum(col("purchased")).as("conversions"))
+      .withColumn("conv_rate_e6", expr("conversions * 1000000 DIV touches"))
+      .orderBy("touch")
+
+  /** Last-touch attribution — the other standard single-touch model
+    * (first_touch credits discovery; last_touch credits the final
+    * nudge): per non-purchase touch type, how many users end their
+    * journey there and how many of them purchased at all. Same grain
+    * algebra as first-touch with argmin→argmax and a row-local purchase
+    * exclusion; same 100 TB shape (ONE user-keyed partial agg, no
+    * window sort, no join).
+    */
+  private val lastTouchAttribution = DeclaredQuery(
+    "last_touch_attribution",
+    (s, d) => lastTouchFromGrain(toLastTouchGrain(events(s, d))),
+    Some("""WITH l AS (SELECT user_id, event_type AS touch,
+                              row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                       FROM events WHERE event_type <> 'purchase'),
+            lt AS (SELECT user_id, touch FROM l WHERE rn = 1),
+            b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+            SELECT touch, count(*) AS touches,
+                   CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS conversions,
+                   (CAST(sum(CASE WHEN b.user_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) * 1000000)
+                     // count(*) AS conv_rate_e6
+            FROM lt LEFT JOIN b ON lt.user_id = b.user_id
+            GROUP BY 1 ORDER BY 1"""),
+  )
+
   private val firstTouchAttribution = DeclaredQuery(
     "first_touch_attribution",
     (s, d) => attributionFromGrain(toFirstTouchGrain(events(s, d))),
@@ -1346,5 +1418,5 @@ object TemporalOps extends QueryModule {
       eventTrigrams, wowGrowth, rollingActiveUsers, rollingActiveSketch, cumulativeUniqueSketch,
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
-      firstTouchAttribution)
+      firstTouchAttribution, lastTouchAttribution)
 }

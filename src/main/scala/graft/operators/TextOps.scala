@@ -1298,7 +1298,84 @@ object TextOps extends QueryModule {
              ORDER BY k.thr_ppm"""),
   )
 
+  /** Zipf-slope fit — the log-log OLS slope over the top-1000 vocabulary
+    * types (natural text sits near −1; a much flatter slope flags
+    * boilerplate/template corpora, a steeper one flags collapsed
+    * vocabulary): rank and frequency enter as the SAME ×10⁶-floored ln
+    * expression text in both engines (the `cooccurrence_pmi`
+    * discipline), the five OLS sums are exact BIGINT aggregates over a
+    * 1000-row frame (Long-safe at ANY corpus size: n is capped by the
+    * top-k, |x| ≤ ln(10³)·10⁶, |y| ≤ ln(Σtok)·10⁶ ≈ 4×10⁷ even at 10¹⁶
+    * tokens), and the closed-form slope/intercept are truncating BigInt
+    * divisions on the driver (1-row collect — the `pca_var_explained`
+    * precedent). The top-k itself is TakeOrderedAndProject over the
+    * vocab agg — the full vocabulary is never globally sorted.
+    */
+  private val ZipfTopK = 1000
+
+  private val zipfSlope = DeclaredQuery(
+    "zipf_slope",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val top = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(ZipfTopK)
+      val sums = top
+        .withColumn("rnk", row_number().over(Window.orderBy(col("cnt").desc, col("w"))))
+        .select(
+          expr("CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT)").as("x"),
+          expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)").as("y"),
+        )
+        .agg(
+          count(lit(1)).as("n"),
+          sum("x").as("sx"),
+          sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+        )
+        .collect()(0)
+      val n = BigInt(sums.getLong(0))
+      val sx = BigInt(sums.getLong(1))
+      val sy = BigInt(sums.getLong(2))
+      val sxy = BigInt(sums.getLong(3))
+      val sxx = BigInt(sums.getLong(4))
+      val den = n * sxx - sx * sx
+      val slopeE6 = if (den == 0) BigInt(0) else (n * sxy - sx * sy) * 1000000 / den
+      val interceptE6 = if (n == 0) BigInt(0) else (sy * 1000000 - slopeE6 * sx) / (n * 1000000)
+      Seq((n.toLong, slopeE6.toLong, interceptE6.toLong))
+        .toDF("n_types", "slope_e6", "intercept_e6")
+        .orderBy("n_types")
+    },
+    Some(s"""WITH v AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+                          SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+                          FROM documents) GROUP BY 1),
+             r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM v
+                   ORDER BY cnt DESC, w LIMIT $ZipfTopK),
+             xy AS (SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                           CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+                    FROM r),
+             sums AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS sx,
+                             CAST(sum(y) AS HUGEINT) AS sy, CAST(sum(x * y) AS HUGEINT) AS sxy,
+                             CAST(sum(x * x) AS HUGEINT) AS sxx FROM xy),
+             sl AS (SELECT n, sx, sy,
+                           CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                                ELSE ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx)
+                           END AS slope
+                    FROM sums)
+             SELECT CAST(n AS BIGINT) AS n_types, CAST(slope AS BIGINT) AS slope_e6,
+                    CAST(CASE WHEN n = 0 THEN 0
+                              ELSE (sy * 1000000 - slope * sx) // (n * 1000000) END AS BIGINT)
+                      AS intercept_e6
+             FROM sl ORDER BY n_types"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    zipfSlope,
     textStats,
     tokenCount,
     langId,

@@ -387,6 +387,39 @@ object EventStream {
       spark.read.parquet(s"$grainDir/batch_*"),
     )
 
+  /** Continuous LAST-touch attribution — the argmax sibling of
+    * [[startFirstTouchGrain]] (struct-max over non-purchase events +
+    * max-OR purchased flag, both idempotent commutative merges):
+    * overlapping slices, replays, and compaction are correct by
+    * construction, no wipe discipline needed.
+    */
+  def startLastTouchGrain(
+      events: DataFrame,
+      grainDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        graft.operators.TemporalOps
+          .toLastTouchGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$grainDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve last-touch attribution from the persisted grain — the serve
+    * IS the batch query's post-grain half
+    * ([[graft.operators.TemporalOps.lastTouchFromGrain]]).
+    */
+  def lastTouchFromGrain(spark: SparkSession, grainDir: String): DataFrame =
+    graft.operators.TemporalOps.lastTouchFromGrain(
+      spark.read.parquet(s"$grainDir/batch_*"),
+    )
+
   /** Continuous anti-entropy: per micro-batch, reduce the slice to its
     * per-feed partial digests (count, Σ rowhash, XOR rowhash — the
     * SHARED [[graft.operators.ScalePatterns.eventsChecksumParts]]
@@ -442,6 +475,71 @@ object EventStream {
     graft.operators.ScalePatterns.mergeChecksumParts(
       spark.read.parquet(s"$stateDir/batch_*"),
     )
+
+  /** Continuous quantile monitoring — the streaming twin of the
+    * `histogram_quantile` sketch: per micro-batch, the
+    * (event_type, value) slice reduces to fixed-extent bin partials (the
+    * SHARED [[graft.operators.RelationalOps.histogramParts]] grain) and
+    * lands as an idempotent batch dir. The extent is PINNED by the
+    * caller — production monitoring fixes its bucket layout up front
+    * rather than re-deriving it per window — which is exactly what makes
+    * the bin counts additive and the store a plain merge. Additive
+    * partials need the checksum store's exact-partition discipline, so
+    * the same bid-0 wipe applies (see [[startChecksumState]] for why it
+    * is safe). State is (#types × bins) counters per batch dir —
+    * corpus-independent.
+    */
+  def startHistogramParts(
+      events: DataFrame,
+      lo: Double,
+      hi: Double,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.RelationalOps
+          .histogramParts(
+            batch.toDF().select(col("event_type").as("pri"), col("value").as("x")),
+            batch.sparkSession.range(1).select(lit(lo).as("lo"), lit(hi).as("hi")),
+          )
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve p50/p90 per event type from the landed bin partials —
+    * byte-identical to the batch walk over the same extent because the
+    * merge is a plain sum of additive counters and the walk IS the batch
+    * query's ([[graft.operators.RelationalOps.quantilesFromHistogram]]).
+    * Zero committed batches serve the empty frame, not a path-not-found
+    * exception.
+    */
+  def quantilesFromState(spark: SparkSession, stateDir: String): DataFrame =
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("pri", StringType),
+          StructField("ql", StringType),
+          StructField("est", DoubleType),
+        )),
+      )
+    else
+      graft.operators.RelationalOps.quantilesFromHistogram(
+        graft.operators.RelationalOps.mergeHistogramParts(
+          spark.read.parquet(s"$stateDir/batch_*"),
+        ),
+      )
 
   // ---- custom state: per-user sessionization ------------------------------
 

@@ -633,4 +633,72 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(ft.contains("SortAggregate"),
       "struct-min grain must aggregate map-side:\n" + ft.take(800))
   }
+
+  test("round-14 additions: substrate reuse, partitioned token line, bounded grids") {
+    // heaps_law rides the packers' two-phase prefix sum: the corpus-sized
+    // cumsum window partitions by pid (never a single global window), the
+    // 5-row threshold grid enters as a broadcast, and nothing cartesians
+    // over the corpus.
+    val hl = planOf("heaps_law")
+    assert(hl.contains("Window") && hl.contains("hashpartitioning(pid"),
+      "heaps_law: the token-line cumsum must stay pid-partitioned:\n" + hl.take(1200))
+    assert(!hl.contains("CartesianProduct"), hl.take(800))
+
+    // zipf_slope reduces to a driver value: the declared frame is a
+    // 1-row local relation — the OLS sums collected once, never a
+    // corpus-shaped result plan.
+    assert(planOf("zipf_slope").contains("LocalTableScan"),
+      "zipf_slope must serve its 1-row closed form as a local relation")
+
+    // the kNN diagnostics reuse the cached edge substrate — the banded
+    // self-join never re-runs for them once knn_graph built it.
+    for (name <- Seq("knn_label_agreement", "hubness_stats")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must read the knn-edges substrate, not rebuild it:\n" + p.take(800))
+      assert(!p.contains("CartesianProduct"), p.take(800))
+    }
+
+    // ivf_balance rides the shared cell assignment; the K-row centroid
+    // side joins bounded (no corpus-side shuffle beyond the count agg).
+    val ib = planOf("ivf_balance")
+    assert(ib.contains("InMemoryTableScan"),
+      "ivf_balance must read the ivf-assigned substrate:\n" + ib.take(800))
+    assert(!ib.contains("CartesianProduct"), ib.take(800))
+
+    // pca_outliers: joinless pure map (all inputs are driver literals) +
+    // global top-20 as TakeOrderedAndProject — never a full sort.
+    val po = planOf("pca_outliers")
+    assert(!po.contains("Join"), po.take(800))
+    assert(po.contains("TakeOrderedAndProject"),
+      "pca_outliers must take its top-20 without a global sort:\n" + po.take(800))
+    assert(po.contains("graft_int_sqdist") && po.contains("graft_int_dot"),
+      "the residual must ride the codegen kernels:\n" + po.take(800))
+
+    // ivf_nprobe_sweep scores ONE widest-probe candidate table (the
+    // substrates are cached) — the sweep must not cartesian anywhere.
+    val np = planOf("ivf_nprobe_sweep")
+    assert(np.contains("InMemoryTableScan"),
+      "the sweep must ride the cached IVF substrates:\n" + np.take(800))
+    assert(!np.contains("CartesianProduct"), np.take(800))
+
+    // dsir_ess reads the cached weight substrate — the feature pass
+    // must not re-run for the diagnostic.
+    val de = planOf("dsir_ess")
+    assert(de.contains("InMemoryTableScan"),
+      "dsir_ess must read the dsir-weights substrate:\n" + de.take(800))
+
+    // minhash_band_stats is pure counting on the banded substrate — it
+    // must never join (a join would mean it generated candidate pairs).
+    val mb = planOf("minhash_band_stats")
+    assert(mb.contains("InMemoryTableScan"),
+      "band stats must read the minhash-banded substrate:\n" + mb.take(800))
+    assert(!mb.contains("Join"), "the diagnostic must not generate pairs:\n" + mb.take(800))
+
+    // last_touch_attribution mirrors first_touch: grain agg, no window,
+    // no join — the argmax is a struct-max partial aggregation.
+    val lt = planOf("last_touch_attribution")
+    assert(!lt.contains("Window"), lt.take(800))
+    assert(!lt.contains("Join"), lt.take(800))
+  }
 }

@@ -150,6 +150,131 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("knn_label_agreement accounts for exactly the kNN sources; shares bounded") {
+    val edges = SparkEntry.queries("knn_graph")(spark, sfDir).collect()
+    val rows = SparkEntry.queries("knn_label_agreement")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every judged node is a distinct kNN source and vice versa
+    assert(rows.map(_.getLong(1)).sum == edges.map(_.getLong(0)).distinct.length,
+      "per-label node counts must partition the kNN source set")
+    rows.foreach { r =>
+      val (nodes, mean, susp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(mean >= 0 && mean <= 1000, s"mean agreement out of [0,1000]: $r")
+      assert(susp >= 0 && susp <= nodes, s"suspects exceed nodes: $r")
+    }
+  }
+
+  test("hubness_stats is a partition of the corpus and its mass is the edge count") {
+    val rows = SparkEntry.queries("hubness_stats")(spark, sfDir).collect()
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val edges = SparkEntry.queries("knn_graph")(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "histogram buckets must partition the corpus")
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == edges,
+      "Σ indeg·n_nodes must equal the directed edge count")
+  }
+
+  test("heaps_law: monotone type growth, exact endpoints at 100%") {
+    val rows = SparkEntry.queries("heaps_law")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(10L, 25L, 50L, 75L, 100L))
+    val types = rows.map(_.getLong(2)).toSeq
+    assert(types == types.sorted, s"type counts must be non-decreasing: $types")
+    // the 100% row is exact: all tokens, all types (split-' ' tokenization)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val totTok = docs.selectExpr("CAST(size(split(text, ' ')) AS LONG) AS t")
+      .agg(org.apache.spark.sql.functions.sum("t")).collect()(0).getLong(0)
+    val totTypes = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .distinct().count()
+    assert(rows.last.getLong(1) == totTok, "100% threshold must be the corpus token count")
+    assert(rows.last.getLong(2) == totTypes, "100% types must be the full vocabulary")
+  }
+
+  test("zipf_slope: negative slope over the capped top-k frame") {
+    val r = SparkEntry.queries("zipf_slope")(spark, sfDir).collect()(0)
+    val (n, slope) = (r.getLong(0), r.getLong(1))
+    val vocab = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").filter("w <> ''").distinct().count()
+    assert(n == math.min(1000L, vocab), s"n_types must be min(top-k, vocab): $n vs $vocab")
+    // frequencies are non-increasing in rank by construction, so the OLS
+    // slope over (ln rank, ln freq) cannot be positive
+    assert(slope <= 0, s"Zipf slope must be non-positive: $slope")
+  }
+
+  test("ivf_balance: cells partition the corpus and load factors are consistent") {
+    val rows = SparkEntry.queries("ivf_balance")(spark, sfDir).collect()
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "cell counts must partition the corpus")
+    rows.foreach { r =>
+      val (n, load) = (r.getLong(1), r.getLong(2))
+      assert(load == n * rows.length * 1000 / corpus, s"load factor inconsistent: $r")
+    }
+  }
+
+  test("ivf_nprobe_sweep: recall monotone in nprobe; the p=2 row ties to ivf_recall") {
+    val rows = SparkEntry.queries("ivf_nprobe_sweep")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    val hits = rows.map(_.getLong(2)).toSeq
+    assert(hits == hits.sorted, s"hits must be non-decreasing in nprobe: $hits")
+    assert(rows.map(_.getLong(1)).distinct.length == 1,
+      "k_total is the same exact-arm mass in every row")
+    // the declared operating point (nprobe=2) must reproduce ivf_recall's mass
+    val recallHits = SparkEntry.queries("ivf_recall")(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    assert(hits(1) == recallHits,
+      s"sweep p=2 (${hits(1)}) must equal ivf_recall's total hits ($recallHits)")
+  }
+
+  test("dsir_ess: fractions bounded by Cauchy-Schwarz, docs partition the featured corpus") {
+    val rows = SparkEntry.queries("dsir_ess")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val featured = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("size(filter(split(text, ' '), w -> w <> '')) AS nf")
+      .filter("nf > 0").count()
+    assert(rows.map(_.getLong(1)).sum == featured,
+      "per-source doc counts must partition the featured corpus")
+    rows.foreach { r =>
+      val ess = r.getLong(2)
+      assert(ess >= 1 && ess <= 1000, s"ESS fraction out of (0,1000]: $r")
+    }
+  }
+
+  test("pca_outliers: top-20 non-increasing and residual recomputes from driver values") {
+    val rows = SparkEntry.queries("pca_outliers")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val res = rows.map(_.getDouble(2)).toSeq
+    assert(res == res.sorted.reverse, s"residuals must be non-increasing: $res")
+    assert(res.last >= 0.0, "top-20 residual energies must be non-negative on this fixture")
+  }
+
+  test("minhash_band_stats: bucket mass conserves the signature rows per band") {
+    val rows = SparkEntry.queries("minhash_band_stats")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L), "exactly the 4 declared bands")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    rows.foreach { r =>
+      val (nBuckets, maxBucket, candPairs, meanE3) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // every doc lands in exactly one bucket per band
+      assert(nBuckets <= docs && maxBucket <= docs, s"bucket stats exceed corpus: $r")
+      assert(candPairs >= maxBucket * (maxBucket - 1) / 2,
+        s"pair mass must dominate the largest bucket's pairs: $r")
+      assert(meanE3 >= 1000, "mean bucket size is at least one doc")
+    }
+  }
+
+  test("last_touch_attribution: touches partition the touched users; rates are exact") {
+    val rows = SparkEntry.queries("last_touch_attribution")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getString(0) == "purchase"),
+      "the purchase event itself is never a last TOUCH")
+    val touched = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("event_type <> 'purchase'").select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == touched,
+      "per-touch user counts must partition the users with >= 1 non-purchase event")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000000 / r.getLong(1),
+        s"conv_rate_e6 must recompute from its own row: $r")
+    }
+  }
+
   test("Ivf.assign is schema-preserving: input columns ride through beside cid/csim") {
     val e = spark.read
       .parquet(s"$sfDir/embeddings.parquet")

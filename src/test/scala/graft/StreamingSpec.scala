@@ -1281,6 +1281,38 @@ class StreamingSpec extends SparkSpec {
       "grain-served attribution must equal the declared batch query")
   }
 
+  test("last-touch grain store serves the exact last-touch dashboard") {
+    import org.apache.spark.sql.functions._
+    // same adversarial split as first-touch: a user's true LAST
+    // non-purchase touch and their purchase land in different batches,
+    // so the struct-max re-merge (nulls skipped for purchase-only
+    // users) and the OR-merge are both exercised across slices.
+    val streamDir = Files.createTempDirectory("lt-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val grainDir = Files.createTempDirectory("lt-grain").toString
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream.startLastTouchGrain(
+      stream, grainDir, Files.createTempDirectory("ck-lt").toString)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    def canon(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val served = EventStream.lastTouchFromGrain(spark, grainDir).collect().map(canon).toSeq
+    val batch = SparkEntry
+      .queries("last_touch_attribution")(spark, sfDir)
+      .collect()
+      .map(canon)
+      .toSeq
+    assert(batch.nonEmpty && served == batch,
+      "grain-served last-touch must equal the declared batch query")
+  }
+
   test("continuous checksum state merges to the exact events_checksum digests") {
     import org.apache.spark.sql.functions._
     val streamDir = Files.createTempDirectory("cks-stream").toString
@@ -1604,5 +1636,60 @@ class StreamingSpec extends SparkSpec {
     val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
     assert(batch.nonEmpty && served == batch,
       "stale partials from a prior lineage must not survive into a fresh run's digest")
+  }
+
+  test("streamed histogram partials serve the exact fixed-extent batch quantiles") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: both batches land counts in the SAME bins, so the
+    // additive merge is really exercised (disjoint-extent slices would
+    // pass even with a broken merge).
+    val streamDir = Files.createTempDirectory("hist-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    // the pinned bucket layout — production fixes it up front; the test
+    // pins it to the corpus extent so every value lands in range
+    val extRow = ev.agg(min("value"), max("value")).collect()(0)
+    val (lo, hi) = (extRow.getDouble(0), extRow.getDouble(1))
+    val stateDir = Files.createTempDirectory("hist-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(EventStream.rawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = EventStream.startHistogramParts(stream, lo, hi, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-hist").toString)
+    val dirs = new java.io.File(stateDir).listFiles().filter(_.getName.startsWith("batch_"))
+    assert(dirs.length == 2, s"expected 2 batch state dirs, got ${dirs.length}")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+    val served = canon(EventStream.quantilesFromState(spark, stateDir))
+    // the batch walk under the SAME pinned extent, via the shared helpers
+    val batch = canon(
+      operators.RelationalOps.quantilesFromHistogram(
+        operators.RelationalOps.histogramParts(
+          ev.select(col("event_type").as("pri"), col("value").as("x")),
+          spark.range(1).select(lit(lo).as("lo"), lit(hi).as("hi")),
+        ),
+      ),
+    )
+    assert(served.nonEmpty && served == batch,
+      "merged streamed bin partials must serve the exact batch quantile walk")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the wipe discipline rewrites identical partials, no double count
+    runLoop(Files.createTempDirectory("ck-hist2").toString)
+    assert(canon(EventStream.quantilesFromState(spark, stateDir)) == batch,
+      "a replayed lineage must not double-count bin counters")
+    // zero-batch state serves the empty frame, not an exception
+    val none = EventStream.quantilesFromState(
+      spark, Files.createTempDirectory("hist-empty").toString + "/never")
+    assert(none.columns.toSeq == Seq("pri", "ql", "est") && none.count() == 0)
   }
 }
