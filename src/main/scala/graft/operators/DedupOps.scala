@@ -1815,12 +1815,119 @@ object DedupOps extends QueryModule {
              FROM bkt GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** What dedup COSTS each source — the curation report read right
+    * after the keeper policy runs: per source, documents in, documents
+    * kept (the keeper of each CC cluster; singletons keep themselves),
+    * dropped, and the exact ×10³ loss rate. A source with outsized loss
+    * is either a mirror/scrape of another (check `source_overlap`) or
+    * template-heavy (check `boilerplate_prefixes`). Composes the SHARED
+    * cc-labels substrate with the SHARED [[keeperTable]] policy — no
+    * new pair generation, one doc-keyed join + source-cardinality agg.
+    */
+  private val dedupLossBySource = DeclaredQuery(
+    "dedup_loss_by_source",
+    (s, d) => {
+      val labels = ccLabels(s, d).select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val keepers = keeperTable(labels, documents(s, d))
+        .select(col("keeper_id").as("doc_id"), lit(1L).as("kept"))
+      labels
+        .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .join(keepers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(coalesce(col("kept"), lit(0L))).as("n_kept"))
+        .withColumn("dropped", expr("n_docs - n_kept"))
+        .withColumn("loss_e3", expr("(n_docs - n_kept) * 1000 DIV n_docs"))
+        .select("source", "n_docs", "n_kept", "dropped", "loss_e3")
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck,
+             q AS (SELECT doc_id,
+                          CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+                   FROM documents),
+             r AS (SELECT l.cluster_id, l.doc_id, q.n_distinct_words,
+                          row_number() OVER (PARTITION BY l.cluster_id
+                                             ORDER BY q.n_distinct_words DESC, l.doc_id) AS rk
+                   FROM lbl l JOIN q USING (doc_id)),
+             k AS (SELECT doc_id FROM r WHERE rk = 1)
+             SELECT doc.source, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                    CAST(count(*) - sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                      AS dropped,
+                    CAST(((count(*) - sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END)) * 1000)
+                         // count(*) AS BIGINT) AS loss_e3
+             FROM lbl l JOIN documents doc ON l.doc_id = doc.doc_id
+             LEFT JOIN k ON l.doc_id = k.doc_id
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
+  /** Audit of the leakage-safe split's own guarantee, oracle-checked:
+    * near-dup pairs at a WEAKER threshold (j ≥ 0.15, same df cap)
+    * classified within-train / within-val / cross-split. The
+    * `n_at_split_threshold` column counts pairs at the split's own
+    * j ≥ 0.3 criterion — the cross row's count is the leakage the
+    * cluster-level assignment makes impossible BY CONSTRUCTION (and the
+    * spec asserts it is zero), while the weaker-threshold cross pairs
+    * measure how close to the boundary the guarantee sits. Composes the
+    * 0.15 pair substrate with the split rule over the SHARED cc labels;
+    * the 0.3 pair set is exactly the declared chain's (same j, same
+    * cap), restated in the oracle as the `p3` subset of the 0.15 table.
+    */
+  private val splitLeakAudit = DeclaredQuery(
+    "split_leak_audit",
+    (s, d) => {
+      val split = ccLabels(s, d).select(
+        col("node").as("doc_id"),
+        when(pmod(col("lbl"), lit(10)) < 8, lit("train")).otherwise(lit("val")).as("split"),
+      )
+      jaccardPairs(s, d, 0.15, Some(DefaultMaxDf))
+        .join(split.select(col("doc_id").as("da"), col("split").as("sa")), Seq("da"))
+        .join(split.select(col("doc_id").as("db"), col("split").as("sb")), Seq("db"))
+        .withColumn(
+          "pair_class",
+          when(col("sa") === col("sb"), concat(lit("within_"), col("sa"))).otherwise(lit("cross")),
+        )
+        .groupBy("pair_class")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          Disp.roundz(max("j"), 3).as("max_j"),
+          sum(when(col("j") >= 0.3, 1L).otherwise(0L)).as("n_at_split_threshold"),
+        )
+        .orderBy("pair_class")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.15, Some(DefaultMaxDf))},
+             p3 AS (SELECT da, db FROM p WHERE j >= 0.3),
+             edges AS (SELECT da AS src, db AS dst FROM p3
+                       UNION ALL SELECT db, da FROM p3),
+             reach AS (SELECT doc_id AS node, doc_id AS lbl FROM documents
+                       UNION
+                       SELECT e.dst AS node, r.lbl
+                       FROM reach r JOIN edges e ON r.node = e.src),
+             lbl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                     FROM reach GROUP BY node),
+             sp AS (SELECT doc_id,
+                           CASE WHEN cluster_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+                    FROM lbl),
+             pc AS (SELECT p.j,
+                           CASE WHEN a.split = b.split THEN 'within_' || a.split
+                                ELSE 'cross' END AS pair_class
+                    FROM p JOIN sp a ON p.da = a.doc_id JOIN sp b ON p.db = b.doc_id)
+             SELECT pair_class, count(*) AS n_pairs,
+                    (round(max(j), 3) + 0.0) AS max_j,
+                    CAST(sum(CASE WHEN j >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_at_split_threshold
+             FROM pc GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
       sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
-      dedupSweepCost, containmentDedup, minhashBandStats)
+      dedupSweepCost, containmentDedup, minhashBandStats, dedupLossBySource,
+      splitLeakAudit)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

@@ -1113,9 +1113,56 @@ object PipelineOps extends QueryModule {
             GROUP BY 1, 2 ORDER BY 1"""),
   )
 
+  /** Loader-efficiency histogram over the whole-doc packer — the
+    * dashboard that says whether `sequence_pack`'s greedy assignment
+    * wastes budget (underfilled packs → padding; the split packer fills
+    * exactly and doesn't need this): per fill-percent decile, pack
+    * count and the min/max fill. Fill can exceed 100% (a straddling doc
+    * lands whole in its first pack), so the top bucket is capped at 12
+    * (≥120%) to keep the histogram bounded regardless of document-length
+    * tails. Same shared prefix-sum substrate and pack arithmetic as the
+    * packers (identical pack ids by construction), one pack-cardinality
+    * agg on top.
+    */
+  private val packEfficiency = DeclaredQuery(
+    "pack_efficiency",
+    (s, d) => {
+      packedCum(s, d)
+        .withColumn("pack_id", expr(s"(cum - tok) DIV $PackBudget"))
+        .groupBy("pack_id")
+        .agg(sum("tok").as("tok_total"))
+        .withColumn("fill_pct", expr(s"tok_total * 100 DIV $PackBudget"))
+        .withColumn("decile", expr("least(fill_pct DIV 10, 12L)"))
+        .groupBy("decile")
+        .agg(
+          count(lit(1)).as("n_packs"),
+          min("fill_pct").as("min_fill_pct"),
+          max("fill_pct").as("max_fill_pct"),
+        )
+        .orderBy("decile")
+    },
+    Some(s"""WITH t AS (SELECT doc_id,
+                               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS tok
+                        FROM documents),
+             c AS (SELECT doc_id, tok,
+                          sum(tok) OVER (ORDER BY doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                   FROM t),
+             g AS (SELECT CAST((cum - tok) // $PackBudget AS BIGINT) AS pack_id,
+                          tok FROM c),
+             f AS (SELECT pack_id, CAST(sum(tok) AS BIGINT) AS tok_total FROM g GROUP BY 1),
+             b AS (SELECT least((tok_total * 100 // $PackBudget) // 10, 12) AS decile,
+                          (tok_total * 100) // $PackBudget AS fill_pct
+                   FROM f)
+             SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_packs,
+                    CAST(min(fill_pct) AS BIGINT) AS min_fill_pct,
+                    CAST(max(fill_pct) AS BIGINT) AS max_fill_pct
+             FROM b GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
       chunkCensus, corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix,
       sequencePackBpe, vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets,
-      heapsLaw, dsirEss)
+      heapsLaw, dsirEss, packEfficiency)
 }

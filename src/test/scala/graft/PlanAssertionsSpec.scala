@@ -700,5 +700,19 @@ class PlanAssertionsSpec extends SparkSpec {
     val lt = planOf("last_touch_attribution")
     assert(!lt.contains("Window"), lt.take(800))
     assert(!lt.contains("Join"), lt.take(800))
+
+    // the audit trio rides existing substrates: dedup_loss_by_source
+    // and split_leak_audit read cached cc-labels/pair state (no new
+    // contraction loop, no cartesian); pack_efficiency keeps the
+    // corpus-sized cumsum pid-partitioned like the packers.
+    for (name <- Seq("dedup_loss_by_source", "split_leak_audit")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must ride the cached dedup substrates:\n" + p.take(800))
+      assert(!p.contains("CartesianProduct"), p.take(800))
+    }
+    val pe = planOf("pack_efficiency")
+    assert(pe.contains("hashpartitioning(pid"),
+      "pack_efficiency's cumsum must stay pid-partitioned:\n" + pe.take(1200))
   }
 }

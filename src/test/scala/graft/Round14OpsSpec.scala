@@ -275,6 +275,44 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_loss_by_source conserves the corpus and ties to the keeper table") {
+    val rows = SparkEntry.queries("dedup_loss_by_source")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == docs, "per-source docs must partition the corpus")
+    val keepers = SparkEntry.queries("cluster_keeper")(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == keepers,
+      "total kept must equal the number of keeper clusters")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), s"dropped must reconcile: $r")
+      assert(r.getLong(4) == r.getLong(3) * 1000 / r.getLong(1), s"loss_e3 must recompute: $r")
+    }
+  }
+
+  test("split_leak_audit: ZERO cross-split pairs at the split's own threshold") {
+    val rows = SparkEntry.queries("split_leak_audit")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getString(0) == "cross").foreach { r =>
+      assert(r.getLong(3) == 0L,
+        s"the cluster-level split must make j>=0.3 cross pairs impossible: $r")
+    }
+    // within-class pairs at the threshold DO exist on this fixture —
+    // the audit distinguishes, it doesn't vacuously pass
+    assert(rows.filter(_.getString(0).startsWith("within_")).map(_.getLong(3)).sum > 0,
+      "the fixture must have near-dup pairs at the split threshold somewhere")
+  }
+
+  test("pack_efficiency: histogram mass equals the packer's pack count") {
+    val rows = SparkEntry.queries("pack_efficiency")(spark, sfDir).collect()
+    val packs = SparkEntry.queries("sequence_pack")(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == packs, "decile masses must partition the packs")
+    rows.foreach { r =>
+      val (dec, lo, hi) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(lo <= hi, s"min/max fill inverted: $r")
+      if (dec < 12) assert(lo / 10 == dec && hi / 10 == dec, s"fill outside its decile: $r")
+      else assert(lo >= 120, s"capped bucket must hold >=120% fills: $r")
+    }
+  }
+
   test("Ivf.assign is schema-preserving: input columns ride through beside cid/csim") {
     val e = spark.read
       .parquet(s"$sfDir/embeddings.parquet")
