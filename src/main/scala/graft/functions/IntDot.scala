@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Null contract mirrors [[CosineSimilarity]]: null-safe on the array
   * arguments, length mismatch raises (silent truncation would diverge
   * from the oracle's indexed list_transform).
+  *
+  * Overflow is LOUD (`Math.multiplyExact`/`addExact`, JIT-intrinsified
+  * — the check is a predicted branch, not a slowdown): the HOF spelling
+  * this kernel replaces throws under ANSI mode and DuckDB's BIGINT
+  * arithmetic throws out-of-range, so a wrapping accumulator would be
+  * the one evaluation strategy that silently corrupts past the
+  * documented magnitude bounds instead of failing like both oracles.
   */
 case class IntDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -46,7 +53,10 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
       )
     var acc = 0L
     var i = 0
-    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    while (i < n) {
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
     acc
   }
 
@@ -66,7 +76,8 @@ case class IntDot(left: Expression, right: Expression) extends BinaryExpression 
            |}
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |  $acc = java.lang.Math.addExact($acc,
+           |    java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
            |}
            |${ev.value} = $acc;
          """.stripMargin

@@ -24,7 +24,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Null contract mirrors [[IntDot]]: null-safe on the array arguments,
   * length mismatch raises (silent truncation would diverge from the
-  * oracle's dim-indexed join).
+  * oracle's dim-indexed join). Overflow past that documented range is
+  * LOUD (`Math.*Exact`, JIT-intrinsified), matching the ANSI HOF
+  * spelling and DuckDB — see [[IntDot]] for why a wrapping accumulator
+  * is the one strategy that would silently corrupt instead.
   */
 case class IntSqDist(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -54,8 +57,10 @@ case class IntSqDist(left: Expression, right: Expression) extends BinaryExpressi
     var acc = 0L
     var i = 0
     while (i < n) {
-      val d = x.getLong(i) - y.getLong(i)
-      acc += d * d
+      // loud on overflow (intrinsified exact ops): the ANSI HOF spelling
+      // and DuckDB both throw here — wrapping would silently corrupt
+      val d = Math.subtractExact(x.getLong(i), y.getLong(i))
+      acc = Math.addExact(acc, Math.multiplyExact(d, d))
       i += 1
     }
     acc
@@ -78,8 +83,8 @@ case class IntSqDist(left: Expression, right: Expression) extends BinaryExpressi
            |}
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
-           |  long $d = $a.getLong($i) - $b.getLong($i);
-           |  $acc += $d * $d;
+           |  long $d = java.lang.Math.subtractExact($a.getLong($i), $b.getLong($i));
+           |  $acc = java.lang.Math.addExact($acc, java.lang.Math.multiplyExact($d, $d));
            |}
            |${ev.value} = $acc;
          """.stripMargin

@@ -105,6 +105,41 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("integer kernels fail LOUDLY on overflow — codegen and interpreted paths") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val big = Seq((Seq(Long.MaxValue / 2, Long.MaxValue / 2), Seq(3L, 3L)))
+    // dot: (2^62)*3 overflows multiplyExact
+    intercept[Exception] {
+      big.toDF("a", "b").select(expr("graft_int_dot(a, b)")).collect()
+    }
+    // sqdist: d = 2^62 - 3 fits, d*d overflows multiplyExact
+    intercept[Exception] {
+      big.toDF("a", "b").select(expr("graft_int_sqdist(a, b)")).collect()
+    }
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      intercept[Exception] {
+        big.toDF("a", "b").select(expr("graft_int_dot(a, b)")).collect()
+      }
+      intercept[Exception] {
+        big.toDF("a", "b").select(expr("graft_int_sqdist(a, b)")).collect()
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // in-range values are untouched by the exact ops
+    val ok = Seq((Seq(5L, -7L), Seq(11L, 13L))).toDF("a", "b")
+      .select(expr("graft_int_dot(a, b)"), expr("graft_int_sqdist(a, b)"))
+      .collect()
+      .head
+    assert(ok.getLong(0) == 5 * 11 + -7 * 13)
+    assert(ok.getLong(1) == 36L + 400L)
+  }
+
   test("extension injector wires the same registrations") {
     // builder-level injection can't be exercised on an existing session;
     // validate the injector runs against a fresh extensions container.
