@@ -1921,13 +1921,75 @@ object DedupOps extends QueryModule {
              FROM pc GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Is dedup dropping GOOD documents? — the quality×duplication
+    * crosstab (published pipelines check this before shipping a keeper
+    * policy; if dup losers score HIGHER than uniques, the "duplicates"
+    * are mirrored high-quality content and the policy should keep more
+    * than one): per duplication status (unique / dup_keeper /
+    * dup_loser), doc count and the exact ×10⁴ mean model-quality score.
+    * Composes THREE shared substrates — cc-labels, the keeper table,
+    * and the cached quality scores — with two doc-keyed joins and a
+    * 3-row agg; the quality text is `score_length_bias`'s exact q_e4
+    * form, so the audit cannot drift from the score it audits.
+    */
+  private val dupQualityProfile = DeclaredQuery(
+    "dup_quality_profile",
+    (s, d) => {
+      val labels = ccLabels(s, d).select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val keep = keeperTable(labels, documents(s, d)).select("cluster_id", "n_members", "keeper_id")
+      val q = graft.operators.TextOps
+        .qualityScoredCached(s, d)
+        .select(
+          col("doc_id"),
+          expr("CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)").as("q_e4"),
+        )
+      labels
+        .join(keep, Seq("cluster_id"))
+        .withColumn(
+          "dup_status",
+          expr("""CASE WHEN n_members = 1 THEN 'unique'
+                       WHEN doc_id = keeper_id THEN 'dup_keeper'
+                       ELSE 'dup_loser' END"""),
+        )
+        .join(q, Seq("doc_id"))
+        .groupBy("dup_status")
+        .agg(count(lit(1)).as("n_docs"), expr("sum(q_e4) DIV count(1)").as("mean_q_e4"))
+        .orderBy("dup_status")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck,
+             ${graft.operators.TextOps.qualityDuckCtes},
+             qq AS (SELECT doc_id,
+                           CAST(floor(round(CAST(score_sum AS DOUBLE) / greatest(n_feats, 1), 4)
+                                      * 10000.0 + 0.5) AS BIGINT) AS q_e4
+                    FROM qs),
+             dq AS (SELECT doc_id,
+                           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words
+                    FROM documents),
+             rr AS (SELECT l.cluster_id, l.doc_id, dq.n_distinct_words,
+                           count(*) OVER (PARTITION BY l.cluster_id) AS n_members,
+                           row_number() OVER (PARTITION BY l.cluster_id
+                                              ORDER BY dq.n_distinct_words DESC, l.doc_id) AS rk
+                    FROM lbl l JOIN dq USING (doc_id)),
+             st AS (SELECT doc_id,
+                           CASE WHEN n_members = 1 THEN 'unique'
+                                WHEN rk = 1 THEN 'dup_keeper'
+                                ELSE 'dup_loser' END AS dup_status
+                    FROM rr)
+             SELECT st.dup_status, count(*) AS n_docs,
+                    CAST(sum(qq.q_e4) // count(*) AS BIGINT) AS mean_q_e4
+             FROM st JOIN qq USING (doc_id)
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
       sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
       dedupSweepCost, containmentDedup, minhashBandStats, dedupLossBySource,
-      splitLeakAudit)
+      splitLeakAudit, dupQualityProfile)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

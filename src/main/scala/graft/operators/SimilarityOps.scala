@@ -846,21 +846,24 @@ object SimilarityOps extends QueryModule {
     * localCheckpoint'ed rounds; the oracle restates the fixpoint as a
     * recursive reachability CTE, declarative vs iterative hash-matched.
     */
+  /** The kNN connected-component labels (vec_id, cluster_id) — a
+    * substrate like the text-side cc-labels: the contraction fixpoint
+    * runs once per (session, dataset) and every consumer (the declared
+    * `knn_components`, the purity audit, every bench rep) reads the
+    * persisted result.
+    */
+  private def knnCcLabels(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    graft.SubstrateCache
+      .substrate(s, d, "knn-cc-labels") {
+        val pairs = knnEdges(s, d).select(col("src").as("da"), col("nbr").as("db"))
+        val nodes = embeddings(s, d).select(col("vec_id").as("node"))
+        DedupOps.starContract(nodes, pairs, DedupOps.maxCcRounds(s))._1
+      }
+      .select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
+
   private val knnComponents = DeclaredQuery(
     "knn_components",
-    (s, d) => {
-      // labels are a substrate like the text-side cc-labels: the
-      // contraction fixpoint runs once per (session, dataset), every
-      // consumer (and every bench rep) reads the persisted result
-      graft.SubstrateCache
-        .substrate(s, d, "knn-cc-labels") {
-          val pairs = knnEdges(s, d).select(col("src").as("da"), col("nbr").as("db"))
-          val nodes = embeddings(s, d).select(col("vec_id").as("node"))
-          DedupOps.starContract(nodes, pairs, DedupOps.maxCcRounds(s))._1
-        }
-        .select(col("node").as("vec_id"), col("lbl").as("cluster_id"))
-        .orderBy("vec_id")
-    },
+    (s, d) => knnCcLabels(s, d).orderBy("vec_id"),
     Some(s"""WITH RECURSIVE $knnEdgesDuckCtes,
              ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
              edges AS (SELECT src, nbr FROM ke UNION ALL SELECT nbr, src FROM ke),
@@ -1117,8 +1120,67 @@ object SimilarityOps extends QueryModule {
              FROM fd GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Label purity of the semantic clusters — the coherence check run
+    * right after `knn_components` (SemDeDup-style clustering is only
+    * trustworthy if its clusters are label-coherent): per cluster, the
+    * majority-label share (×10³ exact), aggregated by cluster-size
+    * bucket (1 / 2-3 / 4-7 / 8+). Singletons are pure by definition —
+    * the interesting row is the large-cluster bucket, where low purity
+    * means the hd ≤ 3 radius is chaining across semantic boundaries.
+    * Composes the cached knn-cc-labels substrate with the corpus label
+    * column: one doc-keyed join, one (cluster, label) count agg, one
+    * cluster-cardinality rollup — the vectors never move.
+    */
+  private val knnClusterPurity = DeclaredQuery(
+    "knn_cluster_purity",
+    (s, d) => {
+      val perCluster = knnCcLabels(s, d)
+        .join(embeddings(s, d).select("vec_id", "label"), Seq("vec_id"))
+        .groupBy("cluster_id", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("cluster_id")
+        .agg(sum("c").as("n"), max("c").as("maxc"))
+        .withColumn("purity_e3", expr("maxc * 1000 DIV n"))
+        .withColumn(
+          "size_bucket",
+          expr("""CASE WHEN n = 1 THEN '1' WHEN n <= 3 THEN '2-3'
+                       WHEN n <= 7 THEN '4-7' ELSE '8+' END"""),
+        )
+      perCluster
+        .groupBy("size_bucket")
+        .agg(
+          count(lit(1)).as("n_clusters"),
+          sum("n").as("n_vecs"),
+          expr("sum(purity_e3) DIV count(1)").as("mean_purity_e3"),
+        )
+        .orderBy("size_bucket")
+    },
+    Some(s"""WITH RECURSIVE $knnEdgesDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             edges AS (SELECT src, nbr FROM ke UNION ALL SELECT nbr, src FROM ke),
+             reach AS (SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+                       UNION
+                       SELECT e.nbr AS node, rc.lbl
+                       FROM reach rc JOIN edges e ON rc.node = e.src),
+             cc AS (SELECT node AS vec_id, min(lbl) AS cluster_id
+                    FROM reach GROUP BY node),
+             cl AS (SELECT cc.cluster_id, emb.label, CAST(count(*) AS BIGINT) AS c
+                    FROM cc JOIN embeddings emb ON cc.vec_id = emb.vec_id
+                    GROUP BY 1, 2),
+             pc AS (SELECT cluster_id, CAST(sum(c) AS BIGINT) AS n, CAST(max(c) AS BIGINT) AS maxc
+                    FROM cl GROUP BY 1),
+             pb AS (SELECT (maxc * 1000) // n AS purity_e3, n,
+                           CASE WHEN n = 1 THEN '1' WHEN n <= 3 THEN '2-3'
+                                WHEN n <= 7 THEN '4-7' ELSE '8+' END AS size_bucket
+                    FROM pc)
+             SELECT size_bucket, count(*) AS n_clusters,
+                    CAST(sum(n) AS BIGINT) AS n_vecs,
+                    CAST(sum(purity_e3) // count(*) AS BIGINT) AS mean_purity_e3
+             FROM pb GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
-      incrementalKnn, knnLabelAgreement, hubnessStats)
+      incrementalKnn, knnLabelAgreement, hubnessStats, knnClusterPurity)
 }

@@ -1396,6 +1396,79 @@ object TemporalOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  private val ConvWindowUs = 7L * 86400L * 1000000L
+
+  /** Windowed conversion attribution — the production-grade model
+    * (first/last-touch credit ANY touch ever; real attribution credits
+    * the last touch INSIDE a lookback window before the conversion):
+    * per converting user, the first purchase (struct-min over
+    * purchases) and the last non-purchase touch in the 7 days strictly
+    * before it (struct-max over the windowed join); converters with no
+    * qualifying touch credit 'direct' — the standard bucket. Exact-µs
+    * latency from touch to conversion rides along (truncating integer
+    * mean; NULL for the direct bucket in both engines). Unlike the
+    * grain models this is NOT slice-mergeable (the window needs the
+    * purchase time first) — it is the declared BATCH tier; the
+    * streaming tier keeps serving first/last-touch from their grains.
+    * Plan: two user-keyed partial aggs + one user-keyed join — no
+    * window function, no events-sized sort.
+    */
+  private val conversionWindowAttribution = DeclaredQuery(
+    "conversion_window_attribution",
+    (s, d) => {
+      val ev = events(s, d).select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+      )
+      val firstPurchase = ev
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(min(struct(col("t_us"), col("event_id"))).as("p"))
+        .select(col("user_id"), col("p.t_us").as("p_us"))
+      val credited = ev
+        .filter(col("event_type") =!= "purchase")
+        .join(firstPurchase, Seq("user_id")) // un-hinted user-keyed join
+        .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - lit(ConvWindowUs))
+        .groupBy("user_id")
+        .agg(
+          max(struct(col("t_us"), col("event_id"), col("event_type"))).as("l"),
+          max(col("p_us")).as("p_us"),
+        )
+        .select(
+          col("user_id"),
+          col("l.event_type").as("touch"),
+          (col("p_us") - col("l.t_us")).as("latency_us"),
+        )
+      firstPurchase
+        .join(credited, Seq("user_id"), "left")
+        .withColumn("touch", coalesce(col("touch"), lit("direct")))
+        .groupBy("touch")
+        .agg(
+          count(lit(1)).as("conversions"),
+          expr("sum(latency_us) DIV count(1)").as("mean_latency_us"),
+        )
+        .orderBy("touch")
+    },
+    Some(s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+             fp AS (SELECT user_id, t_us AS p_us FROM (
+                      SELECT user_id, t_us,
+                             row_number() OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS rn
+                      FROM ev WHERE event_type = 'purchase') WHERE rn = 1),
+             cr AS (SELECT user_id, event_type AS touch, p_us - t_us AS latency_us FROM (
+                      SELECT e.user_id, e.event_type, e.t_us, fp.p_us,
+                             row_number() OVER (PARTITION BY e.user_id
+                                                ORDER BY e.t_us DESC, e.event_id DESC) AS rn
+                      FROM ev e JOIN fp USING (user_id)
+                      WHERE e.event_type <> 'purchase' AND e.t_us < fp.p_us
+                        AND e.t_us >= fp.p_us - $ConvWindowUs) WHERE rn = 1)
+             SELECT coalesce(cr.touch, 'direct') AS touch, count(*) AS conversions,
+                    CAST(sum(cr.latency_us) // count(*) AS BIGINT) AS mean_latency_us
+             FROM fp LEFT JOIN cr USING (user_id)
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   private val firstTouchAttribution = DeclaredQuery(
     "first_touch_attribution",
     (s, d) => attributionFromGrain(toFirstTouchGrain(events(s, d))),
@@ -1418,5 +1491,5 @@ object TemporalOps extends QueryModule {
       eventTrigrams, wowGrowth, rollingActiveUsers, rollingActiveSketch, cumulativeUniqueSketch,
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
-      firstTouchAttribution, lastTouchAttribution)
+      firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution)
 }

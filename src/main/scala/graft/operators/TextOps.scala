@@ -45,6 +45,26 @@ object TextOps extends QueryModule {
   def wordHashDuckOf(column: String): String =
     wordHashDuck.replace("string_split(w, '')", s"string_split($column, '')")
 
+  /** Hash-bucket count of the linear quality model (a fastText-style
+    * scorer keeps 2²¹; 64 keeps the oracle literal small — the plumbing
+    * is identical at any D).
+    *
+    * DECLARED ABOVE the first cross-module reference (the `ngram_jaccard`
+    * oracle below pulls DedupOps CTE text at init, which initializes
+    * DedupOps, whose `dup_quality_profile` oracle re-enters THIS object
+    * for [[qualityDuckCtes]] while it is still mid-initialization — so
+    * everything that lazy val needs must already be assigned here).
+    */
+  private val QsBuckets = 64
+
+  /** The model weights: a fixed-size integer vector, "trained offline"
+    * and shipped as a literal (deterministic Knuth-hash formula stands in
+    * for the learned values — what matters to the engine is the shape:
+    * fixed D, integer-scaled, resident in the plan).
+    */
+  private[graft] val QsWeights: Seq[Long] =
+    (0 until QsBuckets).map(i => ((i + 1) * 2654435761L) % 1009L - 504L)
+
   /** Length / stopword / uniqueness quality stats — the "quality scoring"
     * signal a pretraining pipeline filters on.
     */
@@ -1000,20 +1020,6 @@ object TextOps extends QueryModule {
             GROUP BY 1, 2 HAVING count(*) >= 2
             ORDER BY 1, 2"""),
   )
-
-  /** Hash-bucket count of the linear quality model (a fastText-style
-    * scorer keeps 2²¹; 64 keeps the oracle literal small — the plumbing
-    * is identical at any D).
-    */
-  private val QsBuckets = 64
-
-  /** The model weights: a fixed-size integer vector, "trained offline"
-    * and shipped as a literal (deterministic Knuth-hash formula stands in
-    * for the learned values — what matters to the engine is the shape:
-    * fixed D, integer-scaled, resident in the plan).
-    */
-  private[graft] val QsWeights: Seq[Long] =
-    (0 until QsBuckets).map(i => ((i + 1) * 2654435761L) % 1009L - 504L)
 
   /** Model-based quality scoring — the fastText-style linear classifier
     * published curation pipelines (CCNet, RefinedWeb) run after the

@@ -714,5 +714,18 @@ class PlanAssertionsSpec extends SparkSpec {
     val pe = planOf("pack_efficiency")
     assert(pe.contains("hashpartitioning(pid"),
       "pack_efficiency's cumsum must stay pid-partitioned:\n" + pe.take(1200))
+
+    // the block-6 composition audits ride cached substrates and never
+    // cartesian; conversion_window_attribution is window-function-free
+    // (two partial aggs + one user-keyed join — no events-sized sort).
+    for (name <- Seq("dup_quality_profile", "knn_cluster_purity")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must ride its cached substrates:\n" + p.take(800))
+      assert(!p.contains("CartesianProduct"), p.take(800))
+    }
+    val cw = planOf("conversion_window_attribution")
+    assert(!cw.contains("Window"), cw.take(800))
+    assert(!cw.contains("CartesianProduct"), cw.take(800))
   }
 }

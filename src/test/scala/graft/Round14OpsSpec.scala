@@ -313,6 +313,44 @@ class Round14OpsSpec extends SparkSpec {
     }
   }
 
+  test("dup_quality_profile: statuses partition the corpus; keepers tie to multi clusters") {
+    val rows = SparkEntry.queries("dup_quality_profile")(spark, sfDir).collect()
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == docs, "statuses must partition the corpus")
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("unique", "dup_keeper", "dup_loser")))
+    val multi = SparkEntry.queries("cluster_keeper")(spark, sfDir)
+      .filter("n_members > 1").count()
+    val keepers = rows.filter(_.getString(0) == "dup_keeper").map(_.getLong(1)).sum
+    assert(keepers == multi, s"dup_keeper count ($keepers) must equal multi-clusters ($multi)")
+  }
+
+  test("knn_cluster_purity: buckets partition the corpus, singletons are pure") {
+    val rows = SparkEntry.queries("knn_cluster_purity")(spark, sfDir).collect()
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == corpus, "size buckets must partition the vectors")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 1000, s"purity out of range: $r")
+      if (r.getString(0) == "1")
+        assert(r.getLong(3) == 1000, s"singleton clusters are pure by definition: $r")
+    }
+  }
+
+  test("conversion_window_attribution: converters conserved, latencies inside the window") {
+    val rows = SparkEntry.queries("conversion_window_attribution")(spark, sfDir).collect()
+    val converters = spark.read.parquet(s"$sfDir/events.parquet")
+      .filter("event_type = 'purchase'").select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == converters,
+      "every converting user lands in exactly one touch bucket")
+    rows.foreach { r =>
+      if (r.getString(0) == "direct") assert(r.isNullAt(2), s"direct has no latency: $r")
+      else {
+        assert(r.getString(0) != "purchase", "a purchase is never the credited touch")
+        assert(!r.isNullAt(2) && r.getLong(2) >= 0 && r.getLong(2) < 7L * 86400 * 1000000L,
+          s"latency must sit inside the 7-day window: $r")
+      }
+    }
+  }
+
   test("Ivf.assign is schema-preserving: input columns ride through beside cid/csim") {
     val e = spark.read
       .parquet(s"$sfDir/embeddings.parquet")
