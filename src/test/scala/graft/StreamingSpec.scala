@@ -1692,4 +1692,50 @@ class StreamingSpec extends SparkSpec {
       spark, Files.createTempDirectory("hist-empty").toString + "/never")
     assert(none.columns.toSeq == Seq("pri", "ql", "est") && none.count() == 0)
   }
+
+  test("stale histogram partials from a prior lineage are wiped at batch 0") {
+    import org.apache.spark.sql.functions._
+    // additive counters have the checksum store's precondition: the batch
+    // dirs must be an exact partition of the stream. Stage a stale
+    // high-numbered partial (a prior lineage's batching) and prove a
+    // fresh run's serve still equals the batch truth — the bid-0 wipe,
+    // not luck.
+    val streamDir = Files.createTempDirectory("hist-stale-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.coalesce(1).write.mode("append").parquet(streamDir)
+    val extRow = ev.agg(min("value"), max("value")).collect()(0)
+    val (lo, hi) = (extRow.getDouble(0), extRow.getDouble(1))
+    val stateDir = Files.createTempDirectory("hist-stale-state").toString
+    operators.RelationalOps
+      .histogramParts(
+        ev.limit(100).select(col("event_type").as("pri"), col("value").as("x")),
+        spark.range(1).select(lit(lo).as("lo"), lit(hi).as("hi")),
+      )
+      .write
+      .parquet(s"$stateDir/batch_7") // the stale prior-lineage partial
+    val stream = spark.readStream
+      .schema(EventStream.rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = EventStream.startHistogramParts(
+      stream, lo, hi, stateDir, Files.createTempDirectory("ck-hist-stale").toString)
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+        .toSeq
+    val batch = canon(
+      operators.RelationalOps.quantilesFromHistogram(
+        operators.RelationalOps.histogramParts(
+          ev.select(col("event_type").as("pri"), col("value").as("x")),
+          spark.range(1).select(lit(lo).as("lo"), lit(hi).as("hi")),
+        ),
+      ),
+    )
+    assert(batch.nonEmpty && canon(EventStream.quantilesFromState(spark, stateDir)) == batch,
+      "stale partials from a prior lineage must not survive into a fresh run's quantiles")
+  }
 }
