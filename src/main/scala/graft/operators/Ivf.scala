@@ -628,22 +628,45 @@ object Ivf extends QueryModule {
     centroids
   }
 
-  /** Nearest-centroid assignment: broadcast the centroids, window-argmax.
+  /** Nearest-centroid assignment: broadcast the centroids, then a
+    * groupBy(vec_id) struct-min argmax — NOT a window sort. The ×K
+    * fan-out exists only upstream of a partial aggregate, so map-side
+    * combine collapses it before the exchange: the shuffle carries ≤ one
+    * row per vector per input partition instead of corpus×K rows into a
+    * per-vector sort (the round-14 advisory — at 100 TB ingest that
+    * window exchange was the dominant write cost; this plan has no
+    * Window operator at all, pinned in PlanAssertionsSpec).
+    *
+    * Ordering: min over struct(−csim, cid, …) ≡ max csim with min-cid
+    * tie-break — the exact order the old window argmax used. cid is
+    * unique per centroid, so the comparison never reaches the
+    * pass-through payload field behind it.
+    *
     * SCHEMA-PRESERVING (the [[graft.operators.KMeansOps]] assignTo
     * discipline): every input column rides through beside the appended
-    * `cid`/`csim`, so consumers that need the vector back — the cell
-    * layout writers, the streaming ingest loop — never pay a
-    * re-join-to-self to recover what the assignment just dropped.
+    * `cid`/`csim` — carried INSIDE the min struct (functionally
+    * dependent on vec_id, so any winner carries the right values), so
+    * consumers that need the vector back — the cell layout writers, the
+    * streaming ingest loop — never pay a re-join-to-self to recover
+    * what the assignment just dropped.
     */
-  def assign(s: SparkSession, e: DataFrame, centroids: DataFrame): DataFrame =
+  def assign(s: SparkSession, e: DataFrame, centroids: DataFrame): DataFrame = {
+    val rest = e.columns.filterNot(_ == "vec_id")
     e.join(broadcast(centroids))
       .withColumn("csim", sim(s, "dvec", "cvec"))
-      .withColumn(
-        "rk",
-        row_number().over(Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))),
+      .groupBy("vec_id")
+      .agg(
+        min(struct(
+          (-col("csim")).as("neg"),
+          col("cid"),
+          struct(rest.map(col).toSeq: _*).as("pay"),
+        )).as("b"),
       )
-      .filter(col("rk") === 1)
-      .select(e.columns.map(col).toSeq :+ col("cid") :+ col("csim"): _*)
+      .select(
+        e.columns.map(c => if (c == "vec_id") col(c) else col(s"b.pay.`$c`").as(c)).toSeq
+          ++ Seq(col("b.cid").as("cid"), (-col("b.neg")).as("csim")): _*,
+      )
+  }
 
   /** Persist the index in its durable 100 TB layout: one directory per
     * cell (`partitionBy(cid)`), each vector riding beside its assignment.

@@ -1012,9 +1012,13 @@ object PipelineOps extends QueryModule {
     * Weights are exp(avg logratio) ×10⁶-floored to exact integers (the
     * shared dsir substrate + one expression text in both engines), the
     * two power sums are exact wide-tier integers (DECIMAL(38,0) ≡
-    * HUGEINT, ANSI-loud past ~10¹¹ max-weight docs per source — the
-    * documented bound; production shards ESS per source exactly as
-    * declared here), and the one defined division chain runs in doubles
+    * HUGEINT; past ~10¹¹ max-weight docs per source the sum fails
+    * loudly UNDER AN ANSI SESSION — Spark's decimal aggregate overflow
+    * returns NULL silently when `spark.sql.ansi.enabled` is off, so
+    * loudness here is session config, not intrinsic; the test session
+    * asserts ANSI on (Round12OpsSpec precedent) and production must do
+    * the same to keep the guarantee. Production shards ESS per source
+    * exactly as declared here), and the one defined division chain runs in doubles
     * from identical exact inputs. One doc-keyed join + one
     * source-cardinality agg on the cached weight substrate.
     */
@@ -1072,7 +1076,10 @@ object PipelineOps extends QueryModule {
     * first occurrence is ONE vocab-cardinality min-agg (map-side
     * combine), and the 5-row threshold grid rides a broadcast. Text is
     * exploded once and reduced immediately to (word, min gpos) — the
-    * corpus never shuffles as text.
+    * corpus never shuffles as text. Empty tokens (consecutive spaces)
+    * keep their POSITION in the token line but are excluded as
+    * vocabulary TYPES — the same type definition `zipf_slope` uses, so
+    * the two vocabulary-curve queries share one tokenization contract.
     */
   private val heapsLaw = DeclaredQuery(
     "heaps_law",
@@ -1083,6 +1090,7 @@ object PipelineOps extends QueryModule {
         .join(cum, Seq("doc_id")) // un-hinted: both sides corpus-cardinality, doc_id-keyed
         .select(col("cum"), col("tok"), posexplode(col("ws")).as(Seq("pos", "w")))
         .select(col("w"), (col("cum") - col("tok") + col("pos") + lit(1L)).as("gpos"))
+        .filter(col("w") =!= "") // same type definition as zipf_slope: '' is not a vocabulary type
         .groupBy("w")
         .agg(min("gpos").as("fp"))
       val grid = cum
@@ -1104,7 +1112,7 @@ object PipelineOps extends QueryModule {
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
                   FROM t),
             w AS (SELECT unnest(ws) AS w, cum - tok + generate_subscripts(ws, 1) AS gpos FROM c),
-            f AS (SELECT w, min(gpos) AS fp FROM w GROUP BY 1),
+            f AS (SELECT w, min(gpos) AS fp FROM w WHERE w <> '' GROUP BY 1),
             n AS (SELECT max(cum) AS n FROM c),
             g AS (SELECT CAST(pct AS BIGINT) AS pct, CAST((n.n * pct) // 100 AS BIGINT) AS t
                   FROM (VALUES (10), (25), (50), (75), (100)) v(pct) CROSS JOIN n)

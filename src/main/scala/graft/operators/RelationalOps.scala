@@ -569,7 +569,12 @@ object RelationalOps extends QueryModule {
     * continuous monitoring twin
     * ([[graft.streaming.EventStream.startHistogramParts]]) rides, and
     * exactly how production monitoring pins its bucket layout up front
-    * instead of re-deriving it per window.
+    * instead of re-deriving it per window. Out-of-extent values clamp
+    * to the EDGE bins on both sides (`greatest(0, least(..., bins-1))`)
+    * — the batch query derives its extent from the data so the clamp is
+    * a no-op there, but the streaming twin pins the extent up front and
+    * below-lo arrivals must land in bin 0, not a negative bin that
+    * would silently skew the quantile walk.
     */
   private[graft] def histogramParts(
       o: org.apache.spark.sql.DataFrame,
@@ -579,7 +584,7 @@ object RelationalOps extends QueryModule {
     o.crossJoin(broadcast(ext)) // 2-value extent scalar
       .withColumn(
         "bin",
-        expr(s"CAST(least(floor((x - lo) / $w), ${HistBins - 1}) AS INT)"),
+        expr(s"CAST(greatest(0L, least(floor((x - lo) / $w), ${HistBins - 1})) AS INT)"),
       )
       .groupBy("pri", "bin", "lo", "hi")
       .agg(count(lit(1)).as("cnt"))
@@ -650,7 +655,7 @@ object RelationalOps extends QueryModule {
     },
     Some(s"""WITH o AS (SELECT o_orderpriority AS pri, o_totalprice AS x FROM orders),
              ext AS (SELECT min(x) AS lo, max(x) AS hi FROM o),
-             b AS (SELECT pri, CAST(least(floor((x - lo) / ((hi - lo) / $HistBins.0)), ${HistBins - 1}) AS INT) AS bin, lo, hi
+             b AS (SELECT pri, CAST(greatest(0, least(floor((x - lo) / ((hi - lo) / $HistBins.0)), ${HistBins - 1})) AS INT) AS bin, lo, hi
                    FROM o CROSS JOIN ext),
              c AS (SELECT pri, bin, lo, hi, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
              wc AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY pri ORDER BY bin) AS BIGINT) AS cum FROM c),

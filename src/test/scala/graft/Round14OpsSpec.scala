@@ -183,6 +183,7 @@ class Round14OpsSpec extends SparkSpec {
     val totTok = docs.selectExpr("CAST(size(split(text, ' ')) AS LONG) AS t")
       .agg(org.apache.spark.sql.functions.sum("t")).collect()(0).getLong(0)
     val totTypes = docs.selectExpr("explode(split(text, ' ')) AS w")
+      .filter("w <> ''") // '' is a position, not a type (zipf_slope's contract)
       .distinct().count()
     assert(rows.last.getLong(1) == totTok, "100% threshold must be the corpus token count")
     assert(rows.last.getLong(2) == totTypes, "100% types must be the full vocabulary")
