@@ -67,19 +67,18 @@ object Ivf extends QueryModule {
     (e, e.count()) // count on the persisted substrate is a cheap cached scan
   }
 
-  /** One window-argmax nearest-centroid pass: (vec_id, cid). */
+  /** One nearest-centroid pass: (vec_id, cid). Same windowless
+    * struct-min argmax as [[assign]] — the ×K fan-out dies in the
+    * map-side partial min, so the exchange carries one row per vector
+    * per partition instead of corpus×K rows into a per-vector sort.
+    */
   private def argmaxCell(s: SparkSession, vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs
       .crossJoin(broadcast(cents))
       .withColumn("csim", sim(s, "dvec", "cvec"))
-      .withColumn(
-        "rk",
-        row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid")),
-        ),
-      )
-      .filter(col("rk") === 1)
-      .select("vec_id", "cid")
+      .groupBy("vec_id")
+      .agg(min(struct((-col("csim")).as("neg"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"))
 
   /** One Lloyd step with EXACT integer-scaled means (one assignment pass
     * + one partitioning-invariant Long-sum mean).
@@ -140,11 +139,16 @@ object Ivf extends QueryModule {
     * `e(vec_id, dvec, sv, nrm, ...)`. Spliced into both IVF oracles so
     * the clustering definition can never drift between them.
     */
-  private[operators] val LloydOracleCte =
-    s"""st AS (SELECT greatest(count(*) // $K, 1) AS stride FROM e),
-             seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
-                       FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT $K),
-             a0 AS (SELECT e.vec_id, s.cid,
+  /** The k-independent tail of the Lloyd oracle — everything after the
+    * `seeds(cid, dvec, nrm)` CTE. Shared by the fixed-K
+    * [[LloydOracleCte]] and the derived-k [[lloydOracleCteDerived]] so
+    * the refinement definition cannot drift between them. Declared
+    * ABOVE both consumers: object vals initialize in declaration order
+    * and a forward reference observes null (the round-14 TextOps
+    * re-entrant-init lesson).
+    */
+  private[operators] val LloydOracleTail =
+    s"""a0 AS (SELECT e.vec_id, s.cid,
                            row_number() OVER (PARTITION BY e.vec_id
                              ORDER BY list_inner_product(e.dvec, s.dvec) / (e.nrm * s.nrm) DESC, s.cid) AS rk
                     FROM e CROSS JOIN seeds s),
@@ -169,6 +173,27 @@ object Ivf extends QueryModule {
                              ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
                     FROM e CROSS JOIN cn c),
              asg1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1)"""
+
+  private[operators] val LloydOracleCte =
+    s"""st AS (SELECT greatest(count(*) // $K, 1) AS stride FROM e),
+             seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
+                       FROM e, st WHERE vec_id % stride = 0 ORDER BY vec_id LIMIT $K),
+             $LloydOracleTail"""
+
+  /** The Lloyd oracle at a DATA-DERIVED cell count: `kExprOverE` is a
+    * DuckDB scalar over `e` (e.g. `greatest(8, count(*) // 32)`), so k
+    * scales with the corpus instead of staying the fixture's 8 — the
+    * scale-safe form of every within-cell consumer. The seed cap is a
+    * row_number filter against the `kv` CTE (LIMIT takes constants);
+    * with the same k this produces exactly [[LloydOracleCte]]'s seeds.
+    */
+  private[operators] def lloydOracleCteDerived(kExprOverE: String): String =
+    s"""kv AS (SELECT CAST($kExprOverE AS BIGINT) AS k FROM e),
+             st AS (SELECT greatest(count(*) // (SELECT k FROM kv), 1) AS stride FROM e),
+             sd0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, dvec, nrm
+                     FROM e, st WHERE vec_id % stride = 0),
+             seeds AS (SELECT cid, dvec, nrm FROM sd0, kv WHERE sd0.cid < kv.k),
+             $LloydOracleTail"""
 
   /** The ranked IVF probe result (qid, rank, cand_id, sim), rank ≤ TopK,
     * unordered — shared by the declared `ivf_ann` and the `ivf_recall`

@@ -369,6 +369,56 @@ object SimilarityOps extends QueryModule {
              WHERE dr.v IS NULL ORDER BY a.vec_id"""),
   )
 
+  /** Derived cell count for the scale-safe SemDeDup form: constant
+    * EXPECTED cell size (~[[SemCellSize]] vectors), so the within-cell
+    * pair work Σ n_c² stays ≈ n·cellsize — linear in the corpus — as
+    * data grows. This is the form the KnobBench sem32/sem128 evidence
+    * picked (fixed k=8 measured 3.08×/doubling at sf2; k=32/128 read
+    * 2.08×/1.61× and 7× faster): k ∝ n, not k ∝ √n, because √n cells
+    * still lets cell size — and with it per-cell pair cost — grow
+    * without bound. Floor of 8 keeps tiny fixtures on the shared
+    * substrate's K.
+    */
+  private[graft] val SemCellSize = 32L
+  private[graft] def derivedCellCount(n: Long): Int =
+    math.max(8L, n / SemCellSize).toInt
+
+  /** `semantic_dedup` in its production shape: the SAME cluster-then-
+    * prune semantics, but the cell count is DERIVED from the corpus
+    * (k = max(8, n/32)) instead of pinned to the fixture's 8 — the
+    * declared, oracle-checked form of the scale knob the fixed-k
+    * instance documents. At 100 TB this is the only deployable form:
+    * fixed k makes cells corpus-sized and the within-cell join
+    * quadratic; derived k holds cell size (and thus per-vector pair
+    * work) constant. The oracle re-derives the identical k and the
+    * identical exact-integer Lloyd chain at that k
+    * ([[Ivf.lloydOracleCteDerived]]), so the whole derived pipeline —
+    * seed stride, two refinements, assignment, prune — is hash-checked,
+    * not just the fixed-k special case.
+    */
+  private val semanticDedupScaled = DeclaredQuery(
+    "semantic_dedup_scaled",
+    (s, d) => {
+      val (_, n) = Ivf.scaledEmbeddings(s, d)
+      semanticSurvivors(s, d, derivedCellCount(n)).orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ${Ivf.lloydOracleCteDerived(s"greatest(8, count(*) // $SemCellSize)")},
+             pr AS (SELECT a.vec_id AS u, b.vec_id AS v
+                    FROM asg1 a JOIN asg1 b USING (cid)
+                         JOIN e ea ON ea.vec_id = a.vec_id
+                         JOIN e eb ON eb.vec_id = b.vec_id
+                    WHERE a.vec_id < b.vec_id
+                      AND round(list_inner_product(ea.dvec, eb.dvec) / (ea.nrm * eb.nrm), 6) >= $SemTau),
+             dropped AS (SELECT DISTINCT v FROM pr)
+             SELECT a.vec_id, a.cid
+             FROM asg1 a LEFT JOIN dropped dr ON a.vec_id = dr.v
+             WHERE dr.v IS NULL ORDER BY a.vec_id"""),
+  )
+
   /** Recall@5 of the banded-LSH arm against the exact brute-force arm —
     * the standard ANN quality metric (recall@k on a query set is how
     * every published ANN system is evaluated). Both arms are the SHARED
@@ -1036,6 +1086,45 @@ object SimilarityOps extends QueryModule {
              FROM r WHERE rank <= 3 ORDER BY src, rank"""),
   )
 
+  /** `incremental_knn` in its production shape: a FIXED-size ingest
+    * batch (the ≤400 vectors with vec_id % 7 = 0 below 2800 — constant
+    * regardless of corpus size, non-empty at every sf) against the
+    * standing corpus. The declared residue twin's batch GROWS with the
+    * corpus — both sides of the batch×corpus join double, which is the
+    * whole 4.5×/doubling reading in the full-suite scale table; THIS
+    * instance is what a streaming ingest actually runs per batch, and
+    * it measured linear (KnobBench `iknn_fixed`: 1.97×/doubling).
+    * Shares [[incrementalTopK]] verbatim, so the two instances cannot
+    * drift semantically — only the batch/corpus split differs.
+    */
+  private val incrementalKnnFixed = DeclaredQuery(
+    "incremental_knn_fixed",
+    (s, d) => {
+      val e = knnCoded(s, d)
+      val newB = e
+        .filter(pmod(col("vec_id"), lit(7L)) === 0L && col("vec_id") < 2800L)
+        .select(col("vec_id").as("src"), col("code").as("sc"), col("dvec").as("qv"))
+      val corpus = e.filter(pmod(col("vec_id"), lit(7L)) =!= 0L)
+        .select(col("vec_id").as("nbr"), col("code").as("nc"), col("dvec").as("cv"))
+      incrementalTopK(s, newB, corpus)
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ec AS (SELECT vec_id, dvec, nrm, $codeDuck AS code FROM e),
+             p AS (SELECT q.vec_id AS src, c.vec_id AS nbr,
+                          CAST(bit_count(xor(q.code, c.code)) AS BIGINT) AS code_hd,
+                          (round(list_inner_product(q.dvec, c.dvec) / (q.nrm * c.nrm), 6) + 0.0) AS sim
+                   FROM ec q JOIN ec c
+                     ON q.vec_id % 7 = 0 AND q.vec_id < 2800 AND c.vec_id % 7 <> 0
+                   WHERE bit_count(xor(q.code, c.code)) <= 3),
+             r AS (SELECT src, nbr, code_hd, sim,
+                          row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rank
+                   FROM p)
+             SELECT src, CAST(rank AS BIGINT) AS rank, nbr, code_hd, sim
+             FROM r WHERE rank <= 3 ORDER BY src, rank"""),
+  )
+
   /** Label-noise screen over the kNN graph (the Confident-Learning
     * shape): per vector, how many of its top-3 hd ≤ 3 neighbors share
     * its label, aggregated per label as an exact ×10³ integer mean plus
@@ -1180,7 +1269,8 @@ object SimilarityOps extends QueryModule {
   )
 
   val queries: Seq[DeclaredQuery] =
-    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, annRecall, embeddingOutliers,
+    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled,
+      annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
-      incrementalKnn, knnLabelAgreement, hubnessStats, knnClusterPurity)
+      incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity)
 }
