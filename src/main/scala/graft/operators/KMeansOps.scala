@@ -443,8 +443,12 @@ object KMeansOps extends QueryModule {
       val q = quantized(s, d)
       Seq(2, 4, 8)
         .map { k =>
+          // WIDE-tier SSE: per-row dist ≤ 64·(4×10⁶)² ≈ 10¹⁵, so a BIGINT
+          // Σ overflows at ~10⁴ worst-case members — far below any 100 TB
+          // cluster. DECIMAL(38,0) is exact to 10³⁸; the per-point mean
+          // always fits BIGINT (mean ≤ max dist), via truncating DIV.
           assignTo(q, lloydCentroidsK(s, d, k))
-            .agg(count(lit(1)).as("n"), sum("dist").as("sse"))
+            .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("sse"))
             .select(
               lit(k.toLong).as("k"),
               col("n"),
@@ -459,16 +463,16 @@ object KMeansOps extends QueryModule {
              ${elbowCtes(2, "e2")},
              ${elbowCtes(4, "e4")}
              SELECT * FROM (
-               SELECT CAST(2 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
-                      CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse
+               SELECT CAST(2 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse,
+                      CAST(CAST(sum(dist) AS HUGEINT) // count(*) AS BIGINT) AS mean_sse
                FROM e2af WHERE rn = 1
                UNION ALL
-               SELECT CAST(4 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
-                      CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse
+               SELECT CAST(4 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse,
+                      CAST(CAST(sum(dist) AS HUGEINT) // count(*) AS BIGINT) AS mean_sse
                FROM e4af WHERE rn = 1
                UNION ALL
-               SELECT CAST(8 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
-                      CAST(sum(dist) // count(*) AS BIGINT) AS mean_sse
+               SELECT CAST(8 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse,
+                      CAST(CAST(sum(dist) AS HUGEINT) // count(*) AS BIGINT) AS mean_sse
                FROM af WHERE rn = 1
              ) ORDER BY k"""),
   )
@@ -486,12 +490,17 @@ object KMeansOps extends QueryModule {
   private val kmeansCost = DeclaredQuery(
     "kmeans_cost",
     (s, d) =>
+      // WIDE-tier SSE (the round-15 magnitude census): dist ≤ 64·(4e6)²
+      // ≈ 10¹⁵ per row, so a BIGINT per-cluster Σ crosses 2⁶³ at ~10⁴
+      // worst-case members — any 100 TB cluster exceeds that. The
+      // DECIMAL(38,0) accumulator is exact to 10³⁸ (≥ 10²³ rows at max
+      // dist), bit-identical where the Long tier was valid.
       finalAssign(s, d)
         .groupBy("cluster")
-        .agg(count(lit(1)).as("n"), sum("dist").as("sse"))
+        .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("sse"))
         .orderBy("cluster"),
     Some(s"""WITH $lloydCtes
-             SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
+             SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse
              FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1"""),
   )
 
@@ -556,45 +565,58 @@ object KMeansOps extends QueryModule {
 
   private val PowerRounds = 12
 
-  /** The exact (Σqᵢ, Σqᵢqⱼ, n) moment struct — one corpus pass, shared
-    * by both PCA queries via the driver-value memo.
+  /** The exact (Σqᵢ, Σqᵢqⱼ, n) moments — one corpus pass, shared by all
+    * PCA queries via the driver-value memo. Since the round-15 census
+    * this is the slice-bounded wide pass ([[ExactMoments.exact]]): the
+    * single-group Long fold died at ~10⁶ vectors of this magnitude
+    * (|q| ≤ 4×10⁶ ⇒ per-row products ≤ 1.6×10¹³), so slices of ≤ 2¹⁷
+    * rows fold in Long (provably in range, loud if not) and merge in
+    * DECIMAL(38,0) → BigInt driver values, exact at any corpus size and
+    * bit-identical where the old tier was valid.
     */
-  private def momentsOf(s: SparkSession, d: String): org.apache.spark.sql.Row =
+  private def momentsOf(s: SparkSession, d: String): (Seq[BigInt], Seq[BigInt], Long) =
     memoized(s, d, "pca-moments") {
-      val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
-      quantized(s, d).agg(mom(col("q")).as("m")).collect()(0).getStruct(0)
+      ExactMoments.exact(quantized(s, d), "q", Dim)
     }
 
-  /** The covariance-moment PARTIALS of a quantized frame as a 1-row
+  /** The covariance-moment PARTIALS of a quantized frame as a
     * (s, p, n) DataFrame — the distributed half of the moment pass,
     * kept separate from the collect so it is a mergeable store: Σq,
     * Σqᵢqⱼ and n are all additive, so slice-wise partials sum to the
     * full-corpus moments (the continuous PCA-refresh loop in
     * [[graft.streaming.EmbedIngest]] lands exactly this frame per
     * micro-batch — the CovMoments twin of [[centroidPartials]]).
+    * Since the round-15 census the frame is SLICE-BOUNDED (≤ 2¹⁷ rows
+    * per Long buffer, the [[ExactMoments.SliceRows]] proof), so a giant
+    * micro-batch — AvailableNow replays the whole backlog as batch 0 —
+    * can never push a single Long buffer past 2⁶³; a store dir simply
+    * holds several partial rows and the BigInt merge absorbs them.
     */
   private[graft] def momentPartials(q: DataFrame): DataFrame = {
     val mom = udaf(new graft.functions.CovMomentsAggregator(Dim))
-    q.agg(mom(col("q")).as("m"))
+    q.withColumn("__slice", expr(s"monotonically_increasing_id() DIV ${ExactMoments.SliceRows}"))
+      .groupBy("__slice")
+      .agg(mom(col("q")).as("m"))
       .select(col("m._1").as("s"), col("m._2").as("p"), col("m._3").as("n"))
   }
 
-  /** Merge collected (s, p, n) moment partials — elementwise
-    * `Math.addExact` sums, as loud-on-overflow as the distributed
-    * accumulation (the driver half of the streamed moment pass).
+  /** Merge collected (s, p, n) moment partials — BigInt sums (the wide
+    * merge tier: each PARTIAL is slice-bounded Long, but the merged
+    * corpus totals exceed 2⁶³ at ~10⁶ vectors, so the driver half must
+    * be arbitrary-precision).
     */
   private[graft] def mergeMomentPartials(
       rows: Seq[(Seq[Long], Seq[Long], Long)],
-  ): (Seq[Long], Seq[Long], Long) = {
+  ): (Seq[BigInt], Seq[BigInt], Long) = {
     val nProds = Dim * (Dim + 1) / 2
-    val s = new Array[Long](Dim)
-    val p = new Array[Long](nProds)
+    val s = Array.fill(Dim)(BigInt(0))
+    val p = Array.fill(nProds)(BigInt(0))
     var n = 0L
     rows.foreach { case (bs, bp, bn) =>
       var i = 0
-      while (i < Dim) { s(i) = Math.addExact(s(i), bs(i)); i += 1 }
+      while (i < Dim) { s(i) += BigInt(bs(i)); i += 1 }
       var j = 0
-      while (j < nProds) { p(j) = Math.addExact(p(j), bp(j)); j += 1 }
+      while (j < nProds) { p(j) += BigInt(bp(j)); j += 1 }
       n = Math.addExact(n, bn)
     }
     (s.toSeq, p.toSeq, n)
@@ -619,10 +641,10 @@ object KMeansOps extends QueryModule {
     *  - 64² × `PowerRounds` driver multiplies — microseconds; the
     *    corpus never moves.
     *
-    * At 100 TB the Long moment tier bounds at ~10⁶ vectors of this
-    * magnitude (|q| ≤ 3×10⁶ ⇒ Σq² ≈ n·9×10¹²) and fails loudly via
-    * `Math.addExact`; past it, `covarianceMoments(wide = true)`'s
-    * DECIMAL(38) tier is the documented swap — the iteration itself is
+    * At 100 TB: the moment pass is the round-15 slice-bounded wide tier
+    * ([[ExactMoments]] — per-slice Long provably in range and
+    * `Math.addExact`-loud besides, DECIMAL(38,0) merge), so the exact
+    * moments hold at any corpus size; the iteration itself is
     * corpus-size-free either way.
     */
   private[graft] def principalE6(s: SparkSession, d: String): Array[Long] =
@@ -633,18 +655,19 @@ object KMeansOps extends QueryModule {
     * caller (the memo holds the corpus-pass moments, not this).
     */
   private def momentMatrix(s: SparkSession, d: String): Array[Array[BigInt]] = {
-    val r = momentsOf(s, d)
-    matrixFromMoments(r.getSeq[Long](0), r.getSeq[Long](1), r.getLong(2))
+    val (sm, pr, n) = momentsOf(s, d)
+    matrixFromMoments(sm, pr, n)
   }
 
   /** M = n·Σqq′ − SS′ from a raw (Σq, Σqᵢqⱼ upper-triangle, n) moment
     * triple — shared by the batch path and the streaming moment-refresh
     * merge ([[graft.streaming.EmbedIngest.refreshedPrincipal]]), so the
-    * matrix definition cannot drift between them.
+    * matrix definition cannot drift between them. BigInt moments since
+    * the round-15 census: corpus totals exceed Long at ~10⁶ vectors.
     */
   private[graft] def matrixFromMoments(
-      sm: Seq[Long],
-      pr: Seq[Long],
+      sm: Seq[BigInt],
+      pr: Seq[BigInt],
       nRows: Long,
   ): Array[Array[BigInt]] = {
     val n = BigInt(nRows)
@@ -654,7 +677,7 @@ object KMeansOps extends QueryModule {
     while (i < Dim) {
       var j = i
       while (j < Dim) {
-        val v = n * BigInt(pr(pos)) - BigInt(sm(i)) * BigInt(sm(j))
+        val v = n * pr(pos) - sm(i) * sm(j)
         m(i)(j) = v
         m(j)(i) = v
         pos += 1
@@ -670,7 +693,11 @@ object KMeansOps extends QueryModule {
     * the streaming refresh serves it over ADDITIVELY MERGED per-batch
     * moments, and the two are bit-identical because the moments are.
     */
-  private[graft] def principalFromMoments(sm: Seq[Long], pr: Seq[Long], n: Long): Array[Long] =
+  private[graft] def principalFromMoments(
+      sm: Seq[BigInt],
+      pr: Seq[BigInt],
+      n: Long,
+  ): Array[Long] =
     powerIterate(matrixFromMoments(sm, pr, n))
 
   /** `PowerRounds` exact-integer power-iteration steps on an arbitrary
@@ -817,12 +844,11 @@ object KMeansOps extends QueryModule {
     "pca_project",
     (s, d) => {
       val v = principalE6(s, d)
-      val r = momentsOf(s, d)
-      val sm = r.getSeq[Long](0)
-      val n = BigInt(r.getLong(2))
+      val (sm, _, nL) = momentsOf(s, d)
+      val n = BigInt(nL)
       val center =
         if (n == 0) 0L
-        else ((0 until Dim).map(i => BigInt(sm(i)) * BigInt(v(i))).sum / n).toLong
+        else ((0 until Dim).map(i => sm(i) * BigInt(v(i))).sum / n).toLong
       quantized(s, d)
         .select(
           col("vec_id"),
@@ -854,12 +880,11 @@ object KMeansOps extends QueryModule {
     (s, d) => {
       val v1 = principalE6(s, d)
       val v2 = principal2E6(s, d)
-      val r = momentsOf(s, d)
-      val sm = r.getSeq[Long](0)
-      val n = BigInt(r.getLong(2))
+      val (sm, _, nL) = momentsOf(s, d)
+      val n = BigInt(nL)
       def center(v: Array[Long]): Long =
         if (n == 0) 0L
-        else ((0 until Dim).map(i => BigInt(sm(i)) * BigInt(v(i))).sum / n).toLong
+        else ((0 until Dim).map(i => sm(i) * BigInt(v(i))).sum / n).toLong
       quantized(s, d)
         .select(
           col("vec_id"),
@@ -906,13 +931,12 @@ object KMeansOps extends QueryModule {
     (s, d) => {
       val v1 = principalE6(s, d)
       val v2 = principal2E6(s, d)
-      val r = momentsOf(s, d)
-      val sm = r.getSeq[Long](0)
-      val n = BigInt(r.getLong(2))
-      val mu = sm.map(x => (BigInt(x) / n).toLong).toArray
+      val (sm, _, nL) = momentsOf(s, d)
+      val n = BigInt(nL)
+      val mu = sm.map(x => (x / n).toLong).toArray
       def center(v: Array[Long]): Long =
         if (n == 0) 0L
-        else ((0 until Dim).map(i => BigInt(sm(i)) * BigInt(v(i))).sum / n).toLong
+        else ((0 until Dim).map(i => sm(i) * BigInt(v(i))).sum / n).toLong
       val vv1 = v1.map(x => BigInt(x) * BigInt(x)).sum.toLong
       val vv2 = v2.map(x => BigInt(x) * BigInt(x)).sum.toLong
       quantized(s, d)
@@ -986,8 +1010,10 @@ object KMeansOps extends QueryModule {
     (s, d) => {
       val q = quantized(s, d)
       def sseOf(cents: Seq[Array[Long]], rule: String): DataFrame =
+        // WIDE-tier SSE — same census bound as kmeans_cost (~10⁴
+        // worst-case rows per BIGINT Σ of ≤10¹⁵ dists)
         assignTo(q, cents)
-          .agg(count(lit(1)).as("n"), sum("dist").as("sse"))
+          .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("sse"))
           .select(lit(rule).as("seed_rule"), col("n"), col("sse"))
       sseOf(lloydCentroids(s, d), "lowid")
         .unionAll(sseOf(ppCentroids(s, d), "dsq_pp"))
@@ -996,10 +1022,10 @@ object KMeansOps extends QueryModule {
     Some(s"""WITH $lloydCtes,
              $ppCtes
              SELECT * FROM (
-               SELECT 'lowid' AS seed_rule, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
+               SELECT 'lowid' AS seed_rule, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse
                FROM af WHERE rn = 1
                UNION ALL
-               SELECT 'dsq_pp' AS seed_rule, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
+               SELECT 'dsq_pp' AS seed_rule, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse
                FROM ppaf WHERE rn = 1
              ) ORDER BY seed_rule"""),
   )
@@ -1062,9 +1088,10 @@ object KMeansOps extends QueryModule {
     * n, mean a, mean b, mean s — all truncating integer means.
     *
     * Magnitudes: dist ≤ 64·(4×10⁶)² ≈ 10¹⁵, so the ×10³ scale keeps
-    * per-row terms under Long and ANSI makes any pathological Σ fail
-    * loudly; the DECIMAL(38) accumulator swap is the documented tier
-    * past ~10³ vectors·max-dist per cluster (never near testdata).
+    * per-row terms under Long; the per-cluster Σa/Σb/Σsil accumulate in
+    * the DECIMAL(38) wide tier (a BIGINT Σ would die at ~10⁴ rows per
+    * cluster — the round-15 magnitude census), and only the BIGINT-safe
+    * means are emitted.
     */
   /** The silhouette computation over an ARBITRARY centroid set — the
     * declared query runs it under the lowid Lloyd chain; it is equally
@@ -1089,9 +1116,13 @@ object KMeansOps extends QueryModule {
       .groupBy("cluster")
       .agg(
         count(lit(1)).as("n"),
-        expr("sum(a) DIV count(1)").as("mean_a"),
-        expr("sum(b) DIV count(1)").as("mean_b"),
-        expr("sum(sil_e3) DIV count(1)").as("mean_sil_e3"),
+        // WIDE accumulators (a, b ≤ ~10¹⁵ ⇒ BIGINT Σ dies at ~10⁴ rows
+        // per cluster); the MEANS always fit BIGINT (mean ≤ max dist),
+        // so outputs stay BIGINT via truncating DIV — both engines
+        // truncate toward zero and every operand here is non-negative.
+        expr("sum(CAST(a AS DECIMAL(38,0))) DIV count(1)").as("mean_a"),
+        expr("sum(CAST(b AS DECIMAL(38,0))) DIV count(1)").as("mean_b"),
+        expr("sum(CAST(sil_e3 AS DECIMAL(38,0))) DIV count(1)").as("mean_sil_e3"),
       )
       .orderBy("cluster")
   }
@@ -1107,9 +1138,9 @@ object KMeansOps extends QueryModule {
                                  ELSE ((n.b - o.dist) * 1000) // greatest(o.dist, n.b) END AS sil_e3
                      FROM own o JOIN nxt n ON o.vec_id = n.vec_id)
              SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n,
-                    CAST(sum(a) // count(*) AS BIGINT) AS mean_a,
-                    CAST(sum(b) // count(*) AS BIGINT) AS mean_b,
-                    CAST(sum(sil_e3) // count(*) AS BIGINT) AS mean_sil_e3
+                    CAST(CAST(sum(a) AS HUGEINT) // count(*) AS BIGINT) AS mean_a,
+                    CAST(CAST(sum(b) AS HUGEINT) // count(*) AS BIGINT) AS mean_b,
+                    CAST(CAST(sum(sil_e3) AS HUGEINT) // count(*) AS BIGINT) AS mean_sil_e3
              FROM sil GROUP BY 1 ORDER BY 1"""),
   )
 
@@ -1131,8 +1162,7 @@ object KMeansOps extends QueryModule {
     (s, d) => {
       import s.implicits._
       val v = principalE6(s, d).map(BigInt(_))
-      val r = momentsOf(s, d)
-      val n = BigInt(r.getLong(2))
+      val n = BigInt(momentsOf(s, d)._3)
       val m = momentMatrix(s, d)
       val vmv = (0 until Dim).map(a => v(a) * (0 until Dim).map(b => m(a)(b) * v(b)).sum).sum
       val vv = v.map(x => x * x).sum

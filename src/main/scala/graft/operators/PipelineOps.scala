@@ -333,10 +333,15 @@ object PipelineOps extends QueryModule {
       : org.apache.spark.sql.DataFrame =
     graft.SubstrateCache.substrate(s, d, "dsir-weights")(dsirScoredBuild(s, d))
 
-  private def dsirScoredBuild(s: org.apache.spark.sql.SparkSession, d: String)
+  /** The hashed feature rows of a (doc_id, lang, text) frame —
+    * (doc_id, lang, b) with b the poly-hash bucket. Shared by the batch
+    * substrate and the streaming partial store so the feature
+    * definition (tokenization, hash, bucket count) cannot drift.
+    */
+  private[graft] def dsirFeats(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val feats = documents(s, d)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
       .select(
         col("doc_id"),
         col("lang"),
@@ -347,17 +352,34 @@ object PipelineOps extends QueryModule {
         col("lang"),
         expr(s"CAST(graft_poly_hash(w) % $DsirBuckets AS INT)").as("b"),
       )
-    // both feature models from ONE conditional-aggregation pass over
-    // the feature rows (target count = count where lang matches) —
-    // not a second corpus scan per model
-    val cnts = feats
+  }
+
+  /** The ADDITIVE model grain: per-bucket (b, tc, rc) counts — target
+    * count (lang = en) and raw count from ONE conditional-aggregation
+    * pass. Counts are plain sums, so slice-wise partials merge by
+    * groupBy-sum to the full-corpus model — the property the continuous
+    * DSIR refresh ([[graft.streaming.DocIngest.startDsirPartials]])
+    * rides, exactly like the vocabulary partial store.
+    */
+  private[graft] def dsirBucketCounts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    dsirFeats(docs)
       .groupBy("b")
       .agg(
         count(when(col("lang") === "en", 1)).as("tc"),
         count(lit(1)).as("rc"),
       )
-    val lam = s
-      .range(DsirBuckets)
+
+  /** The ×10⁶-floored log-ratio model table (b, lam) from a merged
+    * (b, tc, rc) count frame — the derivation half of the DSIR model,
+    * shared verbatim by the batch substrate and the streamed refresh so
+    * the smoothing arithmetic cannot drift between them.
+    */
+  private[graft] def dsirLamFrom(
+      s: org.apache.spark.sql.SparkSession,
+      cnts: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame =
+    s.range(DsirBuckets)
       .select(col("id").cast("int").as("b"))
       .join(cnts, Seq("b"), "left")
       // both totals from ONE aggregate over cnts (1-row scalar)
@@ -370,6 +392,11 @@ object PipelineOps extends QueryModule {
              |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin,
         ).as("lam"),
       )
+
+  private def dsirScoredBuild(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val feats = dsirFeats(documents(s, d))
+    val lam = dsirLamFrom(s, dsirBucketCounts(documents(s, d)))
     feats
       .join(lam, Seq("b")) // D-row model table: AQE broadcasts, un-hinted
       .groupBy("doc_id")

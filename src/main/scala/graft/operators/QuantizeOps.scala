@@ -179,9 +179,13 @@ object QuantizeOps extends QueryModule {
     * ~25k vectors — the round-14 full-suite sf2 sweep caught exactly
     * this (green at sf1's 20k, ANSI loud-fail at sf2's 40k), vindicating
     * the loud-overflow discipline and the second measured decade point.
-    * Both engines cast the exact wide integer to DOUBLE before the one
-    * defined division, so results are bit-identical and unchanged at
-    * every sf where the Long tier was valid.
+    * The round-15 magnitude census then found the SAME class one level
+    * down: Σx² itself (sv² ≤ 10¹²) crosses 2⁶³ at ~10⁷ vectors, so the
+    * s2 accumulator-and-output now rides the wide tier too (s1 is
+    * Long-safe to ~10¹² rows and stays BIGINT). Both engines cast the
+    * exact wide integer to DOUBLE before the one defined division, so
+    * results are bit-identical and unchanged at every sf where the Long
+    * tier was valid.
     */
   private val embeddingDimStats = DeclaredQuery(
     "embedding_dim_stats",
@@ -195,8 +199,12 @@ object QuantizeOps extends QueryModule {
         .groupBy("pos")
         .agg(
           count(lit(1)).as("n"),
+          // s1 is Long-safe to ~10¹² rows (|sv| ≤ 10⁶); s2 is NOT —
+          // sv² ≤ 10¹² means a BIGINT Σ crosses 2⁶³ at ~10⁷ vectors
+          // (round-15 census; the r14 sweep only caught the n·Σx²
+          // product, at ~2.5×10⁴). s2 itself now rides the wide tier.
           sum("sv").as("s1"),
-          sum(expr("sv * sv")).as("s2"),
+          sum((col("sv").cast("decimal(38,0)") * col("sv")).cast("decimal(38,0)")).as("s2"),
         )
         .withColumn("pos", col("pos").cast("long"))
         .withColumn(
@@ -205,6 +213,7 @@ object QuantizeOps extends QueryModule {
         )
         .withColumn(
           "var_e12",
+          // s2 is already DECIMAL(38,0); ANSI checks the n·s2 product
           expr("""CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
                  |           / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) + 0.5) AS BIGINT)""".stripMargin),
         )
@@ -217,9 +226,9 @@ object QuantizeOps extends QueryModule {
                              FROM embeddings)),
             a AS (SELECT pos, count(*) AS n,
                          CAST(sum(sv) AS BIGINT) AS s1,
-                         CAST(sum(sv * sv) AS BIGINT) AS s2
+                         CAST(sum(CAST(sv AS HUGEINT) * sv) AS HUGEINT) AS s2
                   FROM x GROUP BY 1)
-            SELECT pos, n, s1, s2,
+            SELECT pos, n, s1, CAST(s2 AS DECIMAL(38,0)) AS s2,
                    CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean,
                    CAST(floor(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                               / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) + 0.5) AS BIGINT) AS var_e12

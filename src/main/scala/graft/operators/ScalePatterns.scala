@@ -881,7 +881,11 @@ object ScalePatterns extends QueryModule {
     ).groupBy("event_type")
       .agg(
         count(lit(1)).as("pn"),
-        sum("rh").as("psum"),
+        // WIDE partial sums (round-15 census): rh < 2³¹ means a BIGINT Σ
+        // crosses 2⁶³ at ~4.3×10⁹ rows per feed — a 100 TB hot feed
+        // exceeds that. DECIMAL(38,0) partials merge exactly to 10²⁷
+        // rows and land unchanged in the streaming state store.
+        sum(col("rh").cast("decimal(38,0)")).as("psum"),
         expr("bit_xor(rh)").as("pxor"),
       )
 
@@ -913,9 +917,10 @@ object ScalePatterns extends QueryModule {
     *
     * Plan: scan-local hash, ONE partial+final agg pair (the parts agg
     * and the merge agg collapse — feed-cardinality intermediate), no
-    * sort below the output ordering. BIGINT Σ is exact to ~4×10⁹ rows
-    * per feed; past that the `tableChecksumFrame(wide = true)`
-    * DECIMAL(38) knob applies to the two sum accumulators unchanged.
+    * sort below the output ordering. Declared at the DECIMAL(38) wide
+    * tier since the round-15 census: a BIGINT Σ is exact only to ~4×10⁹
+    * rows per feed — a 100 TB hot feed exceeds that — while the wide
+    * sum holds past 10²⁷ rows and merges identically.
     */
   private val eventsChecksum = DeclaredQuery(
     "events_checksum",
@@ -925,20 +930,26 @@ object ScalePatterns extends QueryModule {
                                 + CAST(floor(value * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh
                        FROM events)
             SELECT event_type, count(*) AS n,
-                   CAST(sum(rh) AS BIGINT) AS checksum_sum,
+                   CAST(sum(rh) AS DECIMAL(38,0)) AS checksum_sum,
                    bit_xor(rh) AS checksum_xor
             FROM h GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Declared at the WIDE tier since the round-15 magnitude census:
+    * rh < 2³¹, so a BIGINT Σ crosses 2⁶³ at ~4.3×10⁹ rows per group —
+    * a 100 TB hot priority exceeds that. DECIMAL(38,0) holds past 10²⁷
+    * rows; the BIGINT tier stays available as `wide = false` (both
+    * parity- and loud-overflow-tested in Round12OpsSpec).
+    */
   private val tableChecksum = DeclaredQuery(
     "table_checksum",
-    (s, d) => tableChecksumFrame(s, d, wide = false),
+    (s, d) => tableChecksumFrame(s, d, wide = true),
     Some("""WITH h AS (SELECT o_orderpriority,
                               ((o_orderkey * 2654435761 + o_custkey * 97381
                                 + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh
                        FROM orders)
             SELECT o_orderpriority, count(*) AS n,
-                   CAST(sum(rh) AS BIGINT) AS checksum_sum,
+                   CAST(sum(rh) AS DECIMAL(38,0)) AS checksum_sum,
                    bit_xor(rh) AS checksum_xor
             FROM h GROUP BY 1 ORDER BY 1"""),
   )

@@ -572,9 +572,10 @@ object SimilarityOps extends QueryModule {
     * tier — implemented knob, see below); the covariance double derives
     * from the exact moments in one shape-pinned expression.
     */
-  /** The moment pipeline behind `embedding_covariance`, with the stated
-    * DECIMAL(38) accumulation knob implemented. `wide = false` (the
-    * declared query) accumulates moments as BIGINT — exact while
+  /** The moment pipeline behind `embedding_covariance`'s two BRACKET
+    * tiers (the declared query now rides [[covarianceMomentsExact]] —
+    * the round-15 sliced pass). `wide = false` accumulates moments as
+    * BIGINT — exact while
     * N·(10⁵)² < 2⁶³, i.e. to ~9×10⁸ vectors. `wide = true` swaps ONLY
     * the three accumulator types to DECIMAL(38,0) — headroom to ~10²⁸
     * products, i.e. any realistic corpus — and leaves every other part
@@ -662,37 +663,87 @@ object SimilarityOps extends QueryModule {
             .agg(acc(col("p")).as("sij"))
           (f, p)
         }
-      // pos → (i, j) decode: generated arithmetically (no collect), a
-      // D²/2-row bounded broadcast like the first-moment table — both are
-      // model-sized (dimension-derived), never corpus-sized.
-      val decode = s
-        .range(Dim.toLong)
-        .toDF("i0")
-        .select(
-          col("i0").cast("int").as("i"),
-          explode(expr(s"sequence(CAST(i0 AS INT), ${Dim - 1})")).as("j"),
-        )
-        .withColumn("pos", expr(s"i * $Dim - (i * (i - 1)) DIV 2 + (j - i)"))
-      prods
-        .join(broadcast(decode), Seq("pos"))
-        .join(broadcast(first.select(col("k").as("i"), col("n"), col("s").as("si"))), Seq("i"))
-        .join(broadcast(first.select(col("k").as("j"), col("s").as("sj"))), Seq("j"))
-        .withColumn(
-          "cov",
-          Disp.roundz(
-            (col("sij").cast("double") / col("n")
-              - (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
-              / 1e8,
-            6,
-          ),
-        )
-        .select("i", "j", "n", "si", "sj", "sij", "cov")
-        .orderBy("i", "j")
+      covDecodeTail(s, first, prods)
+  }
+
+  /** The moment→covariance decode shared by every accumulator tier:
+    * pos → (i, j) is generated arithmetically (no collect), a D²/2-row
+    * bounded broadcast like the first-moment table — both are
+    * model-sized (dimension-derived), never corpus-sized. `first` is
+    * (k, n, s), `prods` is (pos, sij); the numeric types may be BIGINT
+    * or DECIMAL(38,0) — the cov expression reads both through the same
+    * double cast.
+    */
+  private def covDecodeTail(s: SparkSession, first: DataFrame, prods: DataFrame): DataFrame = {
+    val decode = s
+      .range(Dim.toLong)
+      .toDF("i0")
+      .select(
+        col("i0").cast("int").as("i"),
+        explode(expr(s"sequence(CAST(i0 AS INT), ${Dim - 1})")).as("j"),
+      )
+      .withColumn("pos", expr(s"i * $Dim - (i * (i - 1)) DIV 2 + (j - i)"))
+    prods
+      .join(broadcast(decode), Seq("pos"))
+      .join(broadcast(first.select(col("k").as("i"), col("n"), col("s").as("si"))), Seq("i"))
+      .join(broadcast(first.select(col("k").as("j"), col("s").as("sj"))), Seq("j"))
+      .withColumn(
+        "cov",
+        Disp.roundz(
+          (col("sij").cast("double") / col("n")
+            - (col("si").cast("double") / col("n")) * (col("sj").cast("double") / col("n")))
+            / 1e8,
+          6,
+        ),
+      )
+      .select("i", "j", "n", "si", "sj", "sij", "cov")
+      .orderBy("i", "j")
+  }
+
+  /** The DECLARED tier since the round-15 census: slice-bounded Long
+    * partials merged in DECIMAL(38,0) ([[ExactMoments]]) — the fast
+    * Aggregator fold with NO overflow bound (the single-group Long tier
+    * dies at ~9×10⁸ vectors; a 100 TB embedding corpus is ~4×10¹¹).
+    * Moment outputs are DECIMAL(38,0) (exact to 10³⁸); the BIGINT and
+    * explode-wide tiers remain for the Round11OpsSpec parity brackets.
+    */
+  private[graft] def covarianceMomentsExact(s: SparkSession, d: String): DataFrame = {
+    val q = embeddings(s, d)
+      .withColumn(
+        "qv",
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
+      )
+    val (sm, pr, n) = ExactMoments.exact(q, "qv", Dim)
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val firstSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("s", dec, true),
+    ))
+    val prodSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos", org.apache.spark.sql.types.IntegerType, false),
+      org.apache.spark.sql.types.StructField("sij", dec, true),
+    ))
+    import scala.jdk.CollectionConverters._
+    def bd(x: BigInt) = new java.math.BigDecimal(x.bigInteger)
+    // Empty corpus: 0 groups in every tier (the Aggregator-zero guard
+    // from the BIGINT branch, restated for the sliced pass)
+    val firstRows =
+      if (n == 0L) Seq.empty[org.apache.spark.sql.Row]
+      else sm.zipWithIndex.map { case (v, k) => org.apache.spark.sql.Row(k, n, bd(v)) }
+    val prodRows =
+      if (n == 0L) Seq.empty[org.apache.spark.sql.Row]
+      else pr.zipWithIndex.map { case (p, pos) => org.apache.spark.sql.Row(pos, bd(p)) }
+    covDecodeTail(
+      s,
+      s.createDataFrame(firstRows.asJava, firstSchema),
+      s.createDataFrame(prodRows.asJava, prodSchema),
+    )
   }
 
   private val embeddingCovariance = DeclaredQuery(
     "embedding_covariance",
-    (s, d) => covarianceMoments(s, d, wide = false),
+    (s, d) => covarianceMomentsExact(s, d),
     Some(s"""WITH q AS (SELECT list_transform(embedding::DOUBLE[],
                                 x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
                         FROM embeddings),
@@ -701,8 +752,8 @@ object SimilarityOps extends QueryModule {
                    FROM q, generate_series(0, ${Dim - 1}) g1(i), generate_series(0, ${Dim - 1}) g2(j)
                    WHERE j >= i)
              SELECT i, j, count(*) AS n,
-                    CAST(sum(qi) AS BIGINT) AS si, CAST(sum(qj) AS BIGINT) AS sj,
-                    CAST(sum(qi * qj) AS BIGINT) AS sij,
+                    CAST(sum(qi) AS DECIMAL(38,0)) AS si, CAST(sum(qj) AS DECIMAL(38,0)) AS sj,
+                    CAST(sum(CAST(qi AS HUGEINT) * qj) AS DECIMAL(38,0)) AS sij,
                     ${Disp.roundzSql(
       """(CAST(sum(qi * qj) AS DOUBLE) / count(*)
                            - (CAST(sum(qi) AS DOUBLE) / count(*)) * (CAST(sum(qj) AS DOUBLE) / count(*)))
@@ -934,10 +985,13 @@ object SimilarityOps extends QueryModule {
     * exactly this table.
     *
     * Determinism at scale: per-(label, slice, dim) sums are exact
-    * ×10⁴-quantized BIGINTs (order-invariant under any partitioning);
-    * the centroid cosine is computed from RAW SUMS — the 1/n factors
-    * cancel in cosine, so no division happens before the final
-    * shape-pinned double. One posexplode + one (label, slice, dim)-keyed
+    * ×10⁴-quantized BIGINTs (order-invariant under any partitioning;
+    * Long-safe to ~10¹⁴ vectors per label-half); their PRODUCTS
+    * accumulate in the DECIMAL(38) wide tier — Σsa·sb reaches n²·10⁸,
+    * which crosses 2⁶³ at ~4×10⁴ vectors per label-half (the round-15
+    * magnitude census). The centroid cosine is computed from RAW SUMS —
+    * the 1/n factors cancel in cosine, so no division happens before
+    * the final shape-pinned double. One posexplode + one (label, slice, dim)-keyed
     * map-side-combined agg (labels × 2 × D rows), a dim-keyed self-join
     * of that MODEL-SIZED table, a label-grain agg. Vectors never
     * shuffle.
@@ -965,9 +1019,14 @@ object SimilarityOps extends QueryModule {
         .agg(
           max("na").as("n_a"),
           max("nb").as("n_b"),
-          sum(col("sa") * col("sb")).as("sab"),
-          sum(col("sa") * col("sa")).as("saa"),
-          sum(col("sb") * col("sb")).as("sbb"),
+          // WIDE tier (round-15 census): sa/sb are per-(label,dim) SUMS
+          // (≤ n·10⁴), so their products reach n²·10⁸ — a BIGINT Σ over
+          // 64 dims crosses 2⁶³ at ~4×10⁴ vectors per label-half, the
+          // embedding_dim_stats overflow class. DECIMAL(38,0) is exact
+          // past 10¹⁴ vectors; outputs (a double cosine) are unchanged.
+          sum((col("sa").cast("decimal(38,0)") * col("sb")).cast("decimal(38,0)")).as("sab"),
+          sum((col("sa").cast("decimal(38,0)") * col("sa")).cast("decimal(38,0)")).as("saa"),
+          sum((col("sb").cast("decimal(38,0)") * col("sb")).cast("decimal(38,0)")).as("sbb"),
         )
         .select(
           col("label"),
@@ -993,9 +1052,9 @@ object SimilarityOps extends QueryModule {
              b AS (SELECT label, k, sv AS sb, cnt AS nb FROM dims WHERE half = 1),
              j AS (SELECT a.label, sa, sb, na, nb FROM a JOIN b ON a.label = b.label AND a.k = b.k),
              g2 AS (SELECT label, max(na) AS n_a, max(nb) AS n_b,
-                           CAST(sum(sa * sb) AS BIGINT) AS sab,
-                           CAST(sum(sa * sa) AS BIGINT) AS saa,
-                           CAST(sum(sb * sb) AS BIGINT) AS sbb
+                           CAST(sum(CAST(sa AS HUGEINT) * sb) AS HUGEINT) AS sab,
+                           CAST(sum(CAST(sa AS HUGEINT) * sa) AS HUGEINT) AS saa,
+                           CAST(sum(CAST(sb AS HUGEINT) * sb) AS HUGEINT) AS sbb
                     FROM j GROUP BY 1)
              SELECT label, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
                     (round(CAST(sab AS DOUBLE)

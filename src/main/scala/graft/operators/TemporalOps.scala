@@ -545,13 +545,18 @@ object TemporalOps extends QueryModule {
         .agg(
           count(lit(1)).as("n_sessions"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(col("duration_us")).as("sum_duration_us"),
+          // WIDE duration sum (round-15 census): a session's duration is
+          // bounded only by its span (µs — ~10⁹ for gap-bounded multi-
+          // event sessions, more for long ones), so a BIGINT Σ over a
+          // hot n_events bucket crosses 2⁶³ at ~10⁹-10¹⁰ sessions — a
+          // 100 TB corpus has more. DECIMAL(38,0) is exact.
+          sum(col("duration_us").cast("decimal(38,0)")).as("sum_duration_us"),
         )
         .orderBy("n_events"),
     Some(s"""WITH $sessionDuckCtes
              SELECT n_events, count(*) AS n_sessions,
                     count(DISTINCT user_id) AS n_users,
-                    CAST(sum(duration_us) AS BIGINT) AS sum_duration_us
+                    CAST(sum(duration_us) AS DECIMAL(38,0)) AS sum_duration_us
              FROM sessions GROUP BY 1 ORDER BY 1"""),
   )
 
@@ -1447,7 +1452,11 @@ object TemporalOps extends QueryModule {
         .groupBy("touch")
         .agg(
           count(lit(1)).as("conversions"),
-          expr("sum(latency_us) DIV count(1)").as("mean_latency_us"),
+          // WIDE accumulator (round-15 census): latency ≤ the 7-day
+          // window ≈ 6×10¹¹ µs, so a BIGINT Σ dies at ~1.5×10⁷
+          // conversions per touch type. The mean always fits BIGINT;
+          // truncating DIV, both engines toward zero on non-negatives.
+          expr("sum(CAST(latency_us AS DECIMAL(38,0))) DIV count(1)").as("mean_latency_us"),
         )
         .orderBy("touch")
     },
@@ -1464,7 +1473,7 @@ object TemporalOps extends QueryModule {
                       WHERE e.event_type <> 'purchase' AND e.t_us < fp.p_us
                         AND e.t_us >= fp.p_us - $ConvWindowUs) WHERE rn = 1)
              SELECT coalesce(cr.touch, 'direct') AS touch, count(*) AS conversions,
-                    CAST(sum(cr.latency_us) // count(*) AS BIGINT) AS mean_latency_us
+                    CAST(CAST(sum(cr.latency_us) AS HUGEINT) // count(*) AS BIGINT) AS mean_latency_us
              FROM fp LEFT JOIN cr USING (user_id)
              GROUP BY 1 ORDER BY 1"""),
   )

@@ -1138,9 +1138,13 @@ object TextOps extends QueryModule {
           count(lit(1)).as("n"),
           sum("x").as("sx"),
           sum("y").as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"),
+          // WIDE second moments (round-15 census): this is a GLOBAL agg
+          // over the corpus — x² reaches 10¹² for 10⁶-token docs, so a
+          // BIGINT Σx² dies at ~10⁷ docs; DECIMAL(38,0) is exact past
+          // 10²⁶. Outputs (n + one double) are unchanged.
+          sum((col("x").cast("decimal(38,0)") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")).as("syy"),
+          sum((col("x").cast("decimal(38,0)") * col("y")).cast("decimal(38,0)")).as("sxy"),
         )
         .select(
           col("n"),
@@ -1160,7 +1164,9 @@ object TextOps extends QueryModule {
                                      * 10000.0 + 0.5) AS BIGINT) AS y
                    FROM qs),
             a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
-                         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                         sum(CAST(x AS HUGEINT) * x) AS sxx,
+                         sum(CAST(y AS HUGEINT) * y) AS syy,
+                         sum(CAST(x AS HUGEINT) * y) AS sxy
                   FROM ln2 JOIN qy USING (doc_id))
             SELECT CAST(n AS BIGINT) AS n,
                    (round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

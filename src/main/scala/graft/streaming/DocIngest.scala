@@ -356,6 +356,67 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Continuous DSIR model refresh — the last additive model family
+    * without a streaming twin (round-14 verdict item 6): the DSIR
+    * target/raw per-bucket counts are plain hashed sums
+    * ([[graft.operators.PipelineOps.dsirBucketCounts]]), so per-batch
+    * partials land as idempotent `batch_<bid>` dirs (overwrite keyed by
+    * batch id ⇒ crash-replay safe) and merge by groupBy-sum. The same
+    * bid-0 stale-lineage wipe as every additive store ([[
+    * startVocabPartials]]). State is ≤ DsirBuckets rows per batch dir —
+    * corpus-independent.
+    */
+  def startDsirPartials(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.PipelineOps
+          .dsirBucketCounts(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the refreshed DSIR model (b, lam) from landed partials —
+    * byte-identical to the batch model over the full stream because the
+    * count merge is a plain groupBy-sum and the log-ratio derivation is
+    * the SHARED [[graft.operators.PipelineOps.dsirLamFrom]] text. Zero
+    * committed batches serve the all-buckets-empty model (the same
+    * smoothing floor the batch derivation gives an empty corpus), so a
+    * cold serving path reads a defined model, not an exception.
+    */
+  def dsirModelFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val merged =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("tc", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("rc", org.apache.spark.sql.types.LongType),
+          )),
+        )
+      else
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .groupBy("b")
+          .agg(sum(col("tc")).as("tc"), sum(col("rc")).as("rc"))
+    graft.operators.PipelineOps.dsirLamFrom(spark, merged)
+  }
+
   /** Merge the landed vocab partials into the refreshed (w, wc)
     * vocabulary — byte-identical to the one-shot corpus reduction
     * ([[graft.operators.BpeOps.vocabOf]] over the full stream) because

@@ -199,7 +199,7 @@ object EmbedIngest {
   def refreshedMoments(
       spark: SparkSession,
       stateDir: String,
-  ): Option[(Seq[Long], Seq[Long], Long)] = {
+  ): Option[(Seq[BigInt], Seq[BigInt], Long)] = {
     if (listBatchDirs(spark, stateDir).isEmpty) return None
     Some(
       graft.operators.KMeansOps.mergeMomentPartials(

@@ -54,19 +54,19 @@ class KMeansSpec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2)))
     val expect = assigned
       .groupBy(_._1)
-      .map { case (cl, rows) => (cl, rows.length.toLong, rows.map(_._2).sum) }
+      .map { case (cl, rows) => (cl, rows.length.toLong, BigInt(rows.map(_._2).sum)) }
       .toSeq
       .sortBy(_._1)
     val cost = SparkEntry
       .queries("kmeans_cost")(spark, sfDir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
       .toSeq
     assert(cost == expect, "per-cluster n/sse must aggregate the assignment")
     val rerun = SparkEntry
       .queries("kmeans_cost")(spark, sfDir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
       .toSeq
     assert(rerun == cost, "integer Lloyd must be deterministic across runs")
   }

@@ -66,7 +66,10 @@ class LinkageMomentsSpec extends SparkSpec {
     for ((i, j) <- Seq((0, 0), (0, 1), (13, 40), (63, 63))) {
       val (si, sj, sij) = moments(i, j)
       val r = got((i, j))
-      assert(r.getLong(2) == n && r.getLong(3) == si && r.getLong(4) == sj && r.getLong(5) == sij)
+      // si/sj/sij ride the DECIMAL(38,0) wide tier since round 15
+      def dec(k: Int) = BigInt(r.getDecimal(k).toBigInteger)
+      assert(r.getLong(2) == n && dec(3) == BigInt(si) && dec(4) == BigInt(sj)
+        && dec(5) == BigInt(sij))
     }
     // diagonal: E[x²] − E[x]² ≥ 0 for every dim
     got.filter { case ((i, j), _) => i == j }.values.foreach { r =>

@@ -222,7 +222,9 @@ class Round10OpsSpec extends SparkSpec {
     val bySize = sessions.groupBy(_.getAs[Long]("n_events"))
     hist.foreach { r =>
       assert(r.getLong(1) == bySize(r.getLong(0)).length.toLong)
-      assert(r.getLong(3) == bySize(r.getLong(0)).map(_.getAs[Long]("duration_us")).sum)
+      // sum_duration_us rides the DECIMAL(38,0) wide tier since round 15
+      assert(BigInt(r.getDecimal(3).toBigInteger)
+        == BigInt(bySize(r.getLong(0)).map(_.getAs[Long]("duration_us")).sum))
     }
   }
 
@@ -316,7 +318,9 @@ class Round10OpsSpec extends SparkSpec {
       val col = vecs.map(_(pos))
       assert(r.getLong(1) == vecs.length.toLong)
       assert(r.getLong(2) == col.sum)
-      assert(r.getLong(3) == col.map(x => x * x).sum)
+      // s2 rides the DECIMAL(38,0) wide tier since round 15
+      assert(BigInt(r.getDecimal(3).toBigInteger)
+        == col.map(x => BigInt(x) * BigInt(x)).sum)
     }
   }
 

@@ -62,6 +62,39 @@ class Round15OpsSpec extends SparkSpec {
     assert(bad == 0L, "payload column must survive the argmin struct round-trip")
   }
 
+  test("ExactMoments: multi-slice merge equals independent truth; partials really slice") {
+    // force ≥ 2 slices: SliceRows + 1000 rows through one partition so
+    // the mono-id buckets are exactly ceil(n / SliceRows)
+    val n = (graft.operators.ExactMoments.SliceRows + 1000L).toInt
+    val df = spark.range(n.toLong).coalesce(1)
+      .select(expr("transform(sequence(0, 63), d -> id % 7 + d)").as("q"))
+    val (sm, pr, tot) = graft.operators.ExactMoments.exact(df, "q", 64)
+    assert(tot == n.toLong)
+    val xs = (0L until n.toLong).map(_ % 7)
+    assert(sm(0) == BigInt(xs.sum), "dim-0 first moment must match the closed form")
+    assert(pr(0) == xs.map(x => BigInt(x) * BigInt(x)).sum,
+      "dim-0 second moment must match the closed form")
+    // dim 1 (values id%7 + 1): shifted sums
+    assert(sm(1) == BigInt(xs.map(_ + 1L).sum))
+    val parts = graft.operators.KMeansOps.momentPartials(df)
+    assert(parts.count() == 2L,
+      s"${n} rows through one partition must produce exactly ceil(n/SliceRows) = 2 slice buffers")
+  }
+
+  test("mergeMomentPartials: BigInt merge is exact past the Long bound") {
+    // two partials whose element-wise sum exceeds 2⁶³ — the old
+    // Math.addExact merge THREW here; the BigInt merge must be exact
+    val big = Long.MaxValue / 2 + 10L
+    val dim = 64
+    val nProds = dim * (dim + 1) / 2
+    val part = (Seq.fill(dim)(big), Seq.fill(nProds)(big), 100L)
+    val (s, p, n2) = graft.operators.KMeansOps.mergeMomentPartials(Seq(part, part))
+    assert(n2 == 200L)
+    assert(s(0) == BigInt(big) * 2, "first-moment merge must not wrap")
+    assert(p(nProds - 1) == BigInt(big) * 2, "second-moment merge must not wrap")
+    assert(s(0) > BigInt(Long.MaxValue), "the merged total is genuinely past the Long bound")
+  }
+
   test("histogramParts: out-of-extent values clamp to the edge bins (both sides)") {
     import spark.implicits._
     // extent pinned to [10, 26) over 16 bins of width 1; arrivals at 3

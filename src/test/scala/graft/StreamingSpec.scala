@@ -1332,7 +1332,7 @@ class StreamingSpec extends SparkSpec {
     }
     runLoop(Files.createTempDirectory("ck-cks").toString)
     def canon(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))
     def served() = EventStream.checksumFromState(spark, stateDir).collect().map(canon).toSeq
     val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
     assert(batch.nonEmpty && served() == batch,
@@ -1437,6 +1437,48 @@ class StreamingSpec extends SparkSpec {
     val empty = Files.createTempDirectory("vocab-empty").toString
     val none = DocIngest.refreshedVocab(spark, s"$empty/never")
     assert(none.columns.toSeq == Seq("w", "wc") && none.count() == 0)
+  }
+
+  test("continuous DSIR partials serve the exact batch model (and survive replay)") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: every hash bucket receives features from BOTH
+    // batches, so the additive (b, tc, rc) merge is really exercised —
+    // per-batch log-ratios instead of merged counts would differ (the
+    // log of a sum is not the sum of logs).
+    val streamDir = Files.createTempDirectory("dsir-stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("dsir-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = DocIngest.startDsirPartials(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-dsir").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    val served = DocIngest.dsirModelFromState(spark, stateDir)
+    val batch = operators.PipelineOps.dsirLamFrom(
+      spark, operators.PipelineOps.dsirBucketCounts(docs))
+    assert(canon(served) == canon(batch) && served.count() > 0,
+      "merged streamed DSIR counts must derive the exact batch log-ratio model")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the wipe discipline rewrites identical partials, no double count
+    runLoop(Files.createTempDirectory("ck-dsir2").toString)
+    assert(canon(DocIngest.dsirModelFromState(spark, stateDir)) == canon(batch),
+      "a replayed lineage must not double-count bucket frequencies")
+    // zero-batch state serves the DEFINED empty-corpus model (every
+    // bucket present, the batch derivation's own empty-input value) —
+    // a cold serving path never throws
+    val empty = Files.createTempDirectory("dsir-empty").toString
+    val none = DocIngest.dsirModelFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("b", "lam"))
+    assert(none.count() == batch.count(), "the empty model still enumerates every bucket")
   }
 
   test("continuous moment partials serve the exact batch principal direction") {
@@ -1631,7 +1673,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(!q.isActive)
     def canon(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))
     val served = EventStream.checksumFromState(spark, stateDir).collect().map(canon).toSeq
     val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
     assert(batch.nonEmpty && served == batch,

@@ -9,6 +9,7 @@ matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with views over
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -45,6 +46,79 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# Fixpoint-CC oracles (knn_components / knn_cluster_purity) restate the
+# Spark contraction loop as a recursive `reach` CTE whose row count is
+# sum(|component|^2) — 1.6e9 for the single 40k-node component at sf2,
+# infeasible in DuckDB. Past this budget the gate swaps the reach CTE for
+# an exact union-find over the SAME non-recursive edge prefix (the method
+# proven by hand at sf2 in round 14, SCALE.md) and leaves the oracle's
+# tail verbatim. Under the budget the original declarative SQL runs
+# unchanged (driver-identical).
+UF_BUDGET = int(os.environ.get("COMPARE_UF_BUDGET", "200000000"))
+# below this, never probe — declarative is cheap (gate sfs are ≤ 2k nodes)
+UF_PROBE_MIN_NODES = int(os.environ.get("COMPARE_UF_MIN_NODES", "5000"))
+
+_REACH_RE = None
+
+
+def unionfind_rewrite(con, sql: str) -> str:
+    """Swap an infeasible recursive-reach CC oracle for exact union-find.
+
+    Detects the canonical pattern `reach AS (...), <cc> AS (SELECT node AS
+    vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node)`. Computes the
+    edge set from the cheap non-recursive prefix, min-union union-find
+    (root of each component = min vec_id, exactly the oracle's min(lbl)
+    semantics), and splices the labels in as a registered table when the
+    reach bound sum(|comp|^2) exceeds UF_BUDGET. Returns SQL to execute.
+    """
+    import re
+    global _REACH_RE
+    if _REACH_RE is None:
+        _REACH_RE = re.compile(
+            r",\s*reach AS \(.*?\),\s*(\w+) AS \(SELECT node AS vec_id,"
+            r" min\(lbl\) AS cluster_id\s+FROM reach GROUP BY node\)",
+            re.DOTALL)
+    m = _REACH_RE.search(sql)
+    if m is None:
+        return sql
+    n_nodes = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+    if n_nodes < UF_PROBE_MIN_NODES:
+        return sql
+    prefix = sql[:m.start()]
+    edges = con.sql(prefix + " SELECT src, nbr FROM edges").fetchall()
+    nodes = [r[0] for r in con.sql("SELECT vec_id FROM embeddings").fetchall()]
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-union: the surviving root is the smaller id, so every
+            # final root IS its component's min label
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_size = {}
+    labels = []
+    for v in nodes:
+        r = find(v)
+        labels.append((v, r))
+        comp_size[r] = comp_size.get(r, 0) + 1
+    if sum(c * c for c in comp_size.values()) <= UF_BUDGET:
+        return sql  # declarative reach is feasible — run it unchanged
+    import pandas as pd
+    con.register("uf_cc", pd.DataFrame(labels, columns=["vec_id", "cluster_id"]))
+    cc = m.group(1)
+    print(f"  (union-find oracle: {len(nodes)} nodes, {len(edges)} edges, "
+          f"reach bound {sum(c * c for c in comp_size.values())} > {UF_BUDGET})")
+    return (prefix
+            + f", {cc} AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+              f" CAST(cluster_id AS BIGINT) AS cluster_id FROM uf_cc)"
+            + sql[m.end():])
+
 
 def _selftest() -> None:
     # Regression pins for the round-10 signed-zero false pass.
@@ -78,6 +152,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         if (only and name not in only) or name in skip:
             continue
         try:
+            sql = unionfind_rewrite(con, sql)
             exp = con.sql(sql).df()
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
