@@ -146,32 +146,48 @@ object Ivf extends QueryModule {
     * ABOVE both consumers: object vals initialize in declaration order
     * and a forward reference observes null (the round-14 TextOps
     * re-entrant-init lesson).
+    *
+    * Each assignment argmax is STAGED: a narrow (vec_id, cid, sim)
+    * projection feeds the window, so DuckDB's sort input is 24 B/row —
+    * the un-staged form carried the 64-dim vector lists into three
+    * 5×10⁷-row window sorts at derived-k sf2 and spilled >200 GB of
+    * temp (round-15 ENOSPC during the sf2 sweep). Same arithmetic,
+    * same rows, bit-identical output.
     */
   private[operators] val LloydOracleTail =
-    s"""a0 AS (SELECT e.vec_id, s.cid,
-                           row_number() OVER (PARTITION BY e.vec_id
-                             ORDER BY list_inner_product(e.dvec, s.dvec) / (e.nrm * s.nrm) DESC, s.cid) AS rk
-                    FROM e CROSS JOIN seeds s),
+    s"""a0p AS (SELECT e.vec_id, s.cid,
+                            list_inner_product(e.dvec, s.dvec) / (e.nrm * s.nrm) AS sim
+                     FROM e CROSS JOIN seeds s),
+             a0 AS (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rk
+                    FROM a0p),
              asg0 AS (SELECT vec_id, cid FROM a0 WHERE rk = 1),
              ex AS (SELECT a.cid, u.pos, u.v
                     FROM asg0 a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
              cm AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex GROUP BY 1, 2),
              cent AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm GROUP BY cid),
              cn0 AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent),
-             am AS (SELECT e.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY e.vec_id
-                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
-                    FROM e CROSS JOIN cn0 c),
+             amp AS (SELECT e.vec_id, c.cid,
+                            list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) AS sim
+                     FROM e CROSS JOIN cn0 c),
+             am AS (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rk
+                    FROM amp),
              asgm AS (SELECT vec_id, cid FROM am WHERE rk = 1),
              ex2 AS (SELECT a.cid, u.pos, u.v
                      FROM asgm a JOIN (SELECT vec_id, unnest(sv) AS v, generate_subscripts(sv, 1) AS pos FROM e) u USING (vec_id)),
              cm2 AS (SELECT cid, pos, sum(v) AS sv2, count(*) AS m FROM ex2 GROUP BY 1, 2),
              cent2 AS (SELECT cid, list(CAST(sv2 AS DOUBLE) / (m * 1000000.0) ORDER BY pos) AS cvec FROM cm2 GROUP BY cid),
              cn AS (SELECT cid, cvec, sqrt(list_inner_product(cvec, cvec)) AS cnrm FROM cent2),
-             a1 AS (SELECT e.vec_id, c.cid,
-                           row_number() OVER (PARTITION BY e.vec_id
-                             ORDER BY list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) DESC, c.cid) AS rk
-                    FROM e CROSS JOIN cn c),
+             a1p AS (SELECT e.vec_id, c.cid,
+                            list_inner_product(e.dvec, c.cvec) / (e.nrm * c.cnrm) AS sim
+                     FROM e CROSS JOIN cn c),
+             a1 AS (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY sim DESC, cid) AS rk
+                    FROM a1p),
              asg1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1)"""
 
   private[operators] val LloydOracleCte =
