@@ -170,36 +170,55 @@ object CurationOps extends QueryModule {
     * would overflow, so a 10¹²-doc corpus drops the scale to 10³ —
     * documented knob, same plan).
     */
+  /** Per-source additive reputation partials — (source, n_docs,
+    * sum_chars, sum_uniq): every column is a count or an exact
+    * ×10⁶-floored BIGINT sum, so slices merge by plain groupBy-sum.
+    * Shared by the declared `source_reputation` (one-shot over the
+    * corpus) and the continuous refresh
+    * ([[graft.streaming.DocIngest.startSourcePartials]]) — the grain
+    * the streaming store persists IS the batch derivation's first agg,
+    * so the two paths cannot drift.
+    */
+  private[graft] def sourcePartials(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(
+        col("source"),
+        length(col("text")).cast("long").as("nc"),
+        expr(
+          """CAST(floor(1000000.0 *
+            | (CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws))) AS BIGINT)""".stripMargin,
+        ).as("u"),
+      )
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nc").as("sum_chars"),
+        sum("u").as("sum_uniq"),
+      )
+
+  /** The blocked-flag derivation over (merged) per-source partials —
+    * the division-free cross-multiplied below-corpus-mean test. Kept
+    * separate from [[sourcePartials]] so the serving path of the
+    * continuous refresh states the identical comparison.
+    */
+  private[graft] def reputationFrom(perSrc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val glob = perSrc.agg(
+      sum("n_docs").as("g_docs"),
+      sum("sum_uniq").as("g_uniq"),
+    )
+    perSrc
+      .crossJoin(broadcast(glob)) // 1-row corpus totals
+      .withColumn("blocked", col("sum_uniq") * col("g_docs") < col("g_uniq") * col("n_docs"))
+      .select("source", "n_docs", "sum_chars", "sum_uniq", "blocked")
+      .orderBy("source")
+  }
+
   private val sourceReputation = DeclaredQuery(
     "source_reputation",
-    (s, d) => {
-      val perDoc = documents(s, d)
-        .withColumn("ws", expr("filter(split(text, ' '), x -> x <> '')"))
-        .select(
-          col("source"),
-          length(col("text")).cast("long").as("nc"),
-          expr(
-            """CAST(floor(1000000.0 *
-              | (CAST(size(array_distinct(ws)) AS DOUBLE) / size(ws))) AS BIGINT)""".stripMargin,
-          ).as("u"),
-        )
-      val perSrc = perDoc
-        .groupBy("source")
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum("nc").as("sum_chars"),
-          sum("u").as("sum_uniq"),
-        )
-      val glob = perSrc.agg(
-        sum("n_docs").as("g_docs"),
-        sum("sum_uniq").as("g_uniq"),
-      )
-      perSrc
-        .crossJoin(broadcast(glob)) // 1-row corpus totals
-        .withColumn("blocked", col("sum_uniq") * col("g_docs") < col("g_uniq") * col("n_docs"))
-        .select("source", "n_docs", "sum_chars", "sum_uniq", "blocked")
-        .orderBy("source")
-    },
+    (s, d) => reputationFrom(sourcePartials(documents(s, d))),
     Some("""WITH t AS (SELECT source, text,
                               list_filter(string_split(text, ' '), x -> x <> '') AS ws
                        FROM documents),
@@ -647,7 +666,64 @@ object CurationOps extends QueryModule {
             FROM c GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** k-anonymity audit (Sweeney 2002) — the privacy gate a data card
+    * answers before an event corpus ships for training: rows whose
+    * quasi-identifier tuple (event type, day, coarse value band) is
+    * shared by fewer than k records are re-identification candidates.
+    * One row per k ∈ {2, 5, 10}: small-class count, rows at risk, and
+    * the exact-ppm risk share — the curve that decides how much
+    * generalization (coarser bands) the release needs.
+    *
+    * Scale: the QI-class aggregation is the ONLY corpus-sized step (one
+    * map-side-combined hash agg to class cardinality); the k grid is a
+    * 3-row literal crossed against class rows (conditional sums — the
+    * `jaccard_threshold_sweep` shape), so zero-risk thresholds still
+    * emit. Day and band are integer arithmetic (epoch-µs floor
+    * division; floor(value/50) on the same IEEE double both engines
+    * read) — no calendar/locale functions, no float compares at the
+    * group key.
+    */
+  private val kAnonymity = DeclaredQuery(
+    "k_anonymity",
+    (s, d) => {
+      import s.implicits._
+      val classes = events(s, d)
+        .withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+        .withColumn("vb", expr("CAST(floor(value / 50.0) AS BIGINT)"))
+        .groupBy("event_type", "day_no", "vb")
+        .agg(count(lit(1)).as("csz"))
+      Seq(2L, 5L, 10L)
+        .toDF("k")
+        .crossJoin(classes)
+        .groupBy("k")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("csz") < col("k"), 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("csz") < col("k"), col("csz")).otherwise(0L)).as("rows_at_risk"),
+          sum(col("csz")).as("n_rows"),
+        )
+        .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
+        .select("k", "n_classes", "n_small", "rows_at_risk", "risk_ppm")
+        .orderBy("k")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day_no,
+                              CAST(floor(value / 50.0) AS BIGINT) AS vb,
+                              CAST(count(*) AS BIGINT) AS csz
+                       FROM events GROUP BY 1, 2, 3),
+            g AS (SELECT unnest([2, 5, 10]) AS k),
+            a AS (SELECT g.k, count(*) AS n_classes,
+                         CAST(sum(CASE WHEN c.csz < g.k THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+                         CAST(sum(CASE WHEN c.csz < g.k THEN c.csz ELSE 0 END) AS BIGINT)
+                           AS rows_at_risk,
+                         CAST(sum(c.csz) AS BIGINT) AS n_rows
+                  FROM g CROSS JOIN c GROUP BY 1)
+            SELECT CAST(k AS BIGINT) AS k, n_classes, n_small, rows_at_risk,
+                   (rows_at_risk * 1000000) // n_rows AS risk_ppm
+            FROM a ORDER BY k"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
-      ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage)
+      ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity)
 }

@@ -1983,13 +1983,123 @@ object DedupOps extends QueryModule {
              GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** SimHash bit-balance audit — the sketch-health diagnostic beside the
+    * calibration curves (`simhash_est` tunes the THRESHOLD; this checks
+    * the HASH): each of the 30 signature bits should split the corpus
+    * ~50/50 — a skewed bit (here |share − 500‰| > 100) carries less than
+    * one bit of discrimination, inflating collision (candidate) volume in
+    * every 6-bit chunk band that contains it. Template-heavy corpora and
+    * weak gram hashes both surface here before they surface as a
+    * candidate-explosion in `simhash_near_dup`.
+    *
+    * Scale: per-doc signatures come off the SHARED simhash-sigs substrate
+    * (the gram fold is not re-run); the 30 per-bit ones-counts are ONE
+    * pass of 31 conditional-sum aggregates with constant state (map-side
+    * combined), unpivoted by a literal stack — never a bit explode of the
+    * corpus. Output is exactly 30 rows at any corpus size; ×10³ shares by
+    * truncating integer division, exact cross-engine.
+    */
+  private val simhashBitBalance = DeclaredQuery(
+    "simhash_bit_balance",
+    (s, d) => {
+      val sigs = simhashSigs(s, d).select("doc_id", "sim").dropDuplicates("doc_id")
+      val aggs = count(lit(1)).as("n_docs") +:
+        (0 until 30).map(b =>
+          sum(when(shiftright(col("sim"), b).bitwiseAND(1) === 1, 1L).otherwise(0L)).as(s"o$b"),
+        )
+      val one = sigs.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = (0 until 30).map(b => s"CAST($b AS BIGINT), o$b").mkString(", ")
+      one
+        .select(col("n_docs"), expr(s"stack(30, $stackArgs)").as(Seq("bit", "n_ones")))
+        .withColumn("ones_e3", expr("n_ones * 1000 DIV n_docs"))
+        .withColumn(
+          "skewed",
+          when(abs(col("ones_e3") - 500) > 100, 1L).otherwise(0L),
+        )
+        .select("bit", "n_docs", "n_ones", "ones_e3", "skewed")
+        .orderBy("bit")
+    },
+    Some(s"""WITH $hashedGramsDuck,
+             sg AS (SELECT doc_id, $simhashDuck AS sim FROM h),
+             g AS (SELECT unnest(generate_series(0, 29)) AS bit),
+             b AS (SELECT g.bit,
+                          CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(CASE WHEN (sg.sim >> CAST(g.bit AS INTEGER)) & 1 = 1
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+                   FROM g CROSS JOIN sg GROUP BY 1)
+             SELECT bit, n_docs, n_ones,
+                    (n_ones * 1000) // n_docs AS ones_e3,
+                    CAST(CASE WHEN abs((n_ones * 1000) // n_docs - 500) > 100
+                              THEN 1 ELSE 0 END AS BIGINT) AS skewed
+             FROM b ORDER BY bit"""),
+  )
+
+  /** Gram-level split contamination — the n-gram-overlap decontamination
+    * criterion (`contamination_check`'s statistic) applied to the
+    * train/val split itself: per val-side language, how many of val's
+    * distinct trigrams also occur anywhere in train. `split_leak_audit`
+    * proves no near-dup PAIR straddles the split; this measures the
+    * residual SUB-document overlap that document-level dedup cannot
+    * remove (shared idioms, short boilerplate runs) — the number an eval
+    * author reads before claiming a held-out set is clean, and the
+    * baseline that makes a *regression* in split hygiene visible.
+    *
+    * Scale: rides two cached substrates (cc-labels for the split, gram
+    * rows for the trigrams) — no new corpus pass, no pair generation.
+    * Both distinct reductions are gram-cardinality hash aggs (map-side
+    * combined); the probe is one narrow equi-join on the 8-byte gram
+    * hash; output is language-cardinality. Text never shuffles.
+    */
+  private val splitNgramOverlap = DeclaredQuery(
+    "split_ngram_overlap",
+    (s, d) => {
+      val split = ccLabels(s, d).select(
+        col("node").as("doc_id"),
+        when(pmod(col("lbl"), lit(10)) < 8, lit("train")).otherwise(lit("val")).as("split"),
+      )
+      val g = gramRows(s, d).select("doc_id", "gh").join(split, Seq("doc_id"))
+      val tg = g.filter(col("split") === "train").select("gh").distinct()
+      val vg = g
+        .filter(col("split") === "val")
+        .join(documents(s, d).select("doc_id", "lang"), Seq("doc_id"))
+        .select("lang", "gh")
+        .distinct()
+      vg.join(tg.withColumn("hit", lit(1L)), Seq("gh"), "left")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_val_grams"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_overlap"),
+        )
+        .withColumn("overlap_ppm", expr("n_overlap * 1000000 DIV n_val_grams"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck,
+             sp AS (SELECT doc_id, CASE WHEN cluster_id % 10 < 8 THEN 'train' ELSE 'val' END AS split
+                    FROM lbl),
+             ge AS (SELECT doc_id, unnest(ghs) AS gh FROM h),
+             tg AS (SELECT DISTINCT ge.gh FROM ge JOIN sp USING (doc_id)
+                    WHERE sp.split = 'train'),
+             vg AS (SELECT DISTINCT dd.lang, ge.gh
+                    FROM ge JOIN sp USING (doc_id) JOIN documents dd USING (doc_id)
+                    WHERE sp.split = 'val'),
+             ov AS (SELECT vg.lang, CAST(count(*) AS BIGINT) AS n_val_grams,
+                           CAST(sum(CASE WHEN tg.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_overlap
+                    FROM vg LEFT JOIN tg ON vg.gh = tg.gh GROUP BY 1)
+             SELECT lang, n_val_grams, n_overlap,
+                    (n_overlap * 1000000) // n_val_grams AS overlap_ppm
+             FROM ov ORDER BY lang"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
       sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
       dedupSweepCost, containmentDedup, minhashBandStats, dedupLossBySource,
-      splitLeakAudit, dupQualityProfile)
+      splitLeakAudit, dupQualityProfile, simhashBitBalance, splitNgramOverlap)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

@@ -495,5 +495,65 @@ object PqOps extends QueryModule {
        |         WHERE a.vec_id <> pr.qid),
        |${rescoreDuck(IvfRescore)}""".stripMargin
 
-  override def queries: Seq[DeclaredQuery] = Seq(pqTopk, ivfPqTopk, pqRecall)
+  /** Per-subspace quantization distortion — the codebook-health number
+    * (mean squared reconstruction error per subspace, plus codeword
+    * occupancy) the NSub×K budget is tuned against: a subspace whose
+    * distortion dominates needs more codewords (or a rotation), a
+    * subspace using few of its K cells wastes code bits. `pq_recall`
+    * measures the END effect on search; this localizes WHICH subspace
+    * is losing the information — the two numbers together are the
+    * PQ tuning loop.
+    *
+    * Rides the declared encode chain verbatim (the shared subvector,
+    * codebook and assignment substrates — the measured quantizer IS the
+    * shipped one; the oracle reuses the same `cds` assignment CTE that
+    * produces the encoded corpus). Per-row squared error through the
+    * same codegen'd sequential fold as training, ×10⁶-floored to BIGINT
+    * at the row so the per-subspace sums are exact and order-invariant;
+    * output is exactly NSub rows at any corpus size. One corpus-sized
+    * (vec_id, sub)-keyed join against the codes + a broadcast codebook
+    * join — vectors themselves never shuffle.
+    */
+  private val pqDistortion = DeclaredQuery(
+    "pq_distortion",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val asg = assign(subVectors(s, d), codebook(s, d))
+      asg
+        .join(subVectors(s, d).select("vec_id", "sub", "svec"), Seq("vec_id", "sub"))
+        .join(broadcast(codebook(s, d)), Seq("sub", "cid"))
+        .withColumn("d_e6", expr(s"CAST(floor($DistExpr * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy("sub")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("cid")).as("cells_used"),
+          sum(col("d_e6")).as("sse_e6"),
+        )
+        .withColumn("mean_e6", expr("sse_e6 DIV n_vecs"))
+        .select(
+          col("sub").cast("long").as("sub"),
+          col("n_vecs"),
+          col("cells_used"),
+          col("sse_e6"),
+          col("mean_e6"),
+        )
+        .orderBy("sub")
+    },
+    Some(s"""WITH $EDuck,
+             ${pqCtes("")},
+             dd AS (SELECT a.sub, a.cid,
+                           CAST(floor(${l2Duck("v.svec", "c.cvec")} * 1000000.0 + 0.5) AS BIGINT)
+                             AS d_e6
+                    FROM cds a
+                    JOIN sv0 v USING (vec_id, sub)
+                    JOIN cb c ON c.sub = a.sub AND c.cid = a.cid)
+             SELECT CAST(sub AS BIGINT) AS sub,
+                    CAST(count(*) AS BIGINT) AS n_vecs,
+                    CAST(count(DISTINCT cid) AS BIGINT) AS cells_used,
+                    CAST(sum(d_e6) AS BIGINT) AS sse_e6,
+                    CAST(sum(d_e6) // count(*) AS BIGINT) AS mean_e6
+             FROM dd GROUP BY 1 ORDER BY 1"""),
+  )
+
+  override def queries: Seq[DeclaredQuery] = Seq(pqTopk, ivfPqTopk, pqRecall, pqDistortion)
 }

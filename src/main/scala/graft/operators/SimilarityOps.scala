@@ -1327,9 +1327,136 @@ object SimilarityOps extends QueryModule {
              FROM pb GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Reciprocity of the kNN graph — the metric-quality diagnostic beside
+    * [[hubnessStats]]: per rank, the fraction of directed top-3 edges
+    * whose REVERSE edge also exists (×10³ exact). In a well-conditioned
+    * metric space nearest-neighbor relations are largely mutual; low
+    * reciprocity at rank 1 is the classic hubness symptom (a hub sits in
+    * everyone's list but its own list ignores them), and mutual-kNN
+    * filters (the standard graph-clustering denoiser) keep exactly the
+    * edges this query counts.
+    *
+    * Scale: the edge substrate is 3n rows (k-bounded); the reverse-edge
+    * probe is a self-equi-join of that substrate on (src, nbr) — both
+    * sides edge-cardinality, un-hinted (AQE sizes it), never touching
+    * vectors — and the report is a rank-cardinality (3-row) agg.
+    * Integer ×10³ rate via truncating division, exact cross-engine.
+    */
+  private val knnReciprocity = DeclaredQuery(
+    "knn_reciprocity",
+    (s, d) => {
+      val e = knnEdges(s, d).select("src", "rank", "nbr")
+      val rev = e.select(col("nbr").as("src"), col("src").as("nbr"), lit(1L).as("has_rev"))
+      e.join(rev, Seq("src", "nbr"), "left")
+        .groupBy("rank")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          sum(when(col("has_rev").isNotNull, 1L).otherwise(0L)).as("n_mutual"),
+        )
+        .withColumn("mutual_e3", expr("n_mutual * 1000 DIV n_edges"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH $knnEdgesDuckCtes,
+             ke AS (SELECT src, rank, nbr FROM r WHERE rank <= 3),
+             rv AS (SELECT nbr AS src, src AS nbr FROM ke),
+             m AS (SELECT ke.rank,
+                          CAST(count(*) AS BIGINT) AS n_edges,
+                          CAST(sum(CASE WHEN rv.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+                   FROM ke LEFT JOIN rv ON ke.src = rv.src AND ke.nbr = rv.nbr
+                   GROUP BY 1)
+             SELECT rank, n_edges, n_mutual, (n_mutual * 1000) // n_edges AS mutual_e3
+             FROM m ORDER BY rank"""),
+  )
+
+  /** Semi-supervised label propagation over the kNN graph — the
+    * weak-supervision primitive (Zhu & Ghahramani 2002; the "spread the
+    * 20% you labeled to the 80% you didn't" step of semantic data
+    * curation): vectors with vec_id ≡ 0 (mod 5) act as labeled seeds,
+    * then TWO fixed majority-vote rounds assign each unlabeled vector
+    * the most frequent label among its top-3 neighbors' current labels
+    * (count desc, label asc tiebreak — deterministic at any
+    * partitioning). The declared output is the per-true-label audit the
+    * method is judged by: seeds, coverage after two hops, and agreement
+    * with the held-back truth.
+    *
+    * Scale: each round is ONE edge-substrate join (3n k-bounded rows)
+    * + a (src, label) count agg + a per-src argmax window on
+    * vote-cardinality rows ≤ 3n, and an anti-join against the ≤ n
+    * assigned set — vectors never move, rounds are fixed (2) so lineage
+    * is bounded; at 10⁹ vectors the same plan stands on the banded edge
+    * substrate. The oracle unrolls both vote rounds as chained CTEs.
+    */
+  private val labelPropagation = DeclaredQuery(
+    "label_propagation",
+    (s, d) => {
+      val emb = embeddings(s, d).select(col("vec_id"), col("label"))
+      val seeds = emb
+        .filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("v"), col("label").cast("long").as("lbl"))
+      val e = knnEdges(s, d).select("src", "nbr")
+      def vote(assigned: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src")
+          .orderBy(col("c").desc, col("lbl"))
+        e.join(assigned.select(col("v").as("nbr"), col("lbl")), Seq("nbr"))
+          .groupBy("src", "lbl")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(assigned.select(col("v").as("src")), Seq("src"), "left_anti")
+          .select(col("src").as("v"), col("lbl"))
+      }
+      val l1 = seeds.unionByName(vote(seeds))
+      val fin = l1.unionByName(vote(l1))
+      emb
+        .join(fin.select(col("v").as("vec_id"), col("lbl").as("prop")), Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("vec_id") % 5 === 0, 1L).otherwise(0L)).as("n_seeds"),
+          sum(when(col("vec_id") % 5 =!= 0 && col("prop").isNotNull, 1L).otherwise(0L))
+            .as("n_filled"),
+          sum(
+            when(col("vec_id") % 5 =!= 0 && col("prop") === col("label").cast("long"), 1L)
+              .otherwise(0L),
+          ).as("n_correct"),
+        )
+        .orderBy("label")
+    },
+    Some(s"""WITH $knnEdgesDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             sd AS (SELECT vec_id AS v, CAST(label AS BIGINT) AS lbl FROM embeddings
+                    WHERE vec_id % 5 = 0),
+             v1 AS (SELECT t.src AS v, t.lbl FROM (
+                      SELECT ke.src, a.lbl,
+                             row_number() OVER (PARTITION BY ke.src
+                                                ORDER BY count(*) DESC, a.lbl) AS rn
+                      FROM ke JOIN sd a ON ke.nbr = a.v
+                      GROUP BY ke.src, a.lbl) t
+                    WHERE t.rn = 1 AND t.src NOT IN (SELECT v FROM sd)),
+             l1 AS (SELECT * FROM sd UNION ALL SELECT * FROM v1),
+             v2 AS (SELECT t.src AS v, t.lbl FROM (
+                      SELECT ke.src, a.lbl,
+                             row_number() OVER (PARTITION BY ke.src
+                                                ORDER BY count(*) DESC, a.lbl) AS rn
+                      FROM ke JOIN l1 a ON ke.nbr = a.v
+                      GROUP BY ke.src, a.lbl) t
+                    WHERE t.rn = 1 AND t.src NOT IN (SELECT v FROM l1)),
+             fin AS (SELECT * FROM l1 UNION ALL SELECT * FROM v2)
+             SELECT e.label, count(*) AS n_vecs,
+                    CAST(sum(CASE WHEN e.vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+                    CAST(sum(CASE WHEN e.vec_id % 5 <> 0 AND f.lbl IS NOT NULL
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                    CAST(sum(CASE WHEN e.vec_id % 5 <> 0 AND f.lbl = CAST(e.label AS BIGINT)
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+             FROM embeddings e LEFT JOIN fin f ON e.vec_id = f.v
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled,
       annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
-      incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity)
+      incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity,
+      knnReciprocity, labelPropagation)
 }

@@ -1494,11 +1494,115 @@ object TemporalOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Inter-arrival burstiness per user — the bot/automation screen
+    * beside `user_type_entropy` (a cron job fires like a metronome, a
+    * human in bursts): the classic Goh–Barabási statistic restated
+    * sqrt-free as B = (σ² − μ²)/(σ² + μ²) ∈ [−1, 1] over each user's
+    * second-granularity event gaps — B → −1 periodic (bot-like), ≈ 0
+    * Poisson, → +1 heavy-tailed bursts (human-like). Users bucket into
+    * five named bands; the declared output is the band histogram a
+    * traffic-quality report carries.
+    *
+    * Exactness: with gaps as integer seconds, σ²−μ² and σ²+μ² are
+    * RATIONALS of the exact per-user sums (n, Σg, Σg²) — both engines
+    * form the identical wide-tier integer numerator/denominator
+    * (DECIMAL(38,0) ≡ HUGEINT; magnitude ≈ n⁴·E[g²] ≤ 10³⁸ up to ~6×10⁶
+    * events/user at a 30-day window — the round-15 bounds discipline;
+    * beyond that, gaps rescale to minutes) and divide once at display
+    * through the shared floor text. A var = mean = 0 user (all gaps
+    * sub-second) is pinned to −1000 (perfectly regular) in both
+    * engines. One user-keyed window + one user-grain agg is the only
+    * corpus-sized work; the band histogram is ≤ 5 rows.
+    */
+  private val gapBurstiness = DeclaredQuery(
+    "gap_burstiness",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val gaps = events(s, d)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"), expr("(us - prev_us) DIV 1000000").as("g"))
+      val perUser = gaps
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("g")).as("sg"),
+          sum((col("g").cast("decimal(38,0)") * col("g")).cast("decimal(38,0)")).as("sgg"),
+        )
+        .filter(col("n") >= 4)
+        .withColumn(
+          "num",
+          expr("""CAST(n AS DECIMAL(38,0)) * n * (n * sgg - CAST(sg AS DECIMAL(38,0)) * sg)
+                 |  - CAST(n AS DECIMAL(38,0)) * (n - 1) * CAST(sg AS DECIMAL(38,0)) * sg""".stripMargin),
+        )
+        .withColumn(
+          "den",
+          expr("""CAST(n AS DECIMAL(38,0)) * n * (n * sgg - CAST(sg AS DECIMAL(38,0)) * sg)
+                 |  + CAST(n AS DECIMAL(38,0)) * (n - 1) * CAST(sg AS DECIMAL(38,0)) * sg""".stripMargin),
+        )
+        .withColumn(
+          "b_e3",
+          expr("""CASE WHEN den = 0 THEN CAST(-1000 AS BIGINT)
+                 |     ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000.0 + 0.5)
+                 |               AS BIGINT) END""".stripMargin),
+        )
+        .withColumn(
+          "bucket",
+          expr("""CASE WHEN b_e3 < -600 THEN 'periodic'
+                 |     WHEN b_e3 < -200 THEN 'regular'
+                 |     WHEN b_e3 <= 200 THEN 'neutral'
+                 |     WHEN b_e3 <= 600 THEN 'bursty'
+                 |     ELSE 'extreme' END""".stripMargin),
+        )
+      perUser
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("n")).as("n_gaps"),
+          min(col("b_e3")).as("min_b_e3"),
+          max(col("b_e3")).as("max_b_e3"),
+        )
+        .orderBy("bucket")
+    },
+    Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                      ORDER BY epoch_us(ts), event_id) AS prev_us
+                       FROM events),
+            gp AS (SELECT user_id, (us - prev_us) // 1000000 AS g
+                   FROM x WHERE prev_us IS NOT NULL),
+            pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(g) AS BIGINT) AS sg,
+                          sum(CAST(g AS HUGEINT) * g) AS sgg
+                   FROM gp GROUP BY 1 HAVING count(*) >= 4),
+            bb AS (SELECT user_id, n,
+                          CAST(n AS HUGEINT) * n * (n * sgg - CAST(sg AS HUGEINT) * sg)
+                            - CAST(n AS HUGEINT) * (n - 1) * CAST(sg AS HUGEINT) * sg AS num,
+                          CAST(n AS HUGEINT) * n * (n * sgg - CAST(sg AS HUGEINT) * sg)
+                            + CAST(n AS HUGEINT) * (n - 1) * CAST(sg AS HUGEINT) * sg AS den
+                   FROM pu),
+            be AS (SELECT user_id, n,
+                          CASE WHEN den = 0 THEN CAST(-1000 AS BIGINT)
+                               ELSE CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                                               * 1000.0 + 0.5) AS BIGINT) END AS b_e3
+                   FROM bb),
+            bk AS (SELECT CASE WHEN b_e3 < -600 THEN 'periodic'
+                               WHEN b_e3 < -200 THEN 'regular'
+                               WHEN b_e3 <= 200 THEN 'neutral'
+                               WHEN b_e3 <= 600 THEN 'bursty'
+                               ELSE 'extreme' END AS bucket,
+                          n, b_e3
+                   FROM be)
+            SELECT bucket, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_gaps,
+                   min(b_e3) AS min_b_e3, max(b_e3) AS max_b_e3
+            FROM bk GROUP BY 1 ORDER BY 1"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
       eventTrigrams, wowGrowth, rollingActiveUsers, rollingActiveSketch, cumulativeUniqueSketch,
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
-      firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution)
+      firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness)
 }

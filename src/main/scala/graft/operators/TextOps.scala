@@ -1244,6 +1244,96 @@ object TextOps extends QueryModule {
             ORDER BY pmi_s DESC, bi.w1, bi.w2 LIMIT 20"""),
   )
 
+  /** Windowed skip-gram PMI — `cooccurrence_pmi` widened to the ±2
+    * window word2vec/GloVe actually train on (adjacent-only PMI finds
+    * frozen phrases; distance-2 pairs add the modifier-noun and
+    * verb-object signal): ordered pairs (w₁ before w₂, distance ≤ 2),
+    * PMI over the WINDOW pair distribution, with the per-distance
+    * counts split out so a pair that only ever collocates adjacently
+    * (a fixed phrase) is distinguishable from a loose association.
+    *
+    * Plan: the distance-1 arm is the shared `graft_gram_pairs` codegen
+    * kernel, the distance-2 arm one zip_with over shifted slices (the
+    * bigram-substrate shape, guarded for short docs); both arms are
+    * scan-local explodes unioned BEFORE the one pair-cardinality agg
+    * (map-side combined), marginals and N are rollups OF that table,
+    * the scoring joins un-hinted (vocabulary-cardinality), and the
+    * result is a TakeOrderedAndProject top-20 — text never shuffles.
+    * The four-ln ×10⁶-floored sum is the identical expression text in
+    * both engines (ln of products avoided: no BIGINT overflow at any
+    * corpus size).
+    */
+  private val skipgramPmi = DeclaredQuery(
+    "skipgram_pmi",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = documents(s, d).withColumn("toks", split(col("text"), " "))
+      val o1 = toks
+        .select(explode(expr("graft_gram_pairs(toks)")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"), lit(1).as("o"))
+      val o2 = toks
+        .select(
+          explode(
+            expr("""zip_with(slice(toks, 1, greatest(size(toks) - 2, 0)),
+                   |         slice(toks, 3, greatest(size(toks) - 2, 0)),
+                   |         (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin),
+          ).as("p"),
+        )
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"), lit(2).as("o"))
+      val bi = o1
+        .unionByName(o2)
+        .groupBy("w1", "w2")
+        .agg(
+          count(lit(1)).as("c12"),
+          sum(when(col("o") === 1, 1L).otherwise(0L)).as("c_adj"),
+          sum(when(col("o") === 2, 1L).otherwise(0L)).as("c_skip"),
+        )
+      val lm = bi.groupBy("w1").agg(sum("c12").as("c1"))
+      val rm = bi.groupBy("w2").agg(sum("c12").as("c2"))
+      val n = bi.agg(sum("c12").as("nn"))
+      bi.filter(col("c12") >= 5)
+        .join(lm, Seq("w1")) // un-hinted: vocabulary-cardinality
+        .join(rm, Seq("w2"))
+        .crossJoin(broadcast(n)) // 1×1 scalar
+        .withColumn(
+          "pmi_s",
+          expr("""CAST(floor((ln(CAST(c12 AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+                 |            - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                 |           * 1000000.0 + 0.5) AS BIGINT)""".stripMargin),
+        )
+        .select("w1", "w2", "c12", "c_adj", "c_skip", "pmi_s")
+        .orderBy(col("pmi_s").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            p1 AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                          THEN list_transform(generate_series(1, len(toks) - 1),
+                                              i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))
+                          ELSE [] END) AS p, 1 AS o
+                   FROM t),
+            p2 AS (SELECT unnest(CASE WHEN len(toks) >= 3
+                          THEN list_transform(generate_series(1, len(toks) - 2),
+                                              i -> struct_pack(w1 := toks[i], w2 := toks[i + 2]))
+                          ELSE [] END) AS p, 2 AS o
+                   FROM t),
+            pw AS (SELECT p.w1 AS w1, p.w2 AS w2, o FROM p1
+                   UNION ALL SELECT p.w1, p.w2, o FROM p2),
+            bi AS (SELECT w1, w2, count(*) AS c12,
+                          CAST(sum(CASE WHEN o = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_adj,
+                          CAST(sum(CASE WHEN o = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c_skip
+                   FROM pw GROUP BY 1, 2),
+            lm AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1),
+            rm AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM bi GROUP BY 1),
+            ns AS (SELECT CAST(sum(c12) AS BIGINT) AS nn FROM bi)
+            SELECT bi.w1, bi.w2, c12, c_adj, c_skip,
+                   CAST(floor((ln(CAST(c12 AS DOUBLE)) + ln(CAST(nn AS DOUBLE))
+                               - ln(CAST(c1 AS DOUBLE)) - ln(CAST(c2 AS DOUBLE)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS pmi_s
+            FROM bi JOIN lm USING (w1) JOIN rm USING (w2), ns
+            WHERE c12 >= 5
+            ORDER BY pmi_s DESC, bi.w1, bi.w2 LIMIT 20"""),
+  )
+
   /** Vocabulary coverage curve — the tokenizer/vocab-budget question
     * ("how many types cover p% of the token stream?"): smallest k such
     * that the top-k most frequent words cover ≥ {50, 90, 99}% of corpus
@@ -1392,7 +1482,7 @@ object TextOps extends QueryModule {
     tokenCount,
     langId,
     docFingerprint,
-    cooccurrencePmi,
+    cooccurrencePmi, skipgramPmi,
     vocabCoverage,
     ngramNovelty,
     exactDedupDocs,

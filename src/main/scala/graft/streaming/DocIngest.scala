@@ -417,6 +417,73 @@ object DocIngest {
     graft.operators.PipelineOps.dsirLamFrom(spark, merged)
   }
 
+  /** Continuous source-reputation refresh — the domain-grain curation
+    * monitor kept live as documents land: per-source (n_docs, sum_chars,
+    * sum_uniq) are counts and exact ×10⁶-floored BIGINT sums
+    * ([[graft.operators.CurationOps.sourcePartials]] — the SAME first
+    * aggregation the declared `source_reputation` runs), so per-batch
+    * partials land as idempotent `batch_<bid>` dirs and merge by
+    * groupBy-sum. Same bid-0 stale-lineage wipe as every additive store.
+    * State per batch dir is source-cardinality — corpus-independent.
+    */
+  def startSourcePartials(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.CurationOps
+          .sourcePartials(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the refreshed source-reputation report from landed partials
+    * — byte-identical to the declared `source_reputation` over the full
+    * stream: the partial merge is a plain groupBy-sum (addition is the
+    * only operation on either path) and the blocked-flag comparison is
+    * the SHARED [[graft.operators.CurationOps.reputationFrom]]
+    * cross-multiplied text, computed over MERGED totals (per-batch
+    * flags would be wrong — a source's standing depends on the corpus
+    * mean, which only exists after the merge). Zero committed batches
+    * serve the empty report, not an exception.
+    */
+  def sourceReputationFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val merged =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_docs", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_chars", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("sum_uniq", org.apache.spark.sql.types.LongType),
+          )),
+        )
+      else
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .groupBy("source")
+          .agg(
+            sum(col("n_docs")).as("n_docs"),
+            sum(col("sum_chars")).as("sum_chars"),
+            sum(col("sum_uniq")).as("sum_uniq"),
+          )
+    graft.operators.CurationOps.reputationFrom(merged)
+  }
+
   /** Merge the landed vocab partials into the refreshed (w, wc)
     * vocabulary — byte-identical to the one-shot corpus reduction
     * ([[graft.operators.BpeOps.vocabOf]] over the full stream) because

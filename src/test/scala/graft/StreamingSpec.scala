@@ -1481,6 +1481,48 @@ class StreamingSpec extends SparkSpec {
     assert(none.count() == batch.count(), "the empty model still enumerates every bucket")
   }
 
+  test("continuous source partials serve the exact batch reputation report (and survive replay)") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: every source receives documents from BOTH
+    // batches, so the additive (n_docs, sum_chars, sum_uniq) merge is
+    // really exercised — and the blocked flag depends on the CORPUS
+    // mean, which only exists after the merge (per-batch flags would
+    // differ).
+    val streamDir = Files.createTempDirectory("rep-stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("rep-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = DocIngest.startSourcePartials(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-rep").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toSet
+    val served = DocIngest.sourceReputationFromState(spark, stateDir)
+    val batch = operators.CurationOps.reputationFrom(operators.CurationOps.sourcePartials(docs))
+    assert(canon(served) == canon(batch) && served.count() > 0,
+      "merged streamed source partials must equal the one-shot reputation report")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the wipe discipline rewrites identical partials, no double count
+    runLoop(Files.createTempDirectory("ck-rep2").toString)
+    assert(canon(DocIngest.sourceReputationFromState(spark, stateDir)) == canon(batch),
+      "a replayed lineage must not double-count source sums")
+    // zero-batch state serves the empty report, not an exception
+    val empty = Files.createTempDirectory("rep-empty").toString
+    val none = DocIngest.sourceReputationFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("source", "n_docs", "sum_chars", "sum_uniq", "blocked"))
+    assert(none.count() == 0)
+  }
+
   test("continuous moment partials serve the exact batch principal direction") {
     import org.apache.spark.sql.functions._
     // id-parity split: both batches contribute to every moment cell, so
