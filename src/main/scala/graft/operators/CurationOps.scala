@@ -723,7 +723,65 @@ object CurationOps extends QueryModule {
             FROM a ORDER BY k"""),
   )
 
+  /** l-diversity audit — k-anonymity's stronger sibling (Machanavajjhala
+    * 2006): a QI class can be large yet still leak if every row in it
+    * shares the same SENSITIVE value (here the acting user), so the gate
+    * counts DISTINCT sensitive values per class. One row per
+    * l ∈ {2, 3, 5}: classes below l, rows in them, exact-ppm share —
+    * read together with `k_anonymity`, the two curves decide the
+    * generalization level a release needs.
+    *
+    * Scale: the class agg carries a distinct-count — per-class state is
+    * bounded by the sensitive-value cardinality inside a class (the
+    * quantity being audited; classes near the k/l thresholds are tiny
+    * by definition, and huge-class distinct state is exactly when the
+    * audit passes trivially — `distinct_sketch`'s bounded register is
+    * the documented swap if class×user state ever binds). The l grid is
+    * the 3-row literal conditional-sum shape.
+    */
+  private val lDiversity = DeclaredQuery(
+    "l_diversity",
+    (s, d) => {
+      import s.implicits._
+      val classes = events(s, d)
+        .withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+        .withColumn("vb", expr("CAST(floor(value / 50.0) AS BIGINT)"))
+        .groupBy("event_type", "day_no", "vb")
+        .agg(count(lit(1)).as("csz"), countDistinct(col("user_id")).as("ldiv"))
+      Seq(2L, 3L, 5L)
+        .toDF("l")
+        .crossJoin(classes)
+        .groupBy("l")
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(when(col("ldiv") < col("l"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("ldiv") < col("l"), col("csz")).otherwise(0L)).as("rows_at_risk"),
+          sum(col("csz")).as("n_rows"),
+        )
+        .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
+        .select("l", "n_classes", "n_low", "rows_at_risk", "risk_ppm")
+        .orderBy("l")
+    },
+    Some("""WITH c AS (SELECT event_type,
+                              epoch_us(ts) // 86400000000 AS day_no,
+                              CAST(floor(value / 50.0) AS BIGINT) AS vb,
+                              CAST(count(*) AS BIGINT) AS csz,
+                              CAST(count(DISTINCT user_id) AS BIGINT) AS ldiv
+                       FROM events GROUP BY 1, 2, 3),
+            g AS (SELECT unnest([2, 3, 5]) AS l),
+            a AS (SELECT g.l, count(*) AS n_classes,
+                         CAST(sum(CASE WHEN c.ldiv < g.l THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                         CAST(sum(CASE WHEN c.ldiv < g.l THEN c.csz ELSE 0 END) AS BIGINT)
+                           AS rows_at_risk,
+                         CAST(sum(c.csz) AS BIGINT) AS n_rows
+                  FROM g CROSS JOIN c GROUP BY 1)
+            SELECT CAST(l AS BIGINT) AS l, n_classes, n_low, rows_at_risk,
+                   (rows_at_risk * 1000000) // n_rows AS risk_ppm
+            FROM a ORDER BY l"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
-      ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity)
+      ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity,
+      lDiversity)
 }

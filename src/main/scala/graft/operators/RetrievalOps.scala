@@ -373,6 +373,85 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001,
+    * μ = 2000) — the language-model IR family beside [[bm25Rank]]'s
+    * probabilistic one (the two standard lexical scorers a hybrid stack
+    * A/B-tests): score(D) = Σ_{t∈Q} ln((tf_{t,D} + μ·p(t|C)) / (|D| + μ)),
+    * with the collection model p(t|C) = ctf_t/|C| folded in as exact
+    * integers (tf·|C| + μ·ctf over (len + μ)·|C| — no division inside
+    * the ln argument's construction).
+    *
+    * Absent query terms contribute too (the LM difference from BM25's
+    * matched-only sum): the per-doc fan-out is a LITERAL |Q|-element
+    * explode over the doc-length projection (scan-local, |Q|·n narrow
+    * rows), the sparse tf postings join is query-term-bounded
+    * (un-hinted; AQE broadcasts postings of |Q| terms), ctf/|C| are
+    * 3-row/1-row broadcast scalars. Each contribution is ×10⁶-floored
+    * to BIGINT from one shared double-chain text, the per-doc sum is
+    * exact, and the result is a TakeOrderedAndProject top-20.
+    */
+  private val QlmMu = 2000
+  private val QlmTopK = 20
+
+  private val qlmContrib =
+    s"CAST(floor((ln(CAST(tf0 AS DOUBLE) * c_tok + $QlmMu.0 * ctf)" +
+      s" - ln((len + $QlmMu.0) * CAST(c_tok AS DOUBLE)))" +
+      " * 1000000.0 + 0.5) AS BIGINT)"
+
+  private val dirichletQlm = DeclaredQuery(
+    "dirichlet_qlm",
+    (s, d) => {
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term").isin(QueryTerms: _*))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val ctf = words.groupBy("term").agg(count(lit(1)).as("ctf"))
+      val lens = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      val ctot = lens.agg(sum("len").as("c_tok"))
+      lens
+        .withColumn("term", explode(array(QueryTerms.map(lit): _*)))
+        .join(tf, Seq("doc_id", "term"), "left") // postings of |Q| terms — AQE-sized
+        .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+        .join(broadcast(ctf), Seq("term")) // |Q|-row collection frequencies
+        .crossJoin(broadcast(ctot)) // 1-row |C|
+        .withColumn("contrib", expr(qlmContrib))
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(QlmTopK)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))),
+        )
+        .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          wq AS (SELECT doc_id, term FROM w WHERE term IN ($termList)),
+          tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM wq GROUP BY 1, 2),
+          ctft AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM wq GROUP BY 1),
+          lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                   FROM documents),
+          ctot AS (SELECT CAST(sum(len) AS BIGINT) AS c_tok FROM lens),
+          grid AS (SELECT lens.doc_id, lens.len, qt.term
+                   FROM lens CROSS JOIN (SELECT unnest([$termList]) AS term) qt),
+          sc AS (SELECT g.doc_id,
+                        coalesce(tf.tf, 0) AS tf0, c.ctf, g.len, t.c_tok
+                 FROM grid g
+                 LEFT JOIN tf ON g.doc_id = tf.doc_id AND g.term = tf.term
+                 JOIN ctft c ON g.term = c.term
+                 CROSS JOIN ctot t),
+          cb AS (SELECT doc_id, $qlmContrib AS contrib FROM sc),
+          tot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM cb GROUP BY 1),
+          r AS (SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tot)
+          SELECT doc_id, score, rank FROM r WHERE rank <= $QlmTopK ORDER BY rank"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
-    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion)
+    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm)
 }

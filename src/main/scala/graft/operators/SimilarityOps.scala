@@ -1062,6 +1062,80 @@ object SimilarityOps extends QueryModule {
              FROM g2 ORDER BY label"""),
   )
 
+  /** Pairwise label-centroid cosine matrix — the confusion-RISK map
+    * (which class pairs sit close in embedding space) read before the
+    * errors show up in `nearest_centroid_confusion`: close centroids
+    * predict cross-label near-dup chains (`knn_cluster_purity`'s
+    * failure mode) and justify per-pair margin tuning in contrastive
+    * training. The upper triangle (la < lb) of labels² rows.
+    *
+    * Same exactness discipline as `centroid_shift`: per-(label, dim)
+    * sums are ×10⁴-quantized BIGINTs (1/n cancels in cosine — raw sums
+    * suffice), their products accumulate on the DECIMAL(38) ≡ HUGEINT
+    * wide tier (the round-15 census class), one pinned double division
+    * chain at display. One posexplode + (label, dim) map-side-combined
+    * agg (labels × D rows) and a dim-keyed self-join of that
+    * MODEL-SIZED table — the corpus vectors never shuffle.
+    */
+  private val centroidDistanceMatrix = DeclaredQuery(
+    "centroid_distance_matrix",
+    (s, d) => {
+      val dims = embeddings(s, d)
+        .withColumn(
+          "qv",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0 + 0.5) AS BIGINT))"),
+        )
+        .select(col("label"), posexplode(col("qv")).as(Seq("k", "v")))
+        .groupBy("label", "k")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      val a = dims.select(col("label").as("la"), col("k"), col("sv").as("sa"), col("cnt").as("na"))
+      val b =
+        dims.select(col("label").as("lb"), col("k").as("k2"), col("sv").as("sb"), col("cnt").as("nb"))
+      a.join(b, a("k") === b("k2") && a("la") < b("lb"))
+        .groupBy("la", "lb")
+        .agg(
+          max("na").as("n_a"),
+          max("nb").as("n_b"),
+          sum((col("sa").cast("decimal(38,0)") * col("sb")).cast("decimal(38,0)")).as("sab"),
+          sum((col("sa").cast("decimal(38,0)") * col("sa")).cast("decimal(38,0)")).as("saa"),
+          sum((col("sb").cast("decimal(38,0)") * col("sb")).cast("decimal(38,0)")).as("sbb"),
+        )
+        .select(
+          col("la"),
+          col("lb"),
+          col("n_a"),
+          col("n_b"),
+          Disp.roundz(
+            expr("""CAST(sab AS DOUBLE)
+                    / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0.0D)"""),
+            6,
+          ).as("cos_ab"),
+        )
+        .orderBy("la", "lb")
+    },
+    Some(s"""WITH q AS (SELECT vec_id, label,
+                               list_transform(embedding::DOUBLE[],
+                                 x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv
+                        FROM embeddings),
+             dims AS (SELECT label, k,
+                             CAST(sum(qv[k + 1]) AS BIGINT) AS sv, count(*) AS cnt
+                      FROM q, generate_series(0, ${Dim - 1}) g(k)
+                      GROUP BY 1, 2),
+             j AS (SELECT a.label AS la, b.label AS lb, a.sv AS sa, b.sv AS sb,
+                          a.cnt AS na, b.cnt AS nb
+                   FROM dims a JOIN dims b ON a.k = b.k AND a.label < b.label),
+             g2 AS (SELECT la, lb, max(na) AS n_a, max(nb) AS n_b,
+                           CAST(sum(CAST(sa AS HUGEINT) * sb) AS HUGEINT) AS sab,
+                           CAST(sum(CAST(sa AS HUGEINT) * sa) AS HUGEINT) AS saa,
+                           CAST(sum(CAST(sb AS HUGEINT) * sb) AS HUGEINT) AS sbb
+                    FROM j GROUP BY 1, 2)
+             SELECT la, lb, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+                    (round(CAST(sab AS DOUBLE)
+                          / nullif(sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 0.0), 6) + 0.0)
+                      AS cos_ab
+             FROM g2 ORDER BY la, lb"""),
+  )
+
   /** Per-batch incremental ANN — the continuous-embedding-ingest check
     * (`incremental_dedup`'s shape on the vector domain, the query side
     * of EmbedIngest's continuous cell appends): each new vector (the
@@ -1458,5 +1532,5 @@ object SimilarityOps extends QueryModule {
       annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
       incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity,
-      knnReciprocity, labelPropagation)
+      knnReciprocity, labelPropagation, centroidDistanceMatrix)
 }

@@ -1494,6 +1494,57 @@ object TemporalOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Traffic anomaly queue — the consumer of `dow_seasonality`'s
+    * envelope as a first-class report: the ten (type, day) cells whose
+    * event count deviates most from their own day-of-week mean
+    * (deploy regression, bot flood, feed outage candidates — the rows
+    * an on-call dashboard surfaces first). Ranked by the division-free
+    * integer deviation dev_ppm = |c·n_days − Σc|·10⁶ DIV Σc — exact at
+    * any scale, no float baseline, full-key tiebreak. A top-N queue
+    * rather than a fixed threshold: relative deviation shrinks as
+    * per-cell counts grow (√n concentration), so any literal cutoff is
+    * either empty at large sf or floods at small sf — the ranking form
+    * is satisfiable at EVERY scale (the zorder_scan lesson applied to
+    * thresholds).
+    *
+    * Scale: the (type, day)-grain agg is the only corpus-sized step
+    * (the `rolling_active_users` two-level discipline); the envelope
+    * rollup, the join back, and the top-10 (TakeOrderedAndProject) are
+    * day-grain — calendar-bounded rows. Weekday from shared epoch-day
+    * arithmetic ((day + 4) % 7) — never engine dow().
+    */
+  private val trafficAnomaly = DeclaredQuery(
+    "traffic_anomaly",
+    (s, d) => {
+      val dayCounts = events(s, d)
+        .withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+        .groupBy("event_type", "day_no")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", expr("(day_no + 4) % 7"))
+      val base = dayCounts
+        .groupBy("event_type", "dow")
+        .agg(sum("c").as("sum_c"), count(lit(1)).as("n_days"))
+      dayCounts
+        .join(base, Seq("event_type", "dow")) // day-grain × envelope: both calendar-bounded
+        .withColumn("dev_ppm", expr("abs(c * n_days - sum_c) * 1000000 DIV sum_c"))
+        .select("event_type", "day_no", "dow", "c", "n_days", "sum_c", "dev_ppm")
+        .orderBy(col("dev_ppm").desc, col("event_type"), col("day_no"))
+        .limit(10)
+    },
+    Some("""WITH dc AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            dd AS (SELECT event_type, day_no, (day_no + 4) % 7 AS dow, c FROM dc),
+            base AS (SELECT event_type, dow, CAST(sum(c) AS BIGINT) AS sum_c,
+                            CAST(count(*) AS BIGINT) AS n_days
+                     FROM dd GROUP BY 1, 2)
+            SELECT dd.event_type, dd.day_no, dd.dow, dd.c, base.n_days, base.sum_c,
+                   (abs(dd.c * base.n_days - base.sum_c) * 1000000) // base.sum_c AS dev_ppm
+            FROM dd JOIN base USING (event_type, dow)
+            ORDER BY dev_ppm DESC, dd.event_type, dd.day_no LIMIT 10"""),
+  )
+
   /** Inter-arrival burstiness per user — the bot/automation screen
     * beside `user_type_entropy` (a cron job fires like a metronome, a
     * human in bursts): the classic Goh–Barabási statistic restated
@@ -1604,5 +1655,6 @@ object TemporalOps extends QueryModule {
       eventTrigrams, wowGrowth, rollingActiveUsers, rollingActiveSketch, cumulativeUniqueSketch,
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
-      firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness)
+      firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
+      trafficAnomaly)
 }
