@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the round-15 second/third blocks — the
+  * checks the hash gate can't express: conservation laws, bounds, and
+  * cross-query consistency between the new queries and the substrates
+  * they claim to ride.
+  */
+class Round15bOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("knn_reciprocity conserves the knn_graph edge set and counts true mutual pairs") {
+    val edges = run("knn_graph")
+      .select("src", "nbr")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = run("knn_reciprocity").collect()
+    assert(rows.map(_.getLong(1)).sum == edges.length,
+      "per-rank edge counts must sum to the declared edge set")
+    val set = edges.toSet
+    val wantMutual = edges.count { case (s, n) => set.contains((n, s)) }
+    assert(rows.map(_.getLong(2)).sum == wantMutual,
+      "mutual counts must equal an independent set-membership recount")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "mutual <= edges per rank")
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1), "rate arithmetic")
+    }
+  }
+
+  test("label_propagation: seeds counted exactly, coverage and agreement bounded") {
+    val rows = run("label_propagation").collect()
+    val emb = Tables.embeddings(spark, sfDir)
+    assert(rows.map(_.getLong(1)).sum == emb.count(), "label partition covers the corpus")
+    val wantSeeds = emb.filter(col("vec_id") % 5 === 0).count()
+    assert(rows.map(_.getLong(2)).sum == wantSeeds, "seed count = vec_id % 5 == 0 rows")
+    rows.foreach { r =>
+      val (n, seeds, filled, correct) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(correct <= filled, "agreement only among filled vectors")
+      assert(filled <= n - seeds, "filled only among non-seeds")
+    }
+    // two hops over a top-3 graph on clustered fixtures must label most
+    // of the corpus — a propagation that fills ~nothing is a wiring bug
+    val filled = rows.map(_.getLong(3)).sum
+    val nonSeeds = rows.map(_.getLong(1)).sum - wantSeeds
+    assert(filled * 10 >= nonSeeds * 5, s"two-hop coverage collapsed: $filled of $nonSeeds")
+  }
+
+  test("simhash_bit_balance: 30 bits, doc count constant, shares consistent") {
+    val rows = run("simhash_bit_balance").collect()
+    assert(rows.length == 30)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == nDocs, "every bit row audits the whole corpus")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= nDocs)
+      assert(r.getLong(3) == r.getLong(2) * 1000 / nDocs)
+      assert(r.getLong(4) == (if (math.abs(r.getLong(3) - 500) > 100) 1L else 0L))
+    }
+  }
+
+  test("split_ngram_overlap: containment bounded and consistent with the split") {
+    val rows = run("split_ngram_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "overlap cannot exceed val grams")
+      assert(r.getLong(3) == r.getLong(2) * 1000000 / r.getLong(1))
+    }
+  }
+
+  test("k_anonymity and l_diversity: grids monotone, totals constant, cross-consistent") {
+    val ka = run("k_anonymity").collect()
+    val ld = run("l_diversity").collect()
+    // n_classes and n_rows identical on every grid row (same class table)
+    assert(ka.map(_.getLong(1)).distinct.length == 1)
+    assert(ka.map(_.getLong(3)).max <= ka.head.getLong(1) * ka.map(_.getLong(0)).max)
+    // risk is monotone in the threshold
+    assert(ka.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "classes below k must be non-decreasing in k")
+    assert(ld.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "classes below l must be non-decreasing in l")
+    // at the shared threshold 2: ldiv <= csz, so csz < 2 implies ldiv < 2
+    val ka2 = ka.find(_.getLong(0) == 2L).get.getLong(2)
+    val ld2 = ld.find(_.getLong(0) == 2L).get.getLong(2)
+    assert(ld2 >= ka2, "low-diversity classes must include every small class at the same bound")
+  }
+
+  test("gap_burstiness: bands partition the qualifying users, B within [-1000, 1000]") {
+    val rows = run("gap_burstiness").collect()
+    val wantUsers = Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5) // >= 5 events = >= 4 gaps
+      .count()
+    assert(rows.map(_.getLong(1)).sum == wantUsers,
+      "band histogram must partition users with >= 4 gaps")
+    rows.foreach { r =>
+      assert(r.getLong(3) >= -1000 && r.getLong(4) <= 1000, "B is a bounded statistic")
+      assert(r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("pq_distortion: one row per subspace, occupancy and error bounded") {
+    val rows = run("pq_distortion").collect()
+    assert(rows.length == 8, "NSub rows")
+    val n = Tables.embeddings(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, "every subspace encodes the whole corpus")
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 16, "occupancy within the K budget")
+      assert(r.getLong(3) >= 0 && r.getLong(4) == r.getLong(3) / n)
+    }
+  }
+
+  test("skipgram_pmi: distance split conserves the pair count; min-count respected") {
+    run("skipgram_pmi").collect().foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4), "c12 = c_adj + c_skip")
+      assert(r.getLong(2) >= 5, "min-count filter")
+    }
+  }
+
+  test("centroid_distance_matrix: strict upper triangle, cosine within [-1, 1]") {
+    val rows = run("centroid_distance_matrix").collect()
+    val labels = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(rows.length == labels * (labels - 1) / 2, "one row per unordered label pair")
+    rows.foreach { r =>
+      assert(r.getInt(0) < r.getInt(1), "upper triangle only")
+      val c = r.getDouble(4)
+      assert(c >= -1.0000001 && c <= 1.0000001, s"cosine out of range: $c")
+    }
+  }
+
+  test("dirichlet_qlm: dense ranks, scores non-increasing") {
+    val rows = run("dirichlet_qlm").collect()
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length))
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("traffic_anomaly: a full queue, ranked by exact deviation") {
+    val rows = run("traffic_anomaly").collect()
+    assert(rows.length == 10, "top-10 queue must be satisfiable at every sf")
+    val devs = rows.map(_.getLong(6))
+    assert(devs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)), "descending dev_ppm")
+    rows.foreach { r =>
+      assert(r.getLong(6) == math.abs(r.getLong(3) * r.getLong(4) - r.getLong(5)) * 1000000 / r.getLong(5))
+    }
+  }
+}
