@@ -683,29 +683,75 @@ object CurationOps extends QueryModule {
     * read) — no calendar/locale functions, no float compares at the
     * group key.
     */
+  /** The QI × acting-user grain both privacy audits reduce through —
+    * (event_type, day, value band, user_id, c): the row count per cell
+    * is ADDITIVE (slices merge by groupBy-sum) and the class-level
+    * distinct-user count is a dedup over grain rows, so the grain is
+    * exactly what the continuous privacy store persists
+    * ([[graft.streaming.EventStream.startQiGrain]]) — the audits served
+    * from state ride the SAME [[qiClasses]]/[[kAnonymityFrom]]/
+    * [[lDiversityFrom]] pipeline as the declared queries and cannot
+    * drift from them.
+    */
+  private[graft] def qiUserGrain(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+      .withColumn("vb", expr("CAST(floor(value / 50.0) AS BIGINT)"))
+      .groupBy("event_type", "day_no", "vb", "user_id")
+      .agg(count(lit(1)).as("c"))
+
+  /** QI classes from (merged) grain rows: size + distinct sensitive
+    * values per class.
+    */
+  private[graft] def qiClasses(grain: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    grain
+      .groupBy("event_type", "day_no", "vb")
+      .agg(sum("c").as("csz"), countDistinct(col("user_id")).as("ldiv"))
+
+  private[graft] def kAnonymityFrom(
+      s: org.apache.spark.sql.SparkSession,
+      classes: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq(2L, 5L, 10L)
+      .toDF("k")
+      .crossJoin(classes)
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("csz") < col("k"), 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("csz") < col("k"), col("csz")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("csz")).as("n_rows"),
+      )
+      .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
+      .select("k", "n_classes", "n_small", "rows_at_risk", "risk_ppm")
+      .orderBy("k")
+  }
+
+  private[graft] def lDiversityFrom(
+      s: org.apache.spark.sql.SparkSession,
+      classes: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Seq(2L, 3L, 5L)
+      .toDF("l")
+      .crossJoin(classes)
+      .groupBy("l")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("ldiv") < col("l"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("ldiv") < col("l"), col("csz")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("csz")).as("n_rows"),
+      )
+      .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
+      .select("l", "n_classes", "n_low", "rows_at_risk", "risk_ppm")
+      .orderBy("l")
+  }
+
   private val kAnonymity = DeclaredQuery(
     "k_anonymity",
-    (s, d) => {
-      import s.implicits._
-      val classes = events(s, d)
-        .withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
-        .withColumn("vb", expr("CAST(floor(value / 50.0) AS BIGINT)"))
-        .groupBy("event_type", "day_no", "vb")
-        .agg(count(lit(1)).as("csz"))
-      Seq(2L, 5L, 10L)
-        .toDF("k")
-        .crossJoin(classes)
-        .groupBy("k")
-        .agg(
-          count(lit(1)).as("n_classes"),
-          sum(when(col("csz") < col("k"), 1L).otherwise(0L)).as("n_small"),
-          sum(when(col("csz") < col("k"), col("csz")).otherwise(0L)).as("rows_at_risk"),
-          sum(col("csz")).as("n_rows"),
-        )
-        .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
-        .select("k", "n_classes", "n_small", "rows_at_risk", "risk_ppm")
-        .orderBy("k")
-    },
+    (s, d) => kAnonymityFrom(s, qiClasses(qiUserGrain(events(s, d)))),
     Some("""WITH c AS (SELECT event_type,
                               epoch_us(ts) // 86400000000 AS day_no,
                               CAST(floor(value / 50.0) AS BIGINT) AS vb,
@@ -741,27 +787,7 @@ object CurationOps extends QueryModule {
     */
   private val lDiversity = DeclaredQuery(
     "l_diversity",
-    (s, d) => {
-      import s.implicits._
-      val classes = events(s, d)
-        .withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
-        .withColumn("vb", expr("CAST(floor(value / 50.0) AS BIGINT)"))
-        .groupBy("event_type", "day_no", "vb")
-        .agg(count(lit(1)).as("csz"), countDistinct(col("user_id")).as("ldiv"))
-      Seq(2L, 3L, 5L)
-        .toDF("l")
-        .crossJoin(classes)
-        .groupBy("l")
-        .agg(
-          count(lit(1)).as("n_classes"),
-          sum(when(col("ldiv") < col("l"), 1L).otherwise(0L)).as("n_low"),
-          sum(when(col("ldiv") < col("l"), col("csz")).otherwise(0L)).as("rows_at_risk"),
-          sum(col("csz")).as("n_rows"),
-        )
-        .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
-        .select("l", "n_classes", "n_low", "rows_at_risk", "risk_ppm")
-        .orderBy("l")
-    },
+    (s, d) => lDiversityFrom(s, qiClasses(qiUserGrain(events(s, d)))),
     Some("""WITH c AS (SELECT event_type,
                               epoch_us(ts) // 86400000000 AS day_no,
                               CAST(floor(value / 50.0) AS BIGINT) AS vb,

@@ -476,6 +476,82 @@ object EventStream {
       spark.read.parquet(s"$stateDir/batch_*"),
     )
 
+  /** Continuous privacy auditing — the QI × acting-user grain behind
+    * `k_anonymity` / `l_diversity` kept live as events land: per
+    * micro-batch the slice reduces to
+    * ([[graft.operators.CurationOps.qiUserGrain]]) rows whose count
+    * column is ADDITIVE, so the store is the additive batch-dir
+    * pattern (idempotent per-bid overwrite + the bid-0 stale-lineage
+    * wipe — counts, unlike the day-user dedup grain, are NOT
+    * replay-safe without it). Class sizes merge by sum; distinct
+    * sensitive values dedup across grain rows at serve time (set
+    * semantics — union of slices is exactly the corpus dedup). State
+    * per batch dir is QI-class × active-user cardinality of the SLICE,
+    * not the corpus.
+    */
+  def startQiGrain(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.CurationOps
+          .qiUserGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The merged QI class table from landed grain partials — the shared
+    * first step of both served audits: per-(class, user) counts sum
+    * across batch dirs, then the SAME
+    * [[graft.operators.CurationOps.qiClasses]] reduction the declared
+    * queries run. Zero committed batches serve the empty class table
+    * (both audits then emit zero rows — a defined cold read).
+    */
+  private def qiClassesFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val grain =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("day_no", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("vb", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
+          )),
+        )
+      else
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .groupBy("event_type", "day_no", "vb", "user_id")
+          .agg(sum(col("c")).as("c"))
+    graft.operators.CurationOps.qiClasses(grain)
+  }
+
+  /** Serve `k_anonymity` from the live grain — byte-identical to the
+    * declared batch query over the full stream (shared grain reduction
+    * + shared grid derivation).
+    */
+  def kAnonymityFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.CurationOps.kAnonymityFrom(spark, qiClassesFromState(spark, stateDir))
+
+  /** Serve `l_diversity` from the same live grain. */
+  def lDiversityFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.CurationOps.lDiversityFrom(spark, qiClassesFromState(spark, stateDir))
+
   /** Continuous quantile monitoring — the streaming twin of the
     * `histogram_quantile` sketch: per micro-batch, the
     * (event_type, value) slice reduces to fixed-extent bin partials (the

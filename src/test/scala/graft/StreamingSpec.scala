@@ -1523,6 +1523,54 @@ class StreamingSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("continuous QI grain serves the exact batch privacy audits (and survives replay)") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: every QI class receives events from BOTH batches
+    // and users appear on both sides, so BOTH merge algebras are really
+    // exercised — additive class sizes (sum across slices) AND the
+    // distinct-sensitive dedup (a user seen in two slices must count
+    // once).
+    val streamDir = Files.createTempDirectory("qi-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("qi-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EventStream.startQiGrain(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-qi").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+    val ka = EventStream.kAnonymityFromState(spark, stateDir)
+    val ld = EventStream.lDiversityFromState(spark, stateDir)
+    val kaBatch = SparkEntry.queries("k_anonymity")(spark, sfDir)
+    val ldBatch = SparkEntry.queries("l_diversity")(spark, sfDir)
+    assert(canon(ka) == canon(kaBatch) && ka.count() == 3,
+      "k-anonymity served from grain must equal the declared batch audit")
+    assert(canon(ld) == canon(ldBatch) && ld.count() == 3,
+      "l-diversity served from grain must equal the declared batch audit")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the wipe discipline rewrites identical partials; without it the
+    // ADDITIVE class sizes would double (unlike the dedup day-user
+    // grain, counts are not replay-safe by construction)
+    runLoop(Files.createTempDirectory("ck-qi2").toString)
+    assert(canon(EventStream.kAnonymityFromState(spark, stateDir)) == canon(kaBatch),
+      "a replayed lineage must not double-count class sizes")
+    // zero-batch state serves the empty (defined) audit, not an exception
+    val empty = Files.createTempDirectory("qi-empty").toString
+    val none = EventStream.kAnonymityFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("k", "n_classes", "n_small", "rows_at_risk", "risk_ppm"))
+    assert(none.count() == 0)
+  }
+
   test("continuous moment partials serve the exact batch principal direction") {
     import org.apache.spark.sql.functions._
     // id-parity split: both batches contribute to every moment cell, so
