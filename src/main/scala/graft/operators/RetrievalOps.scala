@@ -398,35 +398,41 @@ object RetrievalOps extends QueryModule {
       s" - ln((len + $QlmMu.0) * CAST(c_tok AS DOUBLE)))" +
       " * 1000000.0 + 0.5) AS BIGINT)"
 
+  /** The ranked QLM top-k — shared by the declared `dirichlet_qlm` and
+    * the `ranker_agreement` comparison arm, so the measured ranking IS
+    * the declared one.
+    */
+  private def qlmRanked(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val words = documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term").isin(QueryTerms: _*))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = words.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val lens = documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+    val ctot = lens.agg(sum("len").as("c_tok"))
+    lens
+      .withColumn("term", explode(array(QueryTerms.map(lit): _*)))
+      .join(tf, Seq("doc_id", "term"), "left") // postings of |Q| terms — AQE-sized
+      .withColumn("tf0", coalesce(col("tf"), lit(0L)))
+      .join(broadcast(ctf), Seq("term")) // |Q|-row collection frequencies
+      .crossJoin(broadcast(ctot)) // 1-row |C|
+      .withColumn("contrib", expr(qlmContrib))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(QlmTopK)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))),
+      )
+      .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
+  }
+
   private val dirichletQlm = DeclaredQuery(
     "dirichlet_qlm",
-    (s, d) => {
-      val words = documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term").isin(QueryTerms: _*))
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val ctf = words.groupBy("term").agg(count(lit(1)).as("ctf"))
-      val lens = documents(s, d)
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
-      val ctot = lens.agg(sum("len").as("c_tok"))
-      lens
-        .withColumn("term", explode(array(QueryTerms.map(lit): _*)))
-        .join(tf, Seq("doc_id", "term"), "left") // postings of |Q| terms — AQE-sized
-        .withColumn("tf0", coalesce(col("tf"), lit(0L)))
-        .join(broadcast(ctf), Seq("term")) // |Q|-row collection frequencies
-        .crossJoin(broadcast(ctot)) // 1-row |C|
-        .withColumn("contrib", expr(qlmContrib))
-        .groupBy("doc_id")
-        .agg(sum("contrib").as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(QlmTopK)
-        .withColumn(
-          "rank",
-          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))),
-        )
-        .select(col("doc_id"), col("score"), col("rank").cast("long").as("rank"))
-        .orderBy("rank")
-    },
+    (s, d) => qlmRanked(s, d).orderBy("rank"),
     Some {
       val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -452,6 +458,85 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  /** Ranker-agreement curve — the offline IR eval run before swapping
+    * lexical scorers (or weighting a fusion): top-depth overlap between
+    * the BM25 and Dirichlet-QLM rankings at depth ∈ {1, 3, 5, 10, 20}.
+    * High agreement at shallow depth means the scorers are
+    * interchangeable for head traffic; divergence localizes where a
+    * fusion (`rrf_fusion`'s shape) actually buys diversity. Both arms
+    * are the SHARED ranked helpers behind the declared queries
+    * ([[bm25Ranked]], [[qlmRanked]]) — the measured rankers ARE the
+    * deployed ones.
+    *
+    * Scale: each arm is already a k-row TakeOrderedAndProject; the
+    * comparison is a k-row full-outer join crossed with a 5-row literal
+    * depth grid (conditional sums — the threshold-sweep shape). Exact
+    * integer overlap, ×10³ by truncating division.
+    */
+  private val AgreementDepths = Seq(1L, 3L, 5L, 10L, 20L)
+  private val rankerAgreement = DeclaredQuery(
+    "ranker_agreement",
+    (s, d) => {
+      import s.implicits._
+      val lex = bm25Ranked(s, d).select(col("doc_id"), col("rank").as("rl"))
+      val qr = qlmRanked(s, d).select(col("doc_id"), col("rank").as("rq"))
+      val j = lex.join(qr, Seq("doc_id"), "full_outer")
+      AgreementDepths
+        .toDF("depth")
+        .crossJoin(j)
+        .groupBy("depth")
+        .agg(
+          sum(when(col("rl") <= col("depth") && col("rq") <= col("depth"), 1L).otherwise(0L))
+            .as("n_common"),
+        )
+        .withColumn("overlap_e3", expr("n_common * 1000 DIV depth"))
+        .orderBy("depth")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      val depthList = AgreementDepths.mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+                 WHERE term IN ($termList) GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+          sc AS (SELECT doc_id,
+                        ${bm25Contrib("n_docs", "sum_len")} AS contrib
+                 FROM tf JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          tot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM sc GROUP BY 1),
+          lr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rl FROM tot),
+          qwq AS (SELECT doc_id, term FROM w WHERE term IN ($termList)),
+          qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qwq GROUP BY 1, 2),
+          qctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM qwq GROUP BY 1),
+          qlens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                    FROM documents),
+          qctot AS (SELECT CAST(sum(len) AS BIGINT) AS c_tok FROM qlens),
+          qgrid AS (SELECT qlens.doc_id, qlens.len, qt.term
+                    FROM qlens CROSS JOIN (SELECT unnest([$termList]) AS term) qt),
+          qsc AS (SELECT g.doc_id,
+                         coalesce(qtf.tf, 0) AS tf0, c.ctf, g.len, t.c_tok
+                  FROM qgrid g
+                  LEFT JOIN qtf ON g.doc_id = qtf.doc_id AND g.term = qtf.term
+                  JOIN qctf c ON g.term = c.term
+                  CROSS JOIN qctot t),
+          qcb AS (SELECT doc_id, $qlmContrib AS contrib FROM qsc),
+          qtot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM qcb GROUP BY 1),
+          qr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rq FROM qtot),
+          j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.rl, b.rq
+                FROM (SELECT doc_id, rl FROM lr WHERE rl <= $BmTopK) a
+                FULL JOIN (SELECT doc_id, rq FROM qr WHERE rq <= $QlmTopK) b
+                  ON a.doc_id = b.doc_id),
+          g AS (SELECT unnest([$depthList]) AS depth)
+          SELECT CAST(g.depth AS BIGINT) AS depth,
+                 CAST(sum(CASE WHEN j.rl <= g.depth AND j.rq <= g.depth
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+                 (CAST(sum(CASE WHEN j.rl <= g.depth AND j.rq <= g.depth
+                                THEN 1 ELSE 0 END) AS BIGINT) * 1000) // g.depth AS overlap_e3
+          FROM g CROSS JOIN j GROUP BY g.depth ORDER BY 1"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
-    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm)
+    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement)
 }

@@ -129,17 +129,32 @@ object TemporalOps extends QueryModule {
     * `session_stats`, so the gap semantics cannot drift between the
     * session list and its distribution report.
     */
-  private def sessionTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** The gap-based session ASSIGNMENT — each event with its session
+    * ordinal, event_type carried through (the windows ignore it): the
+    * pre-aggregation stage shared by [[sessionTable]] and the
+    * within-session funnel (`session_funnel`), so the gap semantics
+    * cannot drift between the size reports and the conversion report.
+    */
+  private def sessionAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     val w1 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     val wRun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+      )
       .withColumn("pt", lag(col("t_us"), 1).over(w1))
       .withColumn(
         "is_new",
         when(col("pt").isNull || col("t_us") - col("pt") > SessionGapUs, 1).otherwise(0),
       )
       .withColumn("sess", sum(col("is_new")).over(wRun))
+  }
+
+  private def sessionTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sessionAssigned(s, d)
       .groupBy("user_id", "sess")
       .agg(
         count(lit(1)).as("n_events"),
@@ -147,13 +162,14 @@ object TemporalOps extends QueryModule {
         max(col("t_us")).as("end_us"),
       )
       .withColumn("duration_us", col("end_us") - col("start_us"))
-  }
 
   /** DuckDB twin of [[sessionTable]] as CTE text, ending in
-    * `sessions(user_id, sess, n_events, start_us, end_us, duration_us)`.
+    * `sessions(user_id, sess, n_events, start_us, end_us, duration_us)`;
+    * the intermediate `z` is the [[sessionAssigned]] twin (event_type
+    * carried for the funnel consumer).
     */
   private lazy val sessionDuckCtes: String =
-    s"""ev AS (SELECT user_id, event_id, epoch_us(ts) AS t_us FROM events),
+    s"""ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
        |x AS (SELECT *, lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS pt FROM ev),
        |y AS (SELECT *, CASE WHEN pt IS NULL OR t_us - pt > $SessionGapUs THEN 1 ELSE 0 END AS is_new FROM x),
        |z AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess FROM y),
@@ -1494,6 +1510,60 @@ object TemporalOps extends QueryModule {
             GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Within-session conversion funnel — `funnel_conversion`'s question
+    * at SESSION grain (the product-analytics default: did the click
+    * convert in the same visit, not just the same 6 hours?) crossed
+    * with session depth: per size bucket, sessions, sessions containing
+    * a click, and sessions converting (click AND purchase inside one
+    * session) — the depth-vs-conversion curve engagement reports read.
+    * Rides the SHARED [[sessionAssigned]] substrate (gap semantics
+    * cannot drift from `sessionize`/`session_stats`); the flags are
+    * row-local CASE maxima inside the same session agg, the bucket
+    * rollup is ≤ 4 rows, and cr_ppm is exact integer division with a
+    * nullif guard for clickless buckets.
+    */
+  private val sessionFunnel = DeclaredQuery(
+    "session_funnel",
+    (s, d) => {
+      val per = sessionAssigned(s, d)
+        .groupBy("user_id", "sess")
+        .agg(
+          count(lit(1)).as("n_events"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("has_c"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("has_p"),
+        )
+        .withColumn(
+          "bucket",
+          expr("""CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 3 THEN '2-3'
+                       WHEN n_events <= 7 THEN '4-7' ELSE '8+' END"""),
+        )
+      per
+        .groupBy("bucket")
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("has_c")).as("n_with_click"),
+          sum(col("has_c") * col("has_p")).as("n_converted"),
+        )
+        .withColumn("cr_ppm", expr("n_converted * 1000000 DIV nullif(n_with_click, 0)"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH $sessionDuckCtes,
+             ps AS (SELECT user_id, sess, count(*) AS n_events,
+                           max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c,
+                           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p
+                    FROM z GROUP BY 1, 2),
+             pb AS (SELECT CASE WHEN n_events = 1 THEN '1' WHEN n_events <= 3 THEN '2-3'
+                                WHEN n_events <= 7 THEN '4-7' ELSE '8+' END AS bucket,
+                           has_c, has_p
+                    FROM ps)
+             SELECT bucket, count(*) AS n_sessions,
+                    CAST(sum(has_c) AS BIGINT) AS n_with_click,
+                    CAST(sum(has_c * has_p) AS BIGINT) AS n_converted,
+                    (CAST(sum(has_c * has_p) AS BIGINT) * 1000000)
+                      // nullif(CAST(sum(has_c) AS BIGINT), 0) AS cr_ppm
+             FROM pb GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** Traffic anomaly queue — the consumer of `dow_seasonality`'s
     * envelope as a first-class report: the ten (type, day) cells whose
     * event count deviates most from their own day-of-week mean
@@ -1656,5 +1726,5 @@ object TemporalOps extends QueryModule {
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
-      trafficAnomaly)
+      trafficAnomaly, sessionFunnel)
 }
