@@ -889,30 +889,10 @@ object TemporalOps extends QueryModule {
     */
   private val dowSeasonality = DeclaredQuery(
     "dow_seasonality",
-    (s, d) => {
-      val byDay = events(s, d)
-        .groupBy(
-          col("event_type"),
-          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date")).as("day"),
-        )
-        .agg(count(lit(1)).as("dn"))
-      byDay
-        .withColumn("dow", ((col("day") + 4) % 7).cast("long"))
-        .groupBy("event_type", "dow")
-        .agg(
-          count(lit(1)).as("n_days"),
-          sum("dn").as("n_events"),
-          min("dn").as("min_day_n"),
-          max("dn").as("max_day_n"),
-        )
-        .withColumn(
-          "mean_per_day_ppm",
-          expr("CAST(floor(CAST(n_events AS DOUBLE) * 1000000.0 / n_days + 0.5) AS BIGINT)"),
-        )
-        .select("event_type", "dow", "n_days", "n_events", "min_day_n", "max_day_n",
-          "mean_per_day_ppm")
-        .orderBy("event_type", "dow")
-    },
+    // epoch-day via µs division ≡ the former datediff(date) spelling on
+    // UTC timestamps; riding the shared grain pins this derivation to
+    // the continuous serving path (EventStream.startTypeDayGrain)
+    (s, d) => dowEnvelopeFrom(typeDayCounts(events(s, d))),
     Some("""WITH byday AS (SELECT event_type,
                                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
                                   count(*) AS dn
@@ -1583,24 +1563,56 @@ object TemporalOps extends QueryModule {
     * day-grain — calendar-bounded rows. Weekday from shared epoch-day
     * arithmetic ((day + 4) % 7) — never engine dow().
     */
+  /** The (event_type, epoch-day) count grain — the calendar-bounded
+    * table `traffic_anomaly` and `dow_seasonality` both reduce through,
+    * and the grain the continuous traffic store persists
+    * ([[graft.streaming.EventStream.startTypeDayGrain]]): counts are
+    * additive, so slices merge by groupBy-sum and the served reports
+    * ride the SAME [[anomalyFrom]]/[[dowEnvelopeFrom]] derivations as
+    * the declared queries.
+    */
+  private[graft] def typeDayCounts(ev: DataFrame): DataFrame =
+    ev.withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+      .groupBy("event_type", "day_no")
+      .agg(count(lit(1)).as("c"))
+
+  /** The top-10 deviation queue over (merged) day-count grain rows. */
+  private[graft] def anomalyFrom(dayCounts: DataFrame): DataFrame = {
+    val dd = dayCounts.withColumn("dow", expr("(day_no + 4) % 7"))
+    val base = dd
+      .groupBy("event_type", "dow")
+      .agg(sum("c").as("sum_c"), count(lit(1)).as("n_days"))
+    dd.join(base, Seq("event_type", "dow")) // day-grain × envelope: both calendar-bounded
+      .withColumn("dev_ppm", expr("abs(c * n_days - sum_c) * 1000000 DIV sum_c"))
+      .select("event_type", "day_no", "dow", "c", "n_days", "sum_c", "dev_ppm")
+      .orderBy(col("dev_ppm").desc, col("event_type"), col("day_no"))
+      .limit(10)
+  }
+
+  /** The day-of-week envelope over the same grain — `dow_seasonality`'s
+    * derivation, shared with the continuous serving path.
+    */
+  private[graft] def dowEnvelopeFrom(dayCounts: DataFrame): DataFrame =
+    dayCounts
+      .withColumn("dow", ((col("day_no") + 4) % 7).cast("long"))
+      .groupBy("event_type", "dow")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("c").as("n_events"),
+        min("c").as("min_day_n"),
+        max("c").as("max_day_n"),
+      )
+      .withColumn(
+        "mean_per_day_ppm",
+        expr("CAST(floor(CAST(n_events AS DOUBLE) * 1000000.0 / n_days + 0.5) AS BIGINT)"),
+      )
+      .select("event_type", "dow", "n_days", "n_events", "min_day_n", "max_day_n",
+        "mean_per_day_ppm")
+      .orderBy("event_type", "dow")
+
   private val trafficAnomaly = DeclaredQuery(
     "traffic_anomaly",
-    (s, d) => {
-      val dayCounts = events(s, d)
-        .withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
-        .groupBy("event_type", "day_no")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("dow", expr("(day_no + 4) % 7"))
-      val base = dayCounts
-        .groupBy("event_type", "dow")
-        .agg(sum("c").as("sum_c"), count(lit(1)).as("n_days"))
-      dayCounts
-        .join(base, Seq("event_type", "dow")) // day-grain × envelope: both calendar-bounded
-        .withColumn("dev_ppm", expr("abs(c * n_days - sum_c) * 1000000 DIV sum_c"))
-        .select("event_type", "day_no", "dow", "c", "n_days", "sum_c", "dev_ppm")
-        .orderBy(col("dev_ppm").desc, col("event_type"), col("day_no"))
-        .limit(10)
-    },
+    (s, d) => anomalyFrom(typeDayCounts(events(s, d))),
     Some("""WITH dc AS (SELECT event_type,
                                epoch_us(ts) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c

@@ -541,6 +541,65 @@ object EventStream {
     graft.operators.CurationOps.qiClasses(grain)
   }
 
+  /** Continuous traffic monitoring — the (event_type, epoch-day) count
+    * grain behind `traffic_anomaly` and `dow_seasonality` kept live:
+    * counts are ADDITIVE, so the store follows the additive batch-dir
+    * pattern (per-bid idempotent overwrite + bid-0 stale-lineage wipe)
+    * and both served reports ride the SHARED
+    * [[graft.operators.TemporalOps.anomalyFrom]] /
+    * [[graft.operators.TemporalOps.dowEnvelopeFrom]] derivations over
+    * the merged grain — the on-call queue updates per micro-batch with
+    * state bounded by types × days, never events.
+    */
+  def startTypeDayGrain(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.TemporalOps
+          .typeDayCounts(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def typeDayFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("day_no", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
+        )),
+      )
+    else
+      spark.read
+        .parquet(s"$stateDir/batch_*")
+        .groupBy("event_type", "day_no")
+        .agg(sum(col("c")).as("c"))
+  }
+
+  /** Serve the `traffic_anomaly` queue from the live grain. */
+  def trafficAnomalyFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.anomalyFrom(typeDayFromState(spark, stateDir))
+
+  /** Serve the `dow_seasonality` envelope from the same live grain. */
+  def dowSeasonalityFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.dowEnvelopeFrom(typeDayFromState(spark, stateDir))
+
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction
     * + shared grid derivation).

@@ -1571,6 +1571,45 @@ class StreamingSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("continuous type-day grain serves the exact anomaly queue and dow envelope") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: every (type, day) cell receives events from both
+    // batches, so the additive count merge is really exercised — the
+    // envelope and the deviation queue both depend on MERGED day totals
+    // (per-batch queues would rank against half-day baselines).
+    val streamDir = Files.createTempDirectory("tday-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("tday-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EventStream.startTypeDayGrain(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-tday").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq.toSet
+    val anomBatch = SparkEntry.queries("traffic_anomaly")(spark, sfDir)
+    val dowBatch = SparkEntry.queries("dow_seasonality")(spark, sfDir)
+    assert(canon(EventStream.trafficAnomalyFromState(spark, stateDir)) == canon(anomBatch),
+      "anomaly queue served from grain must equal the declared batch queue")
+    assert(canon(EventStream.dowSeasonalityFromState(spark, stateDir)) == canon(dowBatch),
+      "dow envelope served from grain must equal the declared batch envelope")
+    // crash-replay: additive counts need the bid-0 wipe — a replayed
+    // lineage must not double day totals
+    runLoop(Files.createTempDirectory("ck-tday2").toString)
+    assert(canon(EventStream.trafficAnomalyFromState(spark, stateDir)) == canon(anomBatch),
+      "a replayed lineage must not double-count day totals")
+    // zero-batch state serves the defined empty reports
+    val empty = Files.createTempDirectory("tday-empty").toString
+    assert(EventStream.trafficAnomalyFromState(spark, s"$empty/never").count() == 0)
+    assert(EventStream.dowSeasonalityFromState(spark, s"$empty/never").count() == 0)
+  }
+
   test("continuous moment partials serve the exact batch principal direction") {
     import org.apache.spark.sql.functions._
     // id-parity split: both batches contribute to every moment cell, so
