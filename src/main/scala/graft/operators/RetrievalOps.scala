@@ -537,6 +537,123 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  /** MMR diversified reranking (Carbonell & Goldstein 1998, λ = 0.7) —
+    * the standard redundancy-killer between retrieval and a context
+    * window: greedily pick k results maximizing λ·relevance −
+    * (1−λ)·max-similarity-to-already-selected, so near-duplicate hits
+    * don't crowd out coverage. The flagship COMPOSITION query: the
+    * relevance arm is the SHARED [[bm25Ranked]] top-20 (rank-linear
+    * ×10⁶ integer relevance), the redundancy arm is pairwise embedding
+    * cosine among those 20 candidates (doc_id ≡ vec_id, the
+    * cluster_text_profile equivalence), ×10⁶-floored to exact BIGINTs,
+    * and the MMR objective is the pure integer 7·rel − 3·maxsim (no
+    * division — DIV/ // disagree on negatives).
+    *
+    * Scale: candidate generation is the distributed part (the bm25 arm
+    * is a TakeOrderedAndProject; the pairwise-sim frame is k² = 380
+    * rows). The greedy itself is O(k²) DRIVER arithmetic over those
+    * bounded collects — exactly what a production reranker does with a
+    * top-k page (the nprobe-rows / BPE-argmax bounded-collect
+    * precedent). The oracle unrolls all five greedy steps as chained
+    * CTEs — declarative vs iterative hash-matched.
+    */
+  private val MmrK = 5
+  private val mmrRerank = DeclaredQuery(
+    "mmr_rerank",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val cands = bm25Ranked(s, d)
+        .select(col("doc_id"), col("rank"))
+        .withColumn("rel_e6", (lit(BmTopK.toLong + 1L) - col("rank")) * lit(50000L))
+      val emb = embeddings(s, d).select(
+        col("vec_id").as("doc_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvec"),
+      )
+      val ce = cands.join(emb, Seq("doc_id"))
+      val av = ce.select(col("doc_id").as("a"), col("dvec").as("qv"))
+      val bv = ce.select(col("doc_id").as("b"), col("dvec").as("cv"))
+      val simRows = av
+        .crossJoin(bv)
+        .filter(col("a") =!= col("b"))
+        .select(
+          col("a"),
+          col("b"),
+          expr("CAST(floor(cosine_similarity(qv, cv) * 1000000.0 + 0.5) AS BIGINT)").as("sim_e6"),
+        )
+        .collect() // k² = 380 rows — bounded by construction
+      val sim = simRows.map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      var remaining = cands
+        .select("doc_id", "rel_e6")
+        .collect() // k = 20 rows — bounded by construction
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1)
+        .toVector
+      var selected = Vector.empty[(Long, Long, Long, Long, Long)]
+      for (step <- 1 to MmrK) {
+        val scored = remaining.map { case (doc, rel) =>
+          val ms =
+            if (selected.isEmpty) 0L
+            else selected.map(sel => sim.getOrElse((doc, sel._2), 0L)).max
+          (doc, rel, ms, 7L * rel - 3L * ms)
+        }
+        val best = scored.minBy { case (doc, _, _, mmr) => (-mmr, doc) }
+        selected :+= ((step.toLong, best._1, best._2, best._3, best._4))
+        remaining = remaining.filterNot(_._1 == best._1)
+      }
+      import s.implicits._
+      selected.toDF("step", "doc_id", "rel_e6", "ms_e6", "mmr").orderBy("step")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      val steps = (2 to MmrK)
+        .map { i =>
+          s"""m$i AS (SELECT r.doc_id, r.rel_e6, coalesce(max(p.sim_e6), 0) AS ms
+                      FROM cnd r LEFT JOIN p
+                        ON p.a = r.doc_id AND p.b IN (SELECT doc_id FROM sel${i - 1})
+                      WHERE r.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+                      GROUP BY 1, 2),
+              pick$i AS (SELECT CAST($i AS BIGINT) AS step, doc_id, rel_e6, ms,
+                                7 * rel_e6 - 3 * ms AS mmr
+                         FROM m$i ORDER BY 7 * rel_e6 - 3 * ms DESC, doc_id LIMIT 1),
+              sel$i AS (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"""
+        }
+        .mkString(",\n")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+                 WHERE term IN ($termList) GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+          sc AS (SELECT doc_id,
+                        ${bm25Contrib("n_docs", "sum_len")} AS contrib
+                 FROM tf JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          tot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM sc GROUP BY 1),
+          rr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tot),
+          cnd AS (SELECT doc_id, (${BmTopK + 1} - rank) * 50000 AS rel_e6
+                  FROM rr WHERE rank <= $BmTopK),
+          ee AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS dvec,
+                        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+          p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                       CAST(floor(list_inner_product(ex.dvec, ey.dvec) / (ex.nrm * ey.nrm)
+                                  * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+                FROM cnd x
+                JOIN ee ex ON ex.doc_id = x.doc_id
+                JOIN cnd y ON x.doc_id <> y.doc_id
+                JOIN ee ey ON ey.doc_id = y.doc_id),
+          m1 AS (SELECT doc_id, rel_e6, CAST(0 AS BIGINT) AS ms FROM cnd),
+          pick1 AS (SELECT CAST(1 AS BIGINT) AS step, doc_id, rel_e6, ms,
+                           7 * rel_e6 - 3 * ms AS mmr
+                    FROM m1 ORDER BY 7 * rel_e6 - 3 * ms DESC, doc_id LIMIT 1),
+          sel1 AS (SELECT * FROM pick1),
+          $steps
+          SELECT step, doc_id, CAST(rel_e6 AS BIGINT) AS rel_e6,
+                 CAST(ms AS BIGINT) AS ms_e6, CAST(mmr AS BIGINT) AS mmr
+          FROM sel$MmrK ORDER BY step"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
-    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement)
+    Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
+      mmrRerank)
 }
