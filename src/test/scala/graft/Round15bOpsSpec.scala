@@ -134,6 +134,41 @@ class Round15bOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("session_funnel conserves session_stats' session partition") {
+    val funnel = run("session_funnel").collect()
+    val stats = run("session_stats").collect()
+    // both ride sessionAssigned/sessionTable: total session counts match
+    assert(funnel.map(_.getLong(1)).sum == stats.map(_.getLong(1)).sum,
+      "funnel buckets must partition exactly the sessions session_stats counts")
+    funnel.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "converted <= with-click")
+      assert(r.getLong(2) <= r.getLong(1), "with-click <= sessions")
+    }
+  }
+
+  test("ranker_agreement: overlap bounded by depth and non-decreasing") {
+    val rows = run("ranker_agreement").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 5L, 10L, 20L))
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0), "overlap cannot exceed depth"))
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "top-d intersection is monotone in d")
+  }
+
+  test("mmr_rerank: step 1 is the BM25 top hit; selections are distinct candidates") {
+    val mmr = run("mmr_rerank").collect()
+    val bm = run("bm25_rank").collect()
+    assert(mmr.length == 5)
+    assert(mmr.map(_.getLong(0)).toSeq == (1L to 5L), "dense steps")
+    assert(mmr.head.getLong(1) == bm.head.getLong(0),
+      "with no selection, MMR reduces to pure relevance — the BM25 rank-1 doc")
+    val docs = mmr.map(_.getLong(1))
+    assert(docs.distinct.length == docs.length, "no candidate selected twice")
+    val bmSet = bm.map(_.getLong(0)).toSet
+    assert(docs.forall(bmSet.contains), "selections come from the BM25 top-20")
+    assert(mmr.head.getLong(3) == 0L, "step 1 has no redundancy term")
+    mmr.foreach(r => assert(r.getLong(4) == 7L * r.getLong(2) - 3L * r.getLong(3)))
+  }
+
   test("traffic_anomaly: a full queue, ranked by exact deviation") {
     val rows = run("traffic_anomaly").collect()
     assert(rows.length == 10, "top-10 queue must be satisfiable at every sf")
