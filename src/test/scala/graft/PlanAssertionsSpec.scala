@@ -728,4 +728,50 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!cw.contains("Window"), cw.take(800))
     assert(!cw.contains("CartesianProduct"), cw.take(800))
   }
+
+  test("round-15 additions: grain riders, bounded grids, kernel arms") {
+    // the privacy audits and the anomaly queue ride narrow grains: the
+    // corpus-sized step is ONE hash aggregation; nothing cartesians and
+    // no window appears anywhere (the grid joins are literal-row sides)
+    for (name <- Seq("k_anonymity", "l_diversity", "traffic_anomaly")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(800))
+      assert(!p.contains("Window"), s"$name must stay window-free:\n" + p.take(800))
+    }
+
+    // gap_burstiness: exactly one user-keyed window (the sessionize
+    // bound) feeds the user-grain agg; the wide-tier sums change no
+    // plan shape
+    val gb = planOf("gap_burstiness")
+    assert("Window".r.findAllIn(gb).size >= 1 && gb.contains("hashpartitioning(user_id"),
+      "gap window must partition by user:\n" + gb.take(1200))
+
+    // knn diagnostics ride the cached edge substrate — no fresh banding
+    // join, no cartesian
+    for (name <- Seq("knn_reciprocity", "label_propagation")) {
+      val p = planOf(name)
+      assert(p.contains("InMemoryTableScan"),
+        s"$name must ride the cached knn-edge substrate:\n" + p.take(800))
+      assert(!p.contains("CartesianProduct"), p.take(800))
+    }
+
+    // skipgram_pmi: the distance-1 arm must stay on the native pair
+    // kernel (the distance-2 zip_with arm is census-cleared, see
+    // SCALE.md)
+    val sp = planOf("skipgram_pmi")
+    assert(sp.contains("graft_gram_pairs"),
+      "distance-1 arm must use the pair kernel:\n" + sp.take(800))
+
+    // dirichlet_qlm: the |Q|-element fan-out is a scan-local explode —
+    // no cartesian, and the final ranking is a TakeOrderedAndProject,
+    // never a global window sort
+    val dq = planOf("dirichlet_qlm")
+    assert(!dq.contains("CartesianProduct"), dq.take(800))
+    assert(dq.contains("TakeOrderedAndProject"), dq.take(1200))
+
+    // centroid_distance_matrix: vectors never shuffle — the only
+    // exchanges carry (label, dim) model-sized rows
+    val cm = planOf("centroid_distance_matrix")
+    assert(!cm.contains("CartesianProduct"), cm.take(800))
+  }
 }
