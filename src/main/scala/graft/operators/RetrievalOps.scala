@@ -591,9 +591,13 @@ object RetrievalOps extends QueryModule {
       var selected = Vector.empty[(Long, Long, Long, Long, Long)]
       for (step <- 1 to MmrK) {
         val scored = remaining.map { case (doc, rel) =>
-          val ms =
-            if (selected.isEmpty) 0L
-            else selected.map(sel => sim.getOrElse((doc, sel._2), 0L)).max
+          // max over EXISTING pairs only (docs outside the embedding
+          // table contribute no redundancy edge) — a phantom 0 in the
+          // max would mask an all-negative similarity profile, which
+          // the oracle's coalesce(max(existing), 0) does not do; ms
+          // falls back to 0 only when NO pair exists (sf2 caught this)
+          val sims = selected.flatMap(sel => sim.get((doc, sel._2)))
+          val ms = if (sims.isEmpty) 0L else sims.max
           (doc, rel, ms, 7L * rel - 3L * ms)
         }
         val best = scored.minBy { case (doc, _, _, mmr) => (-mmr, doc) }
