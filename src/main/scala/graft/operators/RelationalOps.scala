@@ -972,7 +972,134 @@ object RelationalOps extends QueryModule {
             ORDER BY fk"""),
   )
 
+  /** Two-proportion A/B significance test (the experimentation
+    * primitive a product-analytics stack ships first): user cohorts by
+    * id parity, conversion = any purchase, pooled-variance z statistic
+    * with the ±1.96 two-sided verdict. The double chain runs over FOUR
+    * exact integers (n/conv per cohort — distinct-user aggs), stated as
+    * identical expression text in both engines and ×10³-floored at the
+    * end; the verdict is then a pure integer compare (|z_e3| > 1960), so
+    * significance cannot flip on a ULP. Degenerate pooled rates (p̂ = 0
+    * or 1 — zero variance) null the statistic via nullif rather than
+    * dividing by zero. One user-grain distinct agg is the only
+    * corpus-sized step; output is one row.
+    */
+  private val abTestSignificance = DeclaredQuery(
+    "ab_test_significance",
+    (s, d) => {
+      val per = events(s, d)
+        .groupBy(expr("user_id % 2").as("cohort"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("conv"),
+        )
+      val a = per.filter(col("cohort") === 0)
+        .select(col("n_users").as("n_a"), col("conv").as("conv_a"))
+      val b = per.filter(col("cohort") === 1)
+        .select(col("n_users").as("n_b"), col("conv").as("conv_b"))
+      a.crossJoin(b)
+        .withColumn(
+          "z_e3",
+          expr("""CAST(floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                 |  / sqrt(nullif((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 |                * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 |                * (1.0 / n_a + 1.0 / n_b), 0.0))
+                 |  * 1000.0 + 0.5) AS BIGINT)""".stripMargin),
+        )
+        .withColumn(
+          "significant",
+          expr("CAST(CASE WHEN z_e3 IS NOT NULL AND abs(z_e3) > 1960 THEN 1 ELSE 0 END AS BIGINT)"),
+        )
+        .select("n_a", "conv_a", "n_b", "conv_b", "z_e3", "significant")
+        .orderBy("n_a")
+    },
+    Some("""WITH per AS (SELECT user_id % 2 AS cohort,
+                                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                                CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                                         THEN user_id END) AS BIGINT) AS conv
+                         FROM events GROUP BY 1),
+            a AS (SELECT n_users AS n_a, conv AS conv_a FROM per WHERE cohort = 0),
+            b AS (SELECT n_users AS n_b, conv AS conv_b FROM per WHERE cohort = 1),
+            j AS (SELECT n_a, conv_a, n_b, conv_b,
+                         CAST(floor((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+                           / sqrt(nullif((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                                         * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                                         * (1.0 / n_a + 1.0 / n_b), 0.0))
+                           * 1000.0 + 0.5) AS BIGINT) AS z_e3
+                  FROM a CROSS JOIN b)
+            SELECT n_a, conv_a, n_b, conv_b, z_e3,
+                   CAST(CASE WHEN z_e3 IS NOT NULL AND abs(z_e3) > 1960
+                             THEN 1 ELSE 0 END AS BIGINT) AS significant
+            FROM j ORDER BY n_a"""),
+  )
+
+  /** Chi-square independence test over the (event_type × weekday)
+    * contingency table — "does traffic mix depend on the day?" (the
+    * categorical sibling of `dow_seasonality`'s per-cell envelope):
+    * χ² = Σ (o·N − r·c)² / (N·r·c) with observed/marginal counts
+    * exact, each cell's term evaluated as ONE shared double chain
+    * (doubles, not BIGINT products — o·N crosses 2⁶³ at web scale) and
+    * ×10³-floored AT THE CELL so the final sum is an exact,
+    * order-invariant BIGINT. Output: table shape, degrees of freedom,
+    * and the quantized statistic. Weekday from shared epoch-day
+    * arithmetic — never engine dow(). The contingency agg is the only
+    * corpus-sized step; marginals are rollups of the cell table.
+    */
+  private val chi2Independence = DeclaredQuery(
+    "chi2_independence",
+    (s, d) => {
+      val cells = events(s, d)
+        .withColumn("dow", expr("(unix_micros(ts) DIV 86400000000 + 4) % 7"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("o"))
+      val rm = cells.groupBy("event_type").agg(sum("o").as("r"))
+      val cm = cells.groupBy("dow").agg(sum("o").as("c"))
+      val n = cells.agg(sum("o").as("nn"))
+      val terms = cells
+        .join(rm, Seq("event_type")) // marginal tables: category-cardinality
+        .join(cm, Seq("dow"))
+        .crossJoin(broadcast(n))
+        .withColumn(
+          "term_e3",
+          expr("""CAST(floor((CAST(o AS DOUBLE) * nn - CAST(r AS DOUBLE) * c)
+                 |           * (CAST(o AS DOUBLE) * nn - CAST(r AS DOUBLE) * c)
+                 |           / (CAST(nn AS DOUBLE) * r * c) * 1000.0 + 0.5) AS BIGINT)""".stripMargin),
+        )
+      terms
+        .agg(
+          countDistinct(col("event_type")).as("n_types"),
+          countDistinct(col("dow")).as("n_dows"),
+          sum(col("term_e3")).as("chi2_e3"),
+        )
+        .withColumn("df", expr("(n_types - 1) * (n_dows - 1)"))
+        .select("n_types", "n_dows", "df", "chi2_e3")
+        .orderBy("df")
+    },
+    Some("""WITH cells AS (SELECT event_type,
+                                  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                                  CAST(count(*) AS BIGINT) AS o
+                           FROM events GROUP BY 1, 2),
+            rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+            cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+            ns AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+            terms AS (SELECT cells.event_type, cells.dow,
+                             CAST(floor((CAST(o AS DOUBLE) * nn - CAST(r AS DOUBLE) * c)
+                                        * (CAST(o AS DOUBLE) * nn - CAST(r AS DOUBLE) * c)
+                                        / (CAST(nn AS DOUBLE) * r * c) * 1000.0 + 0.5) AS BIGINT)
+                               AS term_e3
+                      FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+                      CROSS JOIN ns)
+            SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS n_dows,
+                   CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1) AS BIGINT)
+                     AS df,
+                   CAST(sum(term_e3) AS BIGINT) AS chi2_e3
+            FROM terms ORDER BY df"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    abTestSignificance,
+    chi2Independence,
     refIntegrityAudit,
     audienceOverlap,
     snapshotDiff,
