@@ -1610,6 +1610,63 @@ object TemporalOps extends QueryModule {
         "mean_per_day_ppm")
       .orderBy("event_type", "dow")
 
+  /** CUSUM change-point detection over the same grain — the sequential
+    * sibling of [[anomalyFrom]]'s pointwise queue (a level SHIFT spreads
+    * small deviations over many days; no single day trips a pointwise
+    * screen, but their cumulative sum peaks AT the change): per type,
+    * the day where |Σ_{i≤k} (dnᵢ·D − S)| peaks — the cross-multiplied
+    * integer form of cumulative (dnᵢ − mean) (×D throughout, so no
+    * division ever happens; the full-series sum telescopes to exactly 0,
+    * a spec-pinned invariant). The cumulative window is per-type over
+    * CALENDAR-BOUNDED day rows — the wow_growth precedent for where a
+    * serial window is right.
+    */
+  private[graft] def cusumFrom(dayCounts: DataFrame): DataFrame = {
+    val tot = dayCounts
+      .groupBy("event_type")
+      .agg(sum("c").as("s_t"), count(lit(1)).as("d_t"))
+    val wc = Window
+      .partitionBy("event_type")
+      .orderBy("day_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy("event_type").orderBy(abs(col("cusum")).desc, col("day_no"))
+    dayCounts
+      .join(tot, Seq("event_type")) // day-grain × type totals: calendar-bounded
+      .withColumn("dev", col("c") * col("d_t") - col("s_t"))
+      .withColumn("cusum", sum("dev").over(wc))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("d_t").as("n_days"),
+        col("day_no").as("cp_day"),
+        col("cusum").as("cusum_peak"),
+      )
+      .orderBy("event_type")
+  }
+
+  private val cusumChangepoint = DeclaredQuery(
+    "cusum_changepoint",
+    (s, d) => cusumFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s_t,
+                           CAST(count(*) AS BIGINT) AS d_t
+                    FROM dc GROUP BY 1),
+            cu AS (SELECT dc.event_type, dc.day_no, t.d_t,
+                          CAST(sum(dc.c * t.d_t - t.s_t)
+                               OVER (PARTITION BY dc.event_type ORDER BY dc.day_no
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+                   FROM dc JOIN tot t USING (event_type)),
+            r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                               ORDER BY abs(cusum) DESC, day_no) AS rk
+                  FROM cu)
+            SELECT event_type, d_t AS n_days, day_no AS cp_day, cusum AS cusum_peak
+            FROM r WHERE rk = 1 ORDER BY event_type"""),
+  )
+
   private val trafficAnomaly = DeclaredQuery(
     "traffic_anomaly",
     (s, d) => anomalyFrom(typeDayCounts(events(s, d))),
@@ -1738,5 +1795,5 @@ object TemporalOps extends QueryModule {
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
-      trafficAnomaly, sessionFunnel)
+      trafficAnomaly, sessionFunnel, cusumChangepoint)
 }

@@ -600,6 +600,15 @@ object EventStream {
   def dowSeasonalityFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.dowEnvelopeFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the `cusum_changepoint` report from the same live grain —
+    * the third consumer of one persisted (type, day) count table: the
+    * CUSUM needs the MERGED day totals (a per-batch cumulative sum is
+    * meaningless — deviations are against the full-series mean), which
+    * is exactly what the additive grain merge provides.
+    */
+  def cusumChangepointFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.cusumFrom(typeDayFromState(spark, stateDir))
+
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction
     * + shared grid derivation).

@@ -169,6 +169,66 @@ class Round15bOpsSpec extends SparkSpec {
     mmr.foreach(r => assert(r.getLong(4) == 7L * r.getLong(2) - 3L * r.getLong(3)))
   }
 
+  test("ab_test_significance: cohorts partition the users, bounds hold") {
+    val r = run("ab_test_significance").collect().head
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(2) == users, "cohorts partition the distinct users")
+    assert(r.getLong(1) <= r.getLong(0) && r.getLong(3) <= r.getLong(2),
+      "conversions bounded by cohort size")
+    assert(r.getLong(5) == (if (!r.isNullAt(4) && math.abs(r.getLong(4)) > 1960) 1L else 0L))
+  }
+
+  test("chi2_independence: shape, df, and an independent double recomputation") {
+    val r = run("chi2_independence").collect().head
+    assert(r.getLong(2) == (r.getLong(0) - 1) * (r.getLong(1) - 1), "df = (r-1)(c-1)")
+    assert(r.getLong(3) >= 0, "chi-square is non-negative")
+    // recompute from raw events with plain doubles; the declared value
+    // quantizes per cell, so agreement within n_cells half-ulps of 1e-3
+    val cells = Tables.events(spark, sfDir)
+      .withColumn("dow", org.apache.spark.sql.functions.expr(
+        "(unix_micros(ts) DIV 86400000000 + 4) % 7"))
+      .groupBy("event_type", "dow").agg(count(lit(1)).as("o")).collect()
+      .map(x => ((x.getString(0), x.getLong(1)), x.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rm = cells.groupBy(_._1._1).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val cm = cells.groupBy(_._1._2).view.mapValues(_.map(_._2).sum.toDouble).toMap
+    val chi2 = cells.map { case ((t, w), o) =>
+      val e = rm(t) * cm(w) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(chi2 * 1000.0 - r.getLong(3)) <= cells.length.toDouble,
+      s"declared ${r.getLong(3)} vs recomputed ${chi2 * 1000}")
+  }
+
+  test("cusum_changepoint: full-series deviation sum telescopes to zero; peak is real") {
+    import org.apache.spark.sql.functions.{abs => fabs}
+    val rows = run("cusum_changepoint").collect()
+    val types = Tables.events(spark, sfDir).select("event_type").distinct().count()
+    assert(rows.length == types, "one change-point row per event type")
+    // independent recomputation of the per-type peak
+    val dc = Tables.events(spark, sfDir)
+      .withColumn("day_no", org.apache.spark.sql.functions.expr(
+        "unix_micros(ts) DIV 86400000000"))
+      .groupBy("event_type", "day_no").agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = dc.filter(_._1 == t).sortBy(_._2)
+      val dT = series.length.toLong
+      val sT = series.map(_._3).sum
+      var cum = 0L
+      var best = (0L, 0L) // (day, cusum) at peak |cusum|, day tiebreak asc
+      var bestAbs = -1L
+      series.foreach { case (_, day, c) =>
+        cum += c * dT - sT
+        if (math.abs(cum) > bestAbs) { bestAbs = math.abs(cum); best = (day, cum) }
+      }
+      assert(cum == 0L, s"$t: full-series CUSUM must telescope to 0, got $cum")
+      assert(r.getLong(2) == best._1 && r.getLong(3) == best._2,
+        s"$t: declared peak (${r.getLong(2)}, ${r.getLong(3)}) vs recomputed $best")
+    }
+  }
+
   test("traffic_anomaly: a full queue, ranked by exact deviation") {
     val rows = run("traffic_anomaly").collect()
     assert(rows.length == 10, "top-10 queue must be satisfiable at every sf")

@@ -1599,6 +1599,9 @@ class StreamingSpec extends SparkSpec {
       "anomaly queue served from grain must equal the declared batch queue")
     assert(canon(EventStream.dowSeasonalityFromState(spark, stateDir)) == canon(dowBatch),
       "dow envelope served from grain must equal the declared batch envelope")
+    val cusumBatch = SparkEntry.queries("cusum_changepoint")(spark, sfDir)
+    assert(canon(EventStream.cusumChangepointFromState(spark, stateDir)) == canon(cusumBatch),
+      "CUSUM change-point served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
