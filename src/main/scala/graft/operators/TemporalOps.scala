@@ -1645,6 +1645,73 @@ object TemporalOps extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Simple exponential smoothing over the same grain — the forecasting
+    * primitive (Hyndman's SES, α = 0.3) a capacity/monitoring stack
+    * keeps per feed: the recurrence L_k = α·x_k + (1−α)·L_{k−1}
+    * (L₀ = x₀) restated CLOSED-FORM so the declared plan is one
+    * weighted sum, not a serial fold: L_K = α·Σ_{i≥1}(1−α)^{K−i}·x_i +
+    * (1−α)^K·x₀. Each term is the identical pow/multiply double text in
+    * both engines (the `temperature_mix` pow precedent), ×10⁶-floored
+    * AT THE TERM so the per-type sum is an exact, order-invariant
+    * BIGINT. delta_e6 = level − last·10⁶ is the smoothed-vs-actual gap
+    * a capacity alert thresholds on.
+    *
+    * Scale: rides the shared type-day grain (the corpus-sized step is
+    * the grain agg); the index window and weighted sum run per type
+    * over calendar-bounded day rows. Fourth consumer of one persisted
+    * store (`EventStream.expSmoothFromState`).
+    */
+  private[graft] def expSmoothFrom(dayCounts: DataFrame): DataFrame = {
+    val wi = Window.partitionBy("event_type").orderBy("day_no")
+    val idx = dayCounts
+      .withColumn("k", row_number().over(wi).cast("long"))
+      .withColumn("kk", count(lit(1)).over(Window.partitionBy("event_type")).cast("long"))
+    idx
+      .withColumn(
+        "term_e6",
+        expr("""CAST(floor(CASE WHEN k = 1
+               |                THEN pow(0.7, CAST(kk - 1 AS DOUBLE)) * c
+               |                ELSE 0.3 * pow(0.7, CAST(kk - k AS DOUBLE)) * c END
+               |               * 1000000.0 + 0.5) AS BIGINT)""".stripMargin),
+      )
+      .groupBy("event_type")
+      .agg(
+        max(col("kk")).as("n_days"),
+        max(when(col("k") === col("kk"), col("c"))).as("last_dn"),
+        sum(col("term_e6")).as("level_e6"),
+      )
+      .withColumn("delta_e6", expr("level_e6 - last_dn * 1000000"))
+      .select("event_type", "n_days", "last_dn", "level_e6", "delta_e6")
+      .orderBy("event_type")
+  }
+
+  private val expSmoothForecast = DeclaredQuery(
+    "exp_smooth_forecast",
+    (s, d) => expSmoothFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            ix AS (SELECT event_type, day_no, c,
+                          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_no)
+                               AS BIGINT) AS k,
+                          CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS kk
+                   FROM dc),
+            tm AS (SELECT event_type, k, kk, c,
+                          CAST(floor(CASE WHEN k = 1
+                                          THEN pow(0.7, CAST(kk - 1 AS DOUBLE)) * c
+                                          ELSE 0.3 * pow(0.7, CAST(kk - k AS DOUBLE)) * c END
+                                     * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+                   FROM ix)
+            SELECT event_type,
+                   CAST(max(kk) AS BIGINT) AS n_days,
+                   CAST(max(CASE WHEN k = kk THEN c END) AS BIGINT) AS last_dn,
+                   CAST(sum(term_e6) AS BIGINT) AS level_e6,
+                   CAST(sum(term_e6) - max(CASE WHEN k = kk THEN c END) * 1000000 AS BIGINT)
+                     AS delta_e6
+            FROM tm GROUP BY 1 ORDER BY 1"""),
+  )
+
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
     (s, d) => cusumFrom(typeDayCounts(events(s, d))),
@@ -1795,5 +1862,5 @@ object TemporalOps extends QueryModule {
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
-      trafficAnomaly, sessionFunnel, cusumChangepoint)
+      trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast)
 }

@@ -609,6 +609,14 @@ object EventStream {
   def cusumChangepointFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.cusumFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the SES forecast level from the same live grain (fourth
+    * consumer) — the smoothing weights depend on each day's index in
+    * the FULL series, so only the merged grain gives the right
+    * exponents; per-batch levels would re-weight history wrongly.
+    */
+  def expSmoothFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.expSmoothFrom(typeDayFromState(spark, stateDir))
+
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction
     * + shared grid derivation).

@@ -229,6 +229,27 @@ class Round15bOpsSpec extends SparkSpec {
     }
   }
 
+  test("exp_smooth_forecast: closed form tracks the sequential SES recurrence") {
+    val rows = run("exp_smooth_forecast").collect()
+    val dc = Tables.events(spark, sfDir)
+      .withColumn("day_no", org.apache.spark.sql.functions.expr(
+        "unix_micros(ts) DIV 86400000000"))
+      .groupBy("event_type", "day_no").agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    rows.foreach { r =>
+      val series = dc.filter(_._1 == r.getString(0)).sortBy(_._2).map(_._3.toDouble)
+      assert(r.getLong(1) == series.length)
+      assert(r.getLong(2) == series.last.toLong)
+      // sequential L_k = 0.3 x_k + 0.7 L_{k-1}; the declared closed form
+      // quantizes each of n terms to a half-ulp of 1e-6, so the gap is
+      // bounded by n_days in e6 units
+      val seq = series.tail.foldLeft(series.head)((l, x) => 0.3 * x + 0.7 * l)
+      assert(math.abs(r.getLong(3) - seq * 1e6) <= series.length.toDouble + 1.0,
+        s"${r.getString(0)}: level_e6 ${r.getLong(3)} vs sequential ${seq * 1e6}")
+      assert(r.getLong(4) == r.getLong(3) - r.getLong(2) * 1000000L)
+    }
+  }
+
   test("traffic_anomaly: a full queue, ranked by exact deviation") {
     val rows = run("traffic_anomaly").collect()
     assert(rows.length == 10, "top-10 queue must be satisfiable at every sf")

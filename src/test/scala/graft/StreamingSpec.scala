@@ -1602,6 +1602,9 @@ class StreamingSpec extends SparkSpec {
     val cusumBatch = SparkEntry.queries("cusum_changepoint")(spark, sfDir)
     assert(canon(EventStream.cusumChangepointFromState(spark, stateDir)) == canon(cusumBatch),
       "CUSUM change-point served from grain must equal the declared batch report")
+    val sesBatch = SparkEntry.queries("exp_smooth_forecast")(spark, sfDir)
+    assert(canon(EventStream.expSmoothFromState(spark, stateDir)) == canon(sesBatch),
+      "SES level served from grain must equal the declared batch forecast")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
