@@ -1712,6 +1712,61 @@ object TemporalOps extends QueryModule {
             FROM tm GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Forecast-baseline errors over the same grain — the yardstick any
+    * forecast (the SES level included) must beat (Hyndman's naive and
+    * seasonal-naive baselines): per feed, mean absolute error of
+    * "tomorrow = today" vs "tomorrow = same weekday last week"
+    * one-step forecasts. All integer: |dn_k − dn_{k−1}| and
+    * |dn_k − dn_{k−7}| sums over day-grain lags, ×10³ truncating means;
+    * the two-column output is the standard MASE numerator pair. Fifth
+    * consumer of the shared type-day grain.
+    */
+  private[graft] def forecastBaselinesFrom(dayCounts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day_no")
+    dayCounts
+      .withColumn("p1", lag(col("c"), 1).over(w))
+      .withColumn("p7", lag(col("c"), 7).over(w))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("p1").isNotNull, 1L).otherwise(0L)).as("n_naive"),
+        sum(when(col("p1").isNotNull, abs(col("c") - col("p1"))).otherwise(0L)).as("ae_naive"),
+        sum(when(col("p7").isNotNull, 1L).otherwise(0L)).as("n_seasonal"),
+        sum(when(col("p7").isNotNull, abs(col("c") - col("p7"))).otherwise(0L)).as("ae_seasonal"),
+      )
+      .withColumn("mae_naive_e3", expr("ae_naive * 1000 DIV nullif(n_naive, 0)"))
+      .withColumn("mae_seasonal_e3", expr("ae_seasonal * 1000 DIV nullif(n_seasonal, 0)"))
+      .select("event_type", "n_naive", "mae_naive_e3", "n_seasonal", "mae_seasonal_e3")
+      .orderBy("event_type")
+  }
+
+  private val forecastBaselines = DeclaredQuery(
+    "forecast_baselines",
+    (s, d) => forecastBaselinesFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            lg AS (SELECT event_type, c,
+                          lag(c, 1) OVER (PARTITION BY event_type ORDER BY day_no) AS p1,
+                          lag(c, 7) OVER (PARTITION BY event_type ORDER BY day_no) AS p7
+                   FROM dc),
+            ag AS (SELECT event_type,
+                          CAST(sum(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_naive,
+                          CAST(sum(CASE WHEN p1 IS NOT NULL THEN abs(c - p1) ELSE 0 END) AS BIGINT)
+                            AS ae_naive,
+                          CAST(sum(CASE WHEN p7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                            AS n_seasonal,
+                          CAST(sum(CASE WHEN p7 IS NOT NULL THEN abs(c - p7) ELSE 0 END) AS BIGINT)
+                            AS ae_seasonal
+                   FROM lg GROUP BY 1)
+            SELECT event_type, n_naive,
+                   (ae_naive * 1000) // nullif(n_naive, 0) AS mae_naive_e3,
+                   n_seasonal,
+                   (ae_seasonal * 1000) // nullif(n_seasonal, 0) AS mae_seasonal_e3
+            FROM ag ORDER BY event_type"""),
+  )
+
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
     (s, d) => cusumFrom(typeDayCounts(events(s, d))),
@@ -1862,5 +1917,5 @@ object TemporalOps extends QueryModule {
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
-      trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast)
+      trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines)
 }

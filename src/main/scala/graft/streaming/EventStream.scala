@@ -617,6 +617,13 @@ object EventStream {
   def expSmoothFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.expSmoothFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the forecast-baseline MAE pair from the same live grain
+    * (fifth consumer) — lags are positions in the merged day series,
+    * so only the merged grain gives the right neighbors.
+    */
+  def forecastBaselinesFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.forecastBaselinesFrom(typeDayFromState(spark, stateDir))
+
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction
     * + shared grid derivation).

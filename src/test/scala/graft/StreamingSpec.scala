@@ -1605,6 +1605,9 @@ class StreamingSpec extends SparkSpec {
     val sesBatch = SparkEntry.queries("exp_smooth_forecast")(spark, sfDir)
     assert(canon(EventStream.expSmoothFromState(spark, stateDir)) == canon(sesBatch),
       "SES level served from grain must equal the declared batch forecast")
+    val fbBatch = SparkEntry.queries("forecast_baselines")(spark, sfDir)
+    assert(canon(EventStream.forecastBaselinesFromState(spark, stateDir)) == canon(fbBatch),
+      "baseline MAE pair served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
