@@ -773,5 +773,15 @@ class PlanAssertionsSpec extends SparkSpec {
     // exchanges carry (label, dim) model-sized rows
     val cm = planOf("centroid_distance_matrix")
     assert(!cm.contains("CartesianProduct"), cm.take(800))
+
+    // the type-day grain riders: every window partitions by event_type
+    // (calendar-bounded day rows — never a global single-partition
+    // sort), nothing cartesians
+    for (name <- Seq("cusum_changepoint", "exp_smooth_forecast", "forecast_baselines")) {
+      val p = planOf(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(800))
+      assert(p.contains("hashpartitioning(event_type"),
+        s"$name's windows must stay type-partitioned:\n" + p.take(1200))
+    }
   }
 }
