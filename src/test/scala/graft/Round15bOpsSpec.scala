@@ -250,6 +250,19 @@ class Round15bOpsSpec extends SparkSpec {
     }
   }
 
+  test("forecast_baselines: pair counts tie to the SES day series") {
+    val fb = run("forecast_baselines").collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val ses = run("exp_smooth_forecast").collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(fb.keySet == ses.keySet, "same feed set across the grain riders")
+    fb.foreach { case (t, (nNaive, nSeasonal)) =>
+      val days = ses(t)
+      assert(nNaive == days - 1, s"$t: naive pairs = days - 1")
+      assert(nSeasonal == math.max(0L, days - 7), s"$t: seasonal pairs = days - 7")
+    }
+  }
+
   test("traffic_anomaly: a full queue, ranked by exact deviation") {
     val rows = run("traffic_anomaly").collect()
     assert(rows.length == 10, "top-10 queue must be satisfiable at every sf")
