@@ -695,7 +695,12 @@ object CurationOps extends QueryModule {
     */
   private[graft] def qiUserGrain(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    ev.withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+    // FLOOR epoch-day (the typeDayCounts spelling): bare DIV truncates
+    // toward zero vs DuckDB's floor `//` — divergent on pre-1970 ts
+    ev.withColumn(
+      "day_no",
+      expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"),
+    )
       .withColumn("vb", expr("CAST(floor(value / 50.0) AS BIGINT)"))
       .groupBy("event_type", "day_no", "vb", "user_id")
       .agg(count(lit(1)).as("c"))

@@ -2011,6 +2011,13 @@ object DedupOps extends QueryModule {
       val stackArgs = (0 until 30).map(b => s"CAST($b AS BIGINT), o$b").mkString(", ")
       one
         .select(col("n_docs"), expr(s"stack(30, $stackArgs)").as(Seq("bit", "n_ones")))
+        // Empty-corpus guard: a GLOBAL agg still emits one row (n_docs
+        // 0, NULL sums), which would stack into 30 NULL rows where the
+        // oracle's CROSS JOIN against an empty sig set returns 0 rows —
+        // the defined-empty-input divergence class. One scan-local
+        // filter restores the 0-row result; a non-empty corpus is
+        // untouched.
+        .filter(col("n_docs") > 0)
         .withColumn("ones_e3", expr("n_ones * 1000 DIV n_docs"))
         .withColumn(
           "skewed",

@@ -443,16 +443,19 @@ object KMeansOps extends QueryModule {
       val q = quantized(s, d)
       Seq(2, 4, 8)
         .map { k =>
-          // WIDE-tier SSE: per-row dist ≤ 64·(4×10⁶)² ≈ 10¹⁵, so a BIGINT
-          // Σ overflows at ~10⁴ worst-case members — far below any 100 TB
-          // cluster. DECIMAL(38,0) is exact to 10³⁸; the per-point mean
-          // always fits BIGINT (mean ≤ max dist), via truncating DIV.
+          // WIDE-tier SSE accumulator: per-row dist ≤ 64·(4×10⁶)² ≈ 10¹⁵,
+          // so a BIGINT Σ overflows at ~10⁴ worst-case members — far below
+          // any 100 TB cluster. DECIMAL(38,0) is exact to 10³⁸. The
+          // DECLARED output is BIGINT ("BIGINT means out", the
+          // kmeans_silhouette pattern): the gate-sf Σ fits int64 with
+          // room, and under ANSI the cast fails loudly past 2⁶³ rather
+          // than drifting the declared dtype (round-15 finding).
           assignTo(q, lloydCentroidsK(s, d, k))
             .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("sse"))
             .select(
               lit(k.toLong).as("k"),
               col("n"),
-              col("sse"),
+              col("sse").cast("long").as("sse"),
               expr("sse DIV n").as("mean_sse"),
             )
         }
@@ -463,15 +466,15 @@ object KMeansOps extends QueryModule {
              ${elbowCtes(2, "e2")},
              ${elbowCtes(4, "e4")}
              SELECT * FROM (
-               SELECT CAST(2 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse,
+               SELECT CAST(2 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
                       CAST(CAST(sum(dist) AS HUGEINT) // count(*) AS BIGINT) AS mean_sse
                FROM e2af WHERE rn = 1
                UNION ALL
-               SELECT CAST(4 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse,
+               SELECT CAST(4 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
                       CAST(CAST(sum(dist) AS HUGEINT) // count(*) AS BIGINT) AS mean_sse
                FROM e4af WHERE rn = 1
                UNION ALL
-               SELECT CAST(8 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse,
+               SELECT CAST(8 AS BIGINT) AS k, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse,
                       CAST(CAST(sum(dist) AS HUGEINT) // count(*) AS BIGINT) AS mean_sse
                FROM af WHERE rn = 1
              ) ORDER BY k"""),
@@ -490,17 +493,18 @@ object KMeansOps extends QueryModule {
   private val kmeansCost = DeclaredQuery(
     "kmeans_cost",
     (s, d) =>
-      // WIDE-tier SSE (the round-15 magnitude census): dist ≤ 64·(4e6)²
-      // ≈ 10¹⁵ per row, so a BIGINT per-cluster Σ crosses 2⁶³ at ~10⁴
-      // worst-case members — any 100 TB cluster exceeds that. The
-      // DECIMAL(38,0) accumulator is exact to 10³⁸ (≥ 10²³ rows at max
-      // dist), bit-identical where the Long tier was valid.
+      // WIDE-tier SSE accumulator (the round-15 magnitude census): dist ≤
+      // 64·(4e6)² ≈ 10¹⁵ per row, so a BIGINT per-cluster Σ crosses 2⁶³
+      // at ~10⁴ worst-case members — any 100 TB cluster exceeds that. The
+      // DECIMAL(38,0) accumulator is exact to 10³⁸; the DECLARED output
+      // is BIGINT ("BIGINT means out") — ANSI fails the cast loudly past
+      // 2⁶³ instead of drifting the declared dtype (round-15 finding).
       finalAssign(s, d)
         .groupBy("cluster")
-        .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("sse"))
+        .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).cast("long").as("sse"))
         .orderBy("cluster"),
     Some(s"""WITH $lloydCtes
-             SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse
+             SELECT CAST(cl AS BIGINT) AS cluster, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
              FROM af WHERE rn = 1 GROUP BY 1 ORDER BY 1"""),
   )
 
@@ -1010,10 +1014,11 @@ object KMeansOps extends QueryModule {
     (s, d) => {
       val q = quantized(s, d)
       def sseOf(cents: Seq[Array[Long]], rule: String): DataFrame =
-        // WIDE-tier SSE — same census bound as kmeans_cost (~10⁴
-        // worst-case rows per BIGINT Σ of ≤10¹⁵ dists)
+        // WIDE-tier SSE accumulator — same census bound as kmeans_cost
+        // (~10⁴ worst-case rows per BIGINT Σ of ≤10¹⁵ dists); declared
+        // output BIGINT ("BIGINT means out", loud ANSI cast past 2⁶³)
         assignTo(q, cents)
-          .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).as("sse"))
+          .agg(count(lit(1)).as("n"), sum(col("dist").cast("decimal(38,0)")).cast("long").as("sse"))
           .select(lit(rule).as("seed_rule"), col("n"), col("sse"))
       sseOf(lloydCentroids(s, d), "lowid")
         .unionAll(sseOf(ppCentroids(s, d), "dsq_pp"))
@@ -1022,10 +1027,10 @@ object KMeansOps extends QueryModule {
     Some(s"""WITH $lloydCtes,
              $ppCtes
              SELECT * FROM (
-               SELECT 'lowid' AS seed_rule, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse
+               SELECT 'lowid' AS seed_rule, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
                FROM af WHERE rn = 1
                UNION ALL
-               SELECT 'dsq_pp' AS seed_rule, count(*) AS n, CAST(sum(dist) AS DECIMAL(38,0)) AS sse
+               SELECT 'dsq_pp' AS seed_rule, count(*) AS n, CAST(sum(dist) AS BIGINT) AS sse
                FROM ppaf WHERE rn = 1
              ) ORDER BY seed_rule"""),
   )

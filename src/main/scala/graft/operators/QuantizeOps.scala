@@ -217,7 +217,10 @@ object QuantizeOps extends QueryModule {
           expr("""CAST(floor(CAST(CAST(n AS DECIMAL(38,0)) * s2 - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE)
                  |           / CAST(CAST(n AS DECIMAL(38,0)) * n AS DOUBLE) + 0.5) AS BIGINT)""".stripMargin),
         )
-        .select("pos", "n", "s1", "s2", "mean", "var_e12")
+        // s2 DECLARES as BIGINT ("BIGINT means out", round-15 finding):
+        // the wide accumulator stays inside var_e12's exact arithmetic;
+        // under ANSI the output cast fails loudly past 2⁶³.
+        .select(col("pos"), col("n"), col("s1"), col("s2").cast("long").as("s2"), col("mean"), col("var_e12"))
         .orderBy("pos"),
     Some("""WITH x AS (SELECT CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS sv,
                               CAST(pos - 1 AS BIGINT) AS pos
@@ -228,7 +231,7 @@ object QuantizeOps extends QueryModule {
                          CAST(sum(sv) AS BIGINT) AS s1,
                          CAST(sum(CAST(sv AS HUGEINT) * sv) AS HUGEINT) AS s2
                   FROM x GROUP BY 1)
-            SELECT pos, n, s1, CAST(s2 AS DECIMAL(38,0)) AS s2,
+            SELECT pos, n, s1, CAST(s2 AS BIGINT) AS s2,
                    CAST(floor(CAST(s1 AS DOUBLE) / n + 0.5) AS BIGINT) AS mean,
                    CAST(floor(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
                               / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) + 0.5) AS BIGINT) AS var_e12

@@ -1049,7 +1049,13 @@ object RelationalOps extends QueryModule {
     "chi2_independence",
     (s, d) => {
       val cells = events(s, d)
-        .withColumn("dow", expr("(unix_micros(ts) DIV 86400000000 + 4) % 7"))
+        // FLOOR epoch-day (the typeDayCounts spelling): bare DIV
+        // truncates toward zero vs DuckDB's floor `//` — divergent dow
+        // on pre-1970 ts
+        .withColumn(
+          "dow",
+          expr("((unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000 + 4) % 7"),
+        )
         .groupBy("event_type", "dow")
         .agg(count(lit(1)).as("o"))
       val rm = cells.groupBy("event_type").agg(sum("o").as("r"))

@@ -851,7 +851,13 @@ object ScalePatterns extends QueryModule {
       """((o_orderkey * 2654435761 + o_custkey * 97381
         |   + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647)""".stripMargin,
     )
-    val acc = if (wide) sum(col("rh").cast("decimal(38,0)")) else sum(col("rh"))
+    // Wide tier: DECIMAL(38,0) ACCUMULATOR, BIGINT declared output
+    // ("BIGINT means out", round-15 finding) — ANSI fails the final cast
+    // loudly past 2⁶³ instead of drifting the declared dtype; flip the
+    // non-declared `wide` knob's output only if a consumer truly needs
+    // the >2⁶³ digest.
+    val acc =
+      if (wide) sum(col("rh").cast("decimal(38,0)")).cast("long") else sum(col("rh"))
     graft.Tables
       .orders(s, d)
       .withColumn("rh", rh)
@@ -901,7 +907,12 @@ object ScalePatterns extends QueryModule {
       .groupBy("event_type")
       .agg(
         sum("pn").as("n"),
-        sum("psum").as("checksum_sum"),
+        // Merge in the wide tier regardless of the partials' dtype
+        // (fresh partials are DECIMAL(38,0); compacted state may have
+        // round-tripped through the BIGINT report), then DECLARE the
+        // merged digest as BIGINT ("BIGINT means out", round-15
+        // finding) — ANSI fails the cast loudly past 2⁶³.
+        sum(col("psum").cast("decimal(38,0)")).cast("long").as("checksum_sum"),
         expr("bit_xor(pxor)").as("checksum_xor"),
       )
       .orderBy("event_type")
@@ -930,7 +941,7 @@ object ScalePatterns extends QueryModule {
                                 + CAST(floor(value * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh
                        FROM events)
             SELECT event_type, count(*) AS n,
-                   CAST(sum(rh) AS DECIMAL(38,0)) AS checksum_sum,
+                   CAST(sum(rh) AS BIGINT) AS checksum_sum,
                    bit_xor(rh) AS checksum_xor
             FROM h GROUP BY 1 ORDER BY 1"""),
   )
@@ -949,7 +960,7 @@ object ScalePatterns extends QueryModule {
                                 + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) % 2147483647) AS rh
                        FROM orders)
             SELECT o_orderpriority, count(*) AS n,
-                   CAST(sum(rh) AS DECIMAL(38,0)) AS checksum_sum,
+                   CAST(sum(rh) AS BIGINT) AS checksum_sum,
                    bit_xor(rh) AS checksum_xor
             FROM h GROUP BY 1 ORDER BY 1"""),
   )

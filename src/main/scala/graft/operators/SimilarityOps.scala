@@ -696,7 +696,18 @@ object SimilarityOps extends QueryModule {
           6,
         ),
       )
-      .select("i", "j", "n", "si", "sj", "sij", "cov")
+      // si/sj/sij DECLARE as BIGINT whichever tier fed them ("BIGINT
+      // means out", round-15 finding): the DECIMAL merge stays internal
+      // to the exact cov arithmetic; ANSI fails the cast loudly past 2⁶³.
+      .select(
+        col("i"),
+        col("j"),
+        col("n"),
+        col("si").cast("long").as("si"),
+        col("sj").cast("long").as("sj"),
+        col("sij").cast("long").as("sij"),
+        col("cov"),
+      )
       .orderBy("i", "j")
   }
 
@@ -752,8 +763,8 @@ object SimilarityOps extends QueryModule {
                    FROM q, generate_series(0, ${Dim - 1}) g1(i), generate_series(0, ${Dim - 1}) g2(j)
                    WHERE j >= i)
              SELECT i, j, count(*) AS n,
-                    CAST(sum(qi) AS DECIMAL(38,0)) AS si, CAST(sum(qj) AS DECIMAL(38,0)) AS sj,
-                    CAST(sum(CAST(qi AS HUGEINT) * qj) AS DECIMAL(38,0)) AS sij,
+                    CAST(sum(qi) AS BIGINT) AS si, CAST(sum(qj) AS BIGINT) AS sj,
+                    CAST(sum(CAST(qi AS HUGEINT) * qj) AS BIGINT) AS sij,
                     ${Disp.roundzSql(
       """(CAST(sum(qi * qj) AS DOUBLE) / count(*)
                            - (CAST(sum(qi) AS DOUBLE) / count(*)) * (CAST(sum(qj) AS DOUBLE) / count(*)))

@@ -561,18 +561,20 @@ object TemporalOps extends QueryModule {
         .agg(
           count(lit(1)).as("n_sessions"),
           countDistinct(col("user_id")).as("n_users"),
-          // WIDE duration sum (round-15 census): a session's duration is
-          // bounded only by its span (µs — ~10⁹ for gap-bounded multi-
-          // event sessions, more for long ones), so a BIGINT Σ over a
-          // hot n_events bucket crosses 2⁶³ at ~10⁹-10¹⁰ sessions — a
-          // 100 TB corpus has more. DECIMAL(38,0) is exact.
-          sum(col("duration_us").cast("decimal(38,0)")).as("sum_duration_us"),
+          // WIDE duration accumulator (round-15 census): a session's
+          // duration is bounded only by its span (µs — ~10⁹ for gap-
+          // bounded multi-event sessions), so a BIGINT Σ over a hot
+          // n_events bucket crosses 2⁶³ at ~10⁹-10¹⁰ sessions — a 100 TB
+          // corpus has more. DECIMAL(38,0) is exact; the DECLARED output
+          // is BIGINT ("BIGINT means out", round-15 finding) — ANSI
+          // fails the cast loudly past 2⁶³.
+          sum(col("duration_us").cast("decimal(38,0)")).cast("long").as("sum_duration_us"),
         )
         .orderBy("n_events"),
     Some(s"""WITH $sessionDuckCtes
              SELECT n_events, count(*) AS n_sessions,
                     count(DISTINCT user_id) AS n_users,
-                    CAST(sum(duration_us) AS DECIMAL(38,0)) AS sum_duration_us
+                    CAST(sum(duration_us) AS BIGINT) AS sum_duration_us
              FROM sessions GROUP BY 1 ORDER BY 1"""),
   )
 
@@ -1572,7 +1574,15 @@ object TemporalOps extends QueryModule {
     * the declared queries.
     */
   private[graft] def typeDayCounts(ev: DataFrame): DataFrame =
-    ev.withColumn("day_no", expr("unix_micros(ts) DIV 86400000000"))
+    // FLOOR epoch-day (pmod then exact DIV): bare DIV truncates toward
+    // zero while the DuckDB twins' `//` floors, so day_no (hence dow)
+    // would diverge by one on pre-1970 timestamps. The subtraction
+    // makes the numerator exactly divisible, so DIV IS the floor —
+    // pure integer arithmetic, no double precision cliff.
+    ev.withColumn(
+      "day_no",
+      expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"),
+    )
       .groupBy("event_type", "day_no")
       .agg(count(lit(1)).as("c"))
 
@@ -1767,6 +1777,130 @@ object TemporalOps extends QueryModule {
             FROM ag ORDER BY event_type"""),
   )
 
+  /** MASE of the SES one-step forecast over the same grain — the
+    * quotient Hyndman's accuracy framework actually reads where
+    * `forecast_baselines` ships the denominator pair and
+    * `exp_smooth_forecast` the level: per feed, mean |x_{j+1} − L_j|
+    * over mean |x_{j+1} − x_j|, ×10³-floored. MASE < 1000 ⟺ the
+    * smoother beats naive persistence on this feed — the go/no-go a
+    * capacity stack reads before trusting the SES alert level.
+    *
+    * The level SERIES L_j (not just L_K) comes from the same
+    * closed-form per-term flooring discipline as `exp_smooth_forecast`
+    * — term(i, j) = floor(w(i,j)·c_i·10⁶ + 0.5), w the α/(1−α)
+    * geometric weight — evaluated as a (day_i ≤ day_j) self-join of
+    * GRAIN rows: days²-per-type pairs, a TIME-SPAN property (3650 days
+    * of a 10-year corpus is 6.7M pairs/type) independent of corpus
+    * size; the corpus-sized step remains the shared grain agg. The
+    * scaled-prefix O(days) form exists but needs (1−α)^{−i} factors
+    * that overflow doubles past ~800 days — the pair form is the
+    * numerically safe one, and L_K from it telescopes to exactly the
+    * declared `exp_smooth_forecast` level (spec-pinned).
+    *
+    * Exactness: per-term floors make each L_j an order-invariant
+    * BIGINT; the error sum Σ|c_{j+1}·10⁶ − L_j| accumulates in
+    * DECIMAL(38,0) (the census wide tier — day counts ~10¹⁰ at 100 TB
+    * put single terms at 10¹⁶ and spans at 10³ days past 2⁶³) and the
+    * final MASE ratio is one integral division of wide integers,
+    * declared BIGINT ("BIGINT means out"). Sixth consumer of the
+    * persisted type-day store ([[graft.streaming.EventStream
+    * .maseSesFromState]]).
+    */
+  /** The SES level SERIES (event_type, kj, level_e6) over indexed day
+    * rows — every prefix's closed-form level under the identical
+    * per-term flooring as `exp_smooth_forecast` (whose declared level
+    * IS this series at kj = K, spec-pinned).
+    */
+  private[graft] def sesLevelSeries(idx: DataFrame): DataFrame = {
+    val di = idx.select(
+      col("event_type"),
+      col("k").as("ki"),
+      col("c").as("ci"),
+    )
+    val dj = idx.select(col("event_type"), col("k").as("kj"))
+    di
+      .join(dj, Seq("event_type")) // day-grain × day-grain: span-bounded
+      .filter(col("ki") <= col("kj"))
+      .withColumn(
+        "term_e6",
+        expr("""CAST(floor(CASE WHEN ki = 1
+               |                THEN pow(0.7, CAST(kj - 1 AS DOUBLE)) * ci
+               |                ELSE 0.3 * pow(0.7, CAST(kj - ki AS DOUBLE)) * ci END
+               |               * 1000000.0 + 0.5) AS BIGINT)""".stripMargin),
+      )
+      .groupBy("event_type", "kj")
+      .agg(sum(col("term_e6")).as("level_e6"))
+  }
+
+  private[graft] def indexedDays(dayCounts: DataFrame): DataFrame = {
+    val wi = Window.partitionBy("event_type").orderBy("day_no")
+    dayCounts.withColumn("k", row_number().over(wi).cast("long"))
+  }
+
+  private[graft] def maseSesFrom(dayCounts: DataFrame): DataFrame = {
+    val wi = Window.partitionBy("event_type").orderBy("day_no")
+    val idx = indexedDays(dayCounts)
+    val levels = sesLevelSeries(idx)
+    val err = idx
+      .withColumn("prev_c", lag(col("c"), 1).over(wi))
+      .join(
+        levels.select(col("event_type"), (col("kj") + 1).as("k"), col("level_e6")),
+        Seq("event_type", "k"),
+      )
+      .withColumn("ae_ses_e6", expr("abs(c * 1000000 - level_e6)"))
+      .withColumn("ae_naive", expr("abs(c - prev_c)"))
+    err
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_ses"),
+        sum(col("ae_ses_e6").cast("decimal(38,0)")).as("sae_ses_e6"),
+        sum(col("ae_naive").cast("decimal(38,0)")).as("sae_naive"),
+      )
+      .select(
+        col("event_type"),
+        col("n_ses"),
+        expr("sae_ses_e6 DIV (n_ses * 1000)").as("mae_ses_e3"),
+        expr("(sae_ses_e6 * 1000) DIV nullif(sae_naive * 1000000, 0)").as("mase_e3"),
+      )
+      .orderBy("event_type")
+  }
+
+  private val maseSes = DeclaredQuery(
+    "mase_ses",
+    (s, d) => maseSesFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               epoch_us(ts) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            ix AS (SELECT event_type, day_no, c,
+                          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_no)
+                               AS BIGINT) AS k
+                   FROM dc),
+            pr AS (SELECT i.event_type, i.k AS ki, i.c AS ci, j.k AS kj
+                   FROM ix i JOIN ix j USING (event_type)
+                   WHERE i.k <= j.k),
+            lv AS (SELECT event_type, kj,
+                          CAST(sum(CAST(floor(CASE WHEN ki = 1
+                                                   THEN pow(0.7, CAST(kj - 1 AS DOUBLE)) * ci
+                                                   ELSE 0.3 * pow(0.7, CAST(kj - ki AS DOUBLE)) * ci END
+                                              * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS level_e6
+                   FROM pr GROUP BY 1, 2),
+            lgx AS (SELECT event_type, k, c,
+                           lag(c, 1) OVER (PARTITION BY event_type ORDER BY k) AS prev_c
+                    FROM ix),
+            er AS (SELECT l.event_type, l.c, l.prev_c, lv.level_e6
+                   FROM lgx l JOIN lv ON l.event_type = lv.event_type AND l.k = lv.kj + 1),
+            ag AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n_ses,
+                          sum(CAST(abs(c * 1000000 - level_e6) AS HUGEINT)) AS sae_ses_e6,
+                          sum(CAST(abs(c - prev_c) AS HUGEINT)) AS sae_naive
+                   FROM er GROUP BY 1)
+            SELECT event_type, n_ses,
+                   CAST(sae_ses_e6 // (n_ses * 1000) AS BIGINT) AS mae_ses_e3,
+                   CAST((sae_ses_e6 * 1000) // nullif(sae_naive * 1000000, 0) AS BIGINT) AS mase_e3
+            FROM ag ORDER BY event_type"""),
+  )
+
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
     (s, d) => cusumFrom(typeDayCounts(events(s, d))),
@@ -1826,22 +1960,92 @@ object TemporalOps extends QueryModule {
     * engines. One user-keyed window + one user-grain agg is the only
     * corpus-sized work; the band histogram is ≤ 5 rows.
     */
-  private val gapBurstiness = DeclaredQuery(
-    "gap_burstiness",
-    (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
-      val gaps = events(s, d)
-        .withColumn("us", expr("unix_micros(ts)"))
-        .withColumn("prev_us", lag(col("us"), 1).over(w))
-        .filter(col("prev_us").isNotNull)
-        .select(col("user_id"), expr("(us - prev_us) DIV 1000000").as("g"))
-      val perUser = gaps
-        .groupBy("user_id")
-        .agg(
-          count(lit(1)).as("n"),
-          sum(col("g")).as("sg"),
-          sum((col("g").cast("decimal(38,0)") * col("g")).cast("decimal(38,0)")).as("sgg"),
-        )
+  /** The per-slice gap-moment grain that makes `gap_burstiness`
+    * continuously maintainable (the round-15 follow-up shipped): per
+    * (slice, user) — event count, the slice's first/last (us, event_id)
+    * endpoints, and the WITHIN-slice gap moments (count, Σg, Σg² with
+    * the wide-tier square sum). A slice boundary cuts exactly ONE gap
+    * per user — `first_us(next) − last_us(prev)` — so [[mergeGapGrain]]
+    * restores it from the endpoints and the merged moments equal the
+    * full-series moments EXACTLY.
+    *
+    * PRECONDITION (documented, spec-pinned): slices must be
+    * time-contiguous per user — each slice's per-user [first, last]
+    * range must not interleave another slice's, which is what
+    * event-time-ordered stream arrival gives. An id-parity split (the
+    * additive-grain test pattern) violates it BY DESIGN: within-slice
+    * "gaps" of an interleaved slice are not gaps of the full series and
+    * no boundary term can repair Σg² — that is exactly why this grain
+    * was batch-tier until the contiguous-slice form landed.
+    */
+  private[graft] def gapGrainParts(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("us", expr("unix_micros(ts)"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn(
+        "g",
+        expr("CASE WHEN prev_us IS NULL THEN NULL ELSE (us - prev_us) DIV 1000000 END"),
+      )
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(struct(col("us"), col("event_id"))).as("first"),
+        max(struct(col("us"), col("event_id"))).as("last"),
+        count(col("g")).as("n_gaps"),
+        // single-event slices have zero gaps: pin the empty sums to 0 so
+        // the additive merge never nulls a user's totals
+        coalesce(sum(col("g")), lit(0L)).as("sg"),
+        coalesce(
+          sum((col("g").cast("decimal(38,0)") * col("g")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"),
+        ).as("sgg"),
+      )
+      .select(
+        col("user_id"),
+        col("n_events"),
+        col("first.us").as("first_us"),
+        col("first.event_id").as("first_eid"),
+        col("last.us").as("last_us"),
+        col("n_gaps"),
+        col("sg"),
+        col("sgg"),
+      )
+  }
+
+  /** Merge gap-grain parts into full-series per-user moments
+    * (user_id, n, sg, sgg): order each user's parts by their first
+    * endpoint (parts-per-user = slice count, bounded by batch count —
+    * the window frame is state-sized, never event-sized), restore the
+    * ONE boundary gap each slice cut, and sum. Associative over any
+    * time-contiguous slicing; one part ≡ the batch per-user agg.
+    */
+  private[graft] def mergeGapGrain(parts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("first_us"), col("first_eid"))
+    parts
+      .withColumn("prev_last_us", lag(col("last_us"), 1).over(w))
+      .withColumn(
+        "bg",
+        expr("CASE WHEN prev_last_us IS NULL THEN NULL ELSE (first_us - prev_last_us) DIV 1000000 END"),
+      )
+      .groupBy("user_id")
+      .agg(
+        (sum(col("n_gaps")) + count(col("bg"))).as("n"),
+        (sum(col("sg")) + coalesce(sum(col("bg")), lit(0L))).as("sg"),
+        (sum(col("sgg")) + coalesce(
+          sum((col("bg").cast("decimal(38,0)") * col("bg")).cast("decimal(38,0)")),
+          lit(0L).cast("decimal(38,0)"),
+        )).cast("decimal(38,0)").as("sgg"),
+      )
+  }
+
+  /** The burstiness statistic + band histogram over per-user moments
+    * (user_id, n, sg, sgg) — shared verbatim by the declared batch
+    * query and the continuous serve ([[graft.streaming.EventStream
+    * .burstinessFromState]]), so the statistic cannot drift between
+    * them.
+    */
+  private[graft] def burstinessTail(moments: DataFrame): DataFrame = {
+      val perUser = moments
         .filter(col("n") >= 4)
         .withColumn(
           "num",
@@ -1861,7 +2065,15 @@ object TemporalOps extends QueryModule {
         )
         .withColumn(
           "bucket",
-          expr("""CASE WHEN b_e3 < -600 THEN 'periodic'
+          // LOUD overflow guard: past the documented ~6×10⁶-gaps/user
+          // bound the DECIMAL(38,0) products overflow to NULL (non-ANSI
+          // decimal semantics), which a bare CASE would silently file
+          // under ELSE 'extreme' while DuckDB's HUGEINT errors. A NULL
+          // b_e3 can ONLY mean overflow (den = 0 is already pinned to
+          // −1000), so raise the same loud failure DuckDB gives.
+          expr("""CASE WHEN b_e3 IS NULL
+                 |       THEN raise_error('gap_burstiness: DECIMAL(38,0) overflow — rescale gaps (see SCALE.md bounds census)')
+                 |     WHEN b_e3 < -600 THEN 'periodic'
                  |     WHEN b_e3 < -200 THEN 'regular'
                  |     WHEN b_e3 <= 200 THEN 'neutral'
                  |     WHEN b_e3 <= 600 THEN 'bursty'
@@ -1876,6 +2088,26 @@ object TemporalOps extends QueryModule {
           max(col("b_e3")).as("max_b_e3"),
         )
         .orderBy("bucket")
+  }
+
+  private val gapBurstiness = DeclaredQuery(
+    "gap_burstiness",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      val gaps = events(s, d)
+        .withColumn("us", expr("unix_micros(ts)"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("user_id"), expr("(us - prev_us) DIV 1000000").as("g"))
+      burstinessTail(
+        gaps
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("g")).as("sg"),
+            sum((col("g").cast("decimal(38,0)") * col("g")).cast("decimal(38,0)")).as("sgg"),
+          ),
+      )
     },
     Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS us,
                               lag(epoch_us(ts)) OVER (PARTITION BY user_id
@@ -1917,5 +2149,6 @@ object TemporalOps extends QueryModule {
       scd2Intervals, freshnessAudit,
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
-      trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines)
+      trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
+      maseSes)
 }

@@ -624,6 +624,85 @@ object EventStream {
   def forecastBaselinesFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.forecastBaselinesFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the SES-vs-naive MASE quotient from the same live grain
+    * (sixth consumer) — the level series and both error sums are
+    * positions/lags in the MERGED day series, so only the merged grain
+    * gives the right forecasts.
+    */
+  def maseSesFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.maseSesFrom(typeDayFromState(spark, stateDir))
+
+  /** Continuous burstiness screening — the per-(slice, user) gap-moment
+    * grain behind `gap_burstiness` kept live (the round-15 "documented
+    * follow-up" shipped): each micro-batch reduces to the SHARED
+    * [[graft.operators.TemporalOps.gapGrainParts]] rows (n_events,
+    * first/last endpoints, within-slice gap moments), and the serve
+    * restores the ONE gap each slice boundary cut from the endpoints
+    * ([[graft.operators.TemporalOps.mergeGapGrain]]) before the shared
+    * statistic tail — so the served histogram is byte-identical to the
+    * declared batch query over the same events.
+    *
+    * Like the checksum partials, gap moments are NOT re-distincted at
+    * serve time: the batch dirs must be an exact partition of the
+    * stream, so the same bid-0 stale-lineage wipe applies (see
+    * [[startChecksumState]] for why it is safe). The grain additionally
+    * needs slices TIME-CONTIGUOUS per user (event-time-ordered arrival
+    * — what a watermarked stream delivers): an interleaved slicing's
+    * within-slice gaps are not gaps of the full series and no boundary
+    * term can repair Σg² — the documented reason this report was
+    * batch-tier until round 16. State per batch dir is one row per
+    * active user in the slice — user-cardinality, never event-sized.
+    */
+  def startGapGrain(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.TemporalOps
+          .gapGrainParts(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def gapPartsFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("n_events", LongType),
+          StructField("first_us", LongType),
+          StructField("first_eid", LongType),
+          StructField("last_us", LongType),
+          StructField("n_gaps", LongType),
+          StructField("sg", LongType),
+          StructField("sgg", DataTypes.createDecimalType(38, 0)),
+        )),
+      )
+    else spark.read.parquet(s"$stateDir/batch_*")
+  }
+
+  /** Serve the `gap_burstiness` band histogram from the live grain —
+    * boundary-gap-corrected merge + the shared statistic tail.
+    */
+  def burstinessFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.burstinessTail(
+      graft.operators.TemporalOps.mergeGapGrain(gapPartsFromState(spark, stateDir)),
+    )
+
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction
     * + shared grid derivation).

@@ -17,7 +17,37 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 236, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 237, "declared-query count changed — update SURVEY.md §2.12")
+  }
+
+  test("declared output schemas carry only driver-hashable dtypes (no DECIMAL)") {
+    // The round-15 regression class: the driver byte-hashes result
+    // parquet, and decimal128 columns do not hash stably across the
+    // Spark-parquet/DuckDB boundary even when every value matches — 8
+    // queries shipped believed-green locally and failed the driver.
+    // Wide DECIMAL(38,0) ACCUMULATORS are the right 100 TB arithmetic
+    // and stay; the DECLARED output must cast them to BIGINT ("BIGINT
+    // means out"). Whitelist: integral/double/string/date/timestamp/
+    // boolean and arrays/structs thereof. tools/compare.py enforces the
+    // same rule on the dumped parquet (decimal_output_problems).
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case _: DecimalType => false
+      case ArrayType(e, _) => ok(e)
+      case MapType(k, v, _) => ok(k) && ok(v)
+      case StructType(fs) => fs.forall(f => ok(f.dataType))
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+          _: FloatType | _: DoubleType | _: StringType | _: DateType |
+          _: TimestampType | _: BooleanType | _: BinaryType => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val bad = fn(spark, sfDir).schema.fields.filterNot(f => ok(f.dataType))
+      if (bad.isEmpty) None
+      else Some(s"$name: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"declared outputs with non-hashable dtypes (cast wide accumulators to BIGINT): ${offenders.mkString("; ")}")
   }
 
   test("SCALE.md and README.md carry the live declared-query count") {

@@ -60,13 +60,13 @@ class KMeansSpec extends SparkSpec {
     val cost = SparkEntry
       .queries("kmeans_cost")(spark, sfDir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getLong(2))))
       .toSeq
     assert(cost == expect, "per-cluster n/sse must aggregate the assignment")
     val rerun = SparkEntry
       .queries("kmeans_cost")(spark, sfDir)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger)))
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getLong(2))))
       .toSeq
     assert(rerun == cost, "integer Lloyd must be deterministic across runs")
   }

@@ -66,8 +66,9 @@ class LinkageMomentsSpec extends SparkSpec {
     for ((i, j) <- Seq((0, 0), (0, 1), (13, 40), (63, 63))) {
       val (si, sj, sij) = moments(i, j)
       val r = got((i, j))
-      // si/sj/sij ride the DECIMAL(38,0) wide tier since round 15
-      def dec(k: Int) = BigInt(r.getDecimal(k).toBigInteger)
+      // si/sj/sij accumulate in the DECIMAL(38,0) wide tier but DECLARE
+      // as BIGINT since round 16 ("BIGINT means out")
+      def dec(k: Int) = BigInt(r.getLong(k))
       assert(r.getLong(2) == n && dec(3) == BigInt(si) && dec(4) == BigInt(sj)
         && dec(5) == BigInt(sij))
     }

@@ -222,8 +222,8 @@ class Round10OpsSpec extends SparkSpec {
     val bySize = sessions.groupBy(_.getAs[Long]("n_events"))
     hist.foreach { r =>
       assert(r.getLong(1) == bySize(r.getLong(0)).length.toLong)
-      // sum_duration_us rides the DECIMAL(38,0) wide tier since round 15
-      assert(BigInt(r.getDecimal(3).toBigInteger)
+      // sum_duration_us accumulates wide but DECLARES BIGINT since r16
+      assert(BigInt(r.getLong(3))
         == BigInt(bySize(r.getLong(0)).map(_.getAs[Long]("duration_us")).sum))
     }
   }
@@ -318,8 +318,8 @@ class Round10OpsSpec extends SparkSpec {
       val col = vecs.map(_(pos))
       assert(r.getLong(1) == vecs.length.toLong)
       assert(r.getLong(2) == col.sum)
-      // s2 rides the DECIMAL(38,0) wide tier since round 15
-      assert(BigInt(r.getDecimal(3).toBigInteger)
+      // s2 accumulates wide but DECLARES BIGINT since round 16
+      assert(BigInt(r.getLong(3))
         == col.map(x => BigInt(x) * BigInt(x)).sum)
     }
   }

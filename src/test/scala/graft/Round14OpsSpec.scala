@@ -87,10 +87,10 @@ class Round14OpsSpec extends SparkSpec {
     val rows = operators.KMeansOps.queries.find(_.name == "kmeans_elbow").get
       .run(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
-    val sses = rows.map(r => BigInt(r.getDecimal(2).toBigInteger)).toSeq
+    val sses = rows.map(r => BigInt(r.getLong(2))).toSeq
     assert(sses == sses.sorted.reverse, s"SSE must not increase with k: $sses")
     val costTotal = operators.KMeansOps.queries.find(_.name == "kmeans_cost").get
-      .run(spark, sfDir).collect().map(r => BigInt(r.getDecimal(2).toBigInteger)).sum
+      .run(spark, sfDir).collect().map(r => BigInt(r.getLong(2))).sum
     assert(sses.last == costTotal, "the k=8 elbow row must be kmeans_cost's total SSE")
   }
 

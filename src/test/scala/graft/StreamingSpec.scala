@@ -1331,8 +1331,10 @@ class StreamingSpec extends SparkSpec {
       assert(!q.isActive)
     }
     runLoop(Files.createTempDirectory("ck-cks").toString)
+    // checksum_sum declares as BIGINT since round 16 ("BIGINT means out");
+    // the wide DECIMAL partials live only inside the state store
     def canon(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
     def served() = EventStream.checksumFromState(spark, stateDir).collect().map(canon).toSeq
     val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
     assert(batch.nonEmpty && served() == batch,
@@ -1608,6 +1610,9 @@ class StreamingSpec extends SparkSpec {
     val fbBatch = SparkEntry.queries("forecast_baselines")(spark, sfDir)
     assert(canon(EventStream.forecastBaselinesFromState(spark, stateDir)) == canon(fbBatch),
       "baseline MAE pair served from grain must equal the declared batch report")
+    val maseBatch = SparkEntry.queries("mase_ses")(spark, sfDir)
+    assert(canon(EventStream.maseSesFromState(spark, stateDir)) == canon(maseBatch),
+      "SES MASE quotient served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
@@ -1617,6 +1622,78 @@ class StreamingSpec extends SparkSpec {
     val empty = Files.createTempDirectory("tday-empty").toString
     assert(EventStream.trafficAnomalyFromState(spark, s"$empty/never").count() == 0)
     assert(EventStream.dowSeasonalityFromState(spark, s"$empty/never").count() == 0)
+  }
+
+  test("continuous gap-moment grain serves the exact burstiness histogram") {
+    import org.apache.spark.sql.functions._
+    // TIME-contiguous slices — the grain's documented precondition (an
+    // id-parity split interleaves series and is exactly what the
+    // boundary correction cannot repair): each cut point severs ONE gap
+    // per straddling user, so the boundary-restoring merge is really
+    // exercised — per-slice Σg/Σg² alone would lose those terms and the
+    // histogram would drift.
+    val streamDir = Files.createTempDirectory("gap-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"),
+    ).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    ev.filter(unix_micros(col("ts")) <= c1)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(unix_micros(col("ts")) > c1 && unix_micros(col("ts")) <= c2)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(unix_micros(col("ts")) > c2)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("gap-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EventStream.startGapGrain(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-gap").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq.toSet
+    val batch = SparkEntry.queries("gap_burstiness")(spark, sfDir)
+    val batchC = canon(batch)
+    assert(batchC.nonEmpty && canon(EventStream.burstinessFromState(spark, stateDir)) == batchC,
+      "burstiness histogram served from the gap grain must equal the declared batch query")
+    // the state really is sliced: >1 batch dir, and every straddling
+    // user's totals need the boundary correction (dropping it must NOT
+    // reproduce the batch result — guards against a vacuous split)
+    val parts = spark.read.parquet(s"$stateDir/batch_*")
+    assert(parts.groupBy("user_id").count().filter(col("count") > 1).count() > 0,
+      "no user straddles a slice boundary — the merge was not exercised")
+    // moment-level exactness: the sliced merge equals the one-part merge
+    // (= the batch per-user moments), while dropping the boundary terms
+    // provably differs — every straddling user loses one gap per cut
+    val merged = canon(operators.TemporalOps.mergeGapGrain(parts))
+    val onePart = canon(operators.TemporalOps.mergeGapGrain(
+      operators.TemporalOps.gapGrainParts(ev)))
+    assert(merged == onePart,
+      "boundary-corrected merge must reproduce the full-series per-user moments exactly")
+    val uncorrected = canon(
+      parts.groupBy("user_id").agg(
+        sum(col("n_gaps")).as("n"),
+        sum(col("sg")).as("sg"),
+        sum(col("sgg")).cast("decimal(38,0)").as("sgg"),
+      ))
+    assert(uncorrected != merged,
+      "dropping the boundary terms must change the per-user moments on this split")
+    // crash-replay: moment partials are additive — a replayed lineage
+    // must not double any user's gap sums (bid-0 wipe discipline)
+    runLoop(Files.createTempDirectory("ck-gap2").toString)
+    assert(canon(EventStream.burstinessFromState(spark, stateDir)) == batchC,
+      "a replayed lineage must not double-count gap moments")
+    // zero-batch state serves the defined empty histogram
+    val empty = Files.createTempDirectory("gap-empty").toString
+    val none = EventStream.burstinessFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("bucket", "n_users", "n_gaps", "min_b_e3", "max_b_e3"))
+    assert(none.count() == 0)
   }
 
   test("continuous moment partials serve the exact batch principal direction") {
@@ -1810,8 +1887,10 @@ class StreamingSpec extends SparkSpec {
       stream, stateDir, Files.createTempDirectory("ck-cks-stale").toString)
     q.awaitTermination(120000)
     assert(!q.isActive)
+    // checksum_sum declares as BIGINT since round 16 ("BIGINT means out");
+    // the wide DECIMAL partials live only inside the state store
     def canon(r: org.apache.spark.sql.Row) =
-      (r.getString(0), r.getLong(1), BigInt(r.getDecimal(2).toBigInteger), r.getLong(3))
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val served = EventStream.checksumFromState(spark, stateDir).collect().map(canon).toSeq
     val batch = SparkEntry.queries("events_checksum")(spark, sfDir).collect().map(canon).toSeq
     assert(batch.nonEmpty && served == batch,

@@ -120,6 +120,27 @@ def unionfind_rewrite(con, sql: str) -> str:
             + sql[m.end():])
 
 
+def decimal_output_problems(described_cols) -> list:
+    """Reject DECIMAL columns in a Spark dump (round-15 driver-gate class).
+
+    The driver byte-hashes parquet output; decimal128 columns do not hash
+    stably across the Spark-parquet/DuckDB boundary even when every value
+    matches, so value-level comparison alone shipped 8 believed-green
+    queries the driver failed (round 15). Declared outputs may only carry
+    {BIGINT, DOUBLE, STRING, DATE, TIMESTAMP, BOOLEAN, arrays/structs
+    thereof} — wide DECIMAL(38,0) accumulators stay INTERNAL and cast to
+    BIGINT at the output ("BIGINT means out"). `described_cols` is DuckDB
+    DESCRIBE rows (name, type, ...) over the dump.
+    """
+    return [
+        f"decimal output dtype[{row[0]}]: {row[1]} — declared outputs must "
+        f"cast wide accumulators to BIGINT (driver byte-hash is not stable "
+        f"for decimal128)"
+        for row in described_cols
+        if "DECIMAL" in str(row[1]).upper()
+    ]
+
+
 def _selftest() -> None:
     # Regression pins for the round-10 signed-zero false pass.
     assert same_value(0.0, 0.0)
@@ -131,6 +152,13 @@ def _selftest() -> None:
     assert same_value([1.0, -0.0], [1.0, -0.0])
     assert not same_value([1.0, -0.0], [1.0, 0.0])
     assert same_value("a", "a") and not same_value("a", "b")
+    # Regression pins for the round-15 decimal-output false pass: any
+    # DECIMAL column in a Spark dump must fail even if values match.
+    assert decimal_output_problems([("sse", "DECIMAL(38,0)")])
+    assert decimal_output_problems([("s", "DECIMAL(18,2)"), ("n", "BIGINT")])
+    assert not decimal_output_problems(
+        [("n", "BIGINT"), ("x", "DOUBLE"), ("t", "VARCHAR"),
+         ("a", "BIGINT[]"), ("ts", "TIMESTAMP"), ("b", "BOOLEAN")])
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -156,11 +184,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             exp = con.sql(sql).df()
             got = con.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            spark_types = con.sql(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            ).fetchall()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
             continue
-        problems = []
+        problems = decimal_output_problems(spark_types)
         if list(exp.columns) != list(got.columns):
             # driver sorts columns by name; order mismatch only matters
             # if the names differ
