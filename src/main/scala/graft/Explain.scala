@@ -21,8 +21,20 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       println(s"\n########## $name ##########")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      // One-line output-schema fingerprint (round-16): a dtype change —
+      // the round-15 decimal-output driver-gate class — becomes a
+      // visible PLANS.md diff and a PlansDriftSpec failure instead of a
+      // gate surprise.
+      println(schemaLine(df))
+      df.explain("formatted")
     }
     spark.stop()
   }
+
+  /** The section's schema fingerprint, shared with PlansDriftSpec. */
+  def schemaLine(df: org.apache.spark.sql.DataFrame): String =
+    "schema: " + df.schema.fields
+      .map(f => s"${f.name}:${f.dataType.simpleString}")
+      .mkString(", ")
 }

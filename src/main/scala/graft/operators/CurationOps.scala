@@ -695,8 +695,8 @@ object CurationOps extends QueryModule {
     */
   private[graft] def qiUserGrain(ev: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    // FLOOR epoch-day (the typeDayCounts spelling): bare DIV truncates
-    // toward zero vs DuckDB's floor `//` — divergent on pre-1970 ts
+    // FLOOR epoch-day (the typeDayCounts spelling, stated identically
+    // in the oracle): truncating division misplaces pre-1970 ts
     ev.withColumn(
       "day_no",
       expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"),
@@ -758,7 +758,7 @@ object CurationOps extends QueryModule {
     "k_anonymity",
     (s, d) => kAnonymityFrom(s, qiClasses(qiUserGrain(events(s, d)))),
     Some("""WITH c AS (SELECT event_type,
-                              epoch_us(ts) // 86400000000 AS day_no,
+                              (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                               CAST(floor(value / 50.0) AS BIGINT) AS vb,
                               CAST(count(*) AS BIGINT) AS csz
                        FROM events GROUP BY 1, 2, 3),
@@ -794,7 +794,7 @@ object CurationOps extends QueryModule {
     "l_diversity",
     (s, d) => lDiversityFrom(s, qiClasses(qiUserGrain(events(s, d)))),
     Some("""WITH c AS (SELECT event_type,
-                              epoch_us(ts) // 86400000000 AS day_no,
+                              (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                               CAST(floor(value / 50.0) AS BIGINT) AS vb,
                               CAST(count(*) AS BIGINT) AS csz,
                               CAST(count(DISTINCT user_id) AS BIGINT) AS ldiv

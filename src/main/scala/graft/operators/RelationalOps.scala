@@ -1049,9 +1049,9 @@ object RelationalOps extends QueryModule {
     "chi2_independence",
     (s, d) => {
       val cells = events(s, d)
-        // FLOOR epoch-day (the typeDayCounts spelling): bare DIV
-        // truncates toward zero vs DuckDB's floor `//` — divergent dow
-        // on pre-1970 ts
+        // FLOOR epoch-day (the typeDayCounts spelling, stated
+        // identically in the oracle): truncating division misplaces
+        // pre-1970 ts and would shift their dow
         .withColumn(
           "dow",
           expr("((unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000 + 4) % 7"),
@@ -1082,7 +1082,7 @@ object RelationalOps extends QueryModule {
         .orderBy("df")
     },
     Some("""WITH cells AS (SELECT event_type,
-                                  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                                  ((epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 + 4) % 7 AS dow,
                                   CAST(count(*) AS BIGINT) AS o
                            FROM events GROUP BY 1, 2),
             rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),

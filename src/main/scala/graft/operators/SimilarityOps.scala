@@ -898,10 +898,23 @@ object SimilarityOps extends QueryModule {
       val cand = srcB
         .join(nbrB, Seq("band", "bv")) // un-hinted: both sides corpus-cardinality
         .filter(col("src") =!= col("nbr"))
+        // CANONICAL-BAND emission (round-16): a pair agreeing in m bands
+        // used to surface m times and get squeezed through a
+        // candidate-cardinality dropDuplicates SHUFFLE — the dominant
+        // exchange of the whole substrate (candidates are the pair-dense
+        // stream; everything after hd≤3 is graph-sized). Keeping only
+        // the emission from the pair's MINIMAL agreeing band is a
+        // scan-local filter on columns already in hand, emits each pair
+        // EXACTLY once (band pruning: the join guarantees the current
+        // band agrees, so the CASE always selects an agreeing band ≤
+        // it), and deletes the shuffle outright. Result set unchanged.
+        .filter(expr("""band = (CASE WHEN (sc & 15) = (nc & 15) THEN 0
+                       |             WHEN (shiftright(sc, 4) & 15) = (shiftright(nc, 4) & 15) THEN 1
+                       |             WHEN (shiftright(sc, 8) & 15) = (shiftright(nc, 8) & 15) THEN 2
+                       |             ELSE 3 END)""".stripMargin))
         .withColumn("code_hd", expr("CAST(bit_count(sc ^ nc) AS BIGINT)"))
         .filter(col("code_hd") <= 3)
         .select("src", "nbr", "code_hd")
-        .dropDuplicates("src", "nbr")
       cand
         .join(e.select(col("vec_id").as("src"), col("dvec").as("qv")), Seq("src"))
         .join(e.select(col("vec_id").as("nbr"), col("dvec").as("cv")), Seq("nbr"))

@@ -1574,11 +1574,13 @@ object TemporalOps extends QueryModule {
     * the declared queries.
     */
   private[graft] def typeDayCounts(ev: DataFrame): DataFrame =
-    // FLOOR epoch-day (pmod then exact DIV): bare DIV truncates toward
-    // zero while the DuckDB twins' `//` floors, so day_no (hence dow)
-    // would diverge by one on pre-1970 timestamps. The subtraction
-    // makes the numerator exactly divisible, so DIV IS the floor —
-    // pure integer arithmetic, no double precision cliff.
+    // FLOOR epoch-day (pmod then exact DIV): bare truncating division
+    // (Spark DIV ≡ DuckDB `//`) would put a pre-1970 timestamp on the
+    // wrong calendar day (−1 µs → day 0) and disagree with the
+    // date-cast spelling dow_seasonality's oracle uses (CAST AS DATE
+    // floors). Both engines now state the same pmod floor — the
+    // subtraction makes the numerator exactly divisible, so the
+    // truncating divide IS the floor; pure integer arithmetic.
     ev.withColumn(
       "day_no",
       expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000"),
@@ -1699,7 +1701,7 @@ object TemporalOps extends QueryModule {
     "exp_smooth_forecast",
     (s, d) => expSmoothFrom(typeDayCounts(events(s, d))),
     Some("""WITH dc AS (SELECT event_type,
-                               epoch_us(ts) // 86400000000 AS day_no,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
                         FROM events GROUP BY 1, 2),
             ix AS (SELECT event_type, day_no, c,
@@ -1753,7 +1755,7 @@ object TemporalOps extends QueryModule {
     "forecast_baselines",
     (s, d) => forecastBaselinesFrom(typeDayCounts(events(s, d))),
     Some("""WITH dc AS (SELECT event_type,
-                               epoch_us(ts) // 86400000000 AS day_no,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
                         FROM events GROUP BY 1, 2),
             lg AS (SELECT event_type, c,
@@ -1869,7 +1871,7 @@ object TemporalOps extends QueryModule {
     "mase_ses",
     (s, d) => maseSesFrom(typeDayCounts(events(s, d))),
     Some("""WITH dc AS (SELECT event_type,
-                               epoch_us(ts) // 86400000000 AS day_no,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
                         FROM events GROUP BY 1, 2),
             ix AS (SELECT event_type, day_no, c,
@@ -1901,11 +1903,107 @@ object TemporalOps extends QueryModule {
             FROM ag ORDER BY event_type"""),
   )
 
+  /** Holt-style trend-aware forecast over the same grain — the SES
+    * level extended with a smoothed trend (the round-15 verdict's
+    * "second geometric series over first differences"): T_K =
+    * Σ_{j≥2} floor(β·(1−β)^{K−j}·ΔL_j + 0.5) with β = 0.2 over the
+    * SES level series' first differences (the exact unroll of
+    * T_j = β·ΔL_j + (1−β)·T_{j−1}, T_1 = 0, given the level series),
+    * and forecast = L_K + T_K — the one-step-ahead a capacity planner
+    * reads when traffic has drift that level-only SES lags behind.
+    *
+    * Exactness: ΔL_j are differences of the per-term-floored BIGINT
+    * level series ([[sesLevelSeries]] — shared verbatim with
+    * `mase_ses`, so the three forecasting reports read ONE level
+    * definition); each trend term is the identical pow/multiply double
+    * text in both engines, ×10⁶-floored AT THE TERM (floor(x + 0.5) is
+    * well-defined on the negative ΔL of a falling feed), so the trend
+    * sum is an exact, order-invariant BIGINT.
+    *
+    * Scale: rides the shared type-day grain; the level series reuses
+    * the span-bounded pair join, the trend is one lag + one weighted
+    * sum over day rows. Seventh consumer of the persisted store
+    * ([[graft.streaming.EventStream.holtFromState]]).
+    */
+  private[graft] def holtForecastFrom(dayCounts: DataFrame): DataFrame = {
+    val idx = indexedDays(dayCounts)
+    val levels = sesLevelSeries(idx)
+    val wt = Window.partitionBy("event_type")
+    val wk = Window.partitionBy("event_type").orderBy("kj")
+    val trend = levels
+      .withColumn("prev_l", lag(col("level_e6"), 1).over(wk))
+      .withColumn("kk", count(lit(1)).over(wt).cast("long"))
+      .filter(col("prev_l").isNotNull)
+      .withColumn(
+        "t_term_e6",
+        expr("""CAST(floor(0.2 * pow(0.8, CAST(kk - kj AS DOUBLE))
+               |           * (level_e6 - prev_l) + 0.5) AS BIGINT)""".stripMargin),
+      )
+      .groupBy("event_type")
+      .agg(sum(col("t_term_e6")).as("trend_e6"))
+    val last = idx
+      .withColumn("kk", count(lit(1)).over(wt).cast("long"))
+      .filter(col("k") === col("kk"))
+      .select(col("event_type"), col("kk").as("n_days"), col("c").as("last_dn"))
+    val lvK = levels
+      .withColumn("mk", max(col("kj")).over(wt))
+      .filter(col("kj") === col("mk"))
+      .select(col("event_type"), col("level_e6"))
+    last
+      .join(lvK, Seq("event_type"))
+      .join(trend, Seq("event_type"), "left")
+      .withColumn("trend_e6", coalesce(col("trend_e6"), lit(0L)))
+      .withColumn("forecast_e6", col("level_e6") + col("trend_e6"))
+      .select("event_type", "n_days", "last_dn", "level_e6", "trend_e6", "forecast_e6")
+      .orderBy("event_type")
+  }
+
+  private val holtForecast = DeclaredQuery(
+    "holt_forecast",
+    (s, d) => holtForecastFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            ix AS (SELECT event_type, day_no, c,
+                          CAST(row_number() OVER (PARTITION BY event_type ORDER BY day_no)
+                               AS BIGINT) AS k
+                   FROM dc),
+            pr AS (SELECT i.event_type, i.k AS ki, i.c AS ci, j.k AS kj
+                   FROM ix i JOIN ix j USING (event_type)
+                   WHERE i.k <= j.k),
+            lv AS (SELECT event_type, kj,
+                          CAST(sum(CAST(floor(CASE WHEN ki = 1
+                                                   THEN pow(0.7, CAST(kj - 1 AS DOUBLE)) * ci
+                                                   ELSE 0.3 * pow(0.7, CAST(kj - ki AS DOUBLE)) * ci END
+                                              * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS level_e6
+                   FROM pr GROUP BY 1, 2),
+            kkx AS (SELECT event_type, CAST(max(k) AS BIGINT) AS kk FROM ix GROUP BY 1),
+            dl AS (SELECT event_type, kj, level_e6,
+                          lag(level_e6) OVER (PARTITION BY event_type ORDER BY kj) AS prev_l
+                   FROM lv),
+            tr AS (SELECT d.event_type,
+                          CAST(sum(CAST(floor(0.2 * pow(0.8, CAST(x.kk - d.kj AS DOUBLE))
+                                              * (d.level_e6 - d.prev_l) + 0.5) AS BIGINT)) AS BIGINT)
+                            AS trend_e6
+                   FROM dl d JOIN kkx x USING (event_type)
+                   WHERE d.prev_l IS NOT NULL GROUP BY 1),
+            lst AS (SELECT i.event_type, x.kk AS n_days, i.c AS last_dn
+                    FROM ix i JOIN kkx x ON i.event_type = x.event_type AND i.k = x.kk),
+            lvk AS (SELECT l.event_type, l.level_e6
+                    FROM lv l JOIN kkx x ON l.event_type = x.event_type AND l.kj = x.kk)
+            SELECT l.event_type, l.n_days, l.last_dn, v.level_e6,
+                   CAST(coalesce(t.trend_e6, 0) AS BIGINT) AS trend_e6,
+                   CAST(v.level_e6 + coalesce(t.trend_e6, 0) AS BIGINT) AS forecast_e6
+            FROM lst l JOIN lvk v USING (event_type) LEFT JOIN tr t USING (event_type)
+            ORDER BY l.event_type"""),
+  )
+
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
     (s, d) => cusumFrom(typeDayCounts(events(s, d))),
     Some("""WITH dc AS (SELECT event_type,
-                               epoch_us(ts) // 86400000000 AS day_no,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
                         FROM events GROUP BY 1, 2),
             tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS s_t,
@@ -1927,7 +2025,7 @@ object TemporalOps extends QueryModule {
     "traffic_anomaly",
     (s, d) => anomalyFrom(typeDayCounts(events(s, d))),
     Some("""WITH dc AS (SELECT event_type,
-                               epoch_us(ts) // 86400000000 AS day_no,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
                         FROM events GROUP BY 1, 2),
             dd AS (SELECT event_type, day_no, (day_no + 4) % 7 AS dow, c FROM dc),
@@ -2150,5 +2248,5 @@ object TemporalOps extends QueryModule {
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
-      maseSes)
+      maseSes, holtForecast)
 }

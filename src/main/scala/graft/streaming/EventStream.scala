@@ -632,6 +632,13 @@ object EventStream {
   def maseSesFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.maseSesFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the Holt trend-aware forecast from the same live grain
+    * (seventh consumer) — level AND trend are positions in the merged
+    * day series.
+    */
+  def holtFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.holtForecastFrom(typeDayFromState(spark, stateDir))
+
   /** Continuous burstiness screening — the per-(slice, user) gap-moment
     * grain behind `gap_burstiness` kept live (the round-15 "documented
     * follow-up" shipped): each micro-batch reduces to the SHARED

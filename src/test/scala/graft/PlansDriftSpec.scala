@@ -52,17 +52,30 @@ class PlansDriftSpec extends SparkSpec {
     val drifted = sections.flatMap { sec =>
       val name = sec.takeWhile(_ != ' ')
       val dumped = treeOf(sec).map(normalize)
+      val df = SparkEntry.queries(name)(spark, PlanSf)
       val fresh = treeOf(
-        SparkEntry
-          .queries(name)(spark, PlanSf)
-          .queryExecution
+        df.queryExecution
           .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
       ).map(normalize)
-      if (fresh == dumped) None
-      else
-        Some(
-          s"== $name ==\nfresh:\n${fresh.mkString("\n")}\ndumped:\n${dumped.mkString("\n")}",
-        )
+      // Output-schema fingerprint (round-16): a declared dtype change —
+      // the round-15 decimal-output driver-gate class — must show up as
+      // a reviewable PLANS.md diff, so each section carries a `schema:`
+      // line that is diffed like the tree.
+      val dumpedSchema = sec.linesIterator.find(_.startsWith("schema: "))
+      val freshSchema = Explain.schemaLine(df)
+      val schemaDrift =
+        if (dumpedSchema.contains(freshSchema)) None
+        else
+          Some(
+            s"== $name (schema) ==\nfresh:  $freshSchema\ndumped: ${dumpedSchema.getOrElse("<missing>")}",
+          )
+      val treeDrift =
+        if (fresh == dumped) None
+        else
+          Some(
+            s"== $name ==\nfresh:\n${fresh.mkString("\n")}\ndumped:\n${dumped.mkString("\n")}",
+          )
+      schemaDrift ++ treeDrift
     }
     assert(
       drifted.isEmpty,

@@ -2,15 +2,15 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Round-16 pins: the floor epoch-day spelling (pre-1970 parity with
-  * DuckDB `//`), the gap_burstiness loud-overflow guard, and the
-  * simhash_bit_balance defined-empty-corpus result — the three ADVICE
-  * items — plus the BIGINT-output discipline on the re-greened wide-tier
-  * queries.
+/** Round-16 pins: the floor epoch-day spelling (calendar-day semantics
+  * for pre-1970 timestamps, stated identically in both engines), the
+  * gap_burstiness loud-overflow guard, and the simhash_bit_balance
+  * defined-empty-corpus result — the three ADVICE items — plus the
+  * BIGINT-output discipline on the re-greened wide-tier queries.
   */
 class Round16OpsSpec extends SparkSpec {
 
-  test("epoch-day grain FLOORS for pre-1970 timestamps (DuckDB `//` parity)") {
+  test("epoch-day grain FLOORS for pre-1970 timestamps (calendar-day semantics)") {
     // Bare DIV truncates toward zero: -1 µs would land on day 0 instead
     // of day -1 and its dow would shift — latent on post-epoch testdata,
     // divergent the moment a corpus carries pre-1970 rows.
@@ -33,7 +33,7 @@ class Round16OpsSpec extends SparkSpec {
       .toSeq
       .sorted
     assert(days == Seq(-2L, -1L, 0L, 1L),
-      s"day_no must floor (got $days) — the DuckDB twins use floor `//`")
+      s"day_no must floor (got $days) — the calendar-day convention both engines now state")
   }
 
   test("gap_burstiness raises LOUDLY on DECIMAL(38,0) overflow instead of mis-bucketing") {
@@ -114,6 +114,36 @@ class Round16OpsSpec extends SparkSpec {
       .toMap
     assert(lastLevel == declared && declared.nonEmpty,
       "series tail must equal the declared SES level per feed")
+  }
+
+  test("holt_forecast trend is the geometric unroll of the β-recurrence over level diffs") {
+    // The declared trend floors each unrolled term; the serial
+    // recurrence T_j = 0.2·ΔL_j + 0.8·T_{j−1} in exact doubles must
+    // agree within the accumulated per-term floor slack (≤ 0.5/day in
+    // e6 units), and forecast must be the level+trend identity.
+    val grain = operators.TemporalOps.typeDayCounts(Tables.events(spark, sfDir))
+    val idx = operators.TemporalOps.indexedDays(grain)
+    val series = operators.TemporalOps
+      .sesLevelSeries(idx)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2).map(_._3).toSeq }
+    val declared = SparkEntry.queries("holt_forecast")(spark, sfDir).collect()
+    assert(declared.nonEmpty)
+    declared.foreach { r =>
+      val (t, nDays, level, trend, fc) =
+        (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(fc == level + trend, s"$t: forecast must be level + trend")
+      val ls = series(t)
+      assert(ls.length.toLong == nDays && ls.last == level,
+        s"$t: declared level must be the series tail")
+      val serial = ls.sliding(2).foldLeft(0.0) { case (tr, Seq(a, b)) =>
+        0.2 * (b - a) + 0.8 * tr
+      }
+      assert(math.abs(serial - trend) <= 0.5 * nDays + 1,
+        s"$t: unrolled trend $trend vs serial $serial beyond floor slack")
+    }
   }
 
   test("re-greened wide-tier queries declare BIGINT outputs (wide stays internal)") {

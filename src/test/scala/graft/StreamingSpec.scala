@@ -1613,6 +1613,9 @@ class StreamingSpec extends SparkSpec {
     val maseBatch = SparkEntry.queries("mase_ses")(spark, sfDir)
     assert(canon(EventStream.maseSesFromState(spark, stateDir)) == canon(maseBatch),
       "SES MASE quotient served from grain must equal the declared batch report")
+    val holtBatch = SparkEntry.queries("holt_forecast")(spark, sfDir)
+    assert(canon(EventStream.holtFromState(spark, stateDir)) == canon(holtBatch),
+      "Holt forecast served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
