@@ -419,6 +419,103 @@ object SimilarityOps extends QueryModule {
              WHERE dr.v IS NULL ORDER BY a.vec_id"""),
   )
 
+  /** The kNN edge set in its PRODUCTION shape (the round-16 sf4 finding
+    * closed with the round-14 twin pattern): top-3 exact-cosine
+    * neighbors WITHIN derived-k IVF cells (k = max(8, n/32), the
+    * `semantic_dedup_scaled` derivation) instead of hd≤3 banding over a
+    * fixed 16-bit code. The fixed-width banded form is measured
+    * quadratic on clustered embeddings (band-bucket census in SCALE.md:
+    * candidate emissions ×4.0 per corpus doubling — the hottest bucket
+    * holds a constant ~19% of the corpus), so past ~sf2 its pair stream
+    * outgrows any single substrate pass; cell-bounding holds the
+    * per-vector pair work at ~[[SemCellSize]] — Σ n_c² ≈ n·32, linear —
+    * which is exactly the scaladoc'd 100 TB path of the banded
+    * substrate, now declared and oracle-checked (the oracle re-derives
+    * the identical k and Lloyd chain, then states the within-cell
+    * all-pairs ranking).
+    */
+  private[graft] def knnEdgesScaled(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "knn-edges-scaled") {
+      graft.functions.GraftFunctions.register(s)
+      val (e, n) = Ivf.scaledEmbeddings(s, d)
+      val asg = Ivf.cellAssignment(s, d, derivedCellCount(n))
+      val withVec = asg.join(e.select(col("vec_id"), col("dvec")), Seq("vec_id"))
+      val a = withVec.select(col("cid"), col("vec_id").as("src"), col("dvec").as("qv"))
+      val b = withVec.select(col("cid"), col("vec_id").as("nbr"), col("dvec").as("cv"))
+      a.join(b, Seq("cid")) // within-cell pairs: Σ n_c² ≈ n·cellsize
+        .filter(col("src") =!= col("nbr"))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qv, cv)"), 6))
+        .withColumn(
+          "rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("src")
+              .orderBy(col("sim").desc, col("nbr")),
+          ),
+        )
+        .filter(col("rank") <= 3)
+        .select(col("src"), col("rank").cast("long").as("rank"), col("nbr"), col("sim"))
+    }
+
+  /** The derived-k Lloyd + within-cell ranked pair CTEs ending in `r`
+    * (filter rank <= 3 when consuming) — shared by both scaled kNN
+    * oracles so the graph definition cannot drift between them.
+    */
+  private lazy val knnScaledDuckCtes =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+       |             list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+       |             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       |      FROM embeddings),
+       |${Ivf.lloydOracleCteDerived(s"greatest(8, count(*) // $SemCellSize)")},
+       |pr AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |              (round(list_inner_product(ea.dvec, eb.dvec) / (ea.nrm * eb.nrm), 6) + 0.0) AS sim
+       |       FROM asg1 a JOIN asg1 b USING (cid)
+       |            JOIN e ea ON ea.vec_id = a.vec_id
+       |            JOIN e eb ON eb.vec_id = b.vec_id
+       |       WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT src, nbr, sim,
+       |             CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS BIGINT) AS rank
+       |      FROM pr)""".stripMargin
+
+  private val knnGraphScaled = DeclaredQuery(
+    "knn_graph_scaled",
+    (s, d) => knnEdgesScaled(s, d).orderBy("src", "rank"),
+    Some(s"""WITH $knnScaledDuckCtes
+             SELECT src, rank, nbr, sim FROM r WHERE rank <= 3 ORDER BY src, rank"""),
+  )
+
+  /** The mutual-pair audit (`knn_reciprocity`'s statistic) over the
+    * scale-safe graph — per rank, how many edges are reciprocated. The
+    * tail is the identical left-join + conditional count; only the edge
+    * substrate differs, so the two declared forms measure the SAME
+    * health metric on the fixture graph and the production graph.
+    */
+  private val knnReciprocityScaled = DeclaredQuery(
+    "knn_reciprocity_scaled",
+    (s, d) => {
+      val e = knnEdgesScaled(s, d).select("src", "rank", "nbr")
+      val rev = e.select(col("nbr").as("src"), col("src").as("nbr"), lit(1L).as("has_rev"))
+      e.join(rev, Seq("src", "nbr"), "left")
+        .groupBy("rank")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          sum(when(col("has_rev").isNotNull, 1L).otherwise(0L)).as("n_mutual"),
+        )
+        .withColumn("mutual_e3", expr("n_mutual * 1000 DIV n_edges"))
+        .orderBy("rank")
+    },
+    Some(s"""WITH $knnScaledDuckCtes,
+             ke AS (SELECT src, rank, nbr FROM r WHERE rank <= 3),
+             rv AS (SELECT nbr AS src, src AS nbr FROM ke),
+             m AS (SELECT ke.rank,
+                          CAST(count(*) AS BIGINT) AS n_edges,
+                          CAST(sum(CASE WHEN rv.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_mutual
+                   FROM ke LEFT JOIN rv ON ke.src = rv.src AND ke.nbr = rv.nbr
+                   GROUP BY 1)
+             SELECT rank, n_edges, n_mutual, (n_mutual * 1000) // n_edges AS mutual_e3
+             FROM m ORDER BY rank"""),
+  )
+
   /** Recall@5 of the banded-LSH arm against the exact brute-force arm —
     * the standard ANN quality metric (recall@k on a query set is how
     * every published ANN system is evaluated). Both arms are the SHARED
@@ -1556,5 +1653,6 @@ object SimilarityOps extends QueryModule {
       annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
       incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity,
-      knnReciprocity, labelPropagation, centroidDistanceMatrix)
+      knnReciprocity, labelPropagation, centroidDistanceMatrix,
+      knnGraphScaled, knnReciprocityScaled)
 }
