@@ -146,6 +146,39 @@ class Round16OpsSpec extends SparkSpec {
     }
   }
 
+  test("knn_graph_scaled edges stay within their derived IVF cell, ranked and complete") {
+    import org.apache.spark.sql.expressions.Window
+    // The scale-safe twin's whole contract: candidates are cell-mates
+    // (that is what bounds pair work to Σ n_c²), ranks are the exact
+    // within-cell cosine order, and every source emits min(3, m−1)
+    // edges for a cell of size m — no neighbor silently dropped.
+    val edges = SparkEntry.queries("knn_graph_scaled")(spark, sfDir)
+    val n = Tables.embeddings(spark, sfDir).count()
+    val asg = operators.Ivf
+      .cellAssignment(spark, sfDir, operators.SimilarityOps.derivedCellCount(n))
+    val withCells = edges
+      .join(asg.select(col("vec_id").as("src"), col("cid").as("scid")), Seq("src"))
+      .join(asg.select(col("vec_id").as("nbr"), col("cid").as("ncid")), Seq("nbr"))
+    assert(withCells.filter(col("scid") =!= col("ncid")).count() == 0,
+      "every edge must connect cell-mates")
+    val cellSize = asg.groupBy("cid").count().select(col("cid").as("scid"), col("count"))
+    val perSrc = withCells
+      .groupBy("src", "scid")
+      .agg(count(lit(1)).as("deg"), max("rank").as("maxr"), min("rank").as("minr"))
+      .join(cellSize, Seq("scid"))
+    assert(perSrc.filter(col("deg") =!= least(lit(3L), col("count") - 1)).count() == 0,
+      "each source must emit min(3, cellsize − 1) edges")
+    assert(perSrc.filter(col("minr") =!= 1L || col("maxr") =!= col("deg")).count() == 0,
+      "ranks must be contiguous from 1")
+    val disordered = edges
+      .withColumn(
+        "prev_sim",
+        lag(col("sim"), 1).over(Window.partitionBy("src").orderBy("rank")),
+      )
+      .filter(col("prev_sim").isNotNull && col("sim") > col("prev_sim"))
+    assert(disordered.count() == 0, "sim must be non-increasing in rank per source")
+  }
+
   test("re-greened wide-tier queries declare BIGINT outputs (wide stays internal)") {
     // The round-15 driver-gate regression: 8 queries let DECIMAL(38,0)
     // accumulators leak into the declared output schema. Values were
