@@ -811,8 +811,120 @@ object CurationOps extends QueryModule {
             FROM a ORDER BY l"""),
   )
 
+  /** t-closeness audit — the third rung of the release-privacy ladder
+    * (Li, Li & Venkatasubramanian 2007): a class can be large
+    * (k-anonymous) and diverse (l-diverse) yet still leak if its
+    * SENSITIVE-VALUE DISTRIBUTION differs sharply from the corpus-wide
+    * one (e.g. a class where one user contributes 90% of rows when
+    * globally they contribute 1%). Per QI class, the total-variation
+    * distance between the class's user distribution and the global
+    * user distribution, TV = ½ Σ_u |c_cu/n_c − c_u/N| ∈ [0, 1] — the
+    * paper's variational-distance instantiation — then the threshold
+    * grid t ∈ {200, 500, 800}‰: classes FARTHER than t, rows in them,
+    * exact-ppm share. Read with the other two curves, the triad decides
+    * the generalization level a release needs.
+    *
+    * Exactness: the in-class sum cross-multiplies to integers
+    * (|c_cu·N − c_u·n_c|, denominator n_c·N) and the out-of-class mass
+    * telescopes to (N − G_c)/N where G_c is the class's users' GLOBAL
+    * row count — so TV needs NO full class × user-universe join, only
+    * the class's own user rows. Products reach corpus² (~10²² at
+    * 100 TB) — DECIMAL(38,0) accumulators, one truncating integral
+    * division per class, BIGINT out (the round-16 dtype discipline).
+    *
+    * Scale: rides the SAME persisted QI × user grain as `k_anonymity` /
+    * `l_diversity` (third serve of one store,
+    * [[graft.streaming.EventStream.tClosenessFromState]]); the grain
+    * agg is the only corpus-sized step, everything after is class- and
+    * user-cardinality. The 3-row t grid is the literal
+    * conditional-sum shape.
+    */
+  private[graft] def tClosenessFrom(
+      s: org.apache.spark.sql.SparkSession,
+      grain: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val cu = grain
+      .groupBy("event_type", "day_no", "vb", "user_id")
+      .agg(sum(col("c")).as("ccu"))
+    val ug = grain.groupBy("user_id").agg(sum(col("c")).as("cug"))
+    val tot = ug.agg(sum(col("cug")).as("nn"))
+    val ctot = cu.groupBy("event_type", "day_no", "vb").agg(sum(col("ccu")).as("nc"))
+    val classes = cu
+      .join(ug, Seq("user_id"))
+      .join(ctot, Seq("event_type", "day_no", "vb"))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "dev",
+        expr("""abs(CAST(ccu AS DECIMAL(38,0)) * nn - CAST(cug AS DECIMAL(38,0)) * nc)""")
+          .cast("decimal(38,0)"),
+      )
+      .groupBy("event_type", "day_no", "vb", "nc", "nn")
+      .agg(
+        sum(col("dev")).as("sdev"),
+        sum(col("cug")).as("gc"),
+      )
+      .withColumn(
+        "t_e3",
+        expr("""(CAST(sdev AS DECIMAL(38,0))
+               |   + (CAST(nn AS DECIMAL(38,0)) - gc) * nc) * 1000
+               |  DIV (CAST(2 AS DECIMAL(38,0)) * nc * nn)""".stripMargin),
+      )
+    Seq(200L, 500L, 800L)
+      .toDF("t")
+      .crossJoin(classes)
+      .groupBy("t")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("t_e3") > col("t"), 1L).otherwise(0L)).as("n_far"),
+        sum(when(col("t_e3") > col("t"), col("nc")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("nc")).as("n_rows"),
+      )
+      .withColumn("risk_ppm", expr("rows_at_risk * 1000000 DIV n_rows"))
+      .select("t", "n_classes", "n_far", "rows_at_risk", "risk_ppm")
+      .orderBy("t")
+  }
+
+  private val tCloseness = DeclaredQuery(
+    "t_closeness",
+    (s, d) => tClosenessFrom(s, qiUserGrain(events(s, d))),
+    Some("""WITH cu AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(floor(value / 50.0) AS BIGINT) AS vb,
+                               user_id,
+                               CAST(count(*) AS BIGINT) AS ccu
+                        FROM events GROUP BY 1, 2, 3, 4),
+            ug AS (SELECT user_id, CAST(sum(ccu) AS BIGINT) AS cug FROM cu GROUP BY 1),
+            tot AS (SELECT CAST(sum(cug) AS BIGINT) AS nn FROM ug),
+            ctot AS (SELECT event_type, day_no, vb, CAST(sum(ccu) AS BIGINT) AS nc
+                     FROM cu GROUP BY 1, 2, 3),
+            cl AS (SELECT c.event_type, c.day_no, c.vb, x.nc, t.nn,
+                          sum(abs(CAST(c.ccu AS HUGEINT) * t.nn
+                                  - CAST(u.cug AS HUGEINT) * x.nc)) AS sdev,
+                          CAST(sum(u.cug) AS BIGINT) AS gc
+                   FROM cu c
+                   JOIN ug u USING (user_id)
+                   JOIN ctot x USING (event_type, day_no, vb)
+                   CROSS JOIN tot t
+                   GROUP BY 1, 2, 3, 4, 5),
+            tv AS (SELECT *,
+                          CAST((sdev + (CAST(nn AS HUGEINT) - gc) * nc) * 1000
+                               // (CAST(2 AS HUGEINT) * nc * nn) AS BIGINT) AS t_e3
+                   FROM cl),
+            g AS (SELECT unnest([200, 500, 800]) AS t),
+            a AS (SELECT g.t, count(*) AS n_classes,
+                         CAST(sum(CASE WHEN tv.t_e3 > g.t THEN 1 ELSE 0 END) AS BIGINT) AS n_far,
+                         CAST(sum(CASE WHEN tv.t_e3 > g.t THEN tv.nc ELSE 0 END) AS BIGINT)
+                           AS rows_at_risk,
+                         CAST(sum(tv.nc) AS BIGINT) AS n_rows
+                  FROM g CROSS JOIN tv GROUP BY 1)
+            SELECT CAST(t AS BIGINT) AS t, n_classes, n_far, rows_at_risk,
+                   (rows_at_risk * 1000000) // n_rows AS risk_ppm
+            FROM a ORDER BY t"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
       ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity,
-      lDiversity)
+      lDiversity, tCloseness)
 }

@@ -519,27 +519,28 @@ object EventStream {
     * queries run. Zero committed batches serve the empty class table
     * (both audits then emit zero rows — a defined cold read).
     */
-  private def qiClassesFromState(spark: SparkSession, stateDir: String): DataFrame = {
+  private def qiGrainFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, sum}
-    val grain =
-      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("day_no", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("vb", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
-          )),
-        )
-      else
-        spark.read
-          .parquet(s"$stateDir/batch_*")
-          .groupBy("event_type", "day_no", "vb", "user_id")
-          .agg(sum(col("c")).as("c"))
-    graft.operators.CurationOps.qiClasses(grain)
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("day_no", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vb", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
+        )),
+      )
+    else
+      spark.read
+        .parquet(s"$stateDir/batch_*")
+        .groupBy("event_type", "day_no", "vb", "user_id")
+        .agg(sum(col("c")).as("c"))
   }
+
+  private def qiClassesFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.CurationOps.qiClasses(qiGrainFromState(spark, stateDir))
 
   /** Continuous traffic monitoring — the (event_type, epoch-day) count
     * grain behind `traffic_anomaly` and `dow_seasonality` kept live:
@@ -720,6 +721,15 @@ object EventStream {
   /** Serve `l_diversity` from the same live grain. */
   def lDiversityFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.CurationOps.lDiversityFrom(spark, qiClassesFromState(spark, stateDir))
+
+  /** Serve `t_closeness` from the same live grain (third privacy serve
+    * of one store) — the TV distance needs the class × USER rows, which
+    * is exactly what the grain persists; the merged grain feeds the
+    * SAME [[graft.operators.CurationOps.tClosenessFrom]] tail as the
+    * declared query.
+    */
+  def tClosenessFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.CurationOps.tClosenessFrom(spark, qiGrainFromState(spark, stateDir))
 
   /** Continuous quantile monitoring — the streaming twin of the
     * `histogram_quantile` sketch: per micro-batch, the

@@ -1559,6 +1559,10 @@ class StreamingSpec extends SparkSpec {
       "k-anonymity served from grain must equal the declared batch audit")
     assert(canon(ld) == canon(ldBatch) && ld.count() == 3,
       "l-diversity served from grain must equal the declared batch audit")
+    val tc = EventStream.tClosenessFromState(spark, stateDir)
+    val tcBatch = SparkEntry.queries("t_closeness")(spark, sfDir)
+    assert(canon(tc) == canon(tcBatch) && tc.count() == 3,
+      "t-closeness served from grain must equal the declared batch audit")
     // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
     // the wipe discipline rewrites identical partials; without it the
     // ADDITIVE class sizes would double (unlike the dedup day-user
