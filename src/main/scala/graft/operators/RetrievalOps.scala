@@ -657,7 +657,143 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  private val FbDocs = 10
+  private val ExpTerms = 5
+  private val Rm3Out = 10
+  private val Rm3OrigWeight = 1000L
+
+  /** RM3-style pseudo-relevance feedback — the standard query-expansion
+    * recipe (Lavrenko & Croft relevance models, the RM3 interpolation
+    * every Anserini/Indri baseline ships): retrieve a first-pass BM25
+    * top-[[FbDocs]], estimate a feedback term distribution from those
+    * docs (Σ_d tf/|d|, the uniform-weight RM1), keep the top-
+    * [[ExpTerms]] non-query terms, and rescore the corpus with original
+    * terms at full weight plus expansion terms weighted by their ‰
+    * share of the feedback mass. Output: the reranked top-[[Rm3Out]]
+    * with both scores and the first-pass rank (0 = newly surfaced) —
+    * the side-by-side a retrieval engineer reads to judge expansion
+    * drift.
+    *
+    * Exactness: both passes ride the SHARED [[bm25Contrib]] text (the
+    * e9-scaled floored contribution — ln() is bit-identical across
+    * engines on identical inputs); the feedback weights are truncating
+    * integer divisions (tf·10⁹ DIV len, non-negative) and the ‰
+    * interpolation is one more integral division — every score an
+    * exact BIGINT, full-key tiebreaks everywhere.
+    *
+    * Scale: pass 1 is `bm25_rank`'s plan (term-filtered scan +
+    * TakeOrderedAndProject). The feedback model reads [[FbDocs]] docs
+    * (broadcast id list, semi-join). Pass 2 is another term-filtered
+    * scan — the expanded term list is a ≤ 8-row broadcast, so the
+    * corpus-sized work is two scans and two global top-ks; nothing
+    * grows with the corpus beyond them.
+    */
+  private val rm3Expansion = DeclaredQuery(
+    "rm3_expansion",
+    (s, d) => {
+      val base = bm25Ranked(s, d)
+      val fbIds = base.filter(col("rank") <= FbDocs).select("doc_id")
+      val words = documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val lens = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("len"))
+      // feedback model: per-term mass Σ_d (tf·1e9 DIV len) over the
+      // feedback docs; query terms and sub-4-char tokens excluded
+      val fbw = words
+        .join(broadcast(fbIds), Seq("doc_id"), "left_semi")
+        .filter(!col("term").isin(QueryTerms: _*) && length(col("term")) >= 4)
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+        .join(lens, Seq("doc_id"))
+        .withColumn("wpart", expr("tf * 1000000000 DIV len"))
+        .groupBy("term")
+        .agg(sum(col("wpart")).as("w_e9"))
+        .orderBy(col("w_e9").desc, col("term"))
+        .limit(ExpTerms)
+      val fbTotal = fbw.agg(sum(col("w_e9")).as("w_tot"))
+      val expTerms = fbw
+        .crossJoin(broadcast(fbTotal))
+        .withColumn("tweight", expr("(w_e9 * 1000) DIV w_tot"))
+        .select(col("term"), col("tweight"))
+      val allTerms = expTerms.unionByName(
+        QueryTerms.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, t) =>
+          val one = s.range(1).select(lit(t).as("term"), lit(Rm3OrigWeight).as("tweight"))
+          Some(acc.fold(one)(_ unionByName one))
+        }.get,
+      )
+      val tf2 = words
+        .join(broadcast(allTerms), Seq("term"))
+        .groupBy("doc_id", "term", "tweight")
+        .agg(count(lit(1)).as("tf"))
+      val dfT2 = tf2.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+      val rescored = tf2
+        .join(broadcast(dfT2), Seq("term"))
+        .join(lens, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(bm25Contrib("n_docs", "sum_len")))
+        .withColumn("wc", expr("contrib * tweight"))
+        .groupBy("doc_id")
+        .agg(sum(col("wc")).as("score_rm3"))
+        .orderBy(col("score_rm3").desc, col("doc_id"))
+        .limit(Rm3Out)
+        .withColumn(
+          "rank_rm3",
+          row_number().over(Window.orderBy(col("score_rm3").desc, col("doc_id"))).cast("long"),
+        )
+      rescored
+        .join(base.select(col("doc_id"), col("rank").as("base_rank")), Seq("doc_id"), "left")
+        .withColumn("base_rank", coalesce(col("base_rank"), lit(0L)))
+        .select("doc_id", "score_rm3", "rank_rm3", "base_rank")
+        .orderBy("rank_rm3")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      val origRows = QueryTerms.map(t => s"('$t', $Rm3OrigWeight)").mkString(", ")
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+                 WHERE term IN ($termList) GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+          sc AS (SELECT doc_id,
+                        ${bm25Contrib("n_docs", "sum_len")} AS contrib
+                 FROM tf JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          tot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM sc GROUP BY 1),
+          r AS (SELECT doc_id, score,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM tot),
+          fb AS (SELECT doc_id FROM r WHERE rank <= $FbDocs),
+          fwp AS (SELECT wd.term, wd.doc_id, count(*) AS tf
+                  FROM w wd JOIN fb USING (doc_id)
+                  WHERE wd.term NOT IN ($termList) AND length(wd.term) >= 4
+                  GROUP BY 1, 2),
+          fbw AS (SELECT term, CAST(sum((tf * 1000000000) // len) AS BIGINT) AS w_e9
+                  FROM fwp JOIN lens USING (doc_id)
+                  GROUP BY 1 ORDER BY w_e9 DESC, term LIMIT $ExpTerms),
+          ftot AS (SELECT CAST(sum(w_e9) AS BIGINT) AS w_tot FROM fbw),
+          expt AS (SELECT term, (w_e9 * 1000) // w_tot AS tweight FROM fbw CROSS JOIN ftot
+                   UNION ALL SELECT * FROM (VALUES $origRows) v(term, tweight)),
+          tf2 AS (SELECT wd.doc_id, wd.term, e.tweight, count(*) AS tf
+                  FROM w wd JOIN expt e ON wd.term = e.term
+                  GROUP BY 1, 2, 3),
+          dft2 AS (SELECT term, count(*) AS df FROM tf2 GROUP BY 1),
+          sc2 AS (SELECT doc_id,
+                         ${bm25Contrib("n_docs", "sum_len")} * tweight AS wc
+                  FROM tf2 JOIN dft2 USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          tot2 AS (SELECT doc_id, CAST(sum(wc) AS BIGINT) AS score_rm3 FROM sc2 GROUP BY 1),
+          r2 AS (SELECT doc_id, score_rm3,
+                        CAST(row_number() OVER (ORDER BY score_rm3 DESC, doc_id) AS BIGINT)
+                          AS rank_rm3
+                 FROM tot2),
+          rb AS (SELECT doc_id, rank FROM r WHERE rank <= $BmTopK)
+          SELECT r2.doc_id, r2.score_rm3, r2.rank_rm3,
+                 CAST(coalesce(rb.rank, 0) AS BIGINT) AS base_rank
+          FROM r2 LEFT JOIN rb ON r2.doc_id = rb.doc_id
+          WHERE r2.rank_rm3 <= $Rm3Out ORDER BY r2.rank_rm3"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
     Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
-      mmrRerank)
+      mmrRerank, rm3Expansion)
 }
