@@ -26,7 +26,44 @@ class PlansDriftSpec extends SparkSpec {
     val lines = text.linesIterator.toSeq
     val start = lines.indexWhere(_.startsWith("== Physical Plan =="))
     if (start < 0) Seq.empty
-    else lines.drop(start + 1).takeWhile(_.trim.nonEmpty)
+    else truncateCached(lines.drop(start + 1).takeWhile(_.trim.nonEmpty))
+  }
+
+  /** Treat InMemoryRelation as a LEAF: the plan printed inside a cached
+    * substrate is the materialized AQE state of whatever session built
+    * it — query-stage boundaries, and even broadcast build SIDES, vary
+    * with which sibling substrates were already warm (observed: a
+    * BuildLeft/BuildRight flip inside knn-edges-scaled between the
+    * Explain JVM and the spec session). What a section pins is the
+    * CONSUMER plan; the substrate's own shape is pinned by its builder's
+    * section. Children are detected by indentation depth (tree-drawing
+    * colons count as indent).
+    */
+  private def truncateCached(lines: Seq[String]): Seq[String] = {
+    def depth(l: String): Int = {
+      val i = l.indexWhere(c => c != ' ' && c != ':')
+      if (i < 0) Int.MaxValue else i
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    // The cached plan block under an InMemoryRelation prints at depths
+    // BETWEEN the owning InMemoryTableScan's and the relation line's
+    // (formatted-explain quirk: "== Final Plan ==" headers sit shallower
+    // than the relation node), so the skip boundary is the SCAN's depth
+    // — everything strictly deeper than the scan, after the relation
+    // line, belongs to the cached internals.
+    var skipDeeper = -1
+    var prevKeptDepth = -1
+    lines.foreach { l =>
+      val d = depth(l)
+      if (skipDeeper >= 0 && d > skipDeeper) () // inside a cached subtree
+      else {
+        skipDeeper = -1
+        out += l
+        if (l.contains("InMemoryRelation")) skipDeeper = prevKeptDepth
+        prevKeptDepth = d
+      }
+    }
+    out.toSeq
   }
 
   private def normalize(l: String): String =
