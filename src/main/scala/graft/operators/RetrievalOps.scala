@@ -793,7 +793,128 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  private val RocFbK = 10
+  private val RocOut = 10
+
+  /** Rocchio dense feedback — the embedding-space sibling of
+    * [[rm3Expansion]] (Rocchio 1971, the prototype-vector update every
+    * IR course teaches and dense retrievers still use as PRF): take the
+    * query vector's exact-int-dot top-[[RocFbK]], average their
+    * quantized embeddings into a feedback centroid, move the query
+    * 0.7·q + 0.3·centroid, and rescore the corpus with the moved
+    * vector. Output: the reranked top-[[RocOut]] with both scores and
+    * the first-pass rank (0 = surfaced by feedback) — read beside
+    * `rm3_expansion`, the lexical and dense PRF arms of one hybrid
+    * stack.
+    *
+    * Exactness: embeddings quantize to ×10⁶ BIGINTs (the
+    * embedding_covariance discipline); both passes are exact BIGINT
+    * dots (native graft_int_dot kernel / the SQ8 list_reduce text);
+    * the centroid is a truncating per-component DIV (both engines
+    * truncate toward zero on integers) and the 0.7/0.3 mix is the
+    * integer 700·q + 300·c — every ordering key an exact integer,
+    * full-key tiebreaks.
+    *
+    * Scale: pass 1 is one corpus scan + TakeOrderedAndProject (the
+    * query is ONE broadcast row). The centroid is a [[RocFbK]]-doc,
+    * dimension-cardinality agg collected driver-side (65 bounded rows —
+    * the k-row Lloyd-partials class), so pass 2 is a ZERO-join scan:
+    * the moved vector rides into the kernel as a literal, and the only
+    * exchange left is the top-k merge.
+    */
+  private val rocchioRerank = DeclaredQuery(
+    "rocchio_rerank",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val qz = embeddings(s, d).select(
+        col("vec_id"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qv"),
+      )
+      val qRow = qz.filter(col("vec_id") === 0L).select(col("qv").as("qqv"))
+      val base = qz
+        .filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qRow))
+        .withColumn("qdot", expr("graft_int_dot(qqv, qv)"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(RocFbK)
+        .withColumn(
+          "base_rank",
+          row_number().over(Window.orderBy(col("qdot").desc, col("vec_id"))).cast("long"),
+        )
+        .select(col("vec_id"), col("base_rank"))
+      // bounded driver work: RocFbK docs × Dim components + the query row
+      val fbSums = qz
+        .join(base.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select(posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("pos")
+        .agg(sum(col("v")).as("sv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getLong(1))
+        .toMap
+      val qVec = qz
+        .filter(col("vec_id") === 0L)
+        .select(col("qv"))
+        .collect()(0)
+        .getSeq[Long](0)
+      val moved: Seq[Long] = qVec.indices.map { k =>
+        700L * qVec(k) + 300L * (fbSums.getOrElse(k, 0L) / RocFbK)
+      }
+      val rescored = qz
+        .filter(col("vec_id") =!= 0L)
+        .withColumn(
+          "score_roc",
+          call_function("graft_int_dot", col("qv"), typedlit(moved)),
+        )
+        .orderBy(col("score_roc").desc, col("vec_id"))
+        .limit(RocOut)
+        .withColumn(
+          "rank_roc",
+          row_number().over(Window.orderBy(col("score_roc").desc, col("vec_id"))).cast("long"),
+        )
+      rescored
+        .join(base, Seq("vec_id"), "left")
+        .withColumn("base_rank", coalesce(col("base_rank"), lit(0L)))
+        .select(col("vec_id"), col("score_roc"), col("rank_roc"), col("base_rank"))
+        .orderBy("rank_roc")
+    },
+    Some(s"""WITH qz AS (SELECT vec_id,
+                                list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                         FROM embeddings),
+             qrow AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
+             p AS (SELECT c.vec_id,
+                          list_reduce(list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(1, len(q.qqv) + 1), i -> q.qqv[i] * c.qv[i])),
+                            (s2, x) -> s2 + x) AS qdot
+                   FROM qz c CROSS JOIN qrow q WHERE c.vec_id <> 0),
+             base AS (SELECT vec_id,
+                             CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT)
+                               AS base_rank
+                      FROM p ORDER BY qdot DESC, vec_id LIMIT $RocFbK),
+             fbx AS (SELECT generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS v
+                     FROM qz JOIN base USING (vec_id)),
+             ctr AS (SELECT list(sv ORDER BY pos) AS cv
+                     FROM (SELECT pos, CAST(sum(v) AS BIGINT) // $RocFbK AS sv
+                           FROM fbx GROUP BY pos)),
+             mv AS (SELECT list_transform(range(1, len(q.qqv) + 1),
+                             i -> 700 * q.qqv[i] + 300 * c.cv[i]) AS rv
+                    FROM qrow q CROSS JOIN ctr c),
+             sc AS (SELECT c.vec_id,
+                           list_reduce(list_prepend(CAST(0 AS BIGINT),
+                             list_transform(range(1, len(m.rv) + 1), i -> m.rv[i] * c.qv[i])),
+                             (s2, x) -> s2 + x) AS score_roc
+                    FROM qz c CROSS JOIN mv m WHERE c.vec_id <> 0),
+             r2 AS (SELECT vec_id, score_roc,
+                           CAST(row_number() OVER (ORDER BY score_roc DESC, vec_id) AS BIGINT)
+                             AS rank_roc
+                    FROM sc)
+             SELECT r2.vec_id, r2.score_roc, r2.rank_roc,
+                    CAST(coalesce(b.base_rank, 0) AS BIGINT) AS base_rank
+             FROM r2 LEFT JOIN base b ON r2.vec_id = b.vec_id
+             WHERE r2.rank_roc <= $RocOut ORDER BY r2.rank_roc"""),
+  )
+
   override def queries: Seq[DeclaredQuery] =
     Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
-      mmrRerank, rm3Expansion)
+      mmrRerank, rm3Expansion, rocchioRerank)
 }
