@@ -1958,10 +1958,12 @@ object TemporalOps extends QueryModule {
       .orderBy("event_type")
   }
 
-  private val holtForecast = DeclaredQuery(
-    "holt_forecast",
-    (s, d) => holtForecastFrom(typeDayCounts(events(s, d))),
-    Some("""WITH dc AS (SELECT event_type,
+  /** The Holt derivation as DuckDB CTEs ending in `lst`/`lvk`/`tr`
+    * (last-day stats, level at K, trend) — shared by `holt_forecast`
+    * and `seasonal_forecast` so the level/trend definition cannot
+    * drift between them.
+    */
+  private lazy val holtDuckCtes = """dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
                         FROM events GROUP BY 1, 2),
@@ -1991,7 +1993,111 @@ object TemporalOps extends QueryModule {
             lst AS (SELECT i.event_type, x.kk AS n_days, i.c AS last_dn
                     FROM ix i JOIN kkx x ON i.event_type = x.event_type AND i.k = x.kk),
             lvk AS (SELECT l.event_type, l.level_e6
-                    FROM lv l JOIN kkx x ON l.event_type = x.event_type AND l.kj = x.kk)
+                    FROM lv l JOIN kkx x ON l.event_type = x.event_type AND l.kj = x.kk)"""
+
+  /** Holt–Winters-style seasonal forecast over the same grain — the
+    * dow-aware one-step-ahead (additive seasonality): forecast for the
+    * NEXT calendar day = Holt level + trend + that day's weekday offset
+    * s_dow = mean(count | dow) − mean(count), read straight off the
+    * `dow_seasonality` envelope. The composition every capacity stack
+    * runs when traffic has both drift AND a weekly cycle (SES lags
+    * drift, Holt ignores the weekday dip). Eighth consumer of the
+    * persisted type-day grain ([[graft.streaming.EventStream
+    * .seasonalForecastFromState]]).
+    *
+    * Exactness: level/trend are the SHARED Holt integers; both means
+    * are truncating integral divisions of exact sums — the sums ride
+    * DECIMAL(38,0) before the ×10⁶ scale-up (corpus-sized counts ×10⁶
+    * cross 2⁶³ at ~10¹³ rows/feed) and the offsets land as BIGINTs
+    * ("BIGINT means out"). Weekday from shared epoch-day arithmetic —
+    * never engine dow().
+    */
+  private[graft] def seasonalForecastFrom(dayCounts: DataFrame): DataFrame = {
+    val holt = holtForecastFrom(dayCounts)
+      .select(col("event_type"), col("level_e6"), col("trend_e6"))
+    val dowAgg = dayCounts
+      .withColumn("dow", ((col("day_no") + 4) % 7).cast("long"))
+      .groupBy("event_type", "dow")
+      .agg(sum(col("c")).as("sum_c"), count(lit(1)).as("n_days_dow"))
+    val nx = dayCounts
+      .groupBy("event_type")
+      .agg(
+        sum(col("c")).as("tot_c"),
+        count(lit(1)).as("tot_days"),
+        max(col("day_no")).as("last_day"),
+      )
+      .withColumn("next_day_no", col("last_day") + 1)
+      .withColumn("next_dow", ((col("next_day_no") + 4) % 7).cast("long"))
+    nx
+      .join(
+        dowAgg.select(
+          col("event_type"),
+          col("dow").as("next_dow"),
+          col("sum_c"),
+          col("n_days_dow"),
+        ),
+        Seq("event_type", "next_dow"),
+        "left",
+      )
+      .withColumn(
+        "season_e6",
+        expr("""CAST(coalesce(
+               |  (CAST(sum_c AS DECIMAL(38,0)) * 1000000) DIV n_days_dow
+               |    - (CAST(tot_c AS DECIMAL(38,0)) * 1000000) DIV tot_days,
+               |  0) AS BIGINT)""".stripMargin),
+      )
+      .join(holt, Seq("event_type"))
+      .withColumn("forecast_e6", col("level_e6") + col("trend_e6") + col("season_e6"))
+      .select(
+        col("event_type"),
+        col("tot_days").as("n_days"),
+        col("next_day_no"),
+        col("next_dow"),
+        col("level_e6"),
+        col("trend_e6"),
+        col("season_e6"),
+        col("forecast_e6"),
+      )
+      .orderBy("event_type")
+  }
+
+  private val seasonalForecast = DeclaredQuery(
+    "seasonal_forecast",
+    (s, d) => seasonalForecastFrom(typeDayCounts(events(s, d))),
+    Some(s"""WITH $holtDuckCtes,
+            dw AS (SELECT event_type, (day_no + 4) % 7 AS dow,
+                          CAST(sum(c) AS BIGINT) AS sum_c,
+                          CAST(count(*) AS BIGINT) AS n_days_dow
+                   FROM dc GROUP BY 1, 2),
+            tt AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tot_c,
+                          CAST(count(*) AS BIGINT) AS tot_days,
+                          CAST(max(day_no) AS BIGINT) AS last_day
+                   FROM dc GROUP BY 1),
+            nx AS (SELECT event_type, tot_c, tot_days,
+                          last_day + 1 AS next_day_no,
+                          (last_day + 1 + 4) % 7 AS next_dow
+                   FROM tt),
+            sn AS (SELECT n.event_type, n.tot_days, n.next_day_no, n.next_dow,
+                          CAST(coalesce(
+                            (CAST(d.sum_c AS HUGEINT) * 1000000) // d.n_days_dow
+                              - (CAST(n.tot_c AS HUGEINT) * 1000000) // n.tot_days,
+                            0) AS BIGINT) AS season_e6
+                   FROM nx n LEFT JOIN dw d
+                     ON n.event_type = d.event_type AND n.next_dow = d.dow)
+            SELECT s.event_type, s.tot_days AS n_days, s.next_day_no, s.next_dow,
+                   v.level_e6,
+                   CAST(coalesce(t.trend_e6, 0) AS BIGINT) AS trend_e6,
+                   s.season_e6,
+                   CAST(v.level_e6 + coalesce(t.trend_e6, 0) + s.season_e6 AS BIGINT)
+                     AS forecast_e6
+            FROM sn s JOIN lvk v USING (event_type) LEFT JOIN tr t USING (event_type)
+            ORDER BY s.event_type"""),
+  )
+
+  private val holtForecast = DeclaredQuery(
+    "holt_forecast",
+    (s, d) => holtForecastFrom(typeDayCounts(events(s, d))),
+    Some(s"""WITH $holtDuckCtes
             SELECT l.event_type, l.n_days, l.last_dn, v.level_e6,
                    CAST(coalesce(t.trend_e6, 0) AS BIGINT) AS trend_e6,
                    CAST(v.level_e6 + coalesce(t.trend_e6, 0) AS BIGINT) AS forecast_e6
@@ -2248,5 +2354,5 @@ object TemporalOps extends QueryModule {
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
-      maseSes, holtForecast)
+      maseSes, holtForecast, seasonalForecast)
 }

@@ -640,6 +640,12 @@ object EventStream {
   def holtFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.holtForecastFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the dow-seasonal forecast from the same live grain (eighth
+    * consumer) — the seasonal offset needs the merged per-dow means.
+    */
+  def seasonalForecastFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.seasonalForecastFrom(typeDayFromState(spark, stateDir))
+
   /** Continuous burstiness screening — the per-(slice, user) gap-moment
     * grain behind `gap_burstiness` kept live (the round-15 "documented
     * follow-up" shipped): each micro-batch reduces to the SHARED

@@ -1620,6 +1620,9 @@ class StreamingSpec extends SparkSpec {
     val holtBatch = SparkEntry.queries("holt_forecast")(spark, sfDir)
     assert(canon(EventStream.holtFromState(spark, stateDir)) == canon(holtBatch),
       "Holt forecast served from grain must equal the declared batch report")
+    val seaBatch = SparkEntry.queries("seasonal_forecast")(spark, sfDir)
+    assert(canon(EventStream.seasonalForecastFromState(spark, stateDir)) == canon(seaBatch),
+      "seasonal forecast served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
