@@ -914,7 +914,169 @@ object RetrievalOps extends QueryModule {
              WHERE r2.rank_roc <= $RocOut ORDER BY r2.rank_roc"""),
   )
 
+  /** NDCG@{5,10,20} offline evaluation of both deployed lexical rankers
+    * (Järvelin & Kekäläinen 2002) — the graded-relevance metric that
+    * `ranker_agreement`'s set-overlap curve cannot express: it rewards
+    * putting HIGHLY relevant documents EARLY, which is what an RAG
+    * context window or a pretraining-data retrieval filter actually
+    * consumes. Relevance judgments are derived from the DENSE arm (the
+    * doc_id ≡ vec_id equivalence `mmr_rerank` / `cluster_text_profile`
+    * established): exact ×10⁶-int query dot (vec_id 0 as the query, the
+    * `rocchio_rerank` convention), top-[[NdcgPool]] judged pool, grades
+    * 3/2/1 at dense rank ≤ 4 / ≤ 12 / ≤ [[NdcgPool]] — so the metric
+    * measures how well each LEXICAL ranker recovers the dense ordering,
+    * the cross-encoder-as-judge shape of production IR evals.
+    *
+    * Exactness: each DCG term is the IDENTICAL double chain in both
+    * engines — gain/(ln(rank+1)/ln 2) with gain = 2^rel − 1 ∈ {7,3,1}
+    * stated as integer CASE arms — ×10⁶-floored to BIGINT, so the sums
+    * are exact; ndcg_e3 is a truncating integer DIV. Because the grade
+    * is non-increasing in dense rank, the ideal ordering IS the judged
+    * pool's own order, so IDCG sums the same term over the pool — no
+    * second sort, and ties cannot reorder gains.
+    *
+    * Scale: both ranker arms are the SHARED top-k helpers (each one
+    * corpus scan ending in TakeOrderedAndProject); the judged pool is
+    * one dense scan ending in the same top-k shape (the query is ONE
+    * broadcast row, never a pairwise join); everything downstream is a
+    * ≤ 36-row frame crossed with a 3-row literal depth grid. Adding
+    * rankers or depths never rescans the corpus.
+    */
+  private val NdcgPool = 36
+  private val NdcgDepths = Seq(5L, 10L, 20L)
+
+  /** One DCG term: gain / log2(rank+1), ×10⁶-floored. Shared expression
+    * text — same parse, same IEEE op order, bit-equal in both engines.
+    */
+  private def ndcgTerm(rank: String, gain: String): String =
+    s"CAST(floor(CAST($gain AS DOUBLE) / (ln(CAST($rank AS DOUBLE) + 1.0) / ln(2.0))" +
+      " * 1000000.0 + 0.5) AS BIGINT)"
+
+  private val ndcgEval = DeclaredQuery(
+    "ndcg_eval",
+    (s, d) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val qz = embeddings(s, d).select(
+        col("vec_id"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qv"),
+      )
+      val qRow = qz.filter(col("vec_id") === 0L).select(col("qv").as("qqv"))
+      // the judged pool: dense top-36 (one scan, TakeOrderedAndProject),
+      // graded 3/2/1 by dense rank — a bounded 36-row frame from here on
+      val judged = qz
+        .filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qRow))
+        .withColumn("qdot", expr("graft_int_dot(qqv, qv)"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(NdcgPool)
+        .withColumn(
+          "r",
+          row_number().over(Window.orderBy(col("qdot").desc, col("vec_id"))).cast("long"),
+        )
+        .withColumn(
+          "gain",
+          when(col("r") <= 4L, 7L).when(col("r") <= 12L, 3L).otherwise(1L),
+        )
+        .select(col("vec_id").as("doc_id"), col("r"), col("gain"))
+      val depths = NdcgDepths.toDF("depth")
+      def dcgOf(arm: org.apache.spark.sql.DataFrame, name: String) = arm
+        .join(judged.select("doc_id", "gain"), Seq("doc_id"), "left")
+        .withColumn("gain0", coalesce(col("gain"), lit(0L)))
+        .withColumn("term", expr(ndcgTerm("rank", "gain0")))
+        .crossJoin(broadcast(depths))
+        .filter(col("rank") <= col("depth"))
+        .groupBy("depth")
+        .agg(sum("term").as("dcg_e6"))
+        .withColumn("ranker", lit(name))
+      val dcg = dcgOf(bm25Ranked(s, d), "bm25")
+        .unionByName(dcgOf(qlmRanked(s, d), "qlm"))
+      // grade non-increasing in dense rank ⇒ ideal order = pool order
+      val idcg = judged
+        .withColumn("term", expr(ndcgTerm("r", "gain")))
+        .crossJoin(broadcast(depths))
+        .filter(col("r") <= col("depth"))
+        .groupBy("depth")
+        .agg(sum("term").as("idcg_e6"))
+      dcg
+        .join(idcg, Seq("depth"))
+        .withColumn("ndcg_e3", expr("dcg_e6 * 1000 DIV nullif(idcg_e6, 0)"))
+        .select(col("ranker"), col("depth"), col("dcg_e6"), col("idcg_e6"), col("ndcg_e3"))
+        .orderBy("ranker", "depth")
+    },
+    Some {
+      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+      val depthList = NdcgDepths.mkString(", ")
+      s"""WITH qz AS (SELECT vec_id,
+                             list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                      FROM embeddings),
+          qrow AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
+          p AS (SELECT c.vec_id,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(range(1, len(q.qqv) + 1), i -> q.qqv[i] * c.qv[i])),
+                         (s2, x) -> s2 + x) AS qdot
+                FROM qz c CROSS JOIN qrow q WHERE c.vec_id <> 0),
+          pool AS (SELECT vec_id AS doc_id,
+                          CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT) AS r
+                   FROM p ORDER BY qdot DESC, vec_id LIMIT $NdcgPool),
+          judged AS (SELECT doc_id, r,
+                            CASE WHEN r <= 4 THEN 7 WHEN r <= 12 THEN 3 ELSE 1 END AS gain
+                     FROM pool),
+          w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+                 WHERE term IN ($termList) GROUP BY 1, 2),
+          dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          lens AS (SELECT doc_id, len(string_split(text, ' ')) AS len FROM documents),
+          stats AS (SELECT count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS sum_len FROM lens),
+          bsc AS (SELECT doc_id,
+                         ${bm25Contrib("n_docs", "sum_len")} AS contrib
+                  FROM tf JOIN dft USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+          btot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM bsc GROUP BY 1),
+          br AS (SELECT doc_id,
+                        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                 FROM btot),
+          qwq AS (SELECT doc_id, term FROM w WHERE term IN ($termList)),
+          qtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qwq GROUP BY 1, 2),
+          qctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf FROM qwq GROUP BY 1),
+          qlens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+                    FROM documents),
+          qctot AS (SELECT CAST(sum(len) AS BIGINT) AS c_tok FROM qlens),
+          qgrid AS (SELECT qlens.doc_id, qlens.len, qt.term
+                    FROM qlens CROSS JOIN (SELECT unnest([$termList]) AS term) qt),
+          qsc AS (SELECT g.doc_id,
+                         coalesce(qtf.tf, 0) AS tf0, c.ctf, g.len, t.c_tok
+                  FROM qgrid g
+                  LEFT JOIN qtf ON g.doc_id = qtf.doc_id AND g.term = qtf.term
+                  JOIN qctf c ON g.term = c.term
+                  CROSS JOIN qctot t),
+          qcb AS (SELECT doc_id, $qlmContrib AS contrib FROM qsc),
+          qtot AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score FROM qcb GROUP BY 1),
+          qr2 AS (SELECT doc_id,
+                         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                  FROM qtot),
+          arms AS (SELECT 'bm25' AS ranker, doc_id, rank FROM br WHERE rank <= $BmTopK
+                   UNION ALL
+                   SELECT 'qlm' AS ranker, doc_id, rank FROM qr2 WHERE rank <= $QlmTopK),
+          terms AS (SELECT a.ranker, a.rank,
+                           ${ndcgTerm("a.rank", "coalesce(j.gain, 0)")} AS term
+                    FROM arms a LEFT JOIN judged j ON a.doc_id = j.doc_id),
+          g AS (SELECT CAST(unnest([$depthList]) AS BIGINT) AS depth),
+          dcg AS (SELECT t.ranker, g.depth, CAST(sum(t.term) AS BIGINT) AS dcg_e6
+                  FROM terms t CROSS JOIN g WHERE t.rank <= g.depth
+                  GROUP BY t.ranker, g.depth),
+          idcg AS (SELECT g.depth,
+                          CAST(sum(${ndcgTerm("j.r", "j.gain")}) AS BIGINT) AS idcg_e6
+                   FROM judged j CROSS JOIN g WHERE j.r <= g.depth
+                   GROUP BY g.depth)
+          SELECT d.ranker, d.depth, d.dcg_e6, i.idcg_e6,
+                 d.dcg_e6 * 1000 // nullif(i.idcg_e6, 0) AS ndcg_e3
+          FROM dcg d JOIN idcg i USING (depth)
+          ORDER BY d.ranker, d.depth"""
+    },
+  )
+
   override def queries: Seq[DeclaredQuery] =
     Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
-      mmrRerank, rm3Expansion, rocchioRerank)
+      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval)
 }

@@ -218,9 +218,19 @@ object SimilarityOps extends QueryModule {
     math.max(1, math.max(forMemory, forParallelism))
   }
 
-  private val cosineNearDup = DeclaredQuery(
-    "cosine_near_dup",
-    (s, d) => {
+  /** The exact all-pairs cosine-threshold pair space (va < vb, sim ≥
+    * `tau`) as the distributed block pair-join described on
+    * `cosine_near_dup` — factored so the near-dup relation and density
+    * consumers (`dbscan_clusters`) share ONE arithmetic: the same
+    * sequential index-order fold, the same HALF_UP rounding, the same
+    * block sizing. The threshold only filters emitted pairs; the block
+    * work is identical at any tau.
+    */
+  private[graft] def blockPairSims(
+      s: SparkSession,
+      d: String,
+      tau: Double,
+  ): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       val b = nearDupBlocks(s, embeddings(s, d).count())
       val replicated = embeddings(s, d)
@@ -263,7 +273,7 @@ object SimilarityOps extends QueryModule {
               (i + 1 until all.length).iterator.flatMap { j =>
                 val (_, _, _, ib, vb) = all(j)
                 val sim = simOf(va, norms(i), vb, norms(j))
-                if (sim >= 0.4) Some((ia, ib, sim)) else None
+                if (sim >= tau) Some((ia, ib, sim)) else None
               }
             }
           } else {
@@ -279,15 +289,18 @@ object SimilarityOps extends QueryModule {
               (0 until bs.length).iterator.flatMap { j =>
                 val (_, _, _, ib, vb) = bs(j)
                 val sim = simOf(va, normsA(i), vb, normsB(j))
-                if (sim >= 0.4) Some((math.min(ia, ib), math.max(ia, ib), sim))
+                if (sim >= tau) Some((math.min(ia, ib), math.max(ia, ib), sim))
                 else None
               }
             }
           }
         }
         .toDF("va", "vb", "sim")
-        .orderBy("va", "vb")
-    },
+  }
+
+  private val cosineNearDup = DeclaredQuery(
+    "cosine_near_dup",
+    (s, d) => blockPairSims(s, d, 0.4).orderBy("va", "vb"),
     Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                        FROM embeddings),
@@ -1648,11 +1661,122 @@ object SimilarityOps extends QueryModule {
              GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** DBSCAN over embedding space (Ester et al. 1996) — the density
+    * clustering paradigm the engine was missing beside k-means
+    * (centroid), IVF cells (partition), kNN-CC (graph), and label
+    * propagation (semi-supervised): clusters are maximal
+    * density-connected sets, points in sparse regions are NOISE —
+    * exactly the "keep dense semantic regions, flag isolated junk"
+    * shape of embedding-based corpus curation, and the one of the five
+    * that needs no k. The ε-neighborhood is cosine ≥ [[DbscanTau]] on
+    * the SHARED exact block pair-join ([[blockPairSims]] — same fold,
+    * same rounding as `cosine_near_dup`); a point with ≥ [[DbscanMinPts]]
+    * neighbors is CORE; clusters are connected components of the
+    * core-core subgraph (the proven large-star/small-star contraction,
+    * min-id label); a non-core point adopts the min label among its
+    * core neighbors (BORDER) or stays noise (cluster −1).
+    *
+    * Scale: pair generation is the documented exact tier (n² spread
+    * over B(B+1)/2 block tasks; at 100 TB the same consumers ride the
+    * banded/cell-bounded candidate substrates instead — the
+    * semantic_dedup swap). Degrees and core flags are one groupBy of
+    * the pair list; the contraction is O(log n) rounds over CORE edges
+    * only; the border adoption is one edge-grain join. The pair frame
+    * is a SubstrateCache member (three consumers in one plan: degree,
+    * core subgraph, border adoption).
+    *
+    * Oracle: the same CC tail as `knn_components` restated over the
+    * core subgraph (recursive reach CTE, min-label group); past the
+    * reach budget tools/compare.py swaps in exact union-find over the
+    * oracle's own `core`/`ce` prefix (the knn_components mechanism,
+    * second pattern).
+    */
+  private val DbscanTau = 0.3
+  private val DbscanMinPts = 4L
+
+  private val dbscanClusters = DeclaredQuery(
+    "dbscan_clusters",
+    (s, d) => {
+      val pairs = graft.SubstrateCache.substrate(s, d, "dbscan-pairs") {
+        blockPairSims(s, d, DbscanTau).select("va", "vb")
+      }
+      val edges = pairs
+        .select(col("va").as("src"), col("vb").as("nbr"))
+        .unionByName(pairs.select(col("vb").as("src"), col("va").as("nbr")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("degree"))
+      val core = deg
+        .filter(col("degree") >= DbscanMinPts)
+        .select(col("src").as("node"))
+      val coreEdges = edges
+        .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(core.select(col("node").as("nbr")), Seq("nbr"), "left_semi")
+        .select(col("src").as("da"), col("nbr").as("db"))
+      val labels = graft.SubstrateCache.substrate(s, d, "dbscan-cc") {
+        DedupOps.starContract(core, coreEdges, DedupOps.maxCcRounds(s))._1
+      }
+      val borders = edges
+        .join(labels.select(col("node").as("nbr"), col("lbl").as("nlbl")), Seq("nbr"))
+        .join(labels.select(col("node").as("src")), Seq("src"), "left_anti")
+        .groupBy("src")
+        .agg(min("nlbl").as("blbl"))
+      embeddings(s, d)
+        .select(col("vec_id"))
+        .join(deg.select(col("src").as("vec_id"), col("degree")), Seq("vec_id"), "left")
+        .join(labels.select(col("node").as("vec_id"), col("lbl").as("clbl")), Seq("vec_id"), "left")
+        .join(borders.select(col("src").as("vec_id"), col("blbl")), Seq("vec_id"), "left")
+        .select(
+          col("vec_id"),
+          when(col("clbl").isNotNull, "core")
+            .when(col("blbl").isNotNull, "border")
+            .otherwise("noise")
+            .as("role"),
+          coalesce(col("clbl"), col("blbl"), lit(-1L)).as("cluster"),
+          coalesce(col("degree"), lit(0L)).as("degree"),
+        )
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                              sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                       FROM embeddings),
+             p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                          (round(list_inner_product(a.dvec, b.dvec) / (a.nrm * b.nrm), 6) + 0.0) AS sim
+                   FROM e a JOIN e b ON a.vec_id < b.vec_id),
+             pr AS (SELECT va, vb FROM p WHERE sim >= $DbscanTau),
+             edges AS (SELECT va AS src, vb AS nbr FROM pr
+                       UNION ALL SELECT vb, va FROM pr),
+             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+                     FROM edges GROUP BY src),
+             core AS (SELECT src AS node FROM deg WHERE degree >= $DbscanMinPts),
+             ce AS (SELECT e2.src, e2.nbr FROM edges e2
+                    JOIN core c1 ON e2.src = c1.node
+                    JOIN core c2 ON e2.nbr = c2.node),
+             reach AS (SELECT node, node AS lbl FROM core
+                       UNION
+                       SELECT ce.nbr AS node, rc.lbl
+                       FROM reach rc JOIN ce ON rc.node = ce.src),
+             clab AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+             blab AS (SELECT e3.src AS node, min(c.lbl) AS lbl
+                      FROM edges e3 JOIN clab c ON e3.nbr = c.node
+                      WHERE e3.src NOT IN (SELECT node FROM core)
+                      GROUP BY e3.src)
+             SELECT v.vec_id,
+                    CASE WHEN cl.lbl IS NOT NULL THEN 'core'
+                         WHEN bl.lbl IS NOT NULL THEN 'border'
+                         ELSE 'noise' END AS role,
+                    CAST(coalesce(cl.lbl, bl.lbl, -1) AS BIGINT) AS cluster,
+                    CAST(coalesce(d.degree, 0) AS BIGINT) AS degree
+             FROM embeddings v
+             LEFT JOIN deg d ON v.vec_id = d.src
+             LEFT JOIN clab cl ON v.vec_id = cl.node
+             LEFT JOIN blab bl ON v.vec_id = bl.node
+             ORDER BY v.vec_id"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled,
       annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
       incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity,
       knnReciprocity, labelPropagation, centroidDistanceMatrix,
-      knnGraphScaled, knnReciprocityScaled)
+      knnGraphScaled, knnReciprocityScaled, dbscanClusters)
 }

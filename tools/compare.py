@@ -61,6 +61,31 @@ UF_PROBE_MIN_NODES = int(os.environ.get("COMPARE_UF_MIN_NODES", "5000"))
 _REACH_RE = None
 
 
+def _uf_labels(nodes, edges):
+    """Min-union union-find: returns ((node, min-label) pairs, reach bound
+    sum(|component|^2)) — the exact semantics of the oracles' min(lbl)
+    fixpoint over the same node/edge sets."""
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_size = {}
+    labels = []
+    for v in nodes:
+        r = find(v)
+        labels.append((v, r))
+        comp_size[r] = comp_size.get(r, 0) + 1
+    return labels, sum(c * c for c in comp_size.values())
+
+
 def unionfind_rewrite(con, sql: str) -> str:
     """Swap an infeasible recursive-reach CC oracle for exact union-find.
 
@@ -78,6 +103,32 @@ def unionfind_rewrite(con, sql: str) -> str:
             r",\s*reach AS \(.*?\),\s*(\w+) AS \(SELECT node AS vec_id,"
             r" min\(lbl\) AS cluster_id\s+FROM reach GROUP BY node\)",
             re.DOTALL)
+    # Pattern 2 (dbscan_clusters): the same reach fixpoint restated over
+    # the CORE subgraph — nodes come from the oracle's own `core` CTE and
+    # edges from its `ce` CTE, so the union-find labels exactly the
+    # core-core components (min-id), never the full graph.
+    m2 = re.search(
+        r",\s*reach AS \(.*?\),\s*clab AS \(SELECT node, min\(lbl\) AS lbl"
+        r" FROM reach GROUP BY node\)", sql, re.DOTALL)
+    if m2 is not None:
+        n_all = con.sql("SELECT count(*) FROM embeddings").fetchone()[0]
+        if n_all < UF_PROBE_MIN_NODES:
+            return sql
+        prefix2 = sql[:m2.start()]
+        nodes2 = [r[0] for r in
+                  con.sql(prefix2 + " SELECT node FROM core").fetchall()]
+        edges2 = con.sql(prefix2 + " SELECT src, nbr FROM ce").fetchall()
+        labels2, bound2 = _uf_labels(nodes2, edges2)
+        if bound2 <= UF_BUDGET:
+            return sql
+        import pandas as pd
+        con.register("uf_cc2", pd.DataFrame(labels2, columns=["node", "lbl"]))
+        print(f"  (union-find oracle: {len(nodes2)} core nodes, "
+              f"{len(edges2)} core edges, reach bound {bound2} > {UF_BUDGET})")
+        return (prefix2
+                + ", clab AS (SELECT CAST(node AS BIGINT) AS node,"
+                  " CAST(lbl AS BIGINT) AS lbl FROM uf_cc2)"
+                + sql[m2.end():])
     m = _REACH_RE.search(sql)
     if m is None:
         return sql
@@ -87,33 +138,16 @@ def unionfind_rewrite(con, sql: str) -> str:
     prefix = sql[:m.start()]
     edges = con.sql(prefix + " SELECT src, nbr FROM edges").fetchall()
     nodes = [r[0] for r in con.sql("SELECT vec_id FROM embeddings").fetchall()]
-    parent = {v: v for v in nodes}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min-union: the surviving root is the smaller id, so every
-            # final root IS its component's min label
-            parent[max(ra, rb)] = min(ra, rb)
-    comp_size = {}
-    labels = []
-    for v in nodes:
-        r = find(v)
-        labels.append((v, r))
-        comp_size[r] = comp_size.get(r, 0) + 1
-    if sum(c * c for c in comp_size.values()) <= UF_BUDGET:
+    # min-union: the surviving root is the smaller id, so every final
+    # root IS its component's min label
+    labels, bound = _uf_labels(nodes, edges)
+    if bound <= UF_BUDGET:
         return sql  # declarative reach is feasible — run it unchanged
     import pandas as pd
     con.register("uf_cc", pd.DataFrame(labels, columns=["vec_id", "cluster_id"]))
     cc = m.group(1)
     print(f"  (union-find oracle: {len(nodes)} nodes, {len(edges)} edges, "
-          f"reach bound {sum(c * c for c in comp_size.values())} > {UF_BUDGET})")
+          f"reach bound {bound} > {UF_BUDGET})")
     return (prefix
             + f", {cc} AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
               f" CAST(cluster_id AS BIGINT) AS cluster_id FROM uf_cc)"
