@@ -1476,7 +1476,119 @@ object TextOps extends QueryModule {
              FROM sl ORDER BY n_types"""),
   )
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004, the weighted
+    * form): corpus-level keywords as the stationary ranks of a random
+    * walk over the word co-occurrence graph — nodes are terms, edges are
+    * ADJACENT-word pairs aggregated over the corpus (co-occurrence count
+    * = edge weight, pairs below [[TrMinCo]] pruned), ranks from the
+    * standard damped recurrence. Complements frequency-flavoured
+    * `token_topk`/`tfidf_keywords`: centrality promotes terms that
+    * CONNECT the vocabulary, not just frequent ones.
+    *
+    * Exact integer recurrence (the `fuzzy_pagerank` discipline, ranks
+    * ×10¹²): r'(b) = base + 85·(Σ_a (r(a) DIV wdeg(a))·w(a,b)) DIV 100.
+    * Each contribution term is ≤ r(a) because w(a,b) ≤ wdeg(a) = Σ w(a,·),
+    * so the neighbor sum is bounded by Σr ≈ 10¹² — BIGINT-safe at ANY
+    * corpus size with no wide tier, unlike the naive r·w ordering whose
+    * product crosses 2⁶³ once pair counts reach 10⁷. Floor division in
+    * both engines (operands non-negative).
+    *
+    * Scale: the graph is bigram-vocabulary-bounded (Heaps-law sublinear,
+    * never corpus-sized); pair aggregation is one map-side-combined
+    * groupBy off the doc scan (zip_with over shifted slices — no
+    * per-index lambda); each of the 5 fixed iterations is one node-keyed
+    * join + agg over the vocabulary-sized edge list (at 10⁹-term vocab
+    * you'd key on a 64-bit term hash instead of the string). The edge
+    * table persists once (SubstrateCache); lineage is bounded by the
+    * fixed iteration count.
+    */
+  private val TrScale = 1000000000000L
+  private val TrIters = 5
+  private val TrMinCo = 3
+  private val TrTopK = 10
+
+  private val textrankKeywords = DeclaredQuery(
+    "textrank_keywords",
+    (s, d) => {
+      val ewd = graft.SubstrateCache.substrate(s, d, "textrank-sym-edges") {
+        val pairs = documents(s, d)
+          .withColumn("ws", split(col("text"), " "))
+          .select(
+            explode(
+              expr(
+                "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)," +
+                  " (a, b) -> named_struct('wa', least(a, b), 'wb', greatest(a, b)))",
+              ),
+            ).as("p"),
+          )
+          .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+          .filter(col("wa") =!= col("wb"))
+          .groupBy("wa", "wb")
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= TrMinCo)
+        val sym = pairs
+          .select(col("wa").as("da"), col("wb").as("db"), col("w"))
+          .unionByName(pairs.select(col("wb").as("da"), col("wa").as("db"), col("w")))
+        sym.join(sym.groupBy("da").agg(sum("w").as("wdeg")), Seq("da"))
+      }
+      val nodes = ewd.select(col("da").as("node")).distinct()
+      val n = nodes.count()
+      val base = (15L * TrScale) / (100L * math.max(n, 1L))
+      var ranks = nodes.select(col("node"), lit(TrScale / math.max(n, 1L)).as("r"))
+      for (_ <- 1 to TrIters) {
+        ranks = ewd
+          .join(ranks, ewd("da") === ranks("node"))
+          .select(col("db").as("node"), expr("(r DIV wdeg) * w").as("c"))
+          .groupBy("node")
+          .agg(sum(col("c")).as("sc"))
+          .select(col("node"), (lit(base) + expr("(85 * sc) DIV 100")).as("r"))
+      }
+      ranks
+        .orderBy(col("r").desc, col("node"))
+        .limit(TrTopK)
+        .withColumn(
+          "rank",
+          row_number().over(Window.orderBy(col("r").desc, col("node"))).cast("long"),
+        )
+        .select(col("rank"), col("node").as("term"), col("r"))
+        .orderBy("rank")
+    }, {
+      val base = s"(15 * $TrScale) // (100 * (SELECT n FROM nn))"
+      val steps = (1 to TrIters)
+        .map { i =>
+          s"""pr$i AS (SELECT nodes.node,
+             |               CAST($base + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS r
+             |        FROM nodes LEFT JOIN (
+             |          SELECT e.db AS node,
+             |                 CAST(sum((pr${i - 1}.r // wd.wdeg) * e.w) AS BIGINT) AS sc
+             |          FROM e JOIN pr${i - 1} ON e.da = pr${i - 1}.node
+             |                 JOIN wd ON wd.da = e.da
+             |          GROUP BY e.db) s USING (node))""".stripMargin
+        }
+        .mkString(",\n")
+      Some(s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+               t AS (SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS term FROM w0),
+               p0 AS (SELECT least(a.term, b.term) AS wa, greatest(a.term, b.term) AS wb
+                      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                      WHERE a.term <> b.term),
+               pp AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS w
+                      FROM p0 GROUP BY 1, 2 HAVING count(*) >= $TrMinCo),
+               e AS (SELECT wa AS da, wb AS db, w FROM pp
+                     UNION ALL SELECT wb, wa, w FROM pp),
+               wd AS (SELECT da, CAST(sum(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+               nodes AS (SELECT DISTINCT da AS node FROM e),
+               nn AS (SELECT count(*) AS n FROM nodes),
+               pr0 AS (SELECT node, CAST($TrScale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+               $steps,
+               top AS (SELECT node, r,
+                              CAST(row_number() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank
+                       FROM pr$TrIters)
+               SELECT rank, node AS term, r FROM top WHERE rank <= $TrTopK ORDER BY rank""")
+    },
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    textrankKeywords,
     zipfSlope,
     textStats,
     tokenCount,
