@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Third round-16 block: semantic invariants for the session's four
+  * additions — ndcg_eval (metric identities), dbscan_clusters (density
+  * role algebra), kcenter_coreset (greedy covering-radius properties),
+  * textrank_keywords (rank-mass and ordering discipline).
+  */
+class Round16cOpsSpec extends SparkSpec {
+
+  test("ndcg_eval: grid complete, IDCG ranker-independent, NDCG = quotient and <= 1000") {
+    val rows = SparkEntry.queries("ndcg_eval")(spark, sfDir).collect()
+    assert(rows.length == 6, "2 rankers x 3 depths")
+    val byKey = rows.map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    assert(byKey.keySet == (for (rk <- Set("bm25", "qlm"); dp <- Set(5L, 10L, 20L)) yield (rk, dp)))
+    Seq(5L, 10L, 20L).foreach { dp =>
+      // IDCG is a property of the judged pool, not the ranker
+      assert(byKey(("bm25", dp)).getLong(3) == byKey(("qlm", dp)).getLong(3),
+        s"idcg at depth $dp must be ranker-independent")
+    }
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(idcg > 0L, "judged pool is non-empty at every sf")
+      assert(dcg >= 0L && dcg <= idcg, "the ideal ordering maximizes DCG")
+      assert(ndcg == dcg * 1000L / idcg, "ndcg_e3 must be the truncating quotient")
+      assert(ndcg >= 0L && ndcg <= 1000L)
+    }
+    // IDCG grows with depth (more judged gains enter the ideal sum)
+    val i5 = byKey(("bm25", 5L)).getLong(3)
+    val i10 = byKey(("bm25", 10L)).getLong(3)
+    val i20 = byKey(("bm25", 20L)).getLong(3)
+    assert(i5 <= i10 && i10 <= i20, "idcg must be non-decreasing in depth")
+  }
+
+  test("dbscan_clusters: role algebra — core iff degree >= MinPts, labels are core min-ids") {
+    val rows = SparkEntry.queries("dbscan_clusters")(spark, sfDir).collect()
+    val nVec = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == nVec, "one row per vector")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "vec_ids unique")
+    val coreIds = rows.filter(_.getString(1) == "core").map(_.getLong(0)).toSet
+    val labelsOf = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (id, role, cluster, degree) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(degree >= 0L)
+      if (role == "core") {
+        assert(degree >= 4L, s"core $id must have degree >= MinPts")
+        assert(cluster >= 0L && cluster <= id, s"core $id label must be a min-id <= self")
+        // the label itself is a core whose own label is itself (component min)
+        assert(coreIds.contains(cluster), s"label $cluster of core $id must be a core")
+        assert(labelsOf(cluster) == cluster, s"label $cluster must be self-labeled")
+      } else if (role == "border") {
+        assert(degree > 0L && degree < 4L, s"border $id must be sub-MinPts with neighbors")
+        assert(coreIds.contains(cluster), s"border $id must adopt a core component label")
+      } else {
+        assert(role == "noise" && cluster == -1L, s"$id must be noise with label -1")
+      }
+    }
+    // the paradigm is non-degenerate on the fixtures: all three roles occur
+    val roles = rows.map(_.getString(1)).toSet
+    assert(roles == Set("core", "border", "noise"), s"expected all roles, got $roles")
+  }
+
+  test("kcenter_coreset: seed = min id, radii non-increasing, first pick is the true argmax") {
+    val rows = SparkEntry.queries("kcenter_coreset")(spark, sfDir).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 8L), "sel_rank must be 1..8")
+    assert(rows.map(_.getLong(1)).distinct.length == 8, "picks must be distinct")
+    val minId = Tables.embeddings(spark, sfDir).agg(min("vec_id")).collect()(0).getLong(0)
+    assert(rows(0).getLong(1) == minId && rows(0).getLong(2) == 0L,
+      "seed is the min vec_id at distance 0")
+    val d2s = rows.drop(1).map(_.getLong(2))
+    assert(d2s.forall(_ > 0L), "covering radii positive on non-duplicate fixtures")
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b },
+      "covering-radius curve must be non-increasing")
+    // independent recompute of pick 2: the farthest point from the seed
+    graft.functions.GraftFunctions.register(spark)
+    val q = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) + 2000000)",
+        ).as("q"),
+      )
+    val seedVec = q.filter(col("vec_id") === minId).collect()(0).getSeq[Long](1)
+    val far = q
+      .withColumn("d2", call_function("graft_int_sqdist", col("q"), typedlit(seedVec)))
+      .select("vec_id", "d2")
+      .orderBy(col("d2").desc, col("vec_id"))
+      .limit(1)
+      .collect()(0)
+    assert(rows(1).getLong(1) == far.getLong(0) && rows(1).getLong(2) == far.getLong(1),
+      "pick 2 must be the exact farthest point from the seed")
+  }
+
+  test("textrank_keywords: top-k discipline and corpus-vocabulary membership") {
+    val rows = SparkEntry.queries("textrank_keywords")(spark, sfDir).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L), "rank must be 1..10")
+    assert(rows.map(_.getString(1)).distinct.length == 10, "terms distinct")
+    val rs = rows.map(r => (r.getLong(2), r.getString(1)))
+    assert(rs.sortBy { case (r, t) => (-r, t) }.toSeq == rs.toSeq,
+      "ordered by (rank value desc, term)")
+    assert(rs.forall(_._1 > 0L), "damped recurrence keeps every rank above the teleport floor")
+    val vocab = Tables
+      .documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    assert(rows.forall(r => vocab.contains(r.getString(1))), "keywords come from the corpus")
+  }
+}
