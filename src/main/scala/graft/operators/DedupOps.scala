@@ -1139,8 +1139,8 @@ object DedupOps extends QueryModule {
     * divisions are positive-integer floor division, identical in both
     * engines.
     */
-  private val PrScale = 1000000000000L
-  private val PrIters = 5
+  private[graft] val PrScale = 1000000000000L
+  private[graft] val PrIters = 5
 
   /** The symmetric-graph PageRank loop behind `fuzzy_pagerank`. `ewd` must
     * be a (da, db, deg) edge table containing BOTH directions of every

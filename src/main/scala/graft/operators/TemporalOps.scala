@@ -2346,6 +2346,154 @@ object TemporalOps extends QueryModule {
             FROM bk GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** PageRank over the event-type transition DIGRAPH — the declared
+    * consumer of the general directed engine ([[DedupOps.pagerank]]):
+    * unlike `fuzzy_pagerank`'s symmetric fast path, the transition graph
+    * has real direction (signup → click, not back), so the dangling-mass
+    * redistribution and the in-degree-0 left-join are exercised by the
+    * gate, not only by PageRankSpec. A high-rank type is a journey SINK
+    * — where user flows concentrate — the Markov-stationary reading of
+    * `event_transitions`' row-normalized shares.
+    *
+    * Edges are the DISTINCT (prev → next) pairs off the same one
+    * user-keyed window sort `event_transitions` uses; the graph is
+    * |event types|²-bounded (structure-sized, never corpus-sized), so
+    * every per-round join is over a handful of rows. Same exact ×10¹²
+    * integer recurrence.
+    */
+  private val transitionPagerank = DeclaredQuery(
+    "transition_pagerank",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val edges = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+        .distinct()
+      DedupOps.pagerank(edges, DedupOps.PrIters)
+    }, {
+      val scale = DedupOps.PrScale
+      val base = s"(15 * $scale) // (100 * (SELECT n FROM nn))"
+      val steps = (1 to DedupOps.PrIters)
+        .map { i =>
+          s"""dg$i AS (SELECT CAST((SELECT coalesce(sum(r), 0) FROM pr${i - 1}
+             |                      WHERE node NOT IN (SELECT src FROM sources))
+             |                     // (SELECT n FROM nn) AS BIGINT) AS dshare),
+             |pr$i AS (SELECT nodes.node,
+             |               CAST($base + (85 * (coalesce(s.sc, 0) + (SELECT dshare FROM dg$i))) // 100 AS BIGINT) AS r
+             |        FROM nodes LEFT JOIN (
+             |          SELECT t.dst AS node, CAST(sum(pr${i - 1}.r // deg.deg) AS BIGINT) AS sc
+             |          FROM t JOIN pr${i - 1} ON t.src = pr${i - 1}.node
+             |                 JOIN deg ON deg.src = t.src
+             |          GROUP BY t.dst) s USING (node))""".stripMargin
+        }
+        .mkString(",\n")
+      Some(s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+               x AS (SELECT user_id, event_type,
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+                     FROM ev),
+               t AS (SELECT DISTINCT prev AS src, event_type AS dst FROM x WHERE prev IS NOT NULL),
+               nodes AS (SELECT src AS node FROM t UNION SELECT dst FROM t),
+               nn AS (SELECT count(*) AS n FROM nodes),
+               sources AS (SELECT DISTINCT src FROM t),
+               deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM t GROUP BY 1),
+               pr0 AS (SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+               $steps
+               SELECT node, r FROM pr${DedupOps.PrIters} ORDER BY node""")
+    },
+  )
+
+  /** Kaplan–Meier conversion curve (Kaplan & Meier 1958) — the survival
+    * estimator behind "how fast do users convert": time from each
+    * user's FIRST event (their epoch-day grain entry) to their FIRST
+    * `purchase`, right-censored at the [[KmHorizonDays]]-day horizon
+    * (the administrative-censoring form of a product's conversion-window
+    * question; a user whose first purchase falls past the horizon stays
+    * in the risk set until it and exits unconverted). S(t) steps only at
+    * death times: S ← S·(n_risk − d) DIV n_risk as ×10⁶ truncating
+    * integers — the SAME sequential fold on the driver and in the
+    * oracle's recursive CTE, so the curve hash-matches bit-for-bit.
+    *
+    * Scale: the per-user (first-day, first-purchase-day) reduction is
+    * one map-side-combined groupBy of the events scan (conditional min —
+    * no second scan for the purchase arm); everything after lives on the
+    * ≤ horizon+1-row day grain, and the fold itself is a bounded driver
+    * loop of that length (the zipf-OLS/Lloyd-partials bounded-collect
+    * class). Epoch-day via integer µs division — post-epoch fixture
+    * precondition, documented at the type-day grain.
+    */
+  private val KmHorizonDays = 3L
+
+  private val kaplanMeier = DeclaredQuery(
+    "kaplan_meier",
+    (s, d) => {
+      import s.implicits._
+      val H = KmHorizonDays
+      val perUser = events(s, d)
+        .select(
+          col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          col("event_type"),
+        )
+        .groupBy("user_id")
+        .agg(
+          min(col("day")).as("fd"),
+          min(when(col("event_type") === "purchase", col("day"))).as("pd"),
+        )
+        .select(
+          when(col("pd").isNotNull && col("pd") - col("fd") <= H, col("pd") - col("fd"))
+            .otherwise(lit(H))
+            .as("obs"),
+          (col("pd").isNotNull && col("pd") - col("fd") <= H).as("ev"),
+        )
+      val grain = perUser
+        .groupBy("obs")
+        .agg(
+          sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("c"),
+        )
+      // n_risk(t) = users with obs >= t: a suffix sum over the
+      // <= horizon+1-row day grain (grain-bounded window)
+      val curve = grain
+        .withColumn("n_risk", sum(col("c")).over(Window.orderBy("obs").rowsBetween(0, Window.unboundedFollowing)))
+        .filter(col("d") > 0L)
+        .select(col("obs").as("t"), col("n_risk"), col("d"))
+        .orderBy("t")
+        .collect() // bounded: <= horizon+1 death times
+      var sE6 = 1000000L
+      val rows = curve.map { r =>
+        val (t, nRisk, dd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        sE6 = sE6 * (nRisk - dd) / nRisk
+        (t, nRisk, dd, sE6)
+      }.toSeq
+      rows.toDF("t", "n_risk", "n_events", "surv_e6").orderBy("t")
+    },
+    Some(s"""WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+             u AS (SELECT user_id, min(day) AS fd,
+                          min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+                   FROM ev GROUP BY 1),
+             du AS (SELECT CASE WHEN pd IS NOT NULL AND pd - fd <= $KmHorizonDays
+                                THEN pd - fd ELSE $KmHorizonDays END AS obs,
+                           (pd IS NOT NULL AND pd - fd <= $KmHorizonDays) AS ev2
+                    FROM u),
+             g AS (SELECT obs, CAST(sum(CASE WHEN ev2 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM du GROUP BY 1),
+             r AS (SELECT g.obs AS t, g.d,
+                          (SELECT CAST(sum(c) AS BIGINT) FROM g g2 WHERE g2.obs >= g.obs) AS n_risk
+                   FROM g WHERE g.d > 0),
+             o AS (SELECT t, d, n_risk, row_number() OVER (ORDER BY t) AS rn FROM r),
+             km AS (SELECT rn, t, n_risk, d,
+                           CAST(1000000 * (n_risk - d) // n_risk AS BIGINT) AS s
+                    FROM o WHERE rn = 1
+                    UNION ALL
+                    SELECT o.rn, o.t, o.n_risk, o.d,
+                           CAST(km.s * (o.n_risk - o.d) // o.n_risk AS BIGINT)
+                    FROM km JOIN o ON o.rn = km.rn + 1)
+             SELECT t, n_risk, d AS n_events, s AS surv_e6 FROM km ORDER BY t"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
@@ -2354,5 +2502,5 @@ object TemporalOps extends QueryModule {
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
-      maseSes, holtForecast, seasonalForecast)
+      maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier)
 }
