@@ -94,6 +94,46 @@ class Round16cOpsSpec extends SparkSpec {
       "pick 2 must be the exact farthest point from the seed")
   }
 
+  test("transition_pagerank: covers every transitioning type, conserves rank mass") {
+    val rows = SparkEntry.queries("transition_pagerank")(spark, sfDir).collect()
+    val types = Tables
+      .events(spark, sfDir)
+      .select("event_type")
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    // on the dense fixtures every type both sends and receives transitions
+    assert(rows.map(_.getString(0)).toSet == types, "node set = transitioning event types")
+    val n = rows.length.toLong
+    val base = (15L * operators.DedupOps.PrScale) / (100L * n)
+    rows.foreach(r => assert(r.getLong(1) >= base, "every node keeps the teleport floor"))
+    // damped mass conservation: total stays within n floors of the scale
+    val tot = rows.map(_.getLong(1)).sum
+    assert(tot <= operators.DedupOps.PrScale, "floor division only loses mass")
+    assert(tot >= operators.DedupOps.PrScale - 200L * n,
+      s"mass leak beyond floor losses: $tot")
+  }
+
+  test("kaplan_meier: risk set and survival non-increasing, curve = fold of its own columns") {
+    val rows = SparkEntry.queries("kaplan_meier")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "deaths exist at every sf (users purchase quickly)")
+    val nUsers = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(rows(0).getLong(1) <= nUsers, "risk set bounded by the user universe")
+    val ts = rows.map(_.getLong(0))
+    assert(ts.sorted.toSeq == ts.toSeq && ts.distinct.length == ts.length)
+    val risks = rows.map(_.getLong(1))
+    assert(risks.zip(risks.tail).forall { case (a, b) => a >= b }, "n_risk non-increasing")
+    var s = 1000000L
+    rows.foreach { r =>
+      val (nRisk, d, surv) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(d > 0L && d <= nRisk)
+      s = s * (nRisk - d) / nRisk
+      assert(surv == s, "surv_e6 must equal the truncating fold of (n_risk, d)")
+    }
+    assert(s >= 0L && s <= 1000000L)
+  }
+
   test("textrank_keywords: top-k discipline and corpus-vocabulary membership") {
     val rows = SparkEntry.queries("textrank_keywords")(spark, sfDir).collect()
     assert(rows.length == 10)
