@@ -2425,50 +2425,69 @@ object TemporalOps extends QueryModule {
     */
   private val KmHorizonDays = 3L
 
+  /** Per-user conversion grain `(user_id, fd, pd)` — first event day and
+    * first purchase day, BOTH conditional MINs, so per-slice grains
+    * merge exactly by (min fd, min pd): min over a union of slices =
+    * min of slice minima (null pd = "no purchase in this slice",
+    * ignored by min). The streaming twin
+    * ([[graft.streaming.EventStream.startKmGrain]]) lands exactly this
+    * frame per micro-batch.
+    */
+  private[graft] def kmUserGrain(ev: DataFrame): DataFrame =
+    ev.select(
+        col("user_id"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        col("event_type"),
+      )
+      .groupBy("user_id")
+      .agg(
+        min(col("day")).as("fd"),
+        min(when(col("event_type") === "purchase", col("day"))).as("pd"),
+      )
+
+  /** The KM curve from a merged `(user_id, fd, pd)` grain — the SHARED
+    * post-grain pipeline of the declared batch query and the streaming
+    * serve, so the estimator cannot drift between the two paths.
+    */
+  private[graft] def kaplanMeierFrom(grain: DataFrame): DataFrame = {
+    val sp = grain.sparkSession
+    import sp.implicits._
+    val H = KmHorizonDays
+    val perUser = grain.select(
+      when(col("pd").isNotNull && col("pd") - col("fd") <= H, col("pd") - col("fd"))
+        .otherwise(lit(H))
+        .as("obs"),
+      (col("pd").isNotNull && col("pd") - col("fd") <= H).as("ev"),
+    )
+    val dayGrain = perUser
+      .groupBy("obs")
+      .agg(
+        sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
+        count(lit(1)).as("c"),
+      )
+    // n_risk(t) = users with obs >= t: a suffix sum over the
+    // <= horizon+1-row day grain (grain-bounded window)
+    val curve = dayGrain
+      .withColumn(
+        "n_risk",
+        sum(col("c")).over(Window.orderBy("obs").rowsBetween(0, Window.unboundedFollowing)),
+      )
+      .filter(col("d") > 0L)
+      .select(col("obs").as("t"), col("n_risk"), col("d"))
+      .orderBy("t")
+      .collect() // bounded: <= horizon+1 death times
+    var sE6 = 1000000L
+    val rows = curve.map { r =>
+      val (t, nRisk, dd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      sE6 = sE6 * (nRisk - dd) / nRisk
+      (t, nRisk, dd, sE6)
+    }.toSeq
+    rows.toDF("t", "n_risk", "n_events", "surv_e6").orderBy("t")
+  }
+
   private val kaplanMeier = DeclaredQuery(
     "kaplan_meier",
-    (s, d) => {
-      import s.implicits._
-      val H = KmHorizonDays
-      val perUser = events(s, d)
-        .select(
-          col("user_id"),
-          expr("unix_micros(ts) DIV 86400000000").as("day"),
-          col("event_type"),
-        )
-        .groupBy("user_id")
-        .agg(
-          min(col("day")).as("fd"),
-          min(when(col("event_type") === "purchase", col("day"))).as("pd"),
-        )
-        .select(
-          when(col("pd").isNotNull && col("pd") - col("fd") <= H, col("pd") - col("fd"))
-            .otherwise(lit(H))
-            .as("obs"),
-          (col("pd").isNotNull && col("pd") - col("fd") <= H).as("ev"),
-        )
-      val grain = perUser
-        .groupBy("obs")
-        .agg(
-          sum(when(col("ev"), 1L).otherwise(0L)).as("d"),
-          count(lit(1)).as("c"),
-        )
-      // n_risk(t) = users with obs >= t: a suffix sum over the
-      // <= horizon+1-row day grain (grain-bounded window)
-      val curve = grain
-        .withColumn("n_risk", sum(col("c")).over(Window.orderBy("obs").rowsBetween(0, Window.unboundedFollowing)))
-        .filter(col("d") > 0L)
-        .select(col("obs").as("t"), col("n_risk"), col("d"))
-        .orderBy("t")
-        .collect() // bounded: <= horizon+1 death times
-      var sE6 = 1000000L
-      val rows = curve.map { r =>
-        val (t, nRisk, dd) = (r.getLong(0), r.getLong(1), r.getLong(2))
-        sE6 = sE6 * (nRisk - dd) / nRisk
-        (t, nRisk, dd, sE6)
-      }.toSeq
-      rows.toDF("t", "n_risk", "n_events", "surv_e6").orderBy("t")
-    },
+    (s, d) => kaplanMeierFrom(kmUserGrain(events(s, d))),
     Some(s"""WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type FROM events),
              u AS (SELECT user_id, min(day) AS fd,
                           min(CASE WHEN event_type = 'purchase' THEN day END) AS pd

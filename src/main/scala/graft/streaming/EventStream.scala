@@ -717,6 +717,68 @@ object EventStream {
       graft.operators.TemporalOps.mergeGapGrain(gapPartsFromState(spark, stateDir)),
     )
 
+  /** Streaming store for the conversion-survival grain: per
+    * micro-batch, the slice reduces to per-user (first event day,
+    * first purchase day) — BOTH conditional MINs, so overlapping or
+    * arbitrarily interleaved slices merge exactly (min of slice minima;
+    * no boundary correction, no contiguity requirement — unlike the gap
+    * grain, id-parity splits are fully associative here). Same
+    * foreachBatch/Overwrite idempotent-replay contract and bid-0
+    * stale-lineage wipe as the other grain stores; state per batch dir
+    * is user-cardinality.
+    */
+  def startKmGrain(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.TemporalOps
+          .kmUserGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the `kaplan_meier` conversion curve from the live grain —
+    * byte-identical to the declared batch query because the min/min
+    * merge reproduces the full-stream per-user grain and the post-grain
+    * pipeline IS the batch query's
+    * ([[graft.operators.TemporalOps.kaplanMeierFrom]]).
+    */
+  def kaplanMeierFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val grain =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("fd", LongType),
+            StructField("pd", LongType),
+          )),
+        )
+      else
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .groupBy("user_id")
+          .agg(
+            org.apache.spark.sql.functions.min("fd").as("fd"),
+            org.apache.spark.sql.functions.min("pd").as("pd"),
+          )
+    graft.operators.TemporalOps.kaplanMeierFrom(grain)
+  }
+
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction
     * + shared grid derivation).

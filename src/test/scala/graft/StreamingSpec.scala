@@ -2007,4 +2007,50 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && canon(EventStream.quantilesFromState(spark, stateDir)) == batch,
       "stale partials from a prior lineage must not survive into a fresh run's quantiles")
   }
+
+  test("continuous conversion grain serves the exact batch Kaplan-Meier curve") {
+    import org.apache.spark.sql.functions._
+    // id-parity split: users appear in BOTH batches (events interleave),
+    // so the min/min merge is really exercised — a user's first event
+    // and first purchase can land in different slices, and per-slice
+    // curves would mis-censor them. No contiguity requirement: both
+    // columns are conditional MINs (fully associative, unlike the gap
+    // grain's boundary-corrected moments).
+    val streamDir = Files.createTempDirectory("km-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(col("event_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("km-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EventStream.startKmGrain(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-km").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = canon(SparkEntry.queries("kaplan_meier")(spark, sfDir))
+    assert(batch.nonEmpty)
+    assert(canon(EventStream.kaplanMeierFromState(spark, stateDir)) == batch,
+      "KM curve served from the grain must equal the declared batch query")
+    // the merge is non-vacuous: users really straddle the slices
+    val parts = spark.read.parquet(s"$stateDir/batch_*")
+    assert(parts.groupBy("user_id").count().filter(col("count") > 1).count() > 0,
+      "no user straddles a slice boundary — the min/min merge was not exercised")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 and
+    // rewrites identical grains (min/min is also idempotent, but the
+    // wipe discipline is what guarantees no stale-lineage leftovers)
+    runLoop(Files.createTempDirectory("ck-km2").toString)
+    assert(canon(EventStream.kaplanMeierFromState(spark, stateDir)) == batch,
+      "a replayed lineage must reproduce the curve")
+    // zero-batch state serves the defined empty curve
+    val empty = Files.createTempDirectory("km-empty").toString
+    val none = EventStream.kaplanMeierFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("t", "n_risk", "n_events", "surv_e6"))
+    assert(none.count() == 0)
+  }
 }
