@@ -2377,10 +2377,10 @@ object TemporalOps extends QueryModule {
       val base = s"(15 * $scale) // (100 * (SELECT n FROM nn))"
       val steps = (1 to DedupOps.PrIters)
         .map { i =>
-          s"""dg$i AS (SELECT CAST((SELECT coalesce(sum(r), 0) FROM pr${i - 1}
+          s"""dg$i AS MATERIALIZED (SELECT CAST((SELECT coalesce(sum(r), 0) FROM pr${i - 1}
              |                      WHERE node NOT IN (SELECT src FROM sources))
              |                     // (SELECT n FROM nn) AS BIGINT) AS dshare),
-             |pr$i AS (SELECT nodes.node,
+             |pr$i AS MATERIALIZED (SELECT nodes.node,
              |               CAST($base + (85 * (coalesce(s.sc, 0) + (SELECT dshare FROM dg$i))) // 100 AS BIGINT) AS r
              |        FROM nodes LEFT JOIN (
              |          SELECT t.dst AS node, CAST(sum(pr${i - 1}.r // deg.deg) AS BIGINT) AS sc
@@ -2393,11 +2393,11 @@ object TemporalOps extends QueryModule {
                x AS (SELECT user_id, event_type,
                             lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
                      FROM ev),
-               t AS (SELECT DISTINCT prev AS src, event_type AS dst FROM x WHERE prev IS NOT NULL),
-               nodes AS (SELECT src AS node FROM t UNION SELECT dst FROM t),
-               nn AS (SELECT count(*) AS n FROM nodes),
-               sources AS (SELECT DISTINCT src FROM t),
-               deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM t GROUP BY 1),
+               t AS MATERIALIZED (SELECT DISTINCT prev AS src, event_type AS dst FROM x WHERE prev IS NOT NULL),
+               nodes AS MATERIALIZED (SELECT src AS node FROM t UNION SELECT dst FROM t),
+               nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+               sources AS MATERIALIZED (SELECT DISTINCT src FROM t),
+               deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM t GROUP BY 1),
                pr0 AS (SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
                $steps
                SELECT node, r FROM pr${DedupOps.PrIters} ORDER BY node""")
@@ -2513,6 +2513,189 @@ object TemporalOps extends QueryModule {
              SELECT t, n_risk, d AS n_events, s AS surv_e6 FROM km ORDER BY t"""),
   )
 
+  /** Association rules over sessions (Agrawal & Srikant 1994, the
+    * 2-itemset tier of market-basket mining): for every ordered pair of
+    * event types co-occurring in a session, support / confidence / lift
+    * — "users who err also purchase?" is a lift read. Baskets are the
+    * SHARED gap-based sessions ([[sessionAssigned]] — the same gap
+    * semantics as `sessionize`), items are the session's DISTINCT types.
+    *
+    * Exactness: all three metrics are truncating integer quotients of
+    * exact counts; lift's cross product n_ab·n_sessions crosses 2⁶³
+    * once sessions pass ~3×10⁹ (a 100 TB stream does), so it rides a
+    * DECIMAL(38,0) accumulator with BIGINT out (the magnitude-census
+    * discipline, applied at birth).
+    *
+    * Scale: the distinct (session, item) frame is one groupBy off the
+    * session assignment; the pair join fans each session's ≤ |types|
+    * items into ≤ |types|² pairs (structure-bounded per session, never
+    * quadratic in events); item totals are a |types|-row broadcast and
+    * the session count one scalar row. The only corpus-sized exchange
+    * is the user-keyed sort the whole temporal family shares.
+    */
+  private val assocRules = DeclaredQuery(
+    "assoc_rules",
+    (s, d) => {
+      val si = sessionAssigned(s, d).select("user_id", "sess", "event_type").distinct()
+      val tot = si.select("user_id", "sess").distinct().agg(count(lit(1)).as("n"))
+      val ia = si.groupBy("event_type").agg(count(lit(1)).as("n_i"))
+      val l = si.select(col("user_id"), col("sess"), col("event_type").as("x"))
+      val r2 = si.select(
+        col("user_id").as("u2"),
+        col("sess").as("s2"),
+        col("event_type").as("y"),
+      )
+      val pp = l
+        .join(r2, col("user_id") === col("u2") && col("sess") === col("s2"))
+        .filter(col("x") < col("y"))
+        .groupBy("x", "y")
+        .agg(count(lit(1)).as("n_ab"))
+      val rules = pp
+        .select(col("x").as("ante"), col("y").as("cons"), col("n_ab"))
+        .unionByName(pp.select(col("y").as("ante"), col("x").as("cons"), col("n_ab")))
+      rules
+        .join(broadcast(ia.select(col("event_type").as("ante"), col("n_i").as("n_a"))), Seq("ante"))
+        .join(broadcast(ia.select(col("event_type").as("cons"), col("n_i").as("n_b"))), Seq("cons"))
+        .crossJoin(broadcast(tot))
+        .select(
+          col("ante"),
+          col("cons"),
+          col("n_ab"),
+          expr("n_ab * 1000000 DIV n").as("supp_e6"),
+          expr("n_ab * 1000000 DIV n_a").as("conf_e6"),
+          expr("CAST((CAST(n_ab AS DECIMAL(38,0)) * n * 1000) DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .as("lift_e3"),
+        )
+        .orderBy("ante", "cons")
+    },
+    Some(s"""WITH $sessionDuckCtes,
+             si AS (SELECT DISTINCT user_id, sess, event_type FROM z),
+             ns AS (SELECT CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT DISTINCT user_id, sess FROM si)),
+             ia AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_i FROM si GROUP BY 1),
+             pp AS (SELECT a.event_type AS x, b.event_type AS y, CAST(count(*) AS BIGINT) AS n_ab
+                    FROM si a JOIN si b
+                      ON a.user_id = b.user_id AND a.sess = b.sess AND a.event_type < b.event_type
+                    GROUP BY 1, 2),
+             rules AS (SELECT x AS ante, y AS cons, n_ab FROM pp
+                       UNION ALL SELECT y, x, n_ab FROM pp)
+             SELECT r.ante, r.cons, r.n_ab,
+                    r.n_ab * 1000000 // ns.n AS supp_e6,
+                    r.n_ab * 1000000 // a.n_i AS conf_e6,
+                    CAST((CAST(r.n_ab AS HUGEINT) * ns.n * 1000)
+                         // (CAST(a.n_i AS HUGEINT) * b.n_i) AS BIGINT) AS lift_e3
+             FROM rules r
+             JOIN ia a ON r.ante = a.event_type
+             JOIN ia b ON r.cons = b.event_type
+             CROSS JOIN ns
+             ORDER BY r.ante, r.cons"""),
+  )
+
+  /** HITS hubs/authorities (Kleinberg 1999) over the same event-type
+    * transition digraph as `transition_pagerank` — the third classical
+    * centrality beside symmetric and directed PageRank: an AUTHORITY is
+    * a type many hubby types flow INTO, a HUB one that feeds many
+    * authoritative types; on a journey graph they separate sinks from
+    * routers, which one stationary PageRank score cannot.
+    *
+    * Integer determinism: each of the [[HitsIters]] rounds is the exact
+    * update a ← Σ_in h, h ← Σ_out a with an L1 renormalization to ×10⁶
+    * (value·10⁶ DIV Σ — truncating in both engines); every intermediate
+    * is ≤ |types|·10⁶, so nothing approaches 2⁶³ at any corpus size
+    * (the graph is structure-bounded). Nodes with no in-edges (pure
+    * sources) keep authority 0 via the left-join-coalesce, the same
+    * discipline as the directed PageRank.
+    */
+  private val HitsIters = 5
+
+  private val hitsScores = DeclaredQuery(
+    "hits_scores",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      val edges = events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+        .distinct()
+      val nodes = edges
+        .select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .distinct()
+      // each renorm reads `scores` TWICE (the total and the division) and
+      // feeds the next half-round — without a per-round localCheckpoint
+      // the lazy plan doubles every half-round (2^10 subtree copies by
+      // round 5: the label-propagation analysis-explosion lesson). The
+      // frame is |types| rows, so the eager pin is free.
+      def renorm(scores: DataFrame, c: String): DataFrame = {
+        val tot = scores.agg(sum(col(c)).as("tot"))
+        scores
+          .crossJoin(broadcast(tot))
+          .select(col("node"), expr(s"$c * 1000000 DIV tot").as(c))
+          .localCheckpoint(true)
+      }
+      var h = nodes.select(col("node"), lit(1000000L).as("h"))
+      var a = nodes.select(col("node"), lit(1000000L).as("a"))
+      for (_ <- 1 to HitsIters) {
+        a = renorm(
+          nodes
+            .join(
+              edges
+                .join(h.select(col("node").as("src"), col("h")), Seq("src"))
+                .groupBy(col("dst").as("node"))
+                .agg(sum("h").as("a")),
+              Seq("node"),
+              "left",
+            )
+            .select(col("node"), coalesce(col("a"), lit(0L)).as("a")),
+          "a",
+        )
+        h = renorm(
+          nodes
+            .join(
+              edges
+                .join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
+                .groupBy(col("src").as("node"))
+                .agg(sum("a").as("h")),
+              Seq("node"),
+              "left",
+            )
+            .select(col("node"), coalesce(col("h"), lit(0L)).as("h")),
+          "h",
+        )
+      }
+      h.join(a, Seq("node"))
+        .select(col("node"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+        .orderBy("node")
+    }, {
+      val steps = (1 to HitsIters)
+        .map { i =>
+          s"""ar$i AS MATERIALIZED (SELECT nodes.node, CAST(coalesce(s.a, 0) AS BIGINT) AS a
+             |        FROM nodes LEFT JOIN (
+             |          SELECT t.dst AS node, CAST(sum(h${i - 1}.h) AS BIGINT) AS a
+             |          FROM t JOIN h${i - 1} ON t.src = h${i - 1}.node GROUP BY t.dst) s USING (node)),
+             |a$i AS MATERIALIZED (SELECT node, a * 1000000 // (SELECT CAST(sum(a) AS BIGINT) FROM ar$i) AS a FROM ar$i),
+             |hr$i AS MATERIALIZED (SELECT nodes.node, CAST(coalesce(s.h, 0) AS BIGINT) AS h
+             |        FROM nodes LEFT JOIN (
+             |          SELECT t.src AS node, CAST(sum(a$i.a) AS BIGINT) AS h
+             |          FROM t JOIN a$i ON t.dst = a$i.node GROUP BY t.src) s USING (node)),
+             |h$i AS MATERIALIZED (SELECT node, h * 1000000 // (SELECT CAST(sum(h) AS BIGINT) FROM hr$i) AS h FROM hr$i)""".stripMargin
+        }
+        .mkString(",\n")
+      Some(s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+               x AS (SELECT user_id, event_type,
+                            lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+                     FROM ev),
+               t AS MATERIALIZED (SELECT DISTINCT prev AS src, event_type AS dst FROM x WHERE prev IS NOT NULL),
+               nodes AS MATERIALIZED (SELECT src AS node FROM t UNION SELECT dst FROM t),
+               h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+               $steps
+               SELECT nodes.node, h$HitsIters.h AS hub_e6, a$HitsIters.a AS auth_e6
+               FROM nodes JOIN h$HitsIters USING (node) JOIN a$HitsIters USING (node)
+               ORDER BY node""")
+    },
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(asofJoin, sessionize, intervalJoinBinned, eventPairJoin, resampleFfill, funnelAbandon,
       retentionCohort, eventTransitions, eventDedupWindow, sessionStats, funnelConversion,
@@ -2521,5 +2704,6 @@ object TemporalOps extends QueryModule {
       dowSeasonality, funnelLatency, userTypeEntropy, cumulativeUniqueUsers,
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
-      maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier)
+      maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
+      assocRules, hitsScores)
 }

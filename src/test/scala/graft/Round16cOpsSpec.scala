@@ -134,6 +134,35 @@ class Round16cOpsSpec extends SparkSpec {
     assert(s >= 0L && s <= 1000000L)
   }
 
+  test("assoc_rules: directional pairs share counts, support bounds confidence") {
+    val rows = SparkEntry.queries("assoc_rules")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length % 2 == 0, "each unordered pair yields two rules")
+    val byDir = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    byDir.foreach { case ((a, b), r) =>
+      assert(a != b)
+      val rev = byDir((b, a)) // the reverse direction exists
+      assert(r.getLong(2) == rev.getLong(2), "co-occurrence count is symmetric")
+      assert(r.getLong(3) == rev.getLong(3), "support is symmetric")
+      assert(r.getLong(5) == rev.getLong(5), "lift is symmetric")
+      val (supp, conf) = (r.getLong(3), r.getLong(4))
+      assert(supp > 0L && supp <= conf && conf <= 1000000L,
+        "supp <= conf <= 1 (antecedent sessions are a subset of all sessions)")
+    }
+  }
+
+  test("hits_scores: L1-normalized to 1e6 within truncation loss, scores in range") {
+    val rows = SparkEntry.queries("hits_scores")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val hubs = rows.map(_.getLong(1))
+    val auths = rows.map(_.getLong(2))
+    (hubs ++ auths).foreach(v => assert(v >= 0L && v <= 1000000L))
+    assert(hubs.sum <= 1000000L && hubs.sum >= 1000000L - n,
+      s"hub mass ${hubs.sum} must be 1e6 minus at most one floor per node")
+    assert(auths.sum <= 1000000L && auths.sum >= 1000000L - n,
+      s"authority mass ${auths.sum} must be 1e6 minus at most one floor per node")
+  }
+
   test("textrank_keywords: top-k discipline and corpus-vocabulary membership") {
     val rows = SparkEntry.queries("textrank_keywords")(spark, sfDir).collect()
     assert(rows.length == 10)
