@@ -923,8 +923,71 @@ object CurationOps extends QueryModule {
             FROM a ORDER BY t"""),
   )
 
+  /** Population stability index per source vs the corpus (the
+    * industry-standard drift metric beside `ks_drift`'s sup-distance:
+    * PSI weights WHERE the mass moved, KS only how far the CDFs
+    * separate — monitoring stacks read both). Distribution = document
+    * length over fixed [[PsiBinChars]]-char bins; add-1 smoothing over
+    * the corpus's OWN bin grid keeps every log finite without an
+    * arbitrary ε (counts are exact, so the smoothed ratios are exact
+    * rationals).
+    *
+    * Cross-engine exactness: each bin's (ps − pg)·ln(ps/pg) is ONE
+    * shared double chain from exact integer counts — same parse, same
+    * IEEE order, ln bit-identical — ×10⁹-floored at the BIN so the
+    * per-source sum is exact order-invariant BIGINT (the chi2 cell
+    * discipline).
+    *
+    * Scale: one (source, bin) groupBy off the doc scan (map-side
+    * combined, sources × ~10 bins rows), a bin-grain rollup for the
+    * corpus arm, a broadcast grid join. Nothing corpus-sized after the
+    * first agg.
+    */
+  private val PsiBinChars = 64L
+
+  private val psiDrift = DeclaredQuery(
+    "psi_drift",
+    (s, d) => {
+      val docs = documents(s, d)
+        .select(col("source"), expr(s"n_chars DIV $PsiBinChars").as("bin"))
+      val sb = docs.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      val gb = sb.groupBy("bin").agg(sum("c").as("gc"))
+      val srcs = sb.groupBy("source").agg(sum("c").as("s_n"))
+      val nb = gb.agg(count(lit(1)).as("n_bins"), sum("gc").as("g_n"))
+      val term =
+        s"""CAST(floor(((CAST(c + 1 AS DOUBLE) / (s_n + n_bins)) - (CAST(gc + 1 AS DOUBLE) / (g_n + n_bins)))
+           | * ln((CAST(c + 1 AS DOUBLE) / (s_n + n_bins)) / (CAST(gc + 1 AS DOUBLE) / (g_n + n_bins)))
+           | * 1000000000.0 + 0.5) AS BIGINT)""".stripMargin.replace("\n", "")
+      srcs
+        .crossJoin(broadcast(gb))
+        .join(sb, Seq("source", "bin"), "left")
+        .na
+        .fill(0L, Seq("c"))
+        .crossJoin(broadcast(nb))
+        .withColumn("t", expr(term))
+        .groupBy("source", "s_n")
+        .agg(count(lit(1)).as("n_bins"), sum("t").as("psi_e9"))
+        .select(col("source"), col("s_n"), col("n_bins"), col("psi_e9"))
+        .orderBy("source")
+    },
+    Some(s"""WITH docs AS (SELECT source, n_chars // $PsiBinChars AS bin FROM documents),
+             sb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1, 2),
+             gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM sb GROUP BY 1),
+             srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS s_n FROM sb GROUP BY 1),
+             nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(gc) AS BIGINT) AS g_n FROM gb),
+             grid AS (SELECT srcs.source, srcs.s_n, gb.bin, gb.gc, coalesce(sb.c, 0) AS c
+                      FROM srcs CROSS JOIN gb
+                      LEFT JOIN sb ON sb.source = srcs.source AND sb.bin = gb.bin),
+             terms AS (SELECT source, s_n,
+                              CAST(floor(((CAST(c + 1 AS DOUBLE) / (s_n + n_bins)) - (CAST(gc + 1 AS DOUBLE) / (g_n + n_bins))) * ln((CAST(c + 1 AS DOUBLE) / (s_n + n_bins)) / (CAST(gc + 1 AS DOUBLE) / (g_n + n_bins))) * 1000000000.0 + 0.5) AS BIGINT) AS t
+                       FROM grid CROSS JOIN nb)
+             SELECT source, s_n, CAST(count(*) AS BIGINT) AS n_bins,
+                    CAST(sum(t) AS BIGINT) AS psi_e9
+             FROM terms GROUP BY 1, 2 ORDER BY source"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
       ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity,
-      lDiversity, tCloseness)
+      lDiversity, tCloseness, psiDrift)
 }

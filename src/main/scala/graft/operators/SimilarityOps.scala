@@ -1772,8 +1772,109 @@ object SimilarityOps extends QueryModule {
              ORDER BY v.vec_id"""),
   )
 
+  /** Retrieval-AUC of the embedding space (Mann–Whitney form): does
+    * similarity to a query discriminate same-class membership? Score =
+    * exact ×10⁶-int query dot (vec_id 0, the rocchio convention),
+    * positive = shares the query's label — the standard
+    * embedding-quality eval an encoder regression suite runs, the
+    * threshold-free counterpart of `knn_label_agreement`'s top-k purity.
+    *
+    * Exactness: AUC = U/(P·N) with U counted from the SCORE-GRAIN table
+    * — per distinct score, positives × (2 × negatives-strictly-below +
+    * negatives-at-tie), the exact tie-corrected Mann–Whitney statistic
+    * doubled to stay integral; U₂ accumulates in DECIMAL(38,0) (it
+    * reaches 2·P·N ≈ n²/2, crossing 2⁶³ at ~6×10⁹ vectors) and emits
+    * ×10⁶ BIGINT by truncating DIV.
+    *
+    * Scale: one corpus scan against a broadcast query row, a score-grain
+    * groupBy, then the TWO-PHASE range-partitioned prefix sum for
+    * negatives-below (the sequence_pack shape — the corpus-sized window
+    * stays partitioned; only the ≤ 32-row offset table sees a global
+    * window).
+    */
+  private val aucScore = DeclaredQuery(
+    "auc_score",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.GraftFunctions.register(s)
+      val qz = embeddings(s, d).select(
+        col("vec_id"),
+        col("label"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qv"),
+      )
+      val qRow = qz
+        .filter(col("vec_id") === 0L)
+        .select(col("qv").as("qqv"), col("label").as("l0"))
+      val grain = qz
+        .filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(qRow))
+        .withColumn("s2", expr("graft_int_dot(qqv, qv)"))
+        .withColumn("pos", (col("label") === col("l0")).cast("long"))
+        .groupBy("s2")
+        .agg(sum("pos").as("np"), sum(lit(1L) - col("pos")).as("nn"))
+      val bounds = grain.agg(min("s2").as("lo"), max("s2").as("hi"))
+      val shards = 32
+      val local = grain
+        .crossJoin(broadcast(bounds))
+        .withColumn(
+          "pid",
+          expr(s"(s2 - lo) DIV greatest((hi - lo + 1 + ${shards - 1}) DIV $shards, 1)"),
+        )
+        .withColumn("cumn", sum("nn").over(Window.partitionBy("pid").orderBy("s2")))
+      val offsets = local
+        .groupBy("pid")
+        .agg(sum("nn").as("ps"))
+        .withColumn(
+          "off",
+          coalesce(
+            sum("ps").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L),
+          ),
+        )
+        .select("pid", "off")
+      local
+        .join(broadcast(offsets), Seq("pid"))
+        .withColumn("below", col("off") + col("cumn") - col("nn"))
+        .withColumn("t", expr("CAST(np AS DECIMAL(38,0)) * (2 * below + nn)"))
+        .agg(
+          sum("np").as("n_pos"),
+          sum("nn").as("n_neg"),
+          sum(col("t").cast("decimal(38,0)")).as("u2"),
+        )
+        .select(
+          col("n_pos"),
+          col("n_neg"),
+          expr(
+            "CAST((u2 * 1000000) DIV nullif(CAST(2 AS DECIMAL(38,0)) * n_pos * n_neg, 0) AS BIGINT)",
+          ).as("auc_e6"),
+        )
+    },
+    Some("""WITH qz AS (SELECT vec_id, label,
+                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+                        FROM embeddings),
+            qrow AS (SELECT qv AS qqv, label AS l0 FROM qz WHERE vec_id = 0),
+            p AS (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(range(1, len(q.qqv) + 1), i -> q.qqv[i] * c.qv[i])),
+                           (s2, x) -> s2 + x) AS s2,
+                         CASE WHEN c.label = q.l0 THEN 1 ELSE 0 END AS pos
+                  FROM qz c CROSS JOIN qrow q WHERE c.vec_id <> 0),
+            g AS (SELECT s2, CAST(sum(pos) AS BIGINT) AS np,
+                         CAST(count(*) - sum(pos) AS BIGINT) AS nn
+                  FROM p GROUP BY 1),
+            c2 AS (SELECT s2, np, nn,
+                          CAST(coalesce(sum(nn) OVER (ORDER BY s2
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below
+                   FROM g),
+            t AS (SELECT CAST(np AS HUGEINT) * (2 * below + nn) AS t2, np, nn FROM c2)
+            SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg,
+                   CAST(sum(t2) * 1000000 // nullif(2 * CAST(sum(np) AS HUGEINT) * sum(nn), 0) AS BIGINT) AS auc_e6
+            FROM t
+            ORDER BY n_pos"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
-    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled,
+    Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled, aucScore,
       annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
       incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity,

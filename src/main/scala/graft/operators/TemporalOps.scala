@@ -2371,6 +2371,11 @@ object TemporalOps extends QueryModule {
         .filter(col("prev").isNotNull)
         .select(col("prev").as("src"), col("event_type").as("dst"))
         .distinct()
+        // pin the |types|²-bounded edge list as a LEAF: the loop's lazy
+        // lineage otherwise re-executes the corpus window scan on every
+        // of its ~15 references across the 5 rounds (measured 8.8 s →
+        // sub-second at sf0.1)
+        .localCheckpoint(true)
       DedupOps.pagerank(edges, DedupOps.PrIters)
     }, {
       val scale = DedupOps.PrScale
@@ -2618,10 +2623,15 @@ object TemporalOps extends QueryModule {
         .filter(col("prev").isNotNull)
         .select(col("prev").as("src"), col("event_type").as("dst"))
         .distinct()
+        // leaf-pin before the loop — the 10 half-rounds reference edges
+        // 10× and nodes 10×; without the pin each reference re-runs the
+        // corpus window scan (the transition_pagerank lesson)
+        .localCheckpoint(true)
       val nodes = edges
         .select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node")))
         .distinct()
+        .localCheckpoint(true)
       // each renorm reads `scores` TWICE (the total and the division) and
       // feeds the next half-round — without a per-round localCheckpoint
       // the lazy plan doubles every half-round (2^10 subtree copies by

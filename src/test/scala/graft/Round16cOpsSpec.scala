@@ -163,6 +163,59 @@ class Round16cOpsSpec extends SparkSpec {
       s"authority mass ${auths.sum} must be 1e6 minus at most one floor per node")
   }
 
+  test("psi_drift: one row per source, PSI non-negative, bin grid shared") {
+    val rows = SparkEntry.queries("psi_drift")(spark, sfDir).collect()
+    val nSrc = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows.length == nSrc, "one PSI row per source")
+    val binCounts = rows.map(_.getLong(2)).distinct
+    assert(binCounts.length == 1, "every source is scored on the corpus's own bin grid")
+    rows.foreach { r =>
+      // PSI = a sum of (p-q)ln(p/q) terms, each >= 0 (same sign factors);
+      // per-bin flooring can shave at most 1e-9 per bin
+      assert(r.getLong(3) >= -r.getLong(2), s"psi_e9 ${r.getLong(3)} below floor-loss bound")
+      assert(r.getLong(1) > 0L)
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == Tables.documents(spark, sfDir).count(), "source sizes partition the corpus")
+  }
+
+  test("auc_score: bounds, class split, and agreement with a direct O(PN) recompute") {
+    val rows = SparkEntry.queries("auc_score")(spark, sfDir).collect()
+    assert(rows.length == 1)
+    val (p, n, auc) = (rows(0).getLong(0), rows(0).getLong(1), rows(0).getLong(2))
+    assert(p > 0L && n > 0L && auc >= 0L && auc <= 1000000L)
+    assert(p + n == Tables.embeddings(spark, sfDir).count() - 1, "query row excluded")
+    // independent quadratic recompute on the sf0.001 fixture (499 vecs)
+    graft.functions.GraftFunctions.register(spark)
+    val qz = Tables
+      .embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        col("label"),
+        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))")
+          .as("qv"),
+      )
+      .collect()
+    val q0 = qz.find(_.getLong(0) == 0L).get
+    val (qv, l0) = (q0.getSeq[Long](2).toArray, q0.getInt(1))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val scored = qz.filter(_.getLong(0) != 0L).map { r =>
+      (dot(qv, r.getSeq[Long](2).toArray), r.getInt(1) == l0)
+    }
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    var u2 = BigInt(0)
+    pos.foreach { s =>
+      neg.foreach { t =>
+        if (s > t) u2 += 2 else if (s == t) u2 += 1
+      }
+    }
+    val expected = (u2 * 1000000 / (BigInt(2) * pos.length * neg.length)).toLong
+    assert(p == pos.length && n == neg.length)
+    assert(auc == expected, s"distributed grain AUC $auc != all-pairs recompute $expected")
+  }
+
   test("textrank_keywords: top-k discipline and corpus-vocabulary membership") {
     val rows = SparkEntry.queries("textrank_keywords")(spark, sfDir).collect()
     assert(rows.length == 10)
