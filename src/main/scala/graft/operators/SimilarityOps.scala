@@ -1873,8 +1873,91 @@ object SimilarityOps extends QueryModule {
             ORDER BY n_pos"""),
   )
 
+  /** Newman modularity of the LABEL partition on the kNN graph (Newman
+    * & Girvan 2004) — the label-vs-graph coherence audit: per class,
+    * the observed intra-class edge share minus the share expected under
+    * the degree-preserving null model, Q_c = e_c/m − (d_c/2m)². A
+    * strongly positive contribution means the class forms a real graph
+    * community (embedding geometry agrees with the label); ~0 means the
+    * label is invisible to the kNN structure — the partition-level
+    * complement of `knn_label_agreement`'s per-edge rate. (The CC
+    * partition itself is one giant component on these graphs — its
+    * modularity is identically 0 — which is WHY the audit runs on the
+    * label partition.)
+    *
+    * Exactness: the graph is SYMMETRIZED to distinct undirected pairs;
+    * both terms are truncating integer quotients from exact counts —
+    * d_c²·10⁶ crosses 2⁶³ once degree sums pass ~3×10⁶ (any web-scale
+    * corpus), so the square rides a DECIMAL(38,0) with BIGINT out
+    * (census discipline at birth).
+    *
+    * Scale: edge symmetrization and degrees are edge-grain (3n rows);
+    * the label joins are node-keyed; output is class-cardinality.
+    * Nothing touches vectors — the edge substrate is shared with the
+    * whole kNN family.
+    */
+  private val knnModularity = DeclaredQuery(
+    "knn_modularity",
+    (s, d) => {
+      val ue = knnEdges(s, d)
+        .select(least(col("src"), col("nbr")).as("a"), greatest(col("src"), col("nbr")).as("b"))
+        .distinct()
+      val labels = embeddings(s, d).select(col("vec_id"), col("label").cast("long").as("cl"))
+      val deg = ue
+        .select(col("a").as("v"))
+        .unionByName(ue.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+      val m = ue.agg(count(lit(1)).as("m"))
+      val eIntra = ue
+        .join(labels.select(col("vec_id").as("a"), col("cl").as("ca")), Seq("a"))
+        .join(labels.select(col("vec_id").as("b"), col("cl").as("cb")), Seq("b"))
+        .filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("cluster"))
+        .agg(count(lit(1)).as("e_intra"))
+      labels
+        .join(deg, labels("vec_id") === deg("v"), "left")
+        .groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n_nodes"), sum(coalesce(col("deg"), lit(0L))).as("d_sum"))
+        .join(eIntra, Seq("cluster"), "left")
+        .na
+        .fill(0L, Seq("e_intra"))
+        .crossJoin(broadcast(m))
+        .withColumn(
+          "contrib_e6",
+          expr("""e_intra * 1000000 DIV m
+                 | - CAST(CAST(d_sum AS DECIMAL(38,0)) * d_sum * 1000000
+                 |        DIV (CAST(4 AS DECIMAL(38,0)) * m * m) AS BIGINT)""".stripMargin),
+        )
+        .select(col("cluster"), col("n_nodes"), col("e_intra"), col("d_sum"), col("contrib_e6"))
+        .orderBy("cluster")
+    },
+    Some(s"""WITH $knnEdgesDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+             ue AS (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
+             m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ue),
+             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                     FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+             ei AS (SELECT la.cl AS cluster, CAST(count(*) AS BIGINT) AS e_intra
+                    FROM ue JOIN lbl la ON ue.a = la.vec_id
+                            JOIN lbl lb2 ON ue.b = lb2.vec_id
+                    WHERE la.cl = lb2.cl GROUP BY 1),
+             ds AS (SELECT l.cl AS cluster, CAST(count(*) AS BIGINT) AS n_nodes,
+                           CAST(coalesce(sum(deg.deg), 0) AS BIGINT) AS d_sum
+                    FROM lbl l LEFT JOIN deg ON l.vec_id = deg.v GROUP BY 1)
+             SELECT ds.cluster, ds.n_nodes,
+                    CAST(coalesce(ei.e_intra, 0) AS BIGINT) AS e_intra, ds.d_sum,
+                    coalesce(ei.e_intra, 0) * 1000000 // m.m
+                      - CAST(CAST(ds.d_sum AS HUGEINT) * ds.d_sum * 1000000
+                             // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT) AS contrib_e6
+             FROM ds LEFT JOIN ei USING (cluster) CROSS JOIN m
+             ORDER BY ds.cluster"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled, aucScore,
+      knnModularity,
       annRecall, embeddingOutliers,
       embeddingCovariance, hardNegatives, knnGraph, knnComponents, centroidShift,
       incrementalKnn, incrementalKnnFixed, knnLabelAgreement, hubnessStats, knnClusterPurity,

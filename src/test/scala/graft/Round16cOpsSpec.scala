@@ -216,6 +216,23 @@ class Round16cOpsSpec extends SparkSpec {
     assert(auc == expected, s"distributed grain AUC $auc != all-pairs recompute $expected")
   }
 
+  test("knn_modularity: partition totals close, contributions = stated quotients") {
+    val rows = SparkEntry.queries("knn_modularity")(spark, sfDir).collect()
+    val nLbl = Tables.embeddings(spark, sfDir).select("label").distinct().count()
+    assert(rows.length == nLbl, "one row per class")
+    assert(rows.map(_.getLong(1)).sum == Tables.embeddings(spark, sfDir).count(),
+      "classes partition the node set")
+    val m = rows.map(_.getLong(3)).sum / 2 // sum of degrees = 2m
+    assert(m > 0L)
+    assert(rows.map(_.getLong(2)).sum <= m, "intra-class edges are a subset of all edges")
+    rows.foreach { r =>
+      val (eIn, dSum, contrib) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val expected =
+        eIn * 1000000L / m - (BigInt(dSum) * dSum * 1000000 / (BigInt(4) * m * m)).toLong
+      assert(contrib == expected, s"contrib_e6 $contrib != recomputed $expected")
+    }
+  }
+
   test("textrank_keywords: top-k discipline and corpus-vocabulary membership") {
     val rows = SparkEntry.queries("textrank_keywords")(spark, sfDir).collect()
     assert(rows.length == 10)
