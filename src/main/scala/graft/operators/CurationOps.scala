@@ -945,12 +945,24 @@ object CurationOps extends QueryModule {
     */
   private val PsiBinChars = 64L
 
-  private val psiDrift = DeclaredQuery(
-    "psi_drift",
-    (s, d) => {
-      val docs = documents(s, d)
-        .select(col("source"), expr(s"n_chars DIV $PsiBinChars").as("bin"))
-      val sb = docs.groupBy("source", "bin").agg(count(lit(1)).as("c"))
+  /** The mergeable PSI grain: per-slice (source, 64-char bin, count).
+    * Counts are additive, so per-batch grains merge by plain sum — the
+    * streaming twin ([[graft.streaming.DocIngest.startPsiPartials]])
+    * lands exactly this frame per micro-batch.
+    */
+  private[graft] def psiBinCounts(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("source"), expr(s"n_chars DIV $PsiBinChars").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("c"))
+
+  /** The PSI report from a merged (source, bin, c) grain — the SHARED
+    * post-grain pipeline of the declared batch query and the streaming
+    * serve. The smoothing denominators (bin-grid size, corpus size) are
+    * derived from the MERGED grain, which is why per-batch PSI would be
+    * wrong: the null distribution only exists after the merge.
+    */
+  private[graft] def psiFrom(sb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       val gb = sb.groupBy("bin").agg(sum("c").as("gc"))
       val srcs = sb.groupBy("source").agg(sum("c").as("s_n"))
       val nb = gb.agg(count(lit(1)).as("n_bins"), sum("gc").as("g_n"))
@@ -969,7 +981,11 @@ object CurationOps extends QueryModule {
         .agg(count(lit(1)).as("n_bins"), sum("t").as("psi_e9"))
         .select(col("source"), col("s_n"), col("n_bins"), col("psi_e9"))
         .orderBy("source")
-    },
+  }
+
+  private val psiDrift = DeclaredQuery(
+    "psi_drift",
+    (s, d) => psiFrom(psiBinCounts(documents(s, d))),
     Some(s"""WITH docs AS (SELECT source, n_chars // $PsiBinChars AS bin FROM documents),
              sb AS (SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM docs GROUP BY 1, 2),
              gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS gc FROM sb GROUP BY 1),

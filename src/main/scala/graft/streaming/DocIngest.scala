@@ -484,6 +484,63 @@ object DocIngest {
     graft.operators.CurationOps.reputationFrom(merged)
   }
 
+  /** Streaming store for the PSI drift grain: per micro-batch, the doc
+    * slice reduces to (source, 64-char bin, count) — additive partials
+    * with the same foreachBatch/Overwrite idempotent-replay contract
+    * and bid-0 stale-lineage wipe as the reputation store. State per
+    * batch dir is sources × ~10 bins.
+    */
+  def startPsiPartials(
+      docs: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.CurationOps
+          .psiBinCounts(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Serve the `psi_drift` report from the live grain — byte-identical
+    * to the declared batch query because the count merge is a plain
+    * groupBy-sum and the post-grain pipeline IS the batch query's
+    * ([[graft.operators.CurationOps.psiFrom]]); the smoothing
+    * denominators derive from the MERGED grain, which is why per-batch
+    * PSI would be wrong (the null distribution only exists after the
+    * merge). Zero committed batches serve the empty report.
+    */
+  def psiDriftFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val merged =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("bin", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
+          )),
+        )
+      else
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .groupBy("source", "bin")
+          .agg(sum(col("c")).as("c"))
+    graft.operators.CurationOps.psiFrom(merged)
+  }
+
   /** Merge the landed vocab partials into the refreshed (w, wc)
     * vocabulary — byte-identical to the one-shot corpus reduction
     * ([[graft.operators.BpeOps.vocabOf]] over the full stream) because

@@ -1525,6 +1525,53 @@ class StreamingSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("continuous PSI partials serve the exact batch drift report (and survive replay)") {
+    import org.apache.spark.sql.functions._
+    // block-parity split ((doc_id DIV 20) % 2 — NOT doc_id parity: the
+    // fixture's source IS doc_id % 20, so a plain parity split would
+    // separate the sources entirely and never exercise the merge):
+    // every source's length bins receive documents from BOTH batches,
+    // and the smoothing denominators (bin-grid size, corpus size) only
+    // exist after the merge — per-batch PSI would score each slice
+    // against its own half-corpus null.
+    val streamDir = Files.createTempDirectory("psi-stream").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.filter((col("doc_id") / 20).cast("long") % 2 === 0)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    docs.filter((col("doc_id") / 20).cast("long") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("psi-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = DocIngest.startPsiPartials(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-psi").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = canon(SparkEntry.queries("psi_drift")(spark, sfDir))
+    assert(batch.nonEmpty)
+    assert(canon(DocIngest.psiDriftFromState(spark, stateDir)) == batch,
+      "PSI served from merged partials must equal the declared batch report")
+    // the grain really is sliced: (source, bin) cells straddle batches
+    val parts = spark.read.parquet(s"$stateDir/batch_*")
+    assert(parts.groupBy("source", "bin").count().filter(col("count") > 1).count() > 0,
+      "no (source, bin) cell straddles a slice — the additive merge was not exercised")
+    // crash-replay: the bid-0 wipe rewrites identical partials
+    runLoop(Files.createTempDirectory("ck-psi2").toString)
+    assert(canon(DocIngest.psiDriftFromState(spark, stateDir)) == batch,
+      "a replayed lineage must not double-count bin counts")
+    // zero-batch state serves the defined empty report
+    val empty = Files.createTempDirectory("psi-empty").toString
+    val none = DocIngest.psiDriftFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("source", "s_n", "n_bins", "psi_e9"))
+    assert(none.count() == 0)
+  }
+
   test("continuous QI grain serves the exact batch privacy audits (and survives replay)") {
     import org.apache.spark.sql.functions._
     // id-parity split: every QI class receives events from BOTH batches
