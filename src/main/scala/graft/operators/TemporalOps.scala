@@ -2105,6 +2105,141 @@ object TemporalOps extends QueryModule {
             ORDER BY l.event_type"""),
   )
 
+  /** Mann–Kendall trend test per feed (Mann 1945 / Kendall 1975 — THE
+    * nonparametric "is this series trending" test monitoring stacks
+    * run): S = Σ_{i<j} sign(c_j − c_i) over the day grain, variance
+    * with the tie correction, z against the normal approximation.
+    * Ninth consumer of the persisted (type, day) grain
+    * ([[graft.streaming.EventStream.mannKendallFromState]]).
+    *
+    * Exactness: S and the ×18-scaled variance are pure integers (the
+    * pair space is days², calendar-bounded); z's divide-and-sqrt is one
+    * shared double chain from those integers, ×10³-floored; a
+    * zero-variance series (constant counts or n < 2) emits NULL rather
+    * than a fabricated z (nullif in both engines).
+    */
+  private[graft] def mannKendallFrom(dayCounts: DataFrame): DataFrame = {
+    val a = dayCounts.select(col("event_type"), col("day_no").as("da"), col("c").as("ca"))
+    val b = dayCounts.select(col("event_type").as("et2"), col("day_no").as("db"), col("c").as("cb"))
+    val s = a
+      .join(b, col("event_type") === col("et2") && col("da") < col("db"))
+      .groupBy("event_type")
+      .agg(
+        sum(
+          when(col("cb") > col("ca"), 1L).when(col("cb") < col("ca"), -1L).otherwise(0L),
+        ).as("s_stat"),
+      )
+    val n = dayCounts.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val ties = dayCounts
+      .groupBy("event_type", "c")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    n.join(s, Seq("event_type"), "left")
+      .join(ties, Seq("event_type"))
+      .na
+      .fill(0L, Seq("s_stat"))
+      .withColumn("var18", expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+      .withColumn(
+        "z_e3",
+        expr(
+          """CAST(floor((CAST(s_stat AS DOUBLE)
+            | - CASE WHEN s_stat > 0 THEN 1.0 WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
+            | / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0) * 1000.0 + 0.5) AS BIGINT)""".stripMargin,
+        ),
+      )
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"), col("z_e3"))
+      .orderBy("event_type")
+  }
+
+  /** Theil–Sen robust trend slope per feed (Theil 1950 / Sen 1968 — the
+    * median-of-pairwise-slopes estimator that shrugs off the outlier
+    * days the anomaly queue flags): slopes ×10⁶-floored per pair (one
+    * shared double chain — exact-int products stay under 2⁵³ so the
+    * IEEE divide is bit-identical), then the EXACT doubled median
+    * (sum of the two middle order statistics; 2× the middle when odd)
+    * so no fractional value ever crosses an engine boundary. Tenth
+    * consumer of the same grain
+    * ([[graft.streaming.EventStream.theilSenFromState]]).
+    */
+  private[graft] def theilSenFrom(dayCounts: DataFrame): DataFrame = {
+    val a = dayCounts.select(col("event_type"), col("day_no").as("da"), col("c").as("ca"))
+    val b = dayCounts.select(col("event_type").as("et2"), col("day_no").as("db"), col("c").as("cb"))
+    val slopes = a
+      .join(b, col("event_type") === col("et2") && col("da") < col("db"))
+      .withColumn(
+        "slope_e6",
+        expr("CAST(floor(CAST(cb - ca AS DOUBLE) * 1000000.0 / (db - da)) AS BIGINT)"),
+      )
+    val wr = Window
+      .partitionBy("event_type")
+      .orderBy(col("slope_e6"), col("da"), col("db")) // full-key: order stats stable
+    val ranked = slopes.withColumn("rk", row_number().over(wr).cast("long"))
+    val np = ranked.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+    ranked
+      .join(np, Seq("event_type")) // pair-grain × type counts: calendar-bounded
+      .groupBy("event_type", "n_pairs")
+      .agg(
+        (sum(when(col("rk") === expr("(n_pairs + 1) DIV 2"), col("slope_e6")).otherwise(0L))
+          + sum(when(col("rk") === expr("n_pairs DIV 2 + 1"), col("slope_e6")).otherwise(0L)))
+          .as("slope_med2_e6"),
+      )
+      .select(col("event_type"), col("n_pairs"), col("slope_med2_e6"))
+      .orderBy("event_type")
+  }
+
+  private val mannKendall = DeclaredQuery(
+    "mann_kendall",
+    (s, d) => mannKendallFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type,
+                         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+                  FROM dc a JOIN dc b
+                    ON a.event_type = b.event_type AND a.day_no < b.day_no),
+            sS AS (SELECT event_type, CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+            n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM dc GROUP BY 1),
+            tt AS (SELECT event_type, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+                   FROM (SELECT event_type, c, CAST(count(*) AS BIGINT) AS t
+                         FROM dc GROUP BY 1, 2) GROUP BY 1),
+            v AS (SELECT n.event_type, n.n_days,
+                         CAST(coalesce(sS.s_stat, 0) AS BIGINT) AS s_stat,
+                         CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5) - tt.tie_term
+                              AS BIGINT) AS var18
+                  FROM n LEFT JOIN sS ON n.event_type = sS.event_type
+                         JOIN tt ON n.event_type = tt.event_type)
+            SELECT event_type, n_days, s_stat, var18,
+                   CAST(floor((CAST(s_stat AS DOUBLE)
+                        - CASE WHEN s_stat > 0 THEN 1.0 WHEN s_stat < 0 THEN -1.0 ELSE 0.0 END)
+                        / sqrt(CAST(nullif(var18, 0) AS DOUBLE) / 18.0) * 1000.0 + 0.5) AS BIGINT)
+                     AS z_e3
+            FROM v ORDER BY event_type"""),
+  )
+
+  private val theilSen = DeclaredQuery(
+    "theil_sen",
+    (s, d) => theilSenFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            p AS (SELECT a.event_type, a.day_no AS da, b.day_no AS db,
+                         CAST(floor(CAST(b.c - a.c AS DOUBLE) * 1000000.0 / (b.day_no - a.day_no)) AS BIGINT) AS slope_e6
+                  FROM dc a JOIN dc b
+                    ON a.event_type = b.event_type AND a.day_no < b.day_no),
+            r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY slope_e6, da, db) AS BIGINT) AS rk FROM p),
+            np AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1)
+            SELECT r.event_type, np.n_pairs,
+                   CAST(sum(CASE WHEN r.rk = (np.n_pairs + 1) // 2 THEN r.slope_e6 ELSE 0 END)
+                      + sum(CASE WHEN r.rk = np.n_pairs // 2 + 1 THEN r.slope_e6 ELSE 0 END)
+                        AS BIGINT) AS slope_med2_e6
+            FROM r JOIN np USING (event_type)
+            GROUP BY 1, 2 ORDER BY r.event_type"""),
+  )
+
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
     (s, d) => cusumFrom(typeDayCounts(events(s, d))),
@@ -2719,5 +2854,5 @@ object TemporalOps extends QueryModule {
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
       maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
-      assocRules, hitsScores)
+      assocRules, hitsScores, mannKendall, theilSen)
 }

@@ -646,6 +646,19 @@ object EventStream {
   def seasonalForecastFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.seasonalForecastFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the Mann–Kendall trend test from the same live grain (ninth
+    * consumer) — S, the tie-corrected variance, and z all derive from
+    * the merged day counts.
+    */
+  def mannKendallFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.mannKendallFrom(typeDayFromState(spark, stateDir))
+
+  /** Serve the Theil–Sen robust slope from the same live grain (tenth
+    * consumer) — the pairwise-slope median needs the merged series.
+    */
+  def theilSenFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.theilSenFrom(typeDayFromState(spark, stateDir))
+
   /** Continuous burstiness screening — the per-(slice, user) gap-moment
     * grain behind `gap_burstiness` kept live (the round-15 "documented
     * follow-up" shipped): each micro-batch reduces to the SHARED

@@ -1670,6 +1670,12 @@ class StreamingSpec extends SparkSpec {
     val seaBatch = SparkEntry.queries("seasonal_forecast")(spark, sfDir)
     assert(canon(EventStream.seasonalForecastFromState(spark, stateDir)) == canon(seaBatch),
       "seasonal forecast served from grain must equal the declared batch report")
+    val mkBatch = SparkEntry.queries("mann_kendall")(spark, sfDir)
+    assert(canon(EventStream.mannKendallFromState(spark, stateDir)) == canon(mkBatch),
+      "Mann-Kendall trend test served from grain must equal the declared batch report")
+    val tsBatch = SparkEntry.queries("theil_sen")(spark, sfDir)
+    assert(canon(EventStream.theilSenFromState(spark, stateDir)) == canon(tsBatch),
+      "Theil-Sen slope served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
