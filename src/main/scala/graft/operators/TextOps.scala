@@ -1587,8 +1587,75 @@ object TextOps extends QueryModule {
     },
   )
 
+  /** Simple Good–Turing count-of-counts (Good 1953 / Gale & Sampson
+    * 1995) over corpus word-trigram OCCURRENCES — the smoothing table
+    * every held-out LM estimate starts from: N_r = how many distinct
+    * trigram types occur exactly r times, the adjusted count
+    * r* = (r+1)·N_{r+1}/N_r, and each band's observed probability
+    * mass. The trigram grain (not unigrams) is the point: the fixture
+    * vocabulary is 31 closed-class words with huge counts, but the
+    * trigram type space is hapax-rich — exactly the regime GT exists
+    * for (N_1/T estimates the unseen mass).
+    *
+    * Exactness: N_r, T, and r are exact integers off the shared
+    * positional gram substrate; r* is a truncating integer quotient
+    * ((r+1)·N_{r+1}·10⁶ stays under 2⁶³ to ~10¹¹ types); the mass
+    * column's r·N_r·10⁹ crosses 2⁶³ at ~10⁹ types so it rides a
+    * DECIMAL(38,0) with BIGINT out (census discipline).
+    *
+    * Scale: one groupBy of the (doc, pos, gh) substrate to type
+    * counts, one count-of-counts groupBy (output ≤ max-r rows), a
+    * self-join on r+1 over that tiny table. The gram substrate is the
+    * SHARED `gram-pos-rows` store (`repeated_spans`' grain), so the
+    * hash work never reruns.
+    */
+  private val GtMaxR = 8L
+
+  private val goodTuring = DeclaredQuery(
+    "good_turing",
+    (s, d) => {
+      val occ = graft.SubstrateCache.substrate(s, d, "gram-pos-rows")(
+        DedupOps.gramPosRowsOf(documents(s, d)),
+      )
+      val counts = occ.groupBy("gh").agg(count(lit(1)).as("r"))
+      val nr = counts.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val tot = occ.agg(count(lit(1)).as("t_occ"))
+      val nr1 = nr.select(col("r").as("r1"), col("n_r").as("n_r1"))
+      nr.join(nr1, col("r1") === col("r") + 1, "left")
+        .na
+        .fill(0L, Seq("n_r1"))
+        .crossJoin(broadcast(tot))
+        .filter(col("r") <= GtMaxR)
+        .select(
+          col("r"),
+          col("n_r"),
+          expr("(r + 1) * n_r1 * 1000000 DIV n_r").as("r_star_e6"),
+          expr("CAST(CAST(r AS DECIMAL(38,0)) * n_r * 1000000000 DIV t_occ AS BIGINT)")
+            .as("mass_e9"),
+        )
+        .orderBy("r")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             hp AS (SELECT doc_id,
+                           list_transform(ws, w -> $wordHashDuck) AS hws,
+                           list_transform(ws, w -> ${DedupOps.pow31DuckSql}) AS pws
+                    FROM t),
+             g AS (SELECT doc_id, ${DedupOps.gramListDuckSql} AS ghs FROM hp),
+             e AS (SELECT unnest(ghs) AS gh FROM g),
+             c AS (SELECT gh, CAST(count(*) AS BIGINT) AS r FROM e GROUP BY 1),
+             nr AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY 1),
+             tt AS (SELECT CAST(count(*) AS BIGINT) AS t_occ FROM e)
+             SELECT nr.r, nr.n_r,
+                    (nr.r + 1) * coalesce(n2.n_r, 0) * 1000000 // nr.n_r AS r_star_e6,
+                    CAST(CAST(nr.r AS HUGEINT) * nr.n_r * 1000000000 // tt.t_occ AS BIGINT)
+                      AS mass_e9
+             FROM nr LEFT JOIN nr n2 ON n2.r = nr.r + 1 CROSS JOIN tt
+             WHERE nr.r <= $GtMaxR ORDER BY nr.r"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
     textrankKeywords,
+    goodTuring,
     zipfSlope,
     textStats,
     tokenCount,

@@ -233,6 +233,25 @@ class Round16cOpsSpec extends SparkSpec {
     }
   }
 
+  test("good_turing: hapax-rich table, r* consistent with adjacent bands") {
+    val rows = SparkEntry.queries("good_turing")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byR = rows.map(r => r.getLong(0) -> r).toMap
+    assert(byR.contains(1L) && byR(1L).getLong(1) > 0L,
+      "the trigram grain must be hapax-rich (N_1 > 0) — GT's whole point")
+    rows.foreach { r =>
+      val (rr, nr, mass) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      assert(rr >= 1L && nr > 0L, "only observed bands appear")
+      assert(mass >= 0L && mass <= 1000000000L, "band mass is a probability share")
+      byR.get(rr + 1L).foreach { next =>
+        assert(r.getLong(2) == (rr + 1L) * next.getLong(1) * 1000000L / nr,
+          s"r*($rr) must equal (r+1)N_(r+1)/N_r from the adjacent band")
+      }
+    }
+    assert(rows.map(_.getLong(3)).sum <= 1000000000L,
+      "capped bands cannot exceed total probability mass")
+  }
+
   test("textrank_keywords: top-k discipline and corpus-vocabulary membership") {
     val rows = SparkEntry.queries("textrank_keywords")(spark, sfDir).collect()
     assert(rows.length == 10)
