@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-17 pins: the six banded-kNN consumers' production twins and the
+  * cell-bounded DBSCAN — the round-16 verdict's re-basing items. The
+  * hash gate proves each twin equals its own oracle; these pins prove the
+  * RELATIONSHIPS the twin story rests on: byte-shared metric tails
+  * (schema equality with the banded declared forms), min-id CC labeling
+  * invariants, and the subset/monotonicity facts of the cell-restricted
+  * ε-graph (scaled pair space ⊆ exact pair space).
+  */
+class Round17OpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("every scaled kNN twin carries its banded counterpart's exact schema") {
+    // The twin contract: SAME metric, swapped substrate. A schema drift
+    // here means the tails stopped being shared.
+    for (
+      base <- Seq(
+        "knn_components", "knn_label_agreement", "hubness_stats",
+        "knn_cluster_purity", "label_propagation", "knn_modularity",
+        "dbscan_clusters",
+      )
+    ) {
+      val b = run(base).schema
+      val t = run(s"${base}_scaled").schema
+      assert(b == t, s"$base vs ${base}_scaled schema drift: $b != $t")
+    }
+  }
+
+  test("knn_components_scaled labels are min-id component labels") {
+    val cc = run("knn_components_scaled").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every label ≤ its member (min-id convention) …
+    assert(cc.forall { case (v, l) => l <= v })
+    // … and every label IS a member of its own cluster (the canonical row)
+    val byLabel = cc.groupBy(_._2)
+    assert(byLabel.forall { case (l, members) => members.exists(_._1 == l) })
+    // total: one label per corpus vector
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(cc.length == n)
+  }
+
+  test("dbscan_clusters_scaled: cell restriction only REMOVES ε-pairs (degree ≤ exact)") {
+    // The declared semantics is the cell-restricted ε-graph: a pair
+    // straddling a cell boundary does not edge. So per vector the scaled
+    // degree can never exceed the exact tier's, and no scaled core can be
+    // exact-noise with a higher degree. This is the boundary-effect
+    // statement made checkable.
+    val exact = run("dbscan_clusters")
+      .select(col("vec_id"), col("degree").as("d_exact"))
+    val scaled = run("dbscan_clusters_scaled")
+      .select(col("vec_id"), col("degree").as("d_scaled"))
+    val bad = exact
+      .join(scaled, Seq("vec_id"))
+      .filter(col("d_scaled") > col("d_exact"))
+      .count()
+    assert(bad == 0L, s"$bad vectors gained ε-neighbors under cell restriction")
+  }
+
+  test("dbscan_clusters_scaled role/degree invariants (core ≥ minPts > noise-with-label)") {
+    val out = run("dbscan_clusters_scaled").collect()
+    out.foreach { r =>
+      val role = r.getString(1)
+      val cluster = r.getLong(2)
+      val degree = r.getLong(3)
+      role match {
+        case "core" =>
+          assert(degree >= 4L, s"core ${r.getLong(0)} has degree $degree < minPts")
+          assert(cluster >= 0L)
+        case "border" => assert(cluster >= 0L)
+        case "noise" => assert(cluster == -1L)
+        case other => fail(s"unknown role $other")
+      }
+    }
+  }
+
+  test("scaled substrate serves the whole consumer family from one cache entry") {
+    // knn_components_scaled + purity share the knn-cc-labels-scaled
+    // substrate, and everything rides knn-edges-scaled: after running the
+    // family, the session holds substrates only for this dataset.
+    run("knn_components_scaled").collect()
+    run("knn_cluster_purity_scaled").collect()
+    run("hubness_stats_scaled").collect()
+    assert(SubstrateCache.liveDatasets(spark).subsetOf(Set(sfDir)))
+  }
+}
