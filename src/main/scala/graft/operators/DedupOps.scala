@@ -1249,6 +1249,42 @@ object DedupOps extends QueryModule {
     out
   }
 
+  /** [[pagerank]]'s recurrence as a driver-side fold for STRUCTURE-SIZED
+    * graphs (the mmr_rerank bounded-collect class): same exact-integer
+    * arithmetic — base = 15·scale/(100n) and init = scale/n in Long
+    * division, per-round contribution Σ r/deg over in-edges, dangling
+    * mass redistributed as (Σ_{no out-edge} r)/n, update
+    * base + 85·(contrib + dshare)/100 — over non-negative Longs, where
+    * Scala `/` ≡ Spark `DIV`, and every sum is of exact integers, so the
+    * result is bit-identical to the distributed engine by construction
+    * (PageRankSpec pins the equality). Use when the edge list is bounded
+    * by STRUCTURE (|event types|², a vocabulary) rather than corpus size:
+    * the distributed engine pays 5 rounds of join+agg+left-join tiny-stage
+    * churn that dominated the bench (transition_pagerank 4.3 s at sf0.1)
+    * while the graph itself never exceeds a few hundred rows. Corpus-sized
+    * graphs (fuzzy_pagerank) stay on [[pagerank]].
+    */
+  private[graft] def pagerankLocal(
+      edges: Seq[(String, String)],
+      iters: Int = PrIters,
+  ): Seq[(String, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toLong
+    if (n == 0) return Seq.empty
+    val base = (15L * PrScale) / (100L * n)
+    val deg = edges.groupBy(_._1).map { case (src, es) => src -> es.length.toLong }
+    val sources = deg.keySet
+    var r = nodes.map(v => v -> (PrScale / n)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .groupBy(_._2)
+        .map { case (dst, es) => dst -> es.map(e => r(e._1) / deg(e._1)).sum }
+      val dshare = nodes.filterNot(sources.contains).map(r).sum / n
+      r = nodes.map(v => v -> (base + (85L * (contrib.getOrElse(v, 0L) + dshare)) / 100L)).toMap
+    }
+    nodes.map(v => v -> r(v))
+  }
+
   /** PageRank over the fuzzy-match graph — centrality joins CC
     * (`dedup_clusters`) and triangles (`fuzzy_triangles`) in the graph
     * family: which records sit at the hubs of the match graph (a high-rank

@@ -2496,24 +2496,50 @@ object TemporalOps extends QueryModule {
     * every per-round join is over a handful of rows. Same exact ×10¹²
     * integer recurrence.
     */
+  /** The DISTINCT (prev → next) event-type transition edge list off one
+    * user-keyed window sort — |event types|²-bounded (structure-sized,
+    * never corpus-sized), substrate-pinned so the corpus scan runs once
+    * per (session, dataset). SINGLE definition for the "transition-edges"
+    * cache key: both centrality queries (`transition_pagerank`,
+    * `hits_scores`) consume it, so whichever runs first builds the same
+    * frame (a drifted copy would silently let execution order pick the
+    * substrate — the round-16 advice item).
+    */
+  private def transitionEdges(s: SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "transition-edges") {
+      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+      events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("event_type").as("dst"))
+        .distinct()
+        .coalesce(1) // |types|² rows: one partition kills ~20 32-task micro-stages
+    }
+
+  /** The transition edge list collected to the driver — the bounded
+    * collect the centrality folds run on (|event types|² rows: dozens at
+    * ANY corpus size; at 100× data only the cached scan inside
+    * [[transitionEdges]] grows, never this result).
+    */
+  private def transitionEdgeList(s: SparkSession, d: String): Seq[(String, String)] =
+    transitionEdges(s, d).collect().toSeq.map(r => (r.getString(0), r.getString(1)))
+
   private val transitionPagerank = DeclaredQuery(
     "transition_pagerank",
     (s, d) => {
-      // substrate-pin the |types|²-bounded edge list: the loop's lazy
-      // lineage otherwise re-executes the corpus window scan on every
-      // of its ~15 references across the 5 rounds AND on every bench
-      // rep (measured 8.8 s → the loop cost alone at sf0.1)
-      val edges = graft.SubstrateCache.substrate(s, d, "transition-edges") {
-        val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-        events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
-          .withColumn("prev", lag(col("event_type"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("src"), col("event_type").as("dst"))
-          .distinct()
-          .coalesce(1) // |types|² rows: one partition kills ~20 32-task micro-stages
-      }
-      DedupOps.pagerank(edges, DedupOps.PrIters)
+      import s.implicits._
+      // The graph is structure-sized, so the 5-round recurrence runs as
+      // a driver fold (DedupOps.pagerankLocal — bit-identical integer
+      // arithmetic to the distributed engine, PageRankSpec-pinned): the
+      // distributed loop's join+agg+left-join rounds over ≤ dozens of
+      // rows were pure tiny-stage churn, 4.3 s of bench at sf0.1. The
+      // corpus still never leaves the cluster — only the |types|² edge
+      // list does.
+      DedupOps
+        .pagerankLocal(transitionEdgeList(s, d), DedupOps.PrIters)
+        .toDF("node", "r")
+        .orderBy("node")
     }, {
       val scale = DedupOps.PrScale
       val base = s"(15 * $scale) // (100 * (SELECT n FROM nn))"
@@ -2578,7 +2604,10 @@ object TemporalOps extends QueryModule {
   private[graft] def kmUserGrain(ev: DataFrame): DataFrame =
     ev.select(
         col("user_id"),
-        expr("unix_micros(ts) DIV 86400000000").as("day"),
+        // FLOOR epoch-day (pmod then exact DIV) — the same spelling as
+        // the shared type-day grain, so a pre-1970 timestamp lands on
+        // its calendar day here too (bare DIV truncates toward zero)
+        expr("(unix_micros(ts) - pmod(unix_micros(ts), 86400000000)) DIV 86400000000").as("day"),
         col("event_type"),
       )
       .groupBy("user_id")
@@ -2630,7 +2659,9 @@ object TemporalOps extends QueryModule {
   private val kaplanMeier = DeclaredQuery(
     "kaplan_meier",
     (s, d) => kaplanMeierFrom(kmUserGrain(events(s, d))),
-    Some(s"""WITH RECURSIVE ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+    Some(s"""WITH RECURSIVE ev AS (SELECT user_id,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
+                               event_type FROM events),
              u AS (SELECT user_id, min(day) AS fd,
                           min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
                    FROM ev GROUP BY 1),
@@ -2750,71 +2781,48 @@ object TemporalOps extends QueryModule {
     */
   private val HitsIters = 5
 
+  /** The HITS recurrence as a driver fold over the bounded edge list —
+    * the same exact-integer half-rounds the distributed loop ran
+    * (a ← Σ_in h then ×10⁶ DIV Σa renorm; h ← Σ_out a then renorm; pure
+    * sources keep authority 0 via getOrElse): non-negative Longs, Scala
+    * `/` ≡ Spark DIV, order-invariant integer sums — bit-identical by
+    * construction (the unrolled-CTE oracle is the independent pin). The
+    * distributed form paid 10 half-rounds of tiny-stage churn (1.8 s at
+    * sf0.1) over a |types|-row frame.
+    */
+  private[graft] def hitsLocal(
+      edges: Seq[(String, String)],
+      iters: Int,
+  ): Seq[(String, Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val byDst = edges.groupBy(_._2)
+    val bySrc = edges.groupBy(_._1)
+    def renorm(m: Map[String, Long]): Map[String, Long] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> v * 1000000L / tot }
+    }
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      a = renorm(nodes.map { v =>
+        v -> byDst.get(v).map(_.map(e => h(e._1)).sum).getOrElse(0L)
+      }.toMap)
+      h = renorm(nodes.map { v =>
+        v -> bySrc.get(v).map(_.map(e => a(e._2)).sum).getOrElse(0L)
+      }.toMap)
+    }
+    nodes.map(v => (v, h(v), a(v)))
+  }
+
   private val hitsScores = DeclaredQuery(
     "hits_scores",
     (s, d) => {
-      // shared substrate with transition_pagerank — same derivation,
-      // one corpus scan per (session, dataset) for the whole centrality
-      // family (the 10 half-rounds reference edges 10× and nodes 10×)
-      val edges = graft.SubstrateCache.substrate(s, d, "transition-edges") {
-        val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-        events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
-          .withColumn("prev", lag(col("event_type"), 1).over(w))
-          .filter(col("prev").isNotNull)
-          .select(col("prev").as("src"), col("event_type").as("dst"))
-          .distinct()
-          .coalesce(1)
-      }
-      val nodes = edges
-        .select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node")))
-        .distinct()
-        .localCheckpoint(true)
-      // each renorm reads `scores` TWICE (the total and the division) and
-      // feeds the next half-round — without a per-round localCheckpoint
-      // the lazy plan doubles every half-round (2^10 subtree copies by
-      // round 5: the label-propagation analysis-explosion lesson). The
-      // frame is |types| rows, so the eager pin is free.
-      def renorm(scores: DataFrame, c: String): DataFrame = {
-        val tot = scores.agg(sum(col(c)).as("tot"))
-        scores
-          .crossJoin(broadcast(tot))
-          .select(col("node"), expr(s"$c * 1000000 DIV tot").as(c))
-          .localCheckpoint(true)
-      }
-      var h = nodes.select(col("node"), lit(1000000L).as("h"))
-      var a = nodes.select(col("node"), lit(1000000L).as("a"))
-      for (_ <- 1 to HitsIters) {
-        a = renorm(
-          nodes
-            .join(
-              edges
-                .join(h.select(col("node").as("src"), col("h")), Seq("src"))
-                .groupBy(col("dst").as("node"))
-                .agg(sum("h").as("a")),
-              Seq("node"),
-              "left",
-            )
-            .select(col("node"), coalesce(col("a"), lit(0L)).as("a")),
-          "a",
-        )
-        h = renorm(
-          nodes
-            .join(
-              edges
-                .join(a.select(col("node").as("dst"), col("a")), Seq("dst"))
-                .groupBy(col("src").as("node"))
-                .agg(sum("a").as("h")),
-              Seq("node"),
-              "left",
-            )
-            .select(col("node"), coalesce(col("h"), lit(0L)).as("h")),
-          "h",
-        )
-      }
-      h.join(a, Seq("node"))
-        .select(col("node"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+      import s.implicits._
+      // shared substrate with transition_pagerank (one corpus scan per
+      // session/dataset for the whole centrality family), then the
+      // structure-sized driver fold — see transition_pagerank's note
+      hitsLocal(transitionEdgeList(s, d), HitsIters)
+        .toDF("node", "hub_e6", "auth_e6")
         .orderBy("node")
     }, {
       val steps = (1 to HitsIters)

@@ -94,6 +94,22 @@ class PageRankSpec extends SparkSpec {
     assert(general == want, "general form must reduce to the same ranks on a symmetric view")
   }
 
+  test("driver fold (pagerankLocal) is bit-identical to the distributed engine") {
+    // The structure-sized fast path transition_pagerank rides: same
+    // recurrence, Seq fold instead of 5 Pregel rounds. Equality must be
+    // exact — the declared query's oracle hash assumes the distributed
+    // arithmetic. Graph exercises both special cases (dangling node 3/c,
+    // in-degree-0 node 1/a) plus a 2-cycle.
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 2L))
+    val named = edges.map { case (x, y) => (s"n$x", s"n$y") }
+    val dist = ranksOf(DedupOps.pagerank(edges.toDF("src", "dst"), iters = 5))
+    val local = DedupOps.pagerankLocal(named, iters = 5)
+    assert(local.map(_._1) == local.map(_._1).sorted, "local fold must emit node-sorted rows")
+    val localByNum = local.map { case (v, r) => v.drop(1).toLong -> r }.toMap
+    assert(localByNum == dist, s"local fold diverged: $localByNum vs $dist")
+    assert(DedupOps.pagerankLocal(Seq.empty).isEmpty)
+  }
+
   test("empty graph short-circuits to an empty frame instead of dividing by zero") {
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(DedupOps.pagerank(empty).count() == 0L)
