@@ -726,6 +726,84 @@ object TextOps extends QueryModule {
             FROM b ORDER BY doc_id"""),
   )
 
+  /** `perplexity_bucket`'s PRODUCTION path — the boundary-value
+    * assignment the declared query's docstring promises: same CCNet
+    * tercile semantics, bit-identical output (Round17OpsSpec pins
+    * equality), but NO global total-order window. The declared global
+    * ntile(3) funnels the corpus through one partition (WindowExec
+    * warns in the test log) — exact-semantics-only at 100 TB.
+    *
+    * Construction: mean_surprisal is already 4-dp rounded, so its VALUE
+    * GRAIN is bounded (≤ ~10⁵ distinct ×10⁴ integers at any corpus
+    * size). One map-side-combined groupBy lands the grain; its
+    * cumulative fold runs on the driver (bounded collect — the
+    * histogram_quantile state argument) to locate the two tercile
+    * boundary VALUES plus how many doc_id-ordered rows INSIDE each
+    * boundary value still belong to the lower bucket (ntile's exact
+    * tie split). Rows away from the two boundary values are assigned
+    * by a stateless scan predicate; only the boundary-value rows (a
+    * vanishing fraction) pay a doc_id rank — a window PARTITIONED BY
+    * value, so no single-partition stage exists anywhere in the plan.
+    */
+  private[graft] def perplexityBucketScaled(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = unigramScored(s, d)
+      // distinct 4-dp doubles map to distinct longs, order-preserving
+      .withColumn("v", expr("CAST(floor(mean_surprisal * 10000.0 + 0.5) AS BIGINT)"))
+    val grain = scored
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("v")
+      .collect() // bounded: the 4-dp surprisal value grain, never corpus-sized
+    val n = grain.map(_.getLong(1)).sum
+    // ntile(3) sizes: n DIV 3 each, first (n % 3) buckets take one extra
+    val q3 = n / 3
+    val r3 = n % 3
+    val cum1 = q3 + (if (r3 >= 1) 1L else 0L)
+    val cum2 = cum1 + q3 + (if (r3 >= 2) 1L else 0L)
+    var below = 0L
+    var v1 = Long.MaxValue
+    var c1 = 0L
+    var v2 = Long.MaxValue
+    var c2 = 0L
+    grain.foreach { row =>
+      val v = row.getLong(0)
+      val c = row.getLong(1)
+      if (v1 == Long.MaxValue && below + c >= cum1) { v1 = v; c1 = cum1 - below }
+      if (v2 == Long.MaxValue && below + c >= cum2) { v2 = v; c2 = cum2 - below }
+      below += c
+    }
+    // rank ONLY rows at the two boundary values (value-partitioned
+    // window — no global sort); everyone else is assigned statelessly
+    val rn = scored
+      .filter(col("v") === v1 || col("v") === v2)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("v").orderBy("doc_id")).cast("long"),
+      )
+      .select(col("doc_id"), col("rn"))
+    scored
+      .join(rn, Seq("doc_id"), "left")
+      .withColumn(
+        "bucket",
+        when(col("v") < v1, 1L)
+          .when(col("v") === v1 && col("rn") <= c1, 1L)
+          .when(col("v") < v2, 2L)
+          .when(col("v") === v2 && col("rn") <= c2, 2L)
+          .otherwise(3L),
+      )
+      .withColumn(
+        "label",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise("tail"),
+      )
+      .select("doc_id", "mean_surprisal", "bucket", "label")
+  }
+
   /** Winnowing window: W consecutive grams per selection window. The
     * guarantee (Schleimer et al.): any shared run of W + 2 words (W
     * trigrams) yields at least one shared fingerprint. Fixture-scaled

@@ -76,6 +76,39 @@ class Round17OpsSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBucketScaled: bit-identical to the declared ntile form, no global window") {
+    // The production path must reproduce ntile(3)'s EXACT assignment —
+    // including the tie split inside a boundary surprisal value — while
+    // keeping every window partitioned (the declared form's global
+    // total-order window is the one single-partition stage in the text
+    // family).
+    val declared = run("perplexity_bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val scaledDf = operators.TextOps.perplexityBucketScaled(spark, sfDir)
+    val scaled = scaledDf
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(scaled.toSeq == declared.toSeq)
+    // structural pin: no WindowExec with an empty partition spec anywhere
+    // (including under AQE re-optimization)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def globalWindows(p: SparkPlan): Seq[WindowExec] =
+      p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } ++
+        p.collect { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => globalWindows(a.executedPlan))
+    assert(globalWindows(scaledDf.queryExecution.executedPlan).isEmpty,
+      "scaled path must not contain a global (unpartitioned) window")
+    // sanity: the declared form DOES have one — the pin would be vacuous
+    // if the detector never fired
+    val dec = SparkEntry.queries("perplexity_bucket")(spark, sfDir)
+    assert(globalWindows(dec.queryExecution.executedPlan).nonEmpty)
+  }
+
   test("scaled substrate serves the whole consumer family from one cache entry") {
     // knn_components_scaled + purity share the knn-cc-labels-scaled
     // substrate, and everything rides knn-edges-scaled: after running the

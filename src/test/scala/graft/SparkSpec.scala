@@ -22,7 +22,10 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     s
   }
-  val sfDir = "/root/testdata/sf0.001"
+  // Overridable for one-off scale-gating runs of individual suites
+  // (e.g. `GRAFT_TEST_SF=/root/testdata/sf1 sbt "testOnly ... -- -z name"`);
+  // the default fixture is what the full suite's pinned constants assume.
+  val sfDir = sys.env.getOrElse("GRAFT_TEST_SF", "/root/testdata/sf0.001")
 }
 
 abstract class SparkSpec extends AnyFunSuite {
