@@ -135,10 +135,15 @@ object TemporalOps extends QueryModule {
     * within-session funnel (`session_funnel`), so the gap semantics
     * cannot drift between the size reports and the conversion report.
     */
-  private def sessionAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  /** [[sessionAssigned]] over an explicit events frame — the shared form
+    * the streaming session-grain store applies per micro-batch
+    * ([[graft.streaming.EventStream.startSessionGrain]]), so the gap
+    * semantics cannot drift between the batch queries and the stream.
+    */
+  private[graft] def sessionAssignedFrom(ev: DataFrame): DataFrame = {
     val w1 = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     val wRun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events(s, d)
+    ev
       .select(
         col("user_id"),
         col("event_id"),
@@ -153,8 +158,17 @@ object TemporalOps extends QueryModule {
       .withColumn("sess", sum(col("is_new")).over(wRun))
   }
 
-  private def sessionTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    sessionAssigned(s, d)
+  private def sessionAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sessionAssignedFrom(events(s, d))
+
+  /** The per-slice session table over an explicit events frame. On a
+    * per-user TIME-CONTIGUOUS slice these rows are session FRAGMENTS
+    * that [[mergeSessionFragments]] recombines exactly: slicing a user's
+    * series severs only the gap at each cut, which is precisely the gap
+    * the fragment-grain merge re-evaluates.
+    */
+  private[graft] def sessionTableFrom(ev: DataFrame): DataFrame =
+    sessionAssignedFrom(ev)
       .groupBy("user_id", "sess")
       .agg(
         count(lit(1)).as("n_events"),
@@ -162,6 +176,38 @@ object TemporalOps extends QueryModule {
         max(col("t_us")).as("end_us"),
       )
       .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  private def sessionTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    sessionTableFrom(events(s, d))
+
+  /** Recombine per-slice session fragments (user_id, n_events, start_us,
+    * end_us) into the EXACT full-stream session table: the same
+    * lag → flag → running-sum fold as [[sessionAssignedFrom]], one grain
+    * up — fragments instead of events — so two fragments merge iff the
+    * severed boundary gap is ≤ the session gap, chaining across any
+    * number of slices. Requires per-user time-contiguous slices (the
+    * gap grain's documented precondition); fragment rows are
+    * session-cardinality, so the window input is already orders smaller
+    * than the event stream.
+    */
+  private[graft] def mergeSessionFragments(frags: DataFrame): DataFrame = {
+    val w1 = Window.partitionBy("user_id").orderBy("start_us", "end_us")
+    val wRun = w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frags
+      .withColumn("pe", lag(col("end_us"), 1).over(w1))
+      .withColumn(
+        "is_new",
+        when(col("pe").isNull || col("start_us") - col("pe") > SessionGapUs, 1).otherwise(0),
+      )
+      .withColumn("sess", sum(col("is_new")).over(wRun))
+      .groupBy("user_id", "sess")
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        min(col("start_us")).as("start_us"),
+        max(col("end_us")).as("end_us"),
+      )
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
 
   /** DuckDB twin of [[sessionTable]] as CTE text, ending in
     * `sessions(user_id, sess, n_events, start_us, end_us, duration_us)`;
@@ -553,24 +599,31 @@ object TemporalOps extends QueryModule {
     * ≤ events), and the histogram exchange is size-cardinality. Exact
     * BIGINT counts and duration sums only.
     */
+  /** The session-size histogram over ANY session table — shared by the
+    * declared batch query and the streaming serve
+    * ([[graft.streaming.EventStream.sessionStatsFromState]]) so the
+    * report cannot drift between the two paths.
+    */
+  private[graft] def sessionStatsFrom(sessions: DataFrame): DataFrame =
+    sessions
+      .groupBy("n_events")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"),
+        // WIDE duration accumulator (round-15 census): a session's
+        // duration is bounded only by its span (µs — ~10⁹ for gap-
+        // bounded multi-event sessions), so a BIGINT Σ over a hot
+        // n_events bucket crosses 2⁶³ at ~10⁹-10¹⁰ sessions — a 100 TB
+        // corpus has more. DECIMAL(38,0) is exact; the DECLARED output
+        // is BIGINT ("BIGINT means out", round-15 finding) — ANSI
+        // fails the cast loudly past 2⁶³.
+        sum(col("duration_us").cast("decimal(38,0)")).cast("long").as("sum_duration_us"),
+      )
+      .orderBy("n_events")
+
   private val sessionStats = DeclaredQuery(
     "session_stats",
-    (s, d) =>
-      sessionTable(s, d)
-        .groupBy("n_events")
-        .agg(
-          count(lit(1)).as("n_sessions"),
-          countDistinct(col("user_id")).as("n_users"),
-          // WIDE duration accumulator (round-15 census): a session's
-          // duration is bounded only by its span (µs — ~10⁹ for gap-
-          // bounded multi-event sessions), so a BIGINT Σ over a hot
-          // n_events bucket crosses 2⁶³ at ~10⁹-10¹⁰ sessions — a 100 TB
-          // corpus has more. DECIMAL(38,0) is exact; the DECLARED output
-          // is BIGINT ("BIGINT means out", round-15 finding) — ANSI
-          // fails the cast loudly past 2⁶³.
-          sum(col("duration_us").cast("decimal(38,0)")).cast("long").as("sum_duration_us"),
-        )
-        .orderBy("n_events"),
+    (s, d) => sessionStatsFrom(sessionTable(s, d)),
     Some(s"""WITH $sessionDuckCtes
              SELECT n_events, count(*) AS n_sessions,
                     count(DISTINCT user_id) AS n_users,

@@ -763,6 +763,70 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming store for the SESSION grain — the round-16 verdict's
+    * session-family serve: per micro-batch, the slice reduces to its
+    * session FRAGMENTS (the batch gap fold over the slice,
+    * [[graft.operators.TemporalOps.sessionTableFrom]] — state per batch
+    * dir is session-cardinality, orders smaller than events). Fragments
+    * from per-user TIME-CONTIGUOUS slices recombine exactly: a cut
+    * severs only the boundary gap, which the fragment-grain merge
+    * re-evaluates (the gap grain's precondition and correction, one
+    * grain up). Same foreachBatch/Overwrite idempotent-replay contract
+    * and bid-0 stale-lineage wipe as the other grain stores.
+    */
+  def startSessionGrain(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.TemporalOps
+          .sessionTableFrom(batch.toDF())
+          .select("user_id", "n_events", "start_us", "end_us")
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The merged full-stream session table off the live fragment store —
+    * (user_id, sess, n_events, start_us, end_us, duration_us), exactly
+    * the batch `sessionize` frame.
+    */
+  def sessionsFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val frags =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("user_id", LongType),
+            StructField("n_events", LongType),
+            StructField("start_us", LongType),
+            StructField("end_us", LongType),
+          )),
+        )
+      else spark.read.parquet(s"$stateDir/batch_*")
+    graft.operators.TemporalOps.mergeSessionFragments(frags)
+  }
+
+  /** Serve `session_stats` from the live session grain — identical to
+    * the declared batch query because the fragment merge reproduces the
+    * full-stream session table and the report tail IS the batch query's
+    * ([[graft.operators.TemporalOps.sessionStatsFrom]]).
+    */
+  def sessionStatsFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.sessionStatsFrom(sessionsFromState(spark, stateDir))
+
   /** Serve the `kaplan_meier` conversion curve from the live grain —
     * byte-identical to the declared batch query because the min/min
     * merge reproduces the full-stream per-user grain and the post-grain

@@ -1759,6 +1759,67 @@ class StreamingSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("continuous session grain serves the exact session_stats report") {
+    import org.apache.spark.sql.functions._
+    // TIME-contiguous slices (the fragment merge's documented
+    // precondition): each cut point severs sessions mid-flight for every
+    // straddling user, so the fragment-grain merge — rejoining a
+    // trailing fragment of slice k with the leading fragment of slice
+    // k+1 when the severed gap is within the session gap — is really
+    // exercised; naive per-slice sessions alone would overcount
+    // sessions and undercount their sizes.
+    val streamDir = Files.createTempDirectory("sess-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"),
+    ).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    ev.filter(unix_micros(col("ts")) <= c1)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(unix_micros(col("ts")) > c1 && unix_micros(col("ts")) <= c2)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(unix_micros(col("ts")) > c2)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("sess-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EventStream.startSessionGrain(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-sess").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq.toSet
+    val batchStats = canon(SparkEntry.queries("session_stats")(spark, sfDir))
+    assert(batchStats.nonEmpty &&
+      canon(EventStream.sessionStatsFromState(spark, stateDir)) == batchStats,
+      "session_stats served from the session grain must equal the declared batch query")
+    // session-level exactness too: the merged fragments ARE the batch
+    // session table (sessionize's frame), not just its histogram
+    val batchSessions = canon(SparkEntry.queries("sessionize")(spark, sfDir))
+    assert(canon(EventStream.sessionsFromState(spark, stateDir)) == batchSessions,
+      "merged fragments must reproduce the batch session table row-for-row")
+    // the split is non-vacuous: some session really straddles a cut —
+    // the naive fragment count must EXCEED the true session count
+    val frags = spark.read.parquet(s"$stateDir/batch_*")
+    assert(frags.count() > batchSessions.size,
+      "no session straddled a slice boundary — the merge was not exercised")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the bid-0 wipe rewrites identical fragments, no double count
+    runLoop(Files.createTempDirectory("ck-sess2").toString)
+    assert(canon(EventStream.sessionStatsFromState(spark, stateDir)) == batchStats,
+      "a replayed lineage must not duplicate session fragments")
+    // zero-batch state serves the defined empty report
+    val empty = Files.createTempDirectory("sess-empty").toString
+    val none = EventStream.sessionStatsFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("n_events", "n_sessions", "n_users", "sum_duration_us"))
+    assert(none.count() == 0)
+  }
+
   test("continuous moment partials serve the exact batch principal direction") {
     import org.apache.spark.sql.functions._
     // id-parity split: both batches contribute to every moment cell, so
