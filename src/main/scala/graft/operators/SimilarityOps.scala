@@ -2147,6 +2147,60 @@ object SimilarityOps extends QueryModule {
              $modularityTailSql"""),
   )
 
+  /** Intrinsic dimension of the embedding space — the TwoNN estimator
+    * (Facco et al., Scientific Reports 2017): d̂ = n / Σ ln(d₂/d₁) over
+    * each vector's two nearest neighbors. The ratio μ = d₂/d₁ is
+    * scale-free, so the estimator needs NO density assumptions — the
+    * standard "is this 768-dim embedding really using 768 dims" health
+    * check (curse-of-dimensionality telltale for retrieval and dedup:
+    * hubness, recall cliffs, and ε-threshold brittleness all track the
+    * INTRINSIC dimension, not the ambient one).
+    *
+    * Rides the scale-safe cell-bounded graph ([[knnEdgesScaled]] ranks
+    * 1–2; cosine distance d = 1 − sim on the 6-dp-rounded sims both
+    * engines share). Per-vector terms are ln-floored to ×10⁶ BIGINT
+    * BEFORE the sum (the unigram_logprob discipline — exact integers,
+    * order-invariant; ln and the IEEE divide are bit-identical on
+    * identical doubles). Vectors whose nearest neighbor is at distance
+    * 0 (exact duplicates — μ undefined) or without a rank-2 neighbor in
+    * their cell are out of the estimator by definition; n_used reports
+    * the denominator actually used. Output is one exact row: the ×10³
+    * estimate via one truncating integral division (n·10⁹ on a
+    * DECIMAL(38,0) — n alone can pass 2⁶³/10⁹ at web scale).
+    */
+  private val intrinsicDim = DeclaredQuery(
+    "intrinsic_dim",
+    (s, d) => {
+      val e = knnEdgesScaled(s, d)
+      val r1 = e.filter(col("rank") === 1L).select(col("src"), col("sim").as("s1"))
+      val r2 = e.filter(col("rank") === 2L).select(col("src"), col("sim").as("s2"))
+      r1.join(r2, Seq("src"))
+        .filter(expr("1.0 - s1 > 0.0"))
+        .withColumn(
+          "t",
+          expr("CAST(floor(ln((1.0 - s2) / (1.0 - s1)) * 1000000.0 + 0.5) AS BIGINT)"),
+        )
+        .agg(count(lit(1)).as("n_used"), sum("t").as("sum_lnmu_e6"))
+        .withColumn(
+          "dim_e3",
+          expr(
+            "CAST((CAST(n_used AS DECIMAL(38,0)) * 1000000000) DIV nullif(sum_lnmu_e6, 0) AS BIGINT)",
+          ),
+        )
+        .orderBy("n_used")
+    },
+    Some(s"""WITH $knnScaledDuckCtes,
+             r1 AS (SELECT src, sim AS s1 FROM r WHERE rank = 1),
+             r2 AS (SELECT src, sim AS s2 FROM r WHERE rank = 2),
+             t AS (SELECT CAST(floor(ln((1.0 - s2) / (1.0 - s1)) * 1000000.0 + 0.5) AS BIGINT) AS t
+                   FROM r1 JOIN r2 USING (src) WHERE 1.0 - s1 > 0.0),
+             g AS (SELECT CAST(count(*) AS BIGINT) AS n_used,
+                          CAST(sum(t) AS BIGINT) AS sum_lnmu_e6 FROM t)
+             SELECT n_used, sum_lnmu_e6,
+                    CAST((CAST(n_used AS HUGEINT) * 1000000000) // nullif(sum_lnmu_e6, 0) AS BIGINT) AS dim_e3
+             FROM g ORDER BY n_used"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled, aucScore,
       knnModularity,
@@ -2156,5 +2210,5 @@ object SimilarityOps extends QueryModule {
       knnReciprocity, labelPropagation, centroidDistanceMatrix,
       knnGraphScaled, knnReciprocityScaled, dbscanClusters,
       knnComponentsScaled, knnLabelAgreementScaled, hubnessStatsScaled, knnClusterPurityScaled,
-      labelPropagationScaled, knnModularityScaled, dbscanClustersScaled)
+      labelPropagationScaled, knnModularityScaled, dbscanClustersScaled, intrinsicDim)
 }

@@ -2293,6 +2293,109 @@ object TemporalOps extends QueryModule {
             GROUP BY 1, 2 ORDER BY r.event_type"""),
   )
 
+  /** Lag-7 sample autocorrelation per feed (Box & Jenkins) — the
+    * weekly-seasonality STRENGTH statistic beside `dow_seasonality`'s
+    * per-weekday envelope: r₇ near 1 means the feed repeats weekly (the
+    * envelope is trustworthy), near 0 means the dow means are noise.
+    * The series is the type-day grain DENSIFIED to its calendar span
+    * (missing days are real zeros for an arrival-count process — the
+    * sparse grain would silently splice non-adjacent days together).
+    *
+    * Exactness: r₇ = Σ(x_t−x̄)(x_{t+7}−x̄) / Σ(x_t−x̄)², multiplied
+    * through by n² so every term is an exact integer — num = n²·Σx_tx_{t+7}
+    * − n·S·(Σhead+Σtail) + (n−7)·S², den = n²·Σx² − n·S² — on
+    * DECIMAL(38,0) accumulators (products reach days²·counts²; the
+    * magnitude census crosses 2⁶³ for any web-scale feed) with ONE
+    * truncating integral division ×10⁶ and BIGINT out. Truncation
+    * toward zero is engine-identical at BOTH signs (Spark DIV ≡ DuckDB
+    * `//` on HUGEINT — Round17OpsSpec pins the negative case). NULL
+    * when the span has no lag-7 pair or zero variance.
+    *
+    * Scale: the only corpus-sized step is the shared day-grain
+    * reduction; densify, the 7-shifted self-join, and the moment aggs
+    * are calendar-bounded. Eleventh consumer of the persisted type-day
+    * grain ([[graft.streaming.EventStream.acfLag7FromState]]).
+    */
+  private[graft] def acfLag7From(dayCounts: DataFrame): DataFrame = {
+    val spans = dayCounts
+      .groupBy("event_type")
+      .agg(min("day_no").as("d0"), max("day_no").as("d1"))
+    val dense = spans
+      .select(col("event_type"), explode(expr("sequence(d0, d1)")).as("day_no"))
+      .join(dayCounts, Seq("event_type", "day_no"), "left")
+      .withColumn("x", coalesce(col("c"), lit(0L)))
+      .select("event_type", "day_no", "x")
+    val shifted = dense.select(
+      col("event_type"),
+      (col("day_no") - 7L).as("day_no"),
+      col("x").as("y"),
+    )
+    val cross = dense
+      .join(shifted, Seq("event_type", "day_no")) // t and t+7 both in span
+      .groupBy("event_type")
+      .agg(
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+        sum(col("x")).as("sh"),
+        sum(col("y")).as("st"),
+      )
+    dense
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum("x").as("s"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+      )
+      .join(cross, Seq("event_type"), "left")
+      .withColumn(
+        "num",
+        expr("""CAST(n_days AS DECIMAL(38,0)) * n_days * sxy
+               | - CAST(n_days AS DECIMAL(38,0)) * s * (sh + st)
+               | + CAST(n_days - 7 AS DECIMAL(38,0)) * s * s""".stripMargin),
+      )
+      .withColumn(
+        "den",
+        expr("CAST(n_days AS DECIMAL(38,0)) * n_days * sxx - CAST(n_days AS DECIMAL(38,0)) * s * s"),
+      )
+      .withColumn("r7_e6", expr("CAST((num * 1000000) DIV nullif(den, 0) AS BIGINT)"))
+      .select(col("event_type"), col("n_days"), col("s").as("sum_c"), col("r7_e6"))
+      .orderBy("event_type")
+  }
+
+  private val acfLag7 = DeclaredQuery(
+    "acf_lag7",
+    (s, d) => acfLag7From(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            sp AS (SELECT event_type, min(day_no) AS d0, max(day_no) AS d1 FROM dc GROUP BY 1),
+            dn0 AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day_no FROM sp),
+            dn AS (SELECT dn0.event_type, dn0.day_no, CAST(coalesce(dc.c, 0) AS BIGINT) AS x
+                   FROM dn0 LEFT JOIN dc
+                     ON dc.event_type = dn0.event_type AND dc.day_no = dn0.day_no),
+            cr AS (SELECT a.event_type,
+                          sum(CAST(a.x AS HUGEINT) * b.x) AS sxy,
+                          CAST(sum(a.x) AS BIGINT) AS sh,
+                          CAST(sum(b.x) AS BIGINT) AS st
+                   FROM dn a JOIN dn b
+                     ON a.event_type = b.event_type AND b.day_no = a.day_no + 7
+                   GROUP BY 1),
+            tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                          CAST(sum(x) AS BIGINT) AS s,
+                          sum(CAST(x AS HUGEINT) * x) AS sxx
+                   FROM dn GROUP BY 1),
+            j AS (SELECT tt.event_type, tt.n_days, tt.s, tt.sxx, cr.sxy, cr.sh, cr.st,
+                         CAST(tt.n_days AS HUGEINT) * tt.n_days * cr.sxy
+                           - CAST(tt.n_days AS HUGEINT) * tt.s * (cr.sh + cr.st)
+                           + CAST(tt.n_days - 7 AS HUGEINT) * tt.s * tt.s AS num,
+                         CAST(tt.n_days AS HUGEINT) * tt.n_days * tt.sxx
+                           - CAST(tt.n_days AS HUGEINT) * tt.s * tt.s AS den
+                  FROM tt LEFT JOIN cr ON tt.event_type = cr.event_type)
+            SELECT event_type, n_days, s AS sum_c,
+                   CAST((num * 1000000) // nullif(den, 0) AS BIGINT) AS r7_e6
+            FROM j ORDER BY event_type"""),
+  )
+
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
     (s, d) => cusumFrom(typeDayCounts(events(s, d))),
@@ -2535,10 +2638,12 @@ object TemporalOps extends QueryModule {
   )
 
   /** PageRank over the event-type transition DIGRAPH — the declared
-    * consumer of the general directed engine ([[DedupOps.pagerank]]):
-    * unlike `fuzzy_pagerank`'s symmetric fast path, the transition graph
-    * has real direction (signup → click, not back), so the dangling-mass
-    * redistribution and the in-degree-0 left-join are exercised by the
+    * consumer of the directed recurrence in its STRUCTURE-SIZED form
+    * ([[DedupOps.pagerankLocal]], bit-identical to the distributed
+    * [[DedupOps.pagerank]] — PageRankSpec pins the equality): unlike
+    * `fuzzy_pagerank`'s symmetric fast path, the transition graph has
+    * real direction (signup → click, not back), so the dangling-mass
+    * redistribution and the in-degree-0 coverage are exercised by the
     * gate, not only by PageRankSpec. A high-rank type is a journey SINK
     * — where user flows concentrate — the Markov-stationary reading of
     * `event_transitions`' row-normalized shares.
@@ -2546,7 +2651,8 @@ object TemporalOps extends QueryModule {
     * Edges are the DISTINCT (prev → next) pairs off the same one
     * user-keyed window sort `event_transitions` uses; the graph is
     * |event types|²-bounded (structure-sized, never corpus-sized), so
-    * every per-round join is over a handful of rows. Same exact ×10¹²
+    * the 5-round recurrence folds on the driver over dozens of rows —
+    * the corpus-sized work is exactly one cached scan. Same exact ×10¹²
     * integer recurrence.
     */
   /** The DISTINCT (prev → next) event-type transition edge list off one
@@ -2829,8 +2935,8 @@ object TemporalOps extends QueryModule {
     * (value·10⁶ DIV Σ — truncating in both engines); every intermediate
     * is ≤ |types|·10⁶, so nothing approaches 2⁶³ at any corpus size
     * (the graph is structure-bounded). Nodes with no in-edges (pure
-    * sources) keep authority 0 via the left-join-coalesce, the same
-    * discipline as the directed PageRank.
+    * sources) keep authority 0 — the same coverage discipline as the
+    * directed PageRank.
     */
   private val HitsIters = 5
 
@@ -2915,5 +3021,5 @@ object TemporalOps extends QueryModule {
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
       maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
-      assocRules, hitsScores, mannKendall, theilSen)
+      assocRules, hitsScores, mannKendall, theilSen, acfLag7)
 }

@@ -659,6 +659,12 @@ object EventStream {
   def theilSenFromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.theilSenFrom(typeDayFromState(spark, stateDir))
 
+  /** Serve the lag-7 autocorrelation from the same live grain (eleventh
+    * consumer) — densify + moments all derive from the merged counts.
+    */
+  def acfLag7FromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.acfLag7From(typeDayFromState(spark, stateDir))
+
   /** Continuous burstiness screening — the per-(slice, user) gap-moment
     * grain behind `gap_burstiness` kept live (the round-15 "documented
     * follow-up" shipped): each micro-batch reduces to the SHARED

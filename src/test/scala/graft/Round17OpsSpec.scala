@@ -109,6 +109,69 @@ class Round17OpsSpec extends SparkSpec {
     assert(globalWindows(dec.queryExecution.executedPlan).nonEmpty)
   }
 
+  test("DECIMAL DIV truncates toward zero at BOTH signs (acf_lag7's num can be negative)") {
+    // acf_lag7 is the first declared query whose wide-integer quotient
+    // numerator can be NEGATIVE (anticorrelated series). Spark's
+    // IntegralDivide and DuckDB's HUGEINT `//` both truncate toward
+    // zero (-7 // 2 = -3, verified in DuckDB); this pins the Spark half
+    // so the cross-engine claim in the docstring stays checked.
+    val r = spark
+      .range(1)
+      .selectExpr(
+        "CAST(CAST(-7 AS DECIMAL(38,0)) DIV 2 AS BIGINT) AS a",
+        "CAST(CAST(-1000001 AS DECIMAL(38,0)) DIV 3 AS BIGINT) AS b",
+      )
+      .collect()(0)
+    assert(r.getLong(0) == -3L, s"DECIMAL DIV must truncate toward zero, got ${r.getLong(0)}")
+    assert(r.getLong(1) == -333333L)
+  }
+
+  test("acf_lag7: r7 is a valid correlation and short spans are NULL") {
+    val out = run("acf_lag7").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (!r.isNullAt(3)) {
+        val r7 = r.getLong(3)
+        assert(r7 >= -1000000L && r7 <= 1000000L,
+          s"r7_e6 out of [-1e6, 1e6] for ${r.getString(0)}: $r7")
+      }
+    }
+    // a 3-day span has no lag-7 pair: the statistic must be NULL, not 0
+    val tiny = spark
+      .createDataFrame(Seq(("a", 0L, 5L), ("a", 1L, 7L), ("a", 2L, 6L)))
+      .toDF("event_type", "day_no", "c")
+    val short = operators.TemporalOps.acfLag7From(tiny).collect()(0)
+    assert(short.isNullAt(3), "span shorter than the lag must yield NULL r7")
+    // a perfectly 7-periodic dense series reads the estimator's exact
+    // ceiling (n-k)/n — the standard BIASED ACF normalizes the n-k
+    // cross terms by the full-n variance, so 28 days at lag 7 give
+    // 21/28 = 0.75 exactly (and an anti-phase check would go negative)
+    val periodic = spark
+      .createDataFrame((0L until 28L).map(d => ("p", d, (d % 7) + 1)))
+      .toDF("event_type", "day_no", "c")
+    val per = operators.TemporalOps.acfLag7From(periodic).collect()(0)
+    assert(per.getLong(3) == 750000L, s"7-periodic 28-day series must read (n-k)/n = 0.75, got $per")
+    // 7-antiperiodic (period-14 sign flip): the lag-7 correlation is
+    // NEGATIVE — exercises the truncate-toward-zero path on a negative
+    // numerator end-to-end
+    val anti = spark
+      .createDataFrame((0L until 28L).map(d => ("q", d, if ((d / 7) % 2 == 0) 10L else 0L)))
+      .toDF("event_type", "day_no", "c")
+    val an = operators.TemporalOps.acfLag7From(anti).collect()(0)
+    assert(an.getLong(3) < 0L, s"anti-phase series must read negative r7, got $an")
+  }
+
+  test("intrinsic_dim: one exact row, estimator positive, duplicates excluded") {
+    val out = run("intrinsic_dim").collect()
+    assert(out.length == 1)
+    val (nUsed, sum, dim) = (out(0).getLong(0), out(0).getLong(1), out(0).getLong(2))
+    assert(nUsed > 0L && sum > 0L, s"fixture must yield usable 2-NN ratios ($nUsed, $sum)")
+    assert(dim > 0L, s"dimension estimate must be positive, got $dim")
+    // the ambient dim is 64: the intrinsic estimate must not exceed it
+    // by more than rounding slack (it measures the manifold, not noise)
+    assert(dim <= 64000L, s"TwoNN estimate ${dim / 1000.0} exceeds the ambient 64 dims")
+  }
+
   test("scaled substrate serves the whole consumer family from one cache entry") {
     // knn_components_scaled + purity share the knn-cc-labels-scaled
     // substrate, and everything rides knn-edges-scaled: after running the

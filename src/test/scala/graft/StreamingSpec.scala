@@ -1676,6 +1676,9 @@ class StreamingSpec extends SparkSpec {
     val tsBatch = SparkEntry.queries("theil_sen")(spark, sfDir)
     assert(canon(EventStream.theilSenFromState(spark, stateDir)) == canon(tsBatch),
       "Theil-Sen slope served from grain must equal the declared batch report")
+    val acfBatch = SparkEntry.queries("acf_lag7")(spark, sfDir)
+    assert(canon(EventStream.acfLag7FromState(spark, stateDir)) == canon(acfBatch),
+      "lag-7 autocorrelation served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
