@@ -2201,6 +2201,75 @@ object SimilarityOps extends QueryModule {
              FROM g ORDER BY n_used"""),
   )
 
+  /** Degree assortativity of the kNN graph (Newman, PRL 2002) — the
+    * degree-degree Pearson correlation over edge endpoints, the
+    * structural companion of [[hubnessStats]]' degree histogram: kNN
+    * graphs on healthy metric spaces are mildly DISASSORTATIVE (hubs
+    * link to antihubs, r < 0); r plunging toward −1 is the hubness
+    * pathology seen from the edge side, r ≈ 0 on a k-regular-ish graph
+    * means degrees carry no structure. Rides the scale-safe
+    * cell-bounded substrate.
+    *
+    * Exactness: over the symmetrized distinct undirected pair set
+    * (each edge contributes BOTH orientations — the standard
+    * formulation, which makes Σx = Σy and Σx² = Σy²), all moments are
+    * exact integers; r = (M·Σxy − (Σx)²/... ) multiplied through by M
+    * so num = M·Σxy − Σx·Σx and den = M·Σx² − Σx·Σx ride DECIMAL(38,0)
+    * (degree products × edge counts cross 2⁶³ at web scale), ONE
+    * truncating ×10⁶ division — engine-identical at both signs — and
+    * BIGINT out. NULL on a degree-regular graph (den = 0).
+    */
+  private val knnAssortativity = DeclaredQuery(
+    "knn_assortativity",
+    (s, d) => {
+      val ue = knnEdgesScaled(s, d)
+        .select(least(col("src"), col("nbr")).as("a"), greatest(col("src"), col("nbr")).as("b"))
+        .distinct()
+      val deg = ue
+        .select(col("a").as("v"))
+        .unionByName(ue.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+      val dir = ue
+        .select(col("a").as("u"), col("b").as("w"))
+        .unionByName(ue.select(col("b").as("u"), col("a").as("w")))
+        .join(deg.select(col("v").as("u"), col("deg").as("x")), Seq("u"))
+        .join(deg.select(col("v").as("w"), col("deg").as("y")), Seq("w"))
+      dir
+        .agg(
+          count(lit(1)).as("m2"),
+          sum(col("x")).as("sx"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        )
+        .withColumn(
+          "r_e6",
+          expr("""CAST(((CAST(m2 AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000)
+                 | DIV nullif(CAST(m2 AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)
+                 | AS BIGINT)""".stripMargin),
+        )
+        .select(expr("m2 DIV 2").as("n_edges"), col("r_e6"))
+        .orderBy("n_edges")
+    },
+    Some(s"""WITH $knnScaledDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             ue AS (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
+             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                     FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+             dir AS (SELECT dx.deg AS x, dy.deg AS y
+                     FROM (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue) p
+                     JOIN deg dx ON p.u = dx.v JOIN deg dy ON p.w = dy.v),
+             g AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+                          CAST(sum(x) AS BIGINT) AS sx,
+                          sum(CAST(x AS HUGEINT) * y) AS sxy,
+                          sum(CAST(x AS HUGEINT) * x) AS sxx
+                   FROM dir)
+             SELECT m2 // 2 AS n_edges,
+                    CAST(((CAST(m2 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx) * 1000000)
+                         // nullif(CAST(m2 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT) AS r_e6
+             FROM g ORDER BY n_edges"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled, aucScore,
       knnModularity,
@@ -2210,5 +2279,6 @@ object SimilarityOps extends QueryModule {
       knnReciprocity, labelPropagation, centroidDistanceMatrix,
       knnGraphScaled, knnReciprocityScaled, dbscanClusters,
       knnComponentsScaled, knnLabelAgreementScaled, hubnessStatsScaled, knnClusterPurityScaled,
-      labelPropagationScaled, knnModularityScaled, dbscanClustersScaled, intrinsicDim)
+      labelPropagationScaled, knnModularityScaled, dbscanClustersScaled, intrinsicDim,
+      knnAssortativity)
 }

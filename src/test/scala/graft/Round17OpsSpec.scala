@@ -172,6 +172,45 @@ class Round17OpsSpec extends SparkSpec {
     assert(dim <= 64000L, s"TwoNN estimate ${dim / 1000.0} exceeds the ambient 64 dims")
   }
 
+  test("knn_assortativity: bounded correlation, exact on a hand graph") {
+    val out = run("knn_assortativity").collect()
+    assert(out.length == 1)
+    if (!out(0).isNullAt(1)) {
+      val r = out(0).getLong(1)
+      assert(r >= -1000000L && r <= 1000000L, s"r_e6 out of [-1e6, 1e6]: $r")
+    }
+    // hand check of the moment algebra on the 3-edge path a-b-c-d
+    // (degrees 1,2,2,1) — see the exact-integer derivation at the
+    // assertion below
+    import spark.implicits._
+    val ue = Seq((1L, 1L, 2L), (2L, 2L, 3L), (3L, 3L, 4L))
+      .toDF("id", "src", "nbr")
+      .withColumn("rank", col("id"))
+      .withColumn("sim", lit(0.5))
+    // feed through the same algebra inline (the query's substrate is
+    // corpus-bound, so replicate the tail on the toy edge list)
+    val e = ue.select(least(col("src"), col("nbr")).as("a"), greatest(col("src"), col("nbr")).as("b")).distinct()
+    val deg = e.select(col("a").as("v")).unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val dir = e.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("w")))
+      .join(deg.select(col("v").as("u"), col("deg").as("x")), Seq("u"))
+      .join(deg.select(col("v").as("w"), col("deg").as("y")), Seq("w"))
+    val g = dir.agg(
+      count(lit(1)).as("m2"), sum("x").as("sx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+    ).selectExpr(
+      """CAST(((CAST(m2 AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx) * 1000000)
+        | DIV nullif(CAST(m2 AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)
+        | AS BIGINT) AS r_e6""".stripMargin,
+    ).collect()(0)
+    // path a-b-c-d: M=6, Σx=10, Σxy=1·2+2·1+2·2+2·2+2·1+1·2=16,
+    // Σx²=18 → num=6·16−100=−4, den=6·18−100=8 → r=−0.5 exactly
+    // (mildly disassortative, as a path should be)
+    assert(g.getLong(0) == -500000L, s"path-graph assortativity must be exactly -0.5, got $g")
+  }
+
   test("scaled substrate serves the whole consumer family from one cache entry") {
     // knn_components_scaled + purity share the knn-cc-labels-scaled
     // substrate, and everything rides knn-edges-scaled: after running the
