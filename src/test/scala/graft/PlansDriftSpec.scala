@@ -53,10 +53,19 @@ class PlansDriftSpec extends SparkSpec {
     // line, belongs to the cached internals.
     var skipDeeper = -1
     var prevKeptDepth = -1
+    // A cached block's "== Final Plan ==" / "== Initial Plan ==" headers
+    // print at the SCAN's depth (not deeper), so a strictly-deeper-only
+    // skip RESETS on them and the warmth-dependent AQE internals below
+    // leak into the compared tree (round-17: four scaled twins drifted
+    // on exactly this). Subheader lines at the boundary depth are part
+    // of the cached subtree.
+    def isSubheader(l: String): Boolean =
+      l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').startsWith("== ")
     lines.foreach { l =>
       val d = depth(l)
-      if (skipDeeper >= 0 && d > skipDeeper) () // inside a cached subtree
-      else {
+      if (skipDeeper >= 0 && (d > skipDeeper || (d == skipDeeper && isSubheader(l)))) {
+        () // inside a cached subtree
+      } else {
         skipDeeper = -1
         out += l
         if (l.contains("InMemoryRelation")) skipDeeper = prevKeptDepth
@@ -78,11 +87,25 @@ class PlansDriftSpec extends SparkSpec {
       // print RUNTIME statistics in the tree line; sizeInBytes varies
       // with cache warmth and JVM memory layout — measurement, not plan
       .replaceAll("Statistics\\([^)]*\\)", "Statistics(…)")
+      // cache-serving mode is a runtime measurement, not plan shape
+      .replaceAll("\\s*\\(columnarIn=\\w+, columnarOut=\\w+\\)", "")
       .replaceAll("\\s+$", "")
 
   test("every PLANS.md tree matches a freshly generated plan at sf0.1") {
+    // COLD-START the plan generation (round-17): plans over cached
+    // substrates are warmth-dependent beyond the InMemoryRelation leaf —
+    // the FIRST builder of a substrate fixes its cached output
+    // partitioning, and a consumer whose required distribution that
+    // partitioning happens to satisfy ELIDES its exchange (observed:
+    // textrank_keywords lost a partial-agg Exchange when another suite
+    // had built the gram substrate first). So the dump and this spec
+    // must see the SAME warmth trajectory: both start cold and build in
+    // ALPHABETICAL section order (the dump comes from one bare
+    // `graft.Explain /root/testdata/sf0.1` run, which sorts names).
+    graft.SubstrateCache.evictSession(spark)
+    spark.sharedState.cacheManager.clearCache()
     val md = java.nio.file.Files.readString(java.nio.file.Paths.get("PLANS.md"))
-    val sections = md.split("(?m)^########## ").toSeq.drop(1)
+    val sections = md.split("(?m)^########## ").toSeq.drop(1).sortBy(_.takeWhile(_ != ' '))
     assert(sections.nonEmpty, "PLANS.md has no query sections")
     val unknown = sections.map(_.takeWhile(_ != ' ')).filterNot(SparkEntry.queries.contains)
     assert(unknown.isEmpty, s"PLANS.md names unknown queries: $unknown")
