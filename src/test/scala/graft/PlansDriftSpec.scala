@@ -54,16 +54,22 @@ class PlansDriftSpec extends SparkSpec {
     var skipDeeper = -1
     var prevKeptDepth = -1
     // A cached block's "== Final Plan ==" / "== Initial Plan ==" headers
-    // print at the SCAN's depth (not deeper), so a strictly-deeper-only
+    // print at an arbitrary ANCESTOR depth (observed: the scan's depth,
+    // and depths several levels shallower), so a strictly-deeper-only
     // skip RESETS on them and the warmth-dependent AQE internals below
-    // leak into the compared tree (round-17: four scaled twins drifted
-    // on exactly this). Subheader lines at the boundary depth are part
-    // of the cached subtree.
+    // leak into the compared tree (round-17: the scaled twins drifted on
+    // exactly this). While skipping, a subheader line is always part of
+    // the cached block and TIGHTENS the boundary to its own depth — the
+    // block's content prints deeper than its header, and the legit
+    // resumption line (the next real sibling/ancestor) sits at or above
+    // the header.
     def isSubheader(l: String): Boolean =
       l.dropWhile(c => c == ' ' || c == ':' || c == '+' || c == '-').startsWith("== ")
     lines.foreach { l =>
       val d = depth(l)
-      if (skipDeeper >= 0 && (d > skipDeeper || (d == skipDeeper && isSubheader(l)))) {
+      if (skipDeeper >= 0 && isSubheader(l)) {
+        skipDeeper = math.min(skipDeeper, d) // header of a cached sub-dump
+      } else if (skipDeeper >= 0 && d > skipDeeper) {
         () // inside a cached subtree
       } else {
         skipDeeper = -1
