@@ -480,13 +480,13 @@ object SimilarityOps extends QueryModule {
        |             sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
        |      FROM embeddings),
        |${Ivf.lloydOracleCteDerived(s"greatest(8, count(*) // $SemCellSize)")},
-       |pr AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |pr AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS nbr,
        |              (round(list_inner_product(ea.dvec, eb.dvec) / (ea.nrm * eb.nrm), 6) + 0.0) AS sim
        |       FROM asg1 a JOIN asg1 b USING (cid)
        |            JOIN e ea ON ea.vec_id = a.vec_id
        |            JOIN e eb ON eb.vec_id = b.vec_id
        |       WHERE a.vec_id <> b.vec_id),
-       |r AS (SELECT src, nbr, sim,
+       |r AS MATERIALIZED (SELECT src, nbr, sim,
        |             CAST(row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS BIGINT) AS rank
        |      FROM pr)""".stripMargin
 
@@ -1675,26 +1675,31 @@ object SimilarityOps extends QueryModule {
         .orderBy("label")
   }
 
+  // Multi-referenced CTEs are AS MATERIALIZED: DuckDB INLINES plain CTEs,
+  // so each extra reference re-expands the ENTIRE upstream chain — behind
+  // the scaled twins that chain is the derived-k Lloyd derivation, and the
+  // un-materialized form OOM'd DuckDB at sf4 (the round-16
+  // unrolled-iteration lesson, now applied to the kNN tails too).
   private lazy val labelPropagationTailSql =
-    """ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
-             sd AS (SELECT vec_id AS v, CAST(label AS BIGINT) AS lbl FROM embeddings
+    """ke AS MATERIALIZED (SELECT src, nbr FROM r WHERE rank <= 3),
+             sd AS MATERIALIZED (SELECT vec_id AS v, CAST(label AS BIGINT) AS lbl FROM embeddings
                     WHERE vec_id % 5 = 0),
-             v1 AS (SELECT t.src AS v, t.lbl FROM (
+             v1 AS MATERIALIZED (SELECT t.src AS v, t.lbl FROM (
                       SELECT ke.src, a.lbl,
                              row_number() OVER (PARTITION BY ke.src
                                                 ORDER BY count(*) DESC, a.lbl) AS rn
                       FROM ke JOIN sd a ON ke.nbr = a.v
                       GROUP BY ke.src, a.lbl) t
                     WHERE t.rn = 1 AND t.src NOT IN (SELECT v FROM sd)),
-             l1 AS (SELECT * FROM sd UNION ALL SELECT * FROM v1),
-             v2 AS (SELECT t.src AS v, t.lbl FROM (
+             l1 AS MATERIALIZED (SELECT * FROM sd UNION ALL SELECT * FROM v1),
+             v2 AS MATERIALIZED (SELECT t.src AS v, t.lbl FROM (
                       SELECT ke.src, a.lbl,
                              row_number() OVER (PARTITION BY ke.src
                                                 ORDER BY count(*) DESC, a.lbl) AS rn
                       FROM ke JOIN l1 a ON ke.nbr = a.v
                       GROUP BY ke.src, a.lbl) t
                     WHERE t.rn = 1 AND t.src NOT IN (SELECT v FROM l1)),
-             fin AS (SELECT * FROM l1 UNION ALL SELECT * FROM v2)
+             fin AS MATERIALIZED (SELECT * FROM l1 UNION ALL SELECT * FROM v2)
              SELECT e.label, count(*) AS n_vecs,
                     CAST(sum(CASE WHEN e.vec_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
                     CAST(sum(CASE WHEN e.vec_id % 5 <> 0 AND f.lbl IS NOT NULL
@@ -1792,13 +1797,16 @@ object SimilarityOps extends QueryModule {
     * shape is the one tools/compare.py's pattern-2 union-find fallback
     * rewrites (over the prefix's own `core`/`ce`) past the reach budget.
     */
+  // edges/deg/core/ce MATERIALIZED (multi-referenced over the pair
+  // prefix); reach/clab stay verbatim — tools/compare.py's pattern-2
+  // union-find fallback matches their exact text.
   private lazy val dbscanTailSql =
-    s"""edges AS (SELECT va AS src, vb AS nbr FROM pr
+    s"""edges AS MATERIALIZED (SELECT va AS src, vb AS nbr FROM pr
                        UNION ALL SELECT vb, va FROM pr),
-             deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+             deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS degree
                      FROM edges GROUP BY src),
-             core AS (SELECT src AS node FROM deg WHERE degree >= $DbscanMinPts),
-             ce AS (SELECT e2.src, e2.nbr FROM edges e2
+             core AS MATERIALIZED (SELECT src AS node FROM deg WHERE degree >= $DbscanMinPts),
+             ce AS MATERIALIZED (SELECT e2.src, e2.nbr FROM edges e2
                     JOIN core c1 ON e2.src = c1.node
                     JOIN core c2 ON e2.nbr = c2.node),
              reach AS (SELECT node, node AS lbl FROM core
@@ -1836,7 +1844,7 @@ object SimilarityOps extends QueryModule {
              p AS (SELECT a.vec_id AS va, b.vec_id AS vb,
                           (round(list_inner_product(a.dvec, b.dvec) / (a.nrm * b.nrm), 6) + 0.0) AS sim
                    FROM e a JOIN e b ON a.vec_id < b.vec_id),
-             pr AS (SELECT va, vb FROM p WHERE sim >= $DbscanTau),
+             pr AS MATERIALIZED (SELECT va, vb FROM p WHERE sim >= $DbscanTau),
              $dbscanTailSql"""),
   )
 
@@ -1879,7 +1887,7 @@ object SimilarityOps extends QueryModule {
                                sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                         FROM embeddings),
              ${Ivf.lloydOracleCteDerived(s"greatest(8, count(*) // $SemCellSize)")},
-             pr AS (SELECT a.vec_id AS va, b.vec_id AS vb
+             pr AS MATERIALIZED (SELECT a.vec_id AS va, b.vec_id AS vb
                     FROM asg1 a JOIN asg1 b USING (cid)
                          JOIN e ea ON ea.vec_id = a.vec_id
                          JOIN e eb ON eb.vec_id = b.vec_id
@@ -2052,17 +2060,17 @@ object SimilarityOps extends QueryModule {
   }
 
   private lazy val modularityTailSql =
-    """ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
-             lbl AS (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
-             ue AS (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
-             m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ue),
-             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+    """ke AS MATERIALIZED (SELECT src, nbr FROM r WHERE rank <= 3),
+             lbl AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS cl FROM embeddings),
+             ue AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
+             m AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m FROM ue),
+             deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
                      FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
-             ei AS (SELECT la.cl AS cluster, CAST(count(*) AS BIGINT) AS e_intra
+             ei AS MATERIALIZED (SELECT la.cl AS cluster, CAST(count(*) AS BIGINT) AS e_intra
                     FROM ue JOIN lbl la ON ue.a = la.vec_id
                             JOIN lbl lb2 ON ue.b = lb2.vec_id
                     WHERE la.cl = lb2.cl GROUP BY 1),
-             ds AS (SELECT l.cl AS cluster, CAST(count(*) AS BIGINT) AS n_nodes,
+             ds AS MATERIALIZED (SELECT l.cl AS cluster, CAST(count(*) AS BIGINT) AS n_nodes,
                            CAST(coalesce(sum(deg.deg), 0) AS BIGINT) AS d_sum
                     FROM lbl l LEFT JOIN deg ON l.vec_id = deg.v GROUP BY 1)
              SELECT ds.cluster, ds.n_nodes,
@@ -2252,11 +2260,11 @@ object SimilarityOps extends QueryModule {
         .orderBy("n_edges")
     },
     Some(s"""WITH $knnScaledDuckCtes,
-             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
-             ue AS (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
-             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+             ke AS MATERIALIZED (SELECT src, nbr FROM r WHERE rank <= 3),
+             ue AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
+             deg AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS deg
                      FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
-             dir AS (SELECT dx.deg AS x, dy.deg AS y
+             dir AS MATERIALIZED (SELECT dx.deg AS x, dy.deg AS y
                      FROM (SELECT a AS u, b AS w FROM ue UNION ALL SELECT b, a FROM ue) p
                      JOIN deg dx ON p.u = dx.v JOIN deg dy ON p.w = dy.v),
              g AS (SELECT CAST(count(*) AS BIGINT) AS m2,
