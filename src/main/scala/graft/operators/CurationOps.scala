@@ -1002,8 +1002,214 @@ object CurationOps extends QueryModule {
              FROM terms GROUP BY 1, 2 ORDER BY source"""),
   )
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) source-vs-rest length test —
+    * the nonparametric two-sample screen a curation pipeline runs to
+    * spot sources whose document-length DISTRIBUTION departs from the
+    * corpus (the distribution-free companion to `ks_drift`'s CDF gap:
+    * U is powered for location shifts, KS for any shape change).
+    * Because each test pools one source against ALL others, the pooled
+    * sample is the whole corpus — so ONE global midrank table serves
+    * every per-source test simultaneously.
+    *
+    * Exactness: ranks live on the VALUE GRAIN (distinct n_chars —
+    * bounded, never corpus-sized), doubled to stay integral under ties
+    * (2·midrank = 2·|{x<v}| + tie + 1), so U is carried as the exact
+    * BIGINT u2 = 2U = Σc·r2 − n1(n1+1). The common-language effect
+    * size is one truncating DIV; the tie-corrected normal z is the one
+    * float, stated as the IDENTICAL expression text in both engines
+    * from exact-integer inputs, ×10³-floored (the `ndcg_eval` shared-
+    * chain rule).
+    *
+    * Scale: one (source, value) grain agg and one value-grain agg are
+    * the only corpus-touching steps (both partial+final); the midrank
+    * window runs single-partition over the VALUE GRAIN only (the
+    * `wow_growth` bounded-grain rule), and every downstream frame is
+    * |sources|- or |values|-sized. Accumulators: r1_2 ≤ 2·n1·N — past
+    * ~3×10⁹ pooled docs the Σ needs the DECIMAL(38,0) wide tier
+    * (`user_type_entropy` knob pattern); gate scales fit BIGINT with
+    * room, ANSI fails loudly at the bound.
+    */
+  private val mannWhitney = DeclaredQuery(
+    "mann_whitney",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = documents(s, d).select(col("source"), col("n_chars").as("v"))
+      val hist = x.groupBy("v").agg(count(lit(1)).as("cnt"))
+      // midrank table on the value grain: single-partition window over
+      // |distinct lengths| rows only — bounded, never the corpus
+      val wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = hist
+        .withColumn("cumlt", coalesce(sum("cnt").over(wv), lit(0L)))
+        .withColumn("r2", lit(2L) * col("cumlt") + col("cnt") + lit(1L))
+        .select("v", "r2")
+      val tot = hist.agg(
+        sum("cnt").as("n_total"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie3"),
+      )
+      documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(ranked), Seq("v"))
+        .groupBy("source")
+        .agg(sum("c").as("n1"), sum(col("c") * col("r2")).as("r1_2"))
+        .crossJoin(broadcast(tot))
+        .withColumn("n2", col("n_total") - col("n1"))
+        .withColumn("u2", col("r1_2") - col("n1") * (col("n1") + lit(1L)))
+        .withColumn("cle_e6", expr("u2 * 1000000 DIV nullif(2 * n1 * n2, 0)"))
+        .withColumn(
+          "z_e3",
+          expr("""CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                  CAST(floor(CAST(u2 - n1 * n2 AS DOUBLE)
+                    / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n_total + 1.0) - CAST(tie3 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (n_total - 1.0)))))
+                    * 1000.0 + 0.5) AS BIGINT) END"""),
+        )
+        .select("source", "n1", "n2", "u2", "cle_e6", "z_e3")
+        .orderBy("source")
+    },
+    Some("""WITH x AS (SELECT source, n_chars AS v FROM documents),
+            hist AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM x GROUP BY 1),
+            ranked AS (SELECT v,
+                              2 * coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              + cnt + 1 AS r2
+                       FROM hist),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+                           CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+                    FROM hist),
+            sv AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+            per AS (SELECT source, CAST(sum(c) AS BIGINT) AS n1,
+                           CAST(sum(c * r2) AS BIGINT) AS r1_2
+                    FROM sv JOIN ranked USING (v) GROUP BY 1),
+            f AS (SELECT source, n1, n_total - n1 AS n2,
+                         r1_2 - n1 * (n1 + 1) AS u2, n_total, tie3
+                  FROM per CROSS JOIN tot)
+            SELECT source, n1, n2, u2,
+                   (u2 * 1000000) // nullif(2 * n1 * n2, 0) AS cle_e6,
+                   CASE WHEN n1 = 0 OR n2 = 0 THEN NULL ELSE
+                   CAST(floor(CAST(u2 - n1 * n2 AS DOUBLE)
+                     / (2.0 * sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                         * ((n_total + 1.0) - CAST(tie3 AS DOUBLE) / (CAST(n_total AS DOUBLE) * (n_total - 1.0)))))
+                     * 1000.0 + 0.5) AS BIGINT) END AS z_e3
+            FROM f ORDER BY source"""),
+  )
+
+  /** Gini concentration of per-document token counts within each source
+    * — the inequality statistic a data-mixing stage reads next to
+    * `temperature_mix`: a source near 0 spreads its token budget evenly
+    * across documents; one near 1 hides most of its mass in a few giant
+    * documents (so a doc-level cap or dedup pass changes its effective
+    * weight far more than its doc count suggests). Companion to
+    * `zipf_slope` (type-frequency inequality) at the document grain.
+    *
+    * Exactness: the standard rank form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    * over ascending ranks. Within a tie group Σi·x = x·Σi regardless of
+    * order, so the doc_id tiebreak cannot change the sum — the value is
+    * rank-deterministic; one truncating DIV on nonneg integers renders
+    * gini_e6 (truncation ≡ floor there, cross-engine safe).
+    *
+    * Scale: one scan-local token count, one window RANK PARTITIONED BY
+    * source (distributed per-source sort — never a global window), one
+    * agg. The rank-weighted Σ reaches n²·len per source, so the
+    * accumulator is DECIMAL(38,0) with BIGINT out ("BIGINT means out",
+    * ANSI-loud past 2⁶³ — the `kmeans_cost` census pattern).
+    */
+  private val tokenGini = DeclaredQuery(
+    "token_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy("source").orderBy(col("tok"), col("doc_id"))
+      documents(s, d)
+        .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("i", row_number().over(wr).cast("long"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("tok").as("sum_tokens"),
+          sum((col("i") * col("tok")).cast("decimal(38,0)")).as("s1"),
+        )
+        .withColumn(
+          "gini_e6",
+          expr("""CAST((2 * s1 - (n_docs + 1) * CAST(sum_tokens AS DECIMAL(38,0))) * 1000000
+                  DIV (CAST(n_docs AS DECIMAL(38,0)) * sum_tokens) AS BIGINT)"""),
+        )
+        .select("source", "n_docs", "sum_tokens", "gini_e6")
+        .orderBy("source")
+    },
+    Some("""WITH x AS (SELECT source, doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                       FROM documents),
+            r AS (SELECT source, tok,
+                         CAST(row_number() OVER (PARTITION BY source ORDER BY tok, doc_id) AS BIGINT) AS i
+                  FROM x),
+            g AS (SELECT source, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+                         sum(CAST(i * tok AS HUGEINT)) AS s1
+                  FROM r GROUP BY 1)
+            SELECT source, n_docs, sum_tokens,
+                   CAST((2 * s1 - (n_docs + 1) * sum_tokens) * 1000000
+                        // (n_docs * sum_tokens) AS BIGINT) AS gini_e6
+            FROM g ORDER BY source"""),
+  )
+
+  /** Corpus-level source-diversity profile — the one-row dashboard a
+    * mixing stage reads before touching weights: source count,
+    * Herfindahl–Hirschman concentration (Σ share² — the "is one crawl
+    * eating the corpus" number), its inverse-Simpson effective-source
+    * count (the Hill D₂ diversity: how many EQUAL sources the mix
+    * behaves like), and the Shannon share entropy. The corpus-grain
+    * companion to `token_gini` (within-source inequality) and
+    * `temperature_mix` (the corrective action).
+    *
+    * Exactness: HHI and inverse-Simpson are fully exact — hhi_e6 =
+    * Σn_s²·10⁶ DIV N², inv_simpson_e3 = N²·10³ DIV Σn_s², both on
+    * DECIMAL(38,0) products (N² crosses 2⁶³ past ~3×10⁹ docs), one
+    * truncating division each, BIGINT out. Entropy is the repo µnat
+    * spelling (per-source n·ln n ×10⁶-floored before the exact sum).
+    *
+    * Scale: one (source) grain agg — the only corpus-touching step —
+    * then a |sources|-row rollup. Nothing else moves.
+    */
+  private val sourceDiversity = DeclaredQuery(
+    "source_diversity",
+    (s, d) =>
+      documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("term_e6", expr("CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)"))
+        .agg(
+          count(lit(1)).as("n_sources"),
+          sum("c").as("n_docs"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"),
+          sum("term_e6").as("sum_e6"),
+        )
+        .select(
+          col("n_sources"),
+          col("n_docs"),
+          expr("""CAST((sumsq * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""")
+            .as("hhi_e6"),
+          expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000) DIV nullif(sumsq, 0) AS BIGINT)""")
+            .as("inv_simpson_e3"),
+          expr("""CAST(floor(ln(n_docs) * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT)""")
+            .as("entropy_e6"),
+        )
+        .orderBy("n_sources"),
+    Some("""WITH sc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
+            t AS (SELECT c, CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT) AS term_e6 FROM sc),
+            g AS (SELECT count(*) AS n_sources, CAST(sum(c) AS BIGINT) AS n_docs,
+                         sum(CAST(c AS HUGEINT) * c) AS sumsq,
+                         CAST(sum(term_e6) AS BIGINT) AS sum_e6
+                  FROM t)
+            SELECT n_sources, n_docs,
+                   CAST((sumsq * 1000000) // (CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS hhi_e6,
+                   CAST((CAST(n_docs AS HUGEINT) * n_docs * 1000) // nullif(sumsq, 0) AS BIGINT) AS inv_simpson_e3,
+                   CAST(floor(ln(n_docs) * 1000000.0 + 0.5) AS BIGINT)
+                   - CAST(floor(CAST(sum_e6 AS DOUBLE) / n_docs + 0.5) AS BIGINT) AS entropy_e6
+            FROM g ORDER BY n_sources"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
       ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity,
-      lDiversity, tCloseness, psiDrift)
+      lDiversity, tCloseness, psiDrift, mannWhitney, tokenGini, sourceDiversity)
 }

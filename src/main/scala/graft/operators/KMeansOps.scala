@@ -1320,9 +1320,90 @@ object KMeansOps extends QueryModule {
     },
   )
 
+  /** Calinski–Harabasz variance-ratio index of the final k-means
+    * clustering (Calinski & Harabasz 1974) — the cluster-validity
+    * companion to `kmeans_silhouette` that needs NO pairwise distances:
+    * CH = (B/(k−1)) / (W/(n−k)) with B the between-cluster and W the
+    * within-cluster sum of squares. High CH = tight, well-separated
+    * clusters; tracked across rounds it is the cheap "did the embedding
+    * space collapse" monitor, and across k it is the variance-ratio
+    * elbow (`kmeans_elbow`'s SSE curve normalized for k).
+    *
+    * Exactness: W is the exact-integer SSE of the shared final
+    * assignment; B = Σ nⱼ·‖cⱼ−g‖² over the exact integer centroids and
+    * the exactly-derived global centroid (per-dim total Σ DIV n — the
+    * total rides the per-cluster VecSum sums, so no second corpus
+    * scan); the index is ONE truncating integral division on nonneg
+    * BigInt products (B·(n−k)·10³ DIV (k−1)·W — BigInt driver-side ≡
+    * HUGEINT in the oracle), BIGINT out.
+    *
+    * Scale: one assignment scan ending in a k-row (VecSum, n, ΣSSE)
+    * aggregation — the bounded collect is k·D longs (the
+    * `nearest_centroid_confusion` class); every other operand is
+    * already driver-resident from the Lloyd build. Accumulators ride
+    * DECIMAL(38,0) (per-row dist ≤ 64·(4×10⁶)² — the `kmeans_cost`
+    * census), BIGINT out, ANSI-loud past 2⁶³.
+    */
+  private val calinskiHarabasz = DeclaredQuery(
+    "calinski_harabasz",
+    (s, d) => {
+      import s.implicits._
+      val vecSum = udaf(new graft.functions.VecSumAggregator(Dim))
+      val perCl = finalAssign(s, d)
+        .groupBy("cluster")
+        .agg(
+          vecSum(col("q")).as("sv"),
+          count(lit(1)).as("n_j"),
+          sum(col("dist").cast("decimal(38,0)")).cast("long").as("sse_j"),
+        )
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val n = perCl.map(_._3).sum
+      val kUsed = perCl.length.toLong
+      val w = perCl.map(_._4).sum
+      val g = {
+        val tot = Array.fill(Dim)(0L)
+        perCl.foreach { case (_, sv, _, _) => var i = 0; while (i < Dim) { tot(i) += sv(i); i += 1 } }
+        tot.map(_ / n)
+      }
+      val cents = lloydCentroids(s, d)
+      val b = perCl.map { case (cl, _, nj, _) =>
+        val c = cents(cl.toInt)
+        var dd = BigInt(0)
+        var i = 0
+        while (i < Dim) { val dv = BigInt(c(i) - g(i)); dd += dv * dv; i += 1 }
+        BigInt(nj) * dd
+      }.sum
+      val chE3 =
+        if (kUsed > 1L && w > 0L) (b * BigInt(n - kUsed) * 1000 / (BigInt(kUsed - 1) * BigInt(w))).toLong
+        else 0L
+      Seq((n, kUsed, w, b.toLong, chE3))
+        .toDF("n", "k_used", "w_sse", "b_ssb", "ch_e3")
+        .orderBy("n")
+    },
+    Some(s"""WITH $lloydCtes,
+             asg AS MATERIALIZED (SELECT vec_id, cl, dist FROM af WHERE rn = 1),
+             cn AS MATERIALIZED (SELECT cl, CAST(count(*) AS BIGINT) AS n_j FROM asg GROUP BY 1),
+             tot AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dist) AS BIGINT) AS w,
+                           CAST(count(DISTINCT cl) AS BIGINT) AS k_used
+                    FROM asg),
+             g AS (SELECT pe.dim, CAST(sum(pe.val) AS BIGINT) // (SELECT n FROM tot) AS gval
+                   FROM pe GROUP BY 1),
+             cd AS (SELECT c.cl, sum(CAST(c.val - g.gval AS HUGEINT) * (c.val - g.gval)) AS dd
+                    FROM c$Rounds c JOIN g ON c.dim = g.dim GROUP BY 1),
+             bb AS (SELECT CAST(sum(CAST(cn.n_j AS HUGEINT) * cd.dd) AS HUGEINT) AS b
+                    FROM cd JOIN cn ON cd.cl = cn.cl)
+             SELECT n, k_used, w AS w_sse, CAST(b AS BIGINT) AS b_ssb,
+                    CASE WHEN k_used > 1 AND w > 0
+                         THEN CAST((b * (n - k_used) * 1000) // ((k_used - 1) * CAST(w AS HUGEINT)) AS BIGINT)
+                         ELSE 0 END AS ch_e3
+             FROM tot CROSS JOIN bb ORDER BY n"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(kmeansAssign, kmeansCost, kmeansCentroids, nearestCentroidConfusion,
       kmeansSeedQuality, kmeansElbow, pcaPowerIter, pcaProject, pcaProject2,
       pcaOutliers, clusterTextProfile, kmeansSilhouette, pcaVarExplained,
-      kcenterCoreset)
+      kcenterCoreset, calinskiHarabasz)
 }

@@ -952,63 +952,15 @@ object RetrievalOps extends QueryModule {
     s"CAST(floor(CAST($gain AS DOUBLE) / (ln(CAST($rank AS DOUBLE) + 1.0) / ln(2.0))" +
       " * 1000000.0 + 0.5) AS BIGINT)"
 
-  private val ndcgEval = DeclaredQuery(
-    "ndcg_eval",
-    (s, d) => {
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val qz = embeddings(s, d).select(
-        col("vec_id"),
-        expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))")
-          .as("qv"),
-      )
-      val qRow = qz.filter(col("vec_id") === 0L).select(col("qv").as("qqv"))
-      // the judged pool: dense top-36 (one scan, TakeOrderedAndProject),
-      // graded 3/2/1 by dense rank — a bounded 36-row frame from here on
-      val judged = qz
-        .filter(col("vec_id") =!= 0L)
-        .crossJoin(broadcast(qRow))
-        .withColumn("qdot", expr("graft_int_dot(qqv, qv)"))
-        .orderBy(col("qdot").desc, col("vec_id"))
-        .limit(NdcgPool)
-        .withColumn(
-          "r",
-          row_number().over(Window.orderBy(col("qdot").desc, col("vec_id"))).cast("long"),
-        )
-        .withColumn(
-          "gain",
-          when(col("r") <= 4L, 7L).when(col("r") <= 12L, 3L).otherwise(1L),
-        )
-        .select(col("vec_id").as("doc_id"), col("r"), col("gain"))
-      val depths = NdcgDepths.toDF("depth")
-      def dcgOf(arm: org.apache.spark.sql.DataFrame, name: String) = arm
-        .join(judged.select("doc_id", "gain"), Seq("doc_id"), "left")
-        .withColumn("gain0", coalesce(col("gain"), lit(0L)))
-        .withColumn("term", expr(ndcgTerm("rank", "gain0")))
-        .crossJoin(broadcast(depths))
-        .filter(col("rank") <= col("depth"))
-        .groupBy("depth")
-        .agg(sum("term").as("dcg_e6"))
-        .withColumn("ranker", lit(name))
-      val dcg = dcgOf(bm25Ranked(s, d), "bm25")
-        .unionByName(dcgOf(qlmRanked(s, d), "qlm"))
-      // grade non-increasing in dense rank ⇒ ideal order = pool order
-      val idcg = judged
-        .withColumn("term", expr(ndcgTerm("r", "gain")))
-        .crossJoin(broadcast(depths))
-        .filter(col("r") <= col("depth"))
-        .groupBy("depth")
-        .agg(sum("term").as("idcg_e6"))
-      dcg
-        .join(idcg, Seq("depth"))
-        .withColumn("ndcg_e3", expr("dcg_e6 * 1000 DIV nullif(idcg_e6, 0)"))
-        .select(col("ranker"), col("depth"), col("dcg_e6"), col("idcg_e6"), col("ndcg_e3"))
-        .orderBy("ranker", "depth")
-    },
-    Some {
-      val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
-      val depthList = NdcgDepths.mkString(", ")
-      s"""WITH qz AS (SELECT vec_id,
+  /** The shared DuckDB statement of [[judgedPool]] + [[evalArms]] — a
+    * CTE chain ending in `judged(doc_id, r, gain)` and
+    * `arms(ranker, doc_id, rank)`, interpolated into every offline-eval
+    * oracle so the judged pool and the measured arms have exactly one
+    * SQL definition.
+    */
+  private lazy val evalArmsDuckCtes: String = {
+    val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+    s"""qz AS (SELECT vec_id,
                              list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
                       FROM embeddings),
           qrow AS (SELECT qv AS qqv FROM qz WHERE vec_id = 0),
@@ -1020,7 +972,7 @@ object RetrievalOps extends QueryModule {
           pool AS (SELECT vec_id AS doc_id,
                           CAST(row_number() OVER (ORDER BY qdot DESC, vec_id) AS BIGINT) AS r
                    FROM p ORDER BY qdot DESC, vec_id LIMIT $NdcgPool),
-          judged AS (SELECT doc_id, r,
+          judged AS MATERIALIZED (SELECT doc_id, r,
                             CASE WHEN r <= 4 THEN 7 WHEN r <= 12 THEN 3 ELSE 1 END AS gain
                      FROM pool),
           w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1055,9 +1007,86 @@ object RetrievalOps extends QueryModule {
           qr2 AS (SELECT doc_id,
                          CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
                   FROM qtot),
-          arms AS (SELECT 'bm25' AS ranker, doc_id, rank FROM br WHERE rank <= $BmTopK
+          arms AS MATERIALIZED (SELECT 'bm25' AS ranker, doc_id, rank FROM br WHERE rank <= $BmTopK
                    UNION ALL
-                   SELECT 'qlm' AS ranker, doc_id, rank FROM qr2 WHERE rank <= $QlmTopK),
+                   SELECT 'qlm' AS ranker, doc_id, rank FROM qr2 WHERE rank <= $QlmTopK)"""
+  }
+
+  /** The dense-judged pool (doc_id, r, gain) — dense top-[[NdcgPool]]
+    * graded 3/2/1 by dense rank; SINGLE definition consumed by every
+    * offline IR eval (`ndcg_eval`, `map_eval`, `mrr_eval`), so the
+    * relevance judgments cannot drift between metrics.
+    */
+  private def judgedPool(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val qz = embeddings(s, d).select(
+      col("vec_id"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT))")
+        .as("qv"),
+    )
+    val qRow = qz.filter(col("vec_id") === 0L).select(col("qv").as("qqv"))
+    // the judged pool: dense top-36 (one scan, TakeOrderedAndProject),
+    // graded 3/2/1 by dense rank — a bounded 36-row frame from here on
+    qz.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(qRow))
+      .withColumn("qdot", expr("graft_int_dot(qqv, qv)"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(NdcgPool)
+      .withColumn(
+        "r",
+        row_number().over(Window.orderBy(col("qdot").desc, col("vec_id"))).cast("long"),
+      )
+      .withColumn(
+        "gain",
+        when(col("r") <= 4L, 7L).when(col("r") <= 12L, 3L).otherwise(1L),
+      )
+      .select(col("vec_id").as("doc_id"), col("r"), col("gain"))
+  }
+
+  /** Both deployed lexical arms as one (ranker, doc_id, rank) frame —
+    * the measured side of every offline eval, off the SHARED top-k
+    * helpers so the measured rankings are the declared ones.
+    */
+  private def evalArms(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    bm25Ranked(s, d)
+      .select(lit("bm25").as("ranker"), col("doc_id"), col("rank"))
+      .unionByName(qlmRanked(s, d).select(lit("qlm").as("ranker"), col("doc_id"), col("rank")))
+
+  private val ndcgEval = DeclaredQuery(
+    "ndcg_eval",
+    (s, d) => {
+      import s.implicits._
+      val judged = judgedPool(s, d)
+      val depths = NdcgDepths.toDF("depth")
+      def dcgOf(arm: org.apache.spark.sql.DataFrame, name: String) = arm
+        .join(judged.select("doc_id", "gain"), Seq("doc_id"), "left")
+        .withColumn("gain0", coalesce(col("gain"), lit(0L)))
+        .withColumn("term", expr(ndcgTerm("rank", "gain0")))
+        .crossJoin(broadcast(depths))
+        .filter(col("rank") <= col("depth"))
+        .groupBy("depth")
+        .agg(sum("term").as("dcg_e6"))
+        .withColumn("ranker", lit(name))
+      val dcg = dcgOf(bm25Ranked(s, d), "bm25")
+        .unionByName(dcgOf(qlmRanked(s, d), "qlm"))
+      // grade non-increasing in dense rank ⇒ ideal order = pool order
+      val idcg = judged
+        .withColumn("term", expr(ndcgTerm("r", "gain")))
+        .crossJoin(broadcast(depths))
+        .filter(col("r") <= col("depth"))
+        .groupBy("depth")
+        .agg(sum("term").as("idcg_e6"))
+      dcg
+        .join(idcg, Seq("depth"))
+        .withColumn("ndcg_e3", expr("dcg_e6 * 1000 DIV nullif(idcg_e6, 0)"))
+        .select(col("ranker"), col("depth"), col("dcg_e6"), col("idcg_e6"), col("ndcg_e3"))
+        .orderBy("ranker", "depth")
+    },
+    Some {
+      val depthList = NdcgDepths.mkString(", ")
+      s"""WITH $evalArmsDuckCtes,
           terms AS (SELECT a.ranker, a.rank,
                            ${ndcgTerm("a.rank", "coalesce(j.gain, 0)")} AS term
                     FROM arms a LEFT JOIN judged j ON a.doc_id = j.doc_id),
@@ -1076,7 +1105,112 @@ object RetrievalOps extends QueryModule {
     },
   )
 
+  /** Mean-average-precision at {5,10,20} for both lexical arms — the
+    * binary-relevance companion to `ndcg_eval` (AP is the area under
+    * the precision-recall curve; nDCG grades position, AP grades
+    * EVERY relevant hit's precision context, the TREC headline
+    * number). Relevance binarizes the shared judged pool at gain ≥ 3
+    * (dense rank ≤ 12 — the "highly relevant" tier), so all three
+    * eval metrics read the same judgments.
+    *
+    * Exactness: each precision@i term is (hits@i·10⁶) DIV i — exact
+    * nonneg integers (truncation ≡ floor), summed, then ONE DIV by
+    * min(depth, R) (the trec_eval AP@k normalizer). The running
+    * hits@i window is PARTITIONED by ranker over ≤ top-k rows.
+    *
+    * Scale: the arms and pool are the shared top-k helpers (corpus
+    * scans ending in TakeOrderedAndProject); everything here is a
+    * ≤ 40-row frame crossed with a 3-row depth grid.
+    */
+  private val mapEval = DeclaredQuery(
+    "map_eval",
+    (s, d) => {
+      import s.implicits._
+      val rel = judgedPool(s, d).filter(col("gain") >= 3L).select("doc_id")
+      val nRel = rel.agg(count(lit(1)).as("n_rel"))
+      val wr = Window.partitionBy("ranker").orderBy("rank")
+      val depths = NdcgDepths.toDF("depth")
+      evalArms(s, d)
+        .join(rel.withColumn("one", lit(1L)), Seq("doc_id"), "left")
+        .withColumn("isrel", coalesce(col("one"), lit(0L)))
+        .withColumn("hits_at", sum("isrel").over(wr))
+        .withColumn(
+          "p_e6",
+          expr("CASE WHEN isrel = 1 THEN (hits_at * 1000000) DIV rank ELSE CAST(0 AS BIGINT) END"),
+        )
+        .crossJoin(broadcast(depths))
+        .filter(col("rank") <= col("depth"))
+        .groupBy("ranker", "depth")
+        .agg(sum("isrel").as("hits"), sum("p_e6").as("sum_p_e6"))
+        .crossJoin(broadcast(nRel))
+        .withColumn("ap_e6", expr("sum_p_e6 DIV least(depth, n_rel)"))
+        .select("ranker", "depth", "hits", "ap_e6")
+        .orderBy("ranker", "depth")
+    },
+    Some {
+      val depthList = NdcgDepths.mkString(", ")
+      s"""WITH $evalArmsDuckCtes,
+          rel AS (SELECT doc_id FROM judged WHERE gain >= 3),
+          nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM rel),
+          h AS (SELECT a.ranker, a.rank,
+                       CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isrel
+                FROM arms a LEFT JOIN rel r ON a.doc_id = r.doc_id),
+          pr AS (SELECT ranker, rank, isrel,
+                        CAST(sum(isrel) OVER (PARTITION BY ranker ORDER BY rank) AS BIGINT) AS hits_at
+                 FROM h),
+          tm AS (SELECT ranker, rank, isrel,
+                        CASE WHEN isrel = 1 THEN (hits_at * 1000000) // rank ELSE 0 END AS p_e6
+                 FROM pr),
+          g AS (SELECT CAST(unnest([$depthList]) AS BIGINT) AS depth),
+          ap AS (SELECT t.ranker, g.depth, CAST(sum(t.isrel) AS BIGINT) AS hits,
+                        CAST(sum(t.p_e6) AS BIGINT) AS sum_p_e6
+                 FROM tm t CROSS JOIN g WHERE t.rank <= g.depth GROUP BY 1, 2)
+          SELECT ranker, depth, hits,
+                 sum_p_e6 // least(depth, (SELECT n_rel FROM nr)) AS ap_e6
+          FROM ap ORDER BY ranker, depth"""
+    },
+  )
+
+  /** Mean reciprocal rank of both lexical arms against the shared
+    * judged pool (gain ≥ 3 tier) — the first-relevant-hit latency
+    * metric a RAG stack watches when only the top slot matters. The
+    * reciprocal is exact: rr_e6 = 10⁶ DIV first_rel_rank (0 when the
+    * arm's top-k misses every relevant doc — reported as rank 0, the
+    * "missed" sentinel, rather than dropping the row). Bounded frames
+    * end-to-end after the shared top-k scans.
+    */
+  private val mrrEval = DeclaredQuery(
+    "mrr_eval",
+    (s, d) => {
+      import s.implicits._
+      val rel = judgedPool(s, d).filter(col("gain") >= 3L).select("doc_id")
+      val fr = evalArms(s, d)
+        .join(rel, Seq("doc_id"))
+        .groupBy("ranker")
+        .agg(min("rank").as("frr"))
+      Seq("bm25", "qlm")
+        .toDF("ranker")
+        .join(fr, Seq("ranker"), "left")
+        .withColumn("first_rel_rank", coalesce(col("frr"), lit(0L)))
+        .withColumn(
+          "rr_e6",
+          expr("CASE WHEN frr IS NULL THEN CAST(0 AS BIGINT) ELSE 1000000 DIV frr END"),
+        )
+        .select("ranker", "first_rel_rank", "rr_e6")
+        .orderBy("ranker")
+    },
+    Some(s"""WITH $evalArmsDuckCtes,
+             rel AS (SELECT doc_id FROM judged WHERE gain >= 3),
+             fr AS (SELECT a.ranker, CAST(min(a.rank) AS BIGINT) AS frr
+                    FROM arms a JOIN rel r ON a.doc_id = r.doc_id GROUP BY 1),
+             rk AS (SELECT unnest(['bm25', 'qlm']) AS ranker)
+             SELECT rk.ranker,
+                    CAST(coalesce(fr.frr, 0) AS BIGINT) AS first_rel_rank,
+                    CAST(CASE WHEN fr.frr IS NULL THEN 0 ELSE 1000000 // fr.frr END AS BIGINT) AS rr_e6
+             FROM rk LEFT JOIN fr USING (ranker) ORDER BY rk.ranker"""),
+  )
+
   override def queries: Seq[DeclaredQuery] =
     Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
-      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval)
+      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval, mapEval, mrrEval)
 }

@@ -2278,6 +2278,132 @@ object SimilarityOps extends QueryModule {
              FROM g ORDER BY n_edges"""),
   )
 
+  /** Triangle census + global clustering coefficient (transitivity) of
+    * the kNN graph — the third structural health statistic beside
+    * [[hubnessStats]] (degrees) and [[knnAssortativity]] (degree
+    * correlation): embeddings with real cluster structure close their
+    * wedges (neighbors-of-neighbors are neighbors, C ≫ random), while
+    * C collapsing toward the Erdős–Rényi floor means the metric space
+    * has no local structure for dedup/ANN to exploit. Rides the
+    * scale-safe cell-bounded substrate.
+    *
+    * Exactness: over the symmetrized DISTINCT undirected pair set,
+    * triangles are enumerated as forward wedges (hub a < b < c joined
+    * on the common LOWEST endpoint) semi-joined against the edge set —
+    * each triangle counted exactly once; wedges come off the degree
+    * table as Σd(d−1)/2, never enumerated. C = 3·T/wedges is ONE
+    * truncating ×10⁶ division on exact integers (6·T/Σd(d−1), both
+    * nonneg — truncation ≡ floor), DECIMAL(38,0) through the product
+    * (T crosses 2⁶³/6×10⁶ at web scale), BIGINT out.
+    *
+    * Scale: every edge lives INSIDE a derived-k cell, so degree is
+    * cell-bounded and the wedge join does Σ_v deg(v)² ≤ n·cellsize
+    * work — linear, the Σn_c² argument one hop up; the closing
+    * semi-join streams wedge candidates against the edge set on
+    * (p, q). No corpus-sized frame is ever materialized.
+    */
+  private val knnTriangles = DeclaredQuery(
+    "knn_triangles",
+    (s, d) => {
+      val ue = knnEdgesScaled(s, d)
+        .select(least(col("src"), col("nbr")).as("a"), greatest(col("src"), col("nbr")).as("b"))
+        .distinct()
+      val deg = ue
+        .select(col("a").as("v"))
+        .unionByName(ue.select(col("b").as("v")))
+        .groupBy("v")
+        .agg(count(lit(1)).as("deg"))
+      val wz = deg.agg(sum(expr("deg * (deg - 1)")).as("w2"))
+      val fw = ue
+        .select(col("a").as("u"), col("b").as("p"))
+        .join(ue.select(col("a").as("u"), col("b").as("q")), Seq("u"))
+        .filter(col("p") < col("q"))
+      val tri = fw
+        .join(ue.select(col("a").as("p"), col("b").as("q")), Seq("p", "q"), "left_semi")
+        .agg(count(lit(1)).as("n_tri"))
+      ue.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(wz)
+        .crossJoin(tri)
+        .select(
+          col("n_edges"),
+          expr("w2 DIV 2").as("n_wedges"),
+          col("n_tri"),
+          expr("CAST((CAST(n_tri AS DECIMAL(38,0)) * 6000000) DIV nullif(w2, 0) AS BIGINT)")
+            .as("gcc_e6"),
+        )
+        .orderBy("n_edges")
+    },
+    Some(s"""WITH $knnScaledDuckCtes,
+             ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+             ue AS MATERIALIZED (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
+             deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                     FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1),
+             wz AS (SELECT CAST(sum(deg * (deg - 1)) AS BIGINT) AS w2 FROM deg),
+             tri AS (SELECT CAST(count(*) AS BIGINT) AS n_tri
+                     FROM ue x JOIN ue y ON x.a = y.a AND x.b < y.b
+                     WHERE EXISTS (SELECT 1 FROM ue z WHERE z.a = x.b AND z.b = y.b)),
+             ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ue)
+             SELECT n_edges, w2 // 2 AS n_wedges, n_tri,
+                    CAST((CAST(n_tri AS HUGEINT) * 6000000) // nullif(w2, 0) AS BIGINT) AS gcc_e6
+             FROM ne CROSS JOIN wz CROSS JOIN tri ORDER BY n_edges"""),
+  )
+
+  /** PageRank centrality over the cell-bounded kNN graph — the
+    * representativeness score of the corpus-scale graph family (a
+    * high-rank vector sits in a dense, well-connected region; the
+    * antihub tail ranks at the teleport floor): the coreset/dedup-keeper
+    * prioritizer that `cluster_keeper`'s min-id convention cannot
+    * express. Unlike the |types|²-bounded centrality pair (driver
+    * folds), this graph is CORPUS-sized — so it runs on the distributed
+    * symmetric engine ([[graft.operators.DedupOps.pagerankSymmetric]],
+    * the `fuzzy_pagerank` recurrence: exact ×10¹² integer ranks, floor
+    * division, 5 fixed rounds = one lazy bounded-lineage plan), which is
+    * exactly the engine-selection boundary the centrality scaladocs
+    * state, exercised from the other side.
+    *
+    * Scale: the symmetrized (da, db, deg) table is substrate-pinned
+    * (built once per session/dataset); per round one node-keyed hash
+    * join + agg over n·k-bounded edges. Degrees are cell-bounded, so no
+    * skew salting is needed.
+    */
+  private val knnPagerank = DeclaredQuery(
+    "knn_pagerank",
+    (s, d) => {
+      val ue = knnEdgesScaled(s, d)
+        .select(least(col("src"), col("nbr")).as("da"), greatest(col("src"), col("nbr")).as("db"))
+        .distinct()
+      val sym = ue.unionByName(ue.select(col("db").as("da"), col("da").as("db")))
+      val ewd = graft.SubstrateCache.substrate(s, d, "knn-sym-deg:1") {
+        sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
+      }
+      DedupOps.pagerankSymmetric(ewd, DedupOps.PrIters)
+    }, {
+      val base = s"(15 * ${DedupOps.PrScale}) // (100 * (SELECT n FROM nn))"
+      val steps = (1 to DedupOps.PrIters)
+        .map { i =>
+          s"""pr$i AS (SELECT nodes.node,
+             |               CAST($base + (85 * coalesce(s.sc, 0)) // 100 AS BIGINT) AS r
+             |        FROM nodes LEFT JOIN (
+             |          SELECT se.db AS node, sum(pr${i - 1}.r // deg.deg) AS sc
+             |          FROM se JOIN pr${i - 1} ON se.da = pr${i - 1}.node
+             |                 JOIN deg ON deg.da = se.da
+             |          GROUP BY se.db) s USING (node))""".stripMargin
+        }
+        .mkString(",\n")
+      // `se`, not `e`: the knnScaledDuckCtes prefix already owns `e`
+      Some(s"""WITH $knnScaledDuckCtes,
+               ke AS (SELECT src, nbr FROM r WHERE rank <= 3),
+               ue AS (SELECT DISTINCT least(src, nbr) AS a, greatest(src, nbr) AS b FROM ke),
+               se AS MATERIALIZED (SELECT a AS da, b AS db FROM ue UNION ALL SELECT b, a FROM ue),
+               deg AS MATERIALIZED (SELECT da, count(*) AS deg FROM se GROUP BY 1),
+               nodes AS MATERIALIZED (SELECT DISTINCT da AS node FROM se),
+               nn AS (SELECT count(*) AS n FROM nodes),
+               pr0 AS (SELECT node, CAST(${DedupOps.PrScale} // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+               $steps
+               SELECT node, r FROM pr${DedupOps.PrIters} ORDER BY node""")
+    },
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled, aucScore,
       knnModularity,
@@ -2288,5 +2414,5 @@ object SimilarityOps extends QueryModule {
       knnGraphScaled, knnReciprocityScaled, dbscanClusters,
       knnComponentsScaled, knnLabelAgreementScaled, hubnessStatsScaled, knnClusterPurityScaled,
       labelPropagationScaled, knnModularityScaled, dbscanClustersScaled, intrinsicDim,
-      knnAssortativity)
+      knnAssortativity, knnTriangles, knnPagerank)
 }

@@ -504,6 +504,34 @@ object TemporalOps extends QueryModule {
             ORDER BY cohort, days_since"""),
   )
 
+  /** The (prev, next, n) first-order transition-count frame off one
+    * user-keyed lag — SINGLE definition consumed by both declared
+    * transition views (`event_transitions`' share matrix and
+    * `transition_entropy`'s per-row conditional entropy), so the Markov
+    * frame cannot drift between them (the `transitionEdges`
+    * single-definition rule, one aggregation earlier).
+    */
+  private def transitionCounts(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The shared DuckDB statement of [[transitionCounts]] — a CTE chain
+    * ending in `t(prev, next, n)`, interpolated into both consumers.
+    */
+  private val transitionCountsDuckCtes =
+    """ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
+            x AS (SELECT user_id, event_type,
+                         lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+                  FROM ev),
+            t AS (SELECT prev, event_type AS next, count(*) AS n
+                  FROM x WHERE prev IS NOT NULL GROUP BY 1, 2)"""
+
   /** First-order event-transition matrix (the Markov view of the event
     * stream): per user, each event's type paired with its predecessor's
     * via `lag` inside one partition-by-user sort, then global
@@ -514,26 +542,62 @@ object TemporalOps extends QueryModule {
   private val eventTransitions = DeclaredQuery(
     "event_transitions",
     (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
       val wp = Window.partitionBy("prev")
-      events(s, d)
-        .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
-        .withColumn("prev", lag(col("event_type"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .groupBy(col("prev"), col("event_type").as("next"))
-        .agg(count(lit(1)).as("n"))
+      transitionCounts(s, d)
         .withColumn("share", Disp.roundz(col("n").cast("double") / sum(col("n")).over(wp), 4))
         .orderBy("prev", "next")
     },
-    Some("""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us FROM events),
-            x AS (SELECT user_id, event_type,
-                         lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
-                  FROM ev),
-            t AS (SELECT prev, event_type AS next, count(*) AS n
-                  FROM x WHERE prev IS NOT NULL GROUP BY 1, 2)
+    Some(s"""WITH $transitionCountsDuckCtes
             SELECT prev, next, n,
                    round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 4) AS share
             FROM t ORDER BY prev, next"""),
+  )
+
+  /** Conditional next-event entropy H(next | prev) per event type — the
+    * predictability screen over the same Markov frame
+    * `event_transitions` renders as shares: a type whose successor
+    * distribution is near-uniform (entropy ≈ ln k) drives exploration
+    * UI; a near-zero row is a deterministic funnel edge (compare
+    * `user_type_entropy`, the same statistic one grain over). Entropy
+    * is stated in the repo's µnat spelling — H = ln N − (Σ n·ln n)/N
+    * with each n·ln n term ×10⁶-floored BEFORE the sum, so the
+    * cross-engine value is the identical integer (the `user_type_entropy`
+    * libm pin carries over verbatim).
+    *
+    * Scale: [[transitionCounts]] is the only corpus-touching step (one
+    * user-keyed exchange + one agg); this tail aggregates a
+    * |types|²-bounded frame — structure-sized, like the centrality
+    * family, so the rollup is free at any corpus size.
+    */
+  private val transitionEntropy = DeclaredQuery(
+    "transition_entropy",
+    (s, d) =>
+      transitionCounts(s, d)
+        .withColumn("term_e6", expr("CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT)"))
+        .groupBy("prev")
+        .agg(
+          sum(col("n")).as("n_out"),
+          count(lit(1)).as("k_next"),
+          sum(col("term_e6")).as("sum_e6"),
+        )
+        .withColumn(
+          "entropy_e6",
+          expr("""CAST(floor(ln(n_out) * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n_out AS DOUBLE) + 0.5) AS BIGINT)"""),
+        )
+        .select("prev", "n_out", "k_next", "entropy_e6")
+        .orderBy("prev"),
+    Some(s"""WITH $transitionCountsDuckCtes,
+            tt AS (SELECT prev, n,
+                          CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+                   FROM t),
+            u AS (SELECT prev, CAST(sum(n) AS BIGINT) AS n_out, count(*) AS k_next,
+                         CAST(sum(term_e6) AS BIGINT) AS sum_e6
+                  FROM tt GROUP BY 1)
+            SELECT prev, n_out, k_next,
+                   CAST(floor(ln(n_out) * 1000000.0 + 0.5) AS BIGINT)
+                   - CAST(floor(CAST(sum_e6 AS DOUBLE) / n_out + 0.5) AS BIGINT) AS entropy_e6
+            FROM u ORDER BY prev"""),
   )
 
   /** Time-window event dedup — the ingest screen every at-least-once
@@ -3021,5 +3085,5 @@ object TemporalOps extends QueryModule {
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
       maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
-      assocRules, hitsScores, mannKendall, theilSen, acfLag7)
+      assocRules, hitsScores, mannKendall, theilSen, acfLag7, transitionEntropy)
 }

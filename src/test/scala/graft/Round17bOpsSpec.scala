@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-17 session-2 pins: the seven diagnostics added on top of the
+  * re-based graph family — rank statistics (`mann_whitney`,
+  * `token_gini`), the Markov entropy view (`transition_entropy`), the
+  * triangle census (`knn_triangles`), cluster validity
+  * (`calinski_harabasz`), and the offline IR eval pair
+  * (`map_eval`/`mrr_eval`). The hash gate proves each equals its own
+  * oracle; these pin the INVARIANTS and cross-query identities the
+  * semantics rest on (rank-sum totals, wedge bounds, SSE sharing, pool
+  * consistency) — facts an oracle restatement cannot itself certify.
+  */
+class Round17bOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("mann_whitney: rank-sum total identity and U bounds") {
+    val rows = run("mann_whitney").collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sfDir).count()
+    // Σ_s (u2 + n1(n1+1)) = Σ_s r1_2 = 2·Σ all midranks = N(N+1)
+    val totalR2 = rows.map { r =>
+      val n1 = r.getLong(1); val u2 = r.getLong(3)
+      u2 + n1 * (n1 + 1)
+    }.sum
+    assert(totalR2 == n * (n + 1), s"midrank total $totalR2 != ${n * (n + 1)}")
+    rows.foreach { r =>
+      val n1 = r.getLong(1); val n2 = r.getLong(2); val u2 = r.getLong(3)
+      assert(n1 + n2 == n)
+      assert(u2 >= 0L && u2 <= 2L * n1 * n2, s"u2=$u2 outside [0, 2·n1·n2]")
+      val cle = r.getLong(4)
+      assert(cle >= 0L && cle <= 1000000L)
+    }
+  }
+
+  test("token_gini: coefficient in [0, 1) per source, n/token totals consistent") {
+    val rows = run("token_gini").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getLong(3)
+      assert(g >= 0L && g < 1000000L, s"gini_e6=$g outside [0, 1e6)")
+      assert(r.getLong(1) > 0L && r.getLong(2) > 0L)
+    }
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == Tables.documents(spark, sfDir).count())
+  }
+
+  test("transition_entropy: 0 ≤ H ≤ ln k, row mass matches event_transitions") {
+    val ent = run("transition_entropy").collect()
+    assert(ent.nonEmpty)
+    ent.foreach { r =>
+      val k = r.getLong(2); val h = r.getLong(3)
+      assert(h >= 0L, s"negative entropy ${r.getString(0)}: $h")
+      // ln k upper bound with 1 µnat slop for the two floors
+      val cap = math.floor(math.log(k.toDouble) * 1e6 + 0.5).toLong + 1L
+      assert(h <= cap, s"H=$h exceeds ln(k)=$cap for ${r.getString(0)}")
+    }
+    // same Markov frame as event_transitions: per-prev row mass equal
+    val fromMatrix = run("event_transitions")
+      .groupBy("prev")
+      .agg(sum("n").as("n_out"), count(lit(1)).as("k_next"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    ent.foreach { r =>
+      assert(fromMatrix(r.getString(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+  }
+
+  test("knn_triangles: wedge bound, coefficient range") {
+    val r = run("knn_triangles").collect()
+    assert(r.length == 1)
+    val (ne, nw, nt, gcc) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    assert(ne > 0L && nw >= 0L && nt >= 0L)
+    // closed wedges (3 per triangle) are a subset of all wedges
+    assert(3L * nt <= nw, s"3·T=$nt exceeds wedges=$nw")
+    assert(gcc >= 0L && gcc <= 1000000L)
+  }
+
+  test("calinski_harabasz: W shared with kmeans_cost, positive index, counts exact") {
+    val r = run("calinski_harabasz").collect()
+    assert(r.length == 1)
+    val (n, kUsed, w, b, ch) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(n == Tables.embeddings(spark, sfDir).count())
+    assert(kUsed >= 1L && kUsed <= 8L)
+    // W is the SAME final-assignment SSE kmeans_cost declares
+    val wCost = run("kmeans_cost").agg(sum("sse")).collect()(0).getLong(0)
+    assert(w == wCost, s"w_sse=$w drifted from kmeans_cost total $wCost")
+    assert(b >= 0L && ch >= 0L)
+  }
+
+  test("map_eval: hits bounded and depth-monotone, AP ≤ 1") {
+    val rows = run("map_eval").collect()
+    assert(rows.length == 6) // 2 rankers × 3 depths
+    rows.foreach { r =>
+      val depth = r.getLong(1); val hits = r.getLong(2); val ap = r.getLong(3)
+      assert(hits >= 0L && hits <= math.min(depth, 12L))
+      assert(ap >= 0L && ap <= 1000000L)
+      if (hits == 0L) assert(ap == 0L)
+    }
+    Seq("bm25", "qlm").foreach { rk =>
+      val hs = rows.filter(_.getString(0) == rk).sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, s"$rk hits not depth-monotone")
+    }
+  }
+
+  test("knn_pagerank: teleport floor and bounded mass on the scaled graph") {
+    val rows = run("knn_pagerank").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(1)).sum
+    val scale = operators.DedupOps.PrScale
+    val base = (15L * scale) / (100L * n)
+    rows.foreach(r => assert(r.getLong(1) >= base, s"rank below teleport floor at ${r.getLong(0)}"))
+    // exact-integer recurrence only LOSES mass to floors, never gains:
+    // per round ≤ Σdeg (≤ 6n on the distinct symmetrized top-3 graph)
+    // from contribution divisions + 2n from the 85% scaling and base
+    // floors, + n at init — 100n comfortably covers 5 rounds
+    assert(total <= scale)
+    assert(total >= scale - 100L * n, s"mass $total leaked (scale $scale, n $n)")
+  }
+
+  test("source_diversity: HHI/inverse-Simpson duality and entropy cap") {
+    val r = run("source_diversity").collect()
+    assert(r.length == 1)
+    val (ns, nd, hhi, inv, h) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(nd == Tables.documents(spark, sfDir).count())
+    // HHI ranges over [1/k, 1]; inverse Simpson over [1, k]
+    assert(hhi >= 1000000L / ns - 1L && hhi <= 1000000L)
+    assert(inv >= 1000L && inv <= ns * 1000L)
+    // duality: hhi·inv ≈ 10⁹ up to the two truncations
+    val prod = hhi * inv
+    assert(prod <= 1000000000L && prod >= 1000000000L - (hhi + inv + 1L),
+      s"hhi·inv=$prod too far from 1e9")
+    val cap = math.floor(math.log(ns.toDouble) * 1e6 + 0.5).toLong + 1L
+    assert(h >= 0L && h <= cap)
+  }
+
+  test("mrr_eval: reciprocal exact, consistent with map_eval's shallow hits") {
+    val rows = run("mrr_eval").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("bm25", "qlm"))
+    val mapHits5 = run("map_eval")
+      .filter(col("depth") === 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val frr = r.getLong(1); val rr = r.getLong(2)
+      if (frr == 0L) assert(rr == 0L)
+      else {
+        assert(rr == 1000000L / frr)
+        // a first relevant hit within rank 5 must show as a depth-5 AP hit
+        if (frr <= 5L) assert(mapHits5(r.getString(0)) >= 1L)
+        else assert(mapHits5(r.getString(0)) == 0L || frr > 5L)
+      }
+    }
+  }
+}
