@@ -511,15 +511,95 @@ object TemporalOps extends QueryModule {
     * frame cannot drift between them (the `transitionEdges`
     * single-definition rule, one aggregation earlier).
     */
-  private def transitionCounts(s: SparkSession, d: String): DataFrame = {
+  private def transitionCounts(s: SparkSession, d: String): DataFrame =
+    transitionCountsFrom(events(s, d))
+
+  /** [[transitionCounts]] over an arbitrary events-shaped frame — the
+    * per-slice half of the streaming transition grain: a micro-batch
+    * slice reduces to its INTERNAL (prev, next) counts here; the one
+    * transition each per-user cut severs is restored by
+    * [[mergeTransitionGrain]] from the boundary grain.
+    */
+  private[graft] def transitionCountsFrom(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
-    events(s, d)
-      .select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    ev.select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("event_type").as("next"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** The boundary half of the transition grain: per user, the slice's
+    * first and last event types (ties broken on event_id — the same
+    * (t_us, event_id) order the lag window states), keyed so
+    * consecutive slices can re-derive the one severed transition.
+    * State is user-cardinality per slice, like the gap grain.
+    */
+  private[graft] def transitionBoundaryGrain(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+      .groupBy("user_id")
+      .agg(
+        min(struct(col("t_us"), col("event_id"), col("event_type"))).as("first"),
+        max(struct(col("t_us"), col("event_id"), col("event_type"))).as("last"),
+      )
+      .select(
+        col("user_id"),
+        col("first.t_us").as("first_us"),
+        col("first.event_id").as("first_eid"),
+        col("first.event_type").as("first_type"),
+        col("last.t_us").as("last_us"),
+        col("last.event_type").as("last_type"),
+      )
+
+  /** Merge transition-grain parts into the full-series (prev, next, n)
+    * frame: internal counts are additive; each per-user cut severed
+    * EXACTLY the (previous slice's last → this slice's first)
+    * transition, which the boundary grain re-derives by ordering each
+    * user's slices on their first endpoint (parts-per-user = slice
+    * count — the window frame is state-sized, never event-sized).
+    * Associative over any per-user TIME-CONTIGUOUS slicing (the gap
+    * grain's precondition); one part ≡ the batch frame.
+    */
+  private[graft] def mergeTransitionGrain(cnt: DataFrame, bnd: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("first_us"), col("first_eid"))
+    val boundary = bnd
+      .withColumn("prev", lag(col("last_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("first_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+    cnt.unionByName(boundary).groupBy("prev", "next").agg(sum("n").as("n"))
+  }
+
+  /** The per-prev share tail over ANY (prev, next, n) frame — shared by
+    * the declared `event_transitions` and the grain serve so the
+    * rendered matrix cannot drift between batch and stream.
+    */
+  private[graft] def transitionShareTail(counts: DataFrame): DataFrame = {
+    val wp = Window.partitionBy("prev")
+    counts
+      .withColumn("share", Disp.roundz(col("n").cast("double") / sum(col("n")).over(wp), 4))
+      .orderBy("prev", "next")
+  }
+
+  /** The conditional-entropy tail over ANY (prev, next, n) frame —
+    * shared by the declared `transition_entropy` and the grain serve.
+    */
+  private[graft] def transitionEntropyTail(counts: DataFrame): DataFrame =
+    counts
+      .withColumn("term_e6", expr("CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT)"))
+      .groupBy("prev")
+      .agg(
+        sum(col("n")).as("n_out"),
+        count(lit(1)).as("k_next"),
+        sum(col("term_e6")).as("sum_e6"),
+      )
+      .withColumn(
+        "entropy_e6",
+        expr("""CAST(floor(ln(n_out) * 1000000.0 + 0.5) AS BIGINT)
+                - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n_out AS DOUBLE) + 0.5) AS BIGINT)"""),
+      )
+      .select("prev", "n_out", "k_next", "entropy_e6")
+      .orderBy("prev")
 
   /** The shared DuckDB statement of [[transitionCounts]] — a CTE chain
     * ending in `t(prev, next, n)`, interpolated into both consumers.
@@ -541,12 +621,7 @@ object TemporalOps extends QueryModule {
     */
   private val eventTransitions = DeclaredQuery(
     "event_transitions",
-    (s, d) => {
-      val wp = Window.partitionBy("prev")
-      transitionCounts(s, d)
-        .withColumn("share", Disp.roundz(col("n").cast("double") / sum(col("n")).over(wp), 4))
-        .orderBy("prev", "next")
-    },
+    (s, d) => transitionShareTail(transitionCounts(s, d)),
     Some(s"""WITH $transitionCountsDuckCtes
             SELECT prev, next, n,
                    round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 4) AS share
@@ -571,22 +646,7 @@ object TemporalOps extends QueryModule {
     */
   private val transitionEntropy = DeclaredQuery(
     "transition_entropy",
-    (s, d) =>
-      transitionCounts(s, d)
-        .withColumn("term_e6", expr("CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT)"))
-        .groupBy("prev")
-        .agg(
-          sum(col("n")).as("n_out"),
-          count(lit(1)).as("k_next"),
-          sum(col("term_e6")).as("sum_e6"),
-        )
-        .withColumn(
-          "entropy_e6",
-          expr("""CAST(floor(ln(n_out) * 1000000.0 + 0.5) AS BIGINT)
-                  - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n_out AS DOUBLE) + 0.5) AS BIGINT)"""),
-        )
-        .select("prev", "n_out", "k_next", "entropy_e6")
-        .orderBy("prev"),
+    (s, d) => transitionEntropyTail(transitionCounts(s, d)),
     Some(s"""WITH $transitionCountsDuckCtes,
             tt AS (SELECT prev, n,
                           CAST(floor(n * ln(n) * 1000000.0 + 0.5) AS BIGINT) AS term_e6

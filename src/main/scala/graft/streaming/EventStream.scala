@@ -736,6 +736,72 @@ object EventStream {
       graft.operators.TemporalOps.mergeGapGrain(gapPartsFromState(spark, stateDir)),
     )
 
+  /** Streaming store for the TRANSITION grain — the Markov family's
+    * serve (`event_transitions` share matrix + `transition_entropy`):
+    * per micro-batch, the slice reduces to its internal (prev, next)
+    * counts plus a user-cardinality boundary table (first/last event
+    * type per user). A per-user time cut severs EXACTLY one transition
+    * per straddling user, which the merge re-derives from consecutive
+    * slices' boundary rows — the gap grain's precondition and
+    * correction, at the type-pair grain. Same foreachBatch/Overwrite
+    * idempotent-replay contract and bid-0 stale-lineage wipe as the
+    * other grain stores.
+    */
+  def startTransitionGrain(
+      events: DataFrame,
+      stateDir: String,
+      checkpointDir: String,
+  ): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[Row], bid: Long) =>
+        if (bid == 0L) {
+          val p = new org.apache.hadoop.fs.Path(stateDir)
+          val fs = p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+        graft.operators.TemporalOps
+          .transitionCountsFrom(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid/cnt")
+        graft.operators.TemporalOps
+          .transitionBoundaryGrain(batch.toDF())
+          .write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$stateDir/batch_$bid/bnd")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def transitionCountsFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty) {
+      val cnt = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("prev", StringType),
+          StructField("next", StringType),
+          StructField("n", LongType),
+        )),
+      )
+      cnt
+    } else
+      graft.operators.TemporalOps.mergeTransitionGrain(
+        spark.read.parquet(s"$stateDir/batch_*/cnt"),
+        spark.read.parquet(s"$stateDir/batch_*/bnd"),
+      )
+  }
+
+  /** Serve the `event_transitions` share matrix from the live grain. */
+  def eventTransitionsFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.transitionShareTail(transitionCountsFromState(spark, stateDir))
+
+  /** Serve `transition_entropy` from the live grain. */
+  def transitionEntropyFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.transitionEntropyTail(transitionCountsFromState(spark, stateDir))
+
   /** Streaming store for the conversion-survival grain: per
     * micro-batch, the slice reduces to per-user (first event day,
     * first purchase day) — BOTH conditional MINs, so overlapping or

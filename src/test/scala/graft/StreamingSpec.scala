@@ -1823,6 +1823,65 @@ class StreamingSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("continuous transition grain serves the exact Markov matrix and entropy") {
+    import org.apache.spark.sql.functions._
+    // TIME-contiguous slices (the boundary merge's documented
+    // precondition): each cut severs one (prev → next) transition per
+    // straddling user, so the boundary-grain correction is really
+    // exercised — per-slice internal counts alone would undercount.
+    val streamDir = Files.createTempDirectory("trans-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    val bounds = ev.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"),
+    ).collect()(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (c1, c2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    ev.filter(unix_micros(col("ts")) <= c1)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(unix_micros(col("ts")) > c1 && unix_micros(col("ts")) <= c2)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    ev.filter(unix_micros(col("ts")) > c2)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    val stateDir = Files.createTempDirectory("trans-state").toString
+    def runLoop(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir)
+      val q = EventStream.startTransitionGrain(stream, stateDir, ck)
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+    }
+    runLoop(Files.createTempDirectory("ck-trans").toString)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq.toSet
+    val batchMatrix = canon(SparkEntry.queries("event_transitions")(spark, sfDir))
+    assert(batchMatrix.nonEmpty &&
+      canon(EventStream.eventTransitionsFromState(spark, stateDir)) == batchMatrix,
+      "event_transitions served from the grain must equal the declared batch query")
+    val batchEntropy = canon(SparkEntry.queries("transition_entropy")(spark, sfDir))
+    assert(canon(EventStream.transitionEntropyFromState(spark, stateDir)) == batchEntropy,
+      "transition_entropy served from the grain must equal the declared batch query")
+    // non-vacuous: the cuts really severed transitions — internal
+    // counts alone are strictly short of the batch total
+    val internal = spark.read.parquet(s"$stateDir/batch_*/cnt")
+      .agg(coalesce(sum("n"), lit(0L))).collect()(0).getLong(0)
+    val total = SparkEntry.queries("event_transitions")(spark, sfDir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(internal < total,
+      "no transition straddled a slice boundary — the merge was not exercised")
+    // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
+    // the bid-0 wipe rewrites identical parts, no double count
+    runLoop(Files.createTempDirectory("ck-trans2").toString)
+    assert(canon(EventStream.eventTransitionsFromState(spark, stateDir)) == batchMatrix,
+      "a replayed lineage must not duplicate transition counts")
+    // zero-batch state serves the defined empty report
+    val empty = Files.createTempDirectory("trans-empty").toString
+    val none = EventStream.transitionEntropyFromState(spark, s"$empty/never")
+    assert(none.columns.toSeq == Seq("prev", "n_out", "k_next", "entropy_e6"))
+    assert(none.count() == 0)
+  }
+
   test("continuous moment partials serve the exact batch principal direction") {
     import org.apache.spark.sql.functions._
     // id-parity split: both batches contribute to every moment cell, so
