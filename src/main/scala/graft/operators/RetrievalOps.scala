@@ -1210,7 +1210,82 @@ object RetrievalOps extends QueryModule {
              FROM rk LEFT JOIN fr USING (ranker) ORDER BY rk.ranker"""),
   )
 
+  /** Kendall τ-b rank correlation between the two lexical arms — the
+    * ORDER-sensitive companion to `ranker_agreement`'s set-overlap
+    * curve: two rankers can share every document yet order them
+    * oppositely (overlap 1.0, τ −1), which is exactly what decides
+    * whether fusing them (`rrf_fusion`) adds signal or noise. Computed
+    * over the union of both top-k lists with the beyond-k sentinel rank
+    * k+1 (absent-from-a-list is "tied below the horizon" — the standard
+    * truncated-list convention, and the source of the tie correction
+    * τ-b exists for).
+    *
+    * Exactness: concordant/discordant/tie counts are exact integers
+    * over the ≤ C(2k,2) bounded pair frame; τ-b's sqrt denominator is
+    * the one float, stated as the IDENTICAL expression text in both
+    * engines from exact inputs, ×10³-floored; NULL when either arm is
+    * fully tied (den 0).
+    *
+    * Scale: the arms are the shared corpus top-k scans; the pair frame
+    * is ≤ 40×40 rows — driver-scale math kept declarative.
+    */
+  private val kendallTau = DeclaredQuery(
+    "kendall_tau",
+    (s, d) => {
+      val beyond = BmTopK.toLong + 1L
+      val lex = bm25Ranked(s, d).select(col("doc_id"), col("rank").as("rl"))
+      val qr = qlmRanked(s, d).select(col("doc_id"), col("rank").as("rq"))
+      val u = lex
+        .join(qr, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("rl"), lit(beyond)).as("x"),
+          coalesce(col("rq"), lit(beyond)).as("y"),
+        )
+      val a = u.select(col("doc_id").as("ida"), col("x").as("xa"), col("y").as("ya"))
+      val b = u.select(col("doc_id").as("idb"), col("x").as("xb"), col("y").as("yb"))
+      a.crossJoin(b)
+        .filter(col("ida") < col("idb"))
+        .agg(
+          count(lit(1)).as("t0"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) > 0L, 1L).otherwise(0L))
+            .as("n_c"),
+          sum(when((col("xa") - col("xb")) * (col("ya") - col("yb")) < 0L, 1L).otherwise(0L))
+            .as("n_d"),
+          sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+          sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"),
+        )
+        .withColumn(
+          "tau_e3",
+          expr("""CASE WHEN t0 - tx = 0 OR t0 - ty = 0 THEN NULL ELSE
+                  CAST(floor(CAST(n_c - n_d AS DOUBLE)
+                    / sqrt(CAST(t0 - tx AS DOUBLE) * CAST(t0 - ty AS DOUBLE))
+                    * 1000.0 + 0.5) AS BIGINT) END"""),
+        )
+        .orderBy("t0")
+    },
+    Some(s"""WITH $evalArmsDuckCtes,
+             lexq AS (SELECT doc_id, rank FROM br WHERE rank <= $BmTopK),
+             qlmq AS (SELECT doc_id, rank FROM qr2 WHERE rank <= $QlmTopK),
+             uq AS MATERIALIZED (SELECT coalesce(l.doc_id, q.doc_id) AS doc_id,
+                          CAST(coalesce(l.rank, ${BmTopK + 1}) AS BIGINT) AS x,
+                          CAST(coalesce(q.rank, ${BmTopK + 1}) AS BIGINT) AS y
+                   FROM lexq l FULL OUTER JOIN qlmq q ON l.doc_id = q.doc_id),
+             g AS (SELECT CAST(count(*) AS BIGINT) AS t0,
+                          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+                          CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+                          CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+                          CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS ty
+                   FROM uq a JOIN uq b ON a.doc_id < b.doc_id)
+             SELECT t0, n_c, n_d, tx, ty,
+                    CASE WHEN t0 - tx = 0 OR t0 - ty = 0 THEN NULL ELSE
+                    CAST(floor(CAST(n_c - n_d AS DOUBLE)
+                      / sqrt(CAST(t0 - tx AS DOUBLE) * CAST(t0 - ty AS DOUBLE))
+                      * 1000.0 + 0.5) AS BIGINT) END AS tau_e3
+             FROM g ORDER BY t0"""),
+  )
+
   override def queries: Seq[DeclaredQuery] =
     Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
-      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval, mapEval, mrrEval)
+      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval, mapEval, mrrEval, kendallTau)
 }

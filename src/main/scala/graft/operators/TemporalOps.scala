@@ -2542,6 +2542,87 @@ object TemporalOps extends QueryModule {
             FROM r WHERE rk = 1 ORDER BY event_type"""),
   )
 
+  /** Pettitt change-point test per feed (Pettitt 1979) — the RANK-based
+    * companion to `cusum_changepoint`: U_t = Σ_{i≤t}Σ_{j>t} sgn(xᵢ−xⱼ)
+    * peaks where the day-count distribution's MEDIAN shifts, immune to
+    * the single-outlier days that drag a mean-based CUSUM (a one-day
+    * traffic spike moves Σ(x−x̄) a lot, a rank sum by one). The pair
+    * double-sum collapses to a running sum of per-day rank scores:
+    * U_t = Σ_{i≤t} sᵢ with sᵢ = #{x<xᵢ} − #{x>xᵢ} = 2·cntlt + tie − n
+    * read off the per-type VALUE GRAIN (the `mann_whitney` midrank
+    * construction, partitioned by feed) — O(days) work, never the
+    * O(days²) pair frame. All integers exact (|U| ≤ n²: calendar-
+    * bounded forever); t ranges 1..n−1 by definition, ties on |U|
+    * break to the earliest day.
+    *
+    * Scale: rides the shared type-day grain (the corpus-sized step);
+    * the value-grain window and the day-order running sum run per type
+    * over calendar-bounded rows.
+    */
+  private[graft] def pettittFrom(dayCounts: DataFrame): DataFrame = {
+    val hist = dayCounts.groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+    val wv = Window
+      .partitionBy("event_type")
+      .orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cumlt", coalesce(sum("cnt").over(wv), lit(0L)))
+      .select(col("event_type"), col("c"), col("cumlt"), col("cnt"))
+    val tot = dayCounts.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val wd = Window
+      .partitionBy("event_type")
+      .orderBy("day_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy("event_type").orderBy(abs(col("u")).desc, col("day_no"))
+    dayCounts
+      .join(ranked, Seq("event_type", "c")) // day-grain × value grain: calendar-bounded
+      .join(tot, Seq("event_type"))
+      .withColumn("s_i", lit(2L) * col("cumlt") + col("cnt") - col("n_days"))
+      .withColumn("u", sum("s_i").over(wd))
+      .withColumn("last_day", max("day_no").over(Window.partitionBy("event_type")))
+      .filter(col("day_no") < col("last_day"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(
+        col("event_type"),
+        col("n_days"),
+        col("day_no").as("cp_day"),
+        abs(col("u")).as("k_stat"),
+        col("u").as("u_peak"),
+      )
+      .orderBy("event_type")
+  }
+
+  private val pettittChangepoint = DeclaredQuery(
+    "pettitt_changepoint",
+    (s, d) => pettittFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            hist AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS cnt FROM dc GROUP BY 1, 2),
+            rkv AS (SELECT event_type, c, cnt,
+                           coalesce(sum(cnt) OVER (PARTITION BY event_type ORDER BY c
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumlt
+                    FROM hist),
+            tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days FROM dc GROUP BY 1),
+            sv AS (SELECT dc.event_type, dc.day_no,
+                          2 * r.cumlt + r.cnt - t.n_days AS s_i, t.n_days
+                   FROM dc JOIN rkv r ON dc.event_type = r.event_type AND dc.c = r.c
+                           JOIN tot t ON dc.event_type = t.event_type),
+            u AS (SELECT event_type, day_no, n_days,
+                         CAST(sum(s_i) OVER (PARTITION BY event_type ORDER BY day_no
+                                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS u,
+                         max(day_no) OVER (PARTITION BY event_type) AS last_day
+                  FROM sv),
+            p AS (SELECT event_type, day_no, n_days, u,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY abs(u) DESC, day_no) AS rk2
+                  FROM u WHERE day_no < last_day)
+            SELECT event_type, n_days, day_no AS cp_day, abs(u) AS k_stat, u AS u_peak
+            FROM p WHERE rk2 = 1 ORDER BY event_type"""),
+  )
+
   private val trafficAnomaly = DeclaredQuery(
     "traffic_anomaly",
     (s, d) => anomalyFrom(typeDayCounts(events(s, d))),
@@ -3145,5 +3226,6 @@ object TemporalOps extends QueryModule {
       firstTouchAttribution, lastTouchAttribution, conversionWindowAttribution, gapBurstiness,
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
       maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
-      assocRules, hitsScores, mannKendall, theilSen, acfLag7, transitionEntropy)
+      assocRules, hitsScores, mannKendall, theilSen, acfLag7, transitionEntropy,
+      pettittChangepoint)
 }

@@ -140,6 +140,37 @@ class Round17bOpsSpec extends SparkSpec {
     assert(h >= 0L && h <= cap)
   }
 
+  test("pettitt_changepoint: statistic bound, feed set shared with cusum") {
+    val pet = run("pettitt_changepoint").collect()
+    assert(pet.nonEmpty)
+    val cus = run("cusum_changepoint").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    pet.foreach { r =>
+      val (tpe, n, cp, k, u) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // same type-day grain as cusum: identical feed set and day counts
+      assert(cus(tpe) == n, s"$tpe n_days drifted from cusum's grain")
+      assert(k == math.abs(u))
+      // |U_t| = |Σ_{i≤t}Σ_{j>t} sgn| ≤ t(n−t) ≤ ⌊n²/4⌋
+      assert(k <= n * n / 4L, s"$tpe k_stat=$k exceeds n²/4")
+      assert(cp >= 0L)
+    }
+  }
+
+  test("kendall_tau: pair partition identity and bounded correlation") {
+    val r = run("kendall_tau").collect()
+    assert(r.length == 1)
+    val (t0, nc, nd, tx, ty) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    assert(nc + nd <= t0)
+    // a pair neither concordant nor discordant is tied in x or in y
+    assert(nc + nd + tx + ty >= t0, "untied pair counted as neither C nor D")
+    if (!r(0).isNullAt(5)) {
+      val tau = r(0).getLong(5)
+      assert(tau >= -1000L && tau <= 1000L)
+    }
+  }
+
   test("mrr_eval: reciprocal exact, consistent with map_eval's shallow hits") {
     val rows = run("mrr_eval").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("bm25", "qlm"))
