@@ -665,6 +665,12 @@ object EventStream {
   def acfLag7FromState(spark: SparkSession, stateDir: String): DataFrame =
     graft.operators.TemporalOps.acfLag7From(typeDayFromState(spark, stateDir))
 
+  /** Serve the Pettitt change point from the same live grain (twelfth
+    * consumer) — the midrank scores derive from the merged counts.
+    */
+  def pettittFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.pettittFrom(typeDayFromState(spark, stateDir))
+
   /** Continuous burstiness screening — the per-(slice, user) gap-moment
     * grain behind `gap_burstiness` kept live (the round-15 "documented
     * follow-up" shipped): each micro-batch reduces to the SHARED

@@ -1679,6 +1679,9 @@ class StreamingSpec extends SparkSpec {
     val acfBatch = SparkEntry.queries("acf_lag7")(spark, sfDir)
     assert(canon(EventStream.acfLag7FromState(spark, stateDir)) == canon(acfBatch),
       "lag-7 autocorrelation served from grain must equal the declared batch report")
+    val petBatch = SparkEntry.queries("pettitt_changepoint")(spark, sfDir)
+    assert(canon(EventStream.pettittFromState(spark, stateDir)) == canon(petBatch),
+      "Pettitt change-point served from grain must equal the declared batch report")
     // crash-replay: additive counts need the bid-0 wipe — a replayed
     // lineage must not double day totals
     runLoop(Files.createTempDirectory("ck-tday2").toString)
