@@ -1169,31 +1169,44 @@ object CurationOps extends QueryModule {
     * Scale: one (source) grain agg — the only corpus-touching step —
     * then a |sources|-row rollup. Nothing else moves.
     */
+  /** The diversity rollup over ANY (source, c) count frame — shared by
+    * the declared `source_diversity` and the streaming serve
+    * ([[graft.streaming.DocIngest.sourceDiversityFromState]], which
+    * feeds it the merged reputation partials' additive doc counts), so
+    * batch and stream state the same statistics.
+    */
+  private[graft] def sourceDiversityFrom(
+      counts: org.apache.spark.sql.DataFrame,
+  ): org.apache.spark.sql.DataFrame =
+    counts
+      .withColumn("term_e6", expr("CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)"))
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum("c").as("n_docs"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"),
+        sum("term_e6").as("sum_e6"),
+      )
+      .select(
+        col("n_sources"),
+        col("n_docs"),
+        expr("""CAST((sumsq * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""")
+          .as("hhi_e6"),
+        expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000) DIV nullif(sumsq, 0) AS BIGINT)""")
+          .as("inv_simpson_e3"),
+        expr("""CAST(floor(ln(n_docs) * 1000000.0 + 0.5) AS BIGINT)
+                - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT)""")
+          .as("entropy_e6"),
+      )
+      .orderBy("n_sources")
+
   private val sourceDiversity = DeclaredQuery(
     "source_diversity",
     (s, d) =>
-      documents(s, d)
-        .groupBy("source")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("term_e6", expr("CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT)"))
-        .agg(
-          count(lit(1)).as("n_sources"),
-          sum("c").as("n_docs"),
-          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"),
-          sum("term_e6").as("sum_e6"),
-        )
-        .select(
-          col("n_sources"),
-          col("n_docs"),
-          expr("""CAST((sumsq * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs) AS BIGINT)""")
-            .as("hhi_e6"),
-          expr("""CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000) DIV nullif(sumsq, 0) AS BIGINT)""")
-            .as("inv_simpson_e3"),
-          expr("""CAST(floor(ln(n_docs) * 1000000.0 + 0.5) AS BIGINT)
-                  - CAST(floor(CAST(sum_e6 AS DOUBLE) / CAST(n_docs AS DOUBLE) + 0.5) AS BIGINT)""")
-            .as("entropy_e6"),
-        )
-        .orderBy("n_sources"),
+      sourceDiversityFrom(
+        documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("c")),
+      ),
     Some("""WITH sc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1),
             t AS (SELECT c, CAST(floor(c * ln(c) * 1000000.0 + 0.5) AS BIGINT) AS term_e6 FROM sc),
             g AS (SELECT count(*) AS n_sources, CAST(sum(c) AS BIGINT) AS n_docs,

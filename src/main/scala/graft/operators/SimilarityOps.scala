@@ -2404,6 +2404,63 @@ object SimilarityOps extends QueryModule {
     },
   )
 
+  /** Embedding-space eval-set contamination screen — the semantic twin
+    * of `contamination_check`'s n-gram membership test, which paraphrase
+    * and truncation evade: every held-out (benchmark) vector is checked
+    * for its nearest TRAINING-corpus neighbor by exact cosine, and a
+    * near-1 match flags the training document as a leaked/near-dup copy
+    * of the eval row. Benchmark membership is the deterministic
+    * vec_id ≡ 0 (mod [[SemConMod]]) slice; the threshold is a model
+    * constant on the 6-dp sim both engines share.
+    *
+    * Scale: the ONE canonical small-set × corpus shape — benchmark rows
+    * broadcast, one corpus scan, per-partition partial max, k-row
+    * result. No shuffle of the corpus, no pair materialization; the
+    * brute-force arm is exact (this is the recall-1.0 tier the ANN
+    * family's screens approximate).
+    */
+  private val SemConMod = 50L
+  private val SemConThreshold = 0.9
+  private val semanticContamination = DeclaredQuery(
+    "semantic_contamination",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = embeddings(s, d)
+        .withColumn("dvec", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      val bench = e
+        .filter(col("vec_id") % SemConMod === 0L)
+        .select(col("vec_id").as("bid"), col("dvec").as("qv"))
+      val corpus = e
+        .filter(col("vec_id") % SemConMod =!= 0L)
+        .select(col("vec_id").as("cid"), col("dvec").as("cv"))
+      corpus
+        .crossJoin(broadcast(bench))
+        .withColumn("sim", Disp.roundz(expr("cosine_similarity(qv, cv)"), 6))
+        .groupBy("bid")
+        .agg(max(struct(col("sim"), (-col("cid")).as("ncid"))).as("best"))
+        .select(
+          col("bid"),
+          (-col("best.ncid")).as("top_doc"),
+          col("best.sim").as("sim"),
+          (col("best.sim") >= lit(SemConThreshold)).as("contaminated"),
+        )
+        .orderBy("bid")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             b AS (SELECT vec_id AS bid, dvec, nrm FROM e WHERE vec_id % $SemConMod = 0),
+             c AS (SELECT vec_id AS cid, dvec, nrm FROM e WHERE vec_id % $SemConMod <> 0),
+             p AS (SELECT b.bid, c.cid,
+                          (round(list_inner_product(b.dvec, c.dvec) / (b.nrm * c.nrm), 6) + 0.0) AS sim
+                   FROM b CROSS JOIN c),
+             r AS (SELECT bid, cid, sim,
+                          row_number() OVER (PARTITION BY bid ORDER BY sim DESC, cid) AS rk
+                   FROM p)
+             SELECT bid, cid AS top_doc, sim, sim >= $SemConThreshold AS contaminated
+             FROM r WHERE rk = 1 ORDER BY bid"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cosineTopk, cosineLshAnn, cosineNearDup, semanticDedup, semanticDedupScaled, aucScore,
       knnModularity,
@@ -2414,5 +2471,5 @@ object SimilarityOps extends QueryModule {
       knnGraphScaled, knnReciprocityScaled, dbscanClusters,
       knnComponentsScaled, knnLabelAgreementScaled, hubnessStatsScaled, knnClusterPurityScaled,
       labelPropagationScaled, knnModularityScaled, dbscanClustersScaled, intrinsicDim,
-      knnAssortativity, knnTriangles, knnPagerank)
+      knnAssortativity, knnTriangles, knnPagerank, semanticContamination)
 }

@@ -484,6 +484,32 @@ object DocIngest {
     graft.operators.CurationOps.reputationFrom(merged)
   }
 
+  /** Serve the corpus source-diversity profile from the SAME landed
+    * reputation partials — the doc counts are the only input
+    * `source_diversity` needs and they are plainly additive, so the
+    * store serves a second dashboard for free (byte-identical to the
+    * declared query via the shared
+    * [[graft.operators.CurationOps.sourceDiversityFrom]] tail).
+    */
+  def sourceDiversityFromState(spark: SparkSession, stateDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val counts =
+      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType),
+          )),
+        )
+      else
+        spark.read
+          .parquet(s"$stateDir/batch_*")
+          .groupBy("source")
+          .agg(sum(col("n_docs")).as("c"))
+    graft.operators.CurationOps.sourceDiversityFrom(counts)
+  }
+
   /** Streaming store for the PSI drift grain: per micro-batch, the doc
     * slice reduces to (source, 64-char bin, count) — additive partials
     * with the same foreachBatch/Overwrite idempotent-replay contract

@@ -140,6 +140,20 @@ class Round17bOpsSpec extends SparkSpec {
     assert(h >= 0L && h <= cap)
   }
 
+  test("semantic_contamination: benchmark slice exact, flags consistent") {
+    val rows = run("semantic_contamination").collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(rows.length == ((n + 49) / 50).toInt, "one row per benchmark vector")
+    rows.foreach { r =>
+      val (bid, top, sim, flag) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+      assert(bid % 50L == 0L, "benchmark membership is the mod-50 slice")
+      assert(top % 50L != 0L, "top match must come from the training corpus")
+      assert(sim <= 1.000001 && sim >= -1.000001)
+      assert(flag == (sim >= 0.9), "flag must restate the threshold on the 6-dp sim")
+    }
+  }
+
   test("pettitt_changepoint: statistic bound, feed set shared with cusum") {
     val pet = run("pettitt_changepoint").collect()
     assert(pet.nonEmpty)

@@ -1513,6 +1513,12 @@ class StreamingSpec extends SparkSpec {
     val batch = operators.CurationOps.reputationFrom(operators.CurationOps.sourcePartials(docs))
     assert(canon(served) == canon(batch) && served.count() > 0,
       "merged streamed source partials must equal the one-shot reputation report")
+    // the SAME landed partials serve the diversity dashboard too —
+    // byte-identical to the declared one-shot query
+    def canonAll(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq.toSet
+    val divBatch = SparkEntry.queries("source_diversity")(spark, sfDir)
+    assert(canonAll(DocIngest.sourceDiversityFromState(spark, stateDir)) == canonAll(divBatch),
+      "source_diversity served from the reputation partials must equal the declared batch query")
     // crash-replay: a fresh checkpoint lineage re-enters at batch 0 —
     // the wipe discipline rewrites identical partials, no double count
     runLoop(Files.createTempDirectory("ck-rep2").toString)
