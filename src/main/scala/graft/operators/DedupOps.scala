@@ -2136,13 +2136,53 @@ object DedupOps extends QueryModule {
              FROM ov ORDER BY lang"""),
   )
 
+  /** Cross-source duplication matrix — which crawls copy each other:
+    * for every pair of sources, how many near-dup CLUSTERS contain
+    * documents from both (the provenance view of the dedup graph that
+    * `dedup_loss_by_source`'s per-source loss cannot show — a source
+    * can lose 30% to itself or to one upstream mirror, and only the
+    * pair matrix tells which). Rides the SHARED cc-labels substrate.
+    *
+    * Scale: the (cluster, source) frame is one distinct over the label
+    * join — per cluster at most |sources| rows, so the within-cluster
+    * pair self-join is |sources|²-bounded per cluster regardless of
+    * cluster SIZE (the giant-cluster pair explosion cannot happen at
+    * this grain). Output is ≤ C(|sources|, 2) rows.
+    */
+  private val crossSourceDup = DeclaredQuery(
+    "cross_source_dup",
+    (s, d) => {
+      val cs = ccLabels(s, d)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(documents(s, d).select("doc_id", "source"), Seq("doc_id"))
+        .select("cluster_id", "source")
+        .distinct()
+      cs.select(col("cluster_id"), col("source").as("source_a"))
+        .join(cs.select(col("cluster_id"), col("source").as("source_b")), Seq("cluster_id"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH RECURSIVE $hashedGramsDuck,
+             ${jaccardPairsDuck(0.3, Some(DefaultMaxDf))},
+             $ccLabelsDuck,
+             cs AS MATERIALIZED (SELECT DISTINCT l.cluster_id, doc.source
+                    FROM lbl l JOIN documents doc ON l.doc_id = doc.doc_id)
+             SELECT a.source AS source_a, b.source AS source_b,
+                    CAST(count(*) AS BIGINT) AS n_clusters
+             FROM cs a JOIN cs b ON a.cluster_id = b.cluster_id AND a.source < b.source
+             GROUP BY 1, 2 ORDER BY 1, 2"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(ngramJaccard, minhashNearDup, simhashNearDup, dedupClusters, clusterKeeper,
       incrementalDedup, fuzzyNameJoin, fuzzyTriangles, fuzzyPagerank, repeatedSpansQ,
       spanScrub, leakageSafeSplit, clusterSizeHist, minhashEst, simhashEst,
       sourceOverlap, jaccardThresholdSweep, dupTokenFraction, recordLinkage,
       dedupSweepCost, containmentDedup, minhashBandStats, dedupLossBySource,
-      splitLeakAudit, dupQualityProfile, simhashBitBalance, splitNgramOverlap)
+      splitLeakAudit, dupQualityProfile, simhashBitBalance, splitNgramOverlap,
+      crossSourceDup)
 
   /** Incremental near-dup check: a NEW batch of documents against an
     * existing corpus (plus the batch itself) — the shape production

@@ -1285,7 +1285,82 @@ object RetrievalOps extends QueryModule {
              FROM g ORDER BY t0"""),
   )
 
+  /** Spearman ρ between the two lexical arms over the same
+    * union-of-top-k frame as `kendall_tau` (beyond-k docs take the
+    * MIDRANK of the sentinel tie group, doubled to stay integral) —
+    * the magnitude-of-displacement view where τ counts inversions.
+    *
+    * Exactness — fully exact, no float at all: both arms emit a
+    * complete top-k over the same union, so the two midrank columns
+    * share one value MULTISET; Σx = Σy and Σx² = Σy² make Pearson's
+    * sqrt denominator a perfect square, and ρ collapses to
+    * (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — one truncating ×10³ integral
+    * division on DECIMAL(38,0) moments (the `knn_assortativity`
+    * construction), engine-identical at both signs. NULL on a
+    * degenerate all-tied frame. Precondition (holds at every gate sf
+    * and is what the shared-multiset cancellation rests on): both arms
+    * fill their complete top-k — i.e. ≥ k docs match ≥ 1 query term.
+    */
+  private val spearmanRho = DeclaredQuery(
+    "spearman_rho",
+    (s, d) => {
+      val beyond = BmTopK.toLong + 1L
+      val lex = bm25Ranked(s, d).select(col("doc_id"), col("rank").as("rl"))
+      val qr = qlmRanked(s, d).select(col("doc_id"), col("rank").as("rq"))
+      val u = lex
+        .join(qr, Seq("doc_id"), "full_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("rl"), lit(beyond)).as("x"),
+          coalesce(col("rq"), lit(beyond)).as("y"),
+        )
+      val m = u.agg(
+        sum(when(col("x") === beyond, 1L).otherwise(0L)).as("mx"),
+      )
+      u.crossJoin(broadcast(m))
+        .withColumn("x2", when(col("x") < lit(beyond), lit(2L) * col("x")).otherwise(lit(41L) + col("mx")))
+        .withColumn("y2", when(col("y") < lit(beyond), lit(2L) * col("y")).otherwise(lit(41L) + col("mx")))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum("x2").as("sx"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * y2")).as("sxy"),
+          sum(expr("CAST(x2 AS DECIMAL(38,0)) * x2")).as("sxx"),
+        )
+        .withColumn(
+          "rho_e3",
+          expr("""CAST(((CAST(n_items AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx) * 1000)
+                 | DIV nullif(CAST(n_items AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 0)
+                 | AS BIGINT)""".stripMargin),
+        )
+        .select("n_items", "rho_e3")
+        .orderBy("n_items")
+    },
+    Some(s"""WITH $evalArmsDuckCtes,
+             lexq AS (SELECT doc_id, rank FROM br WHERE rank <= $BmTopK),
+             qlmq AS (SELECT doc_id, rank FROM qr2 WHERE rank <= $QlmTopK),
+             uq AS MATERIALIZED (SELECT coalesce(l.doc_id, q.doc_id) AS doc_id,
+                          CAST(coalesce(l.rank, ${BmTopK + 1}) AS BIGINT) AS x,
+                          CAST(coalesce(q.rank, ${BmTopK + 1}) AS BIGINT) AS y
+                   FROM lexq l FULL OUTER JOIN qlmq q ON l.doc_id = q.doc_id),
+             mm AS (SELECT CAST(sum(CASE WHEN x = ${BmTopK + 1} THEN 1 ELSE 0 END) AS BIGINT) AS mx
+                    FROM uq),
+             z AS (SELECT CASE WHEN x < ${BmTopK + 1} THEN 2 * x ELSE 41 + mx END AS x2,
+                          CASE WHEN y < ${BmTopK + 1} THEN 2 * y ELSE 41 + mx END AS y2
+                   FROM uq CROSS JOIN mm),
+             g AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+                          CAST(sum(x2) AS BIGINT) AS sx,
+                          sum(CAST(x2 AS HUGEINT) * y2) AS sxy,
+                          sum(CAST(x2 AS HUGEINT) * x2) AS sxx
+                   FROM z)
+             SELECT n_items,
+                    CAST(((CAST(n_items AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx) * 1000)
+                         // nullif(CAST(n_items AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 0) AS BIGINT)
+                      AS rho_e3
+             FROM g ORDER BY n_items"""),
+  )
+
   override def queries: Seq[DeclaredQuery] =
     Seq(contaminationCheck, tfidfKeywords, bm25Rank, rrfFusion, dirichletQlm, rankerAgreement,
-      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval, mapEval, mrrEval, kendallTau)
+      mmrRerank, rm3Expansion, rocchioRerank, ndcgEval, mapEval, mrrEval, kendallTau,
+      spearmanRho)
 }

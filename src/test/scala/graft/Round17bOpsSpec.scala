@@ -185,6 +185,38 @@ class Round17bOpsSpec extends SparkSpec {
     }
   }
 
+  test("spearman_rho: bounded, frame shared with kendall_tau") {
+    val sp = run("spearman_rho").collect()
+    assert(sp.length == 1)
+    val n = sp(0).getLong(0)
+    if (!sp(0).isNullAt(1)) {
+      val rho = sp(0).getLong(1)
+      assert(rho >= -1000L && rho <= 1000L)
+    }
+    // same union-of-top-k frame as kendall: t0 = C(n, 2)
+    val t0 = run("kendall_tau").collect()(0).getLong(0)
+    assert(t0 == n * (n - 1) / 2, s"kendall pair count $t0 != C($n,2)")
+  }
+
+  test("cross_source_dup: pair matrix consistent with the cluster substrate") {
+    val rows = run("cross_source_dup").collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "matrix must be upper-triangular")
+      assert(r.getLong(2) >= 1L)
+    }
+    // every pair count is bounded by the number of multi-source clusters
+    val multi = run("dedup_clusters")
+      .join(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("source")),
+        Seq("doc_id"),
+      )
+      .groupBy("cluster_id")
+      .agg(countDistinct("source").as("ns"))
+      .filter(col("ns") >= 2)
+      .count()
+    rows.foreach(r => assert(r.getLong(2) <= multi, "pair count exceeds multi-source clusters"))
+  }
+
   test("mrr_eval: reciprocal exact, consistent with map_eval's shallow hits") {
     val rows = run("mrr_eval").collect()
     assert(rows.map(_.getString(0)).toSeq == Seq("bm25", "qlm"))
