@@ -2984,9 +2984,13 @@ object TemporalOps extends QueryModule {
     * post-grain pipeline of the declared batch query and the streaming
     * serve, so the estimator cannot drift between the two paths.
     */
-  private[graft] def kaplanMeierFrom(grain: DataFrame): DataFrame = {
-    val sp = grain.sparkSession
-    import sp.implicits._
+  /** The (death-day, d, n_risk) risk table off the survival user grain
+    * — SINGLE definition consumed by both survival estimators
+    * (`kaplan_meier`'s product and `nelson_aalen`'s cumulative-hazard
+    * sum), so the risk-set/censoring semantics cannot drift between
+    * them. Grain-bounded end-to-end: ≤ horizon+1 rows.
+    */
+  private[graft] def kmRiskTable(grain: DataFrame): DataFrame = {
     val H = KmHorizonDays
     val perUser = grain.select(
       when(col("pd").isNotNull && col("pd") - col("fd") <= H, col("pd") - col("fd"))
@@ -3002,13 +3006,19 @@ object TemporalOps extends QueryModule {
       )
     // n_risk(t) = users with obs >= t: a suffix sum over the
     // <= horizon+1-row day grain (grain-bounded window)
-    val curve = dayGrain
+    dayGrain
       .withColumn(
         "n_risk",
         sum(col("c")).over(Window.orderBy("obs").rowsBetween(0, Window.unboundedFollowing)),
       )
       .filter(col("d") > 0L)
       .select(col("obs").as("t"), col("n_risk"), col("d"))
+  }
+
+  private[graft] def kaplanMeierFrom(grain: DataFrame): DataFrame = {
+    val sp = grain.sparkSession
+    import sp.implicits._
+    val curve = kmRiskTable(grain)
       .orderBy("t")
       .collect() // bounded: <= horizon+1 death times
     var sE6 = 1000000L
@@ -3019,6 +3029,26 @@ object TemporalOps extends QueryModule {
     }.toSeq
     rows.toDF("t", "n_risk", "n_events", "surv_e6").orderBy("t")
   }
+
+  /** Nelson–Aalen cumulative hazard over the SAME risk table — the
+    * additive survival estimator beside `kaplan_meier`'s product: each
+    * death day contributes d/n_risk to H(t), so unlike the KM product
+    * the whole curve stays DECLARATIVE (one ×10⁶ DIV per term, one
+    * grain-bounded running sum — no driver fold, no recursion in the
+    * oracle). H ≈ −ln S on the same data; reliability stacks read the
+    * hazard increments directly.
+    */
+  private[graft] def nelsonAalenFrom(grain: DataFrame): DataFrame =
+    kmRiskTable(grain)
+      .withColumn("h_term_e6", expr("(d * 1000000) DIV n_risk"))
+      .withColumn(
+        "cumhaz_e6",
+        sum(col("h_term_e6")).over(
+          Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow),
+        ),
+      )
+      .select(col("t"), col("n_risk"), col("d").as("n_events"), col("cumhaz_e6"))
+      .orderBy("t")
 
   private val kaplanMeier = DeclaredQuery(
     "kaplan_meier",
@@ -3048,6 +3078,31 @@ object TemporalOps extends QueryModule {
                            CAST(km.s * (o.n_risk - o.d) // o.n_risk AS BIGINT)
                     FROM km JOIN o ON o.rn = km.rn + 1)
              SELECT t, n_risk, d AS n_events, s AS surv_e6 FROM km ORDER BY t"""),
+  )
+
+  private val nelsonAalen = DeclaredQuery(
+    "nelson_aalen",
+    (s, d) => nelsonAalenFrom(kmUserGrain(events(s, d))),
+    Some(s"""WITH ev AS (SELECT user_id,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
+                               event_type FROM events),
+             u AS (SELECT user_id, min(day) AS fd,
+                          min(CASE WHEN event_type = 'purchase' THEN day END) AS pd
+                   FROM ev GROUP BY 1),
+             du AS (SELECT CASE WHEN pd IS NOT NULL AND pd - fd <= $KmHorizonDays
+                                THEN pd - fd ELSE $KmHorizonDays END AS obs,
+                           (pd IS NOT NULL AND pd - fd <= $KmHorizonDays) AS ev2
+                    FROM u),
+             g AS (SELECT obs, CAST(sum(CASE WHEN ev2 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                          CAST(count(*) AS BIGINT) AS c
+                   FROM du GROUP BY 1),
+             r AS (SELECT g.obs AS t, g.d,
+                          (SELECT CAST(sum(c) AS BIGINT) FROM g g2 WHERE g2.obs >= g.obs) AS n_risk
+                   FROM g WHERE g.d > 0)
+             SELECT t, n_risk, d AS n_events,
+                    CAST(sum((d * 1000000) // n_risk)
+                         OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_e6
+             FROM r ORDER BY t"""),
   )
 
   /** Association rules over sessions (Agrawal & Srikant 1994, the
@@ -3227,5 +3282,5 @@ object TemporalOps extends QueryModule {
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
       maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
       assocRules, hitsScores, mannKendall, theilSen, acfLag7, transitionEntropy,
-      pettittChangepoint)
+      pettittChangepoint, nelsonAalen)
 }

@@ -911,28 +911,36 @@ object EventStream {
     * pipeline IS the batch query's
     * ([[graft.operators.TemporalOps.kaplanMeierFrom]]).
     */
-  def kaplanMeierFromState(spark: SparkSession, stateDir: String): DataFrame = {
+  private def kmGrainFromState(spark: SparkSession, stateDir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val grain =
-      if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(
-            StructField("user_id", LongType),
-            StructField("fd", LongType),
-            StructField("pd", LongType),
-          )),
+    if (EmbedIngest.listBatchDirs(spark, stateDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("fd", LongType),
+          StructField("pd", LongType),
+        )),
+      )
+    else
+      spark.read
+        .parquet(s"$stateDir/batch_*")
+        .groupBy("user_id")
+        .agg(
+          org.apache.spark.sql.functions.min("fd").as("fd"),
+          org.apache.spark.sql.functions.min("pd").as("pd"),
         )
-      else
-        spark.read
-          .parquet(s"$stateDir/batch_*")
-          .groupBy("user_id")
-          .agg(
-            org.apache.spark.sql.functions.min("fd").as("fd"),
-            org.apache.spark.sql.functions.min("pd").as("pd"),
-          )
-    graft.operators.TemporalOps.kaplanMeierFrom(grain)
   }
+
+  def kaplanMeierFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.kaplanMeierFrom(kmGrainFromState(spark, stateDir))
+
+  /** Serve the Nelson–Aalen cumulative hazard from the SAME live grain
+    * (second survival serve of one store) — the shared risk table means
+    * both estimators read identical censoring semantics.
+    */
+  def nelsonAalenFromState(spark: SparkSession, stateDir: String): DataFrame =
+    graft.operators.TemporalOps.nelsonAalenFrom(kmGrainFromState(spark, stateDir))
 
   /** Serve `k_anonymity` from the live grain — byte-identical to the
     * declared batch query over the full stream (shared grain reduction

@@ -154,6 +154,26 @@ class Round17bOpsSpec extends SparkSpec {
     }
   }
 
+  test("nelson_aalen: shared risk table with kaplan_meier, hazard monotone") {
+    val na = run("nelson_aalen").collect()
+    val km = run("kaplan_meier").collect()
+    assert(na.nonEmpty && na.length == km.length)
+    // identical (t, n_risk, n_events) rows — the shared kmRiskTable
+    assert(
+      na.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+        km.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      "risk tables drifted between the two survival estimators",
+    )
+    // cumulative hazard is nondecreasing, each increment = d·1e6 DIV n
+    var prev = 0L
+    na.foreach { r =>
+      val (n, dd, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(h - prev == dd * 1000000L / n, "hazard increment drifted from d/n_risk")
+      assert(h >= prev)
+      prev = h
+    }
+  }
+
   test("pettitt_changepoint: statistic bound, feed set shared with cusum") {
     val pet = run("pettitt_changepoint").collect()
     assert(pet.nonEmpty)

@@ -2220,6 +2220,9 @@ class StreamingSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val batch = canon(SparkEntry.queries("kaplan_meier")(spark, sfDir))
     assert(batch.nonEmpty)
+    val naBatch = canon(SparkEntry.queries("nelson_aalen")(spark, sfDir))
+    assert(canon(EventStream.nelsonAalenFromState(spark, stateDir)) == naBatch,
+      "Nelson-Aalen hazard served from the grain must equal the declared batch query")
     assert(canon(EventStream.kaplanMeierFromState(spark, stateDir)) == batch,
       "KM curve served from the grain must equal the declared batch query")
     // the merge is non-vacuous: users really straddle the slices
