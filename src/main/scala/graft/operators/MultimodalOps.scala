@@ -284,32 +284,38 @@ object MultimodalOps extends QueryModule {
     * scale argument to `ngram_jaccard`, one modality over.
     */
   private val MaxFrameDf = 100L
+  /** The shared-frame candidate pair frame (da, db, shared, na, nb) —
+    * SINGLE definition consumed by the declared `media_near_dup` and
+    * the `media_dup_clusters` CC tail, so the pair semantics (sampled
+    * frames, hot-hash df cap, doc frame counts) cannot drift.
+    */
+  private def mediaPairFrame(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val media = mediaFromDocuments(s, d)
+      .toDF()
+      .withColumn("n_frames", (col("n_bytes") / FrameBytes).cast("int"))
+    val fh = sampleFrames(media, col("n_frames"), 2, carry = Seq("data"))
+      .select(
+        col("doc_id"),
+        expr(
+          s"graft_poly_hash(decode(substring(data, frame_idx * $FrameBytes + 1, $FrameBytes), 'UTF-8'))",
+        ).as("fh"),
+      )
+    val withN = fh
+      .withColumn("na", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val hot = fh.groupBy("fh").agg(count(lit(1)).as("df")).filter(col("df") > MaxFrameDf).select("fh")
+    val e = withN.join(hot, Seq("fh"), "left_anti")
+    val x = e.select(col("doc_id").as("da"), col("na"), col("fh"))
+    val y = e.select(col("doc_id").as("db"), col("na").as("nb"), col("fh").as("fh2"))
+    x.join(y, x("fh") === y("fh2") && x("da") < y("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("da"), col("db"), col("shared"), col("na"), col("nb"))
+  }
+
   private val mediaNearDup = DeclaredQuery(
     "media_near_dup",
-    (s, d) => {
-      graft.functions.GraftFunctions.register(s)
-      val media = mediaFromDocuments(s, d)
-        .toDF()
-        .withColumn("n_frames", (col("n_bytes") / FrameBytes).cast("int"))
-      val fh = sampleFrames(media, col("n_frames"), 2, carry = Seq("data"))
-        .select(
-          col("doc_id"),
-          expr(
-            s"graft_poly_hash(decode(substring(data, frame_idx * $FrameBytes + 1, $FrameBytes), 'UTF-8'))",
-          ).as("fh"),
-        )
-      val withN = fh
-        .withColumn("na", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      val hot = fh.groupBy("fh").agg(count(lit(1)).as("df")).filter(col("df") > MaxFrameDf).select("fh")
-      val e = withN.join(hot, Seq("fh"), "left_anti")
-      val x = e.select(col("doc_id").as("da"), col("na"), col("fh"))
-      val y = e.select(col("doc_id").as("db"), col("na").as("nb"), col("fh").as("fh2"))
-      x.join(y, x("fh") === y("fh2") && x("da") < y("db"))
-        .groupBy("da", "db", "na", "nb")
-        .agg(count(lit(1)).as("shared"))
-        .select(col("da"), col("db"), col("shared"), col("na"), col("nb"))
-        .orderBy("da", "db")
-    },
+    (s, d) => mediaPairFrame(s, d).orderBy("da", "db"),
     Some(s"""WITH m AS (SELECT doc_id, text, CAST(length(text) // $FrameBytes AS BIGINT) AS nf
                         FROM documents),
              f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS fi, text FROM m WHERE nf > 0),
@@ -330,5 +336,66 @@ object MultimodalOps extends QueryModule {
              ORDER BY da, db"""),
   )
 
-  val queries: Seq[DeclaredQuery] = Seq(mediaFeatures, frameSample, mediaResize, mediaNearDup)
+  /** Content-ID style media duplicate CLUSTERS — the grouping step over
+    * [[mediaPairFrame]] that `media_near_dup`'s pair list stops short
+    * of: pairs whose shared sampled-frame count covers ≥ half the
+    * smaller doc's frames edge, and connected components (the shared
+    * large-star/small-star engine, min-id labels) collapse re-encodes /
+    * re-uploads of the same footage into one canonical group. Every
+    * media doc with ≥ 1 sampled frame gets a label (singletons label
+    * themselves) — the media twin of `dedup_clusters`.
+    *
+    * Scale: the pair frame is the df-capped inverted-index join (no
+    * all-pairs); the CC fixpoint is O(log n) star rounds over
+    * pair-cardinality edges — both already certified shapes, composed.
+    */
+  private val mediaDupClusters = DeclaredQuery(
+    "media_dup_clusters",
+    (s, d) => {
+      val pairs = mediaPairFrame(s, d)
+        .filter(expr("shared * 2 >= least(na, nb)"))
+        .select(col("da"), col("db"))
+      val nodes = mediaFromDocuments(s, d)
+        .toDF()
+        .withColumn("n_frames", (col("n_bytes") / FrameBytes).cast("int"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id").as("node"))
+      DedupOps
+        .starContract(nodes, pairs, DedupOps.maxCcRounds(s))
+        ._1
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE m AS (SELECT doc_id, text, CAST(length(text) // $FrameBytes AS BIGINT) AS nf
+                        FROM documents),
+             f AS (SELECT doc_id, unnest(range(0, nf, 2)) AS fi, text FROM m WHERE nf > 0),
+             h2 AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(
+                        string_split(substr(text, CAST(fi * $FrameBytes + 1 AS INTEGER), $FrameBytes), ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+                      (a, c) -> (a * 31 + c) % 1000000007) AS fh
+                    FROM f),
+             wn AS (SELECT doc_id, fh, count(*) OVER (PARTITION BY doc_id) AS na FROM h2),
+             hot AS (SELECT fh FROM h2 GROUP BY fh HAVING count(*) > $MaxFrameDf),
+             e AS (SELECT wn.doc_id, wn.fh, wn.na FROM wn
+                   LEFT JOIN hot ON wn.fh = hot.fh WHERE hot.fh IS NULL),
+             pr0 AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS shared,
+                            CAST(x.na AS BIGINT) AS na, CAST(y.na AS BIGINT) AS nb
+                     FROM e x JOIN e y ON x.fh = y.fh AND x.doc_id < y.doc_id
+                     GROUP BY 1, 2, 4, 5),
+             p AS (SELECT da, db FROM pr0 WHERE shared * 2 >= least(na, nb)),
+             edges AS (SELECT da AS src, db AS dst FROM p
+                       UNION ALL SELECT db, da FROM p),
+             nodes0 AS (SELECT DISTINCT doc_id FROM m WHERE nf > 0),
+             reach AS (SELECT doc_id AS node, doc_id AS lbl FROM nodes0
+                       UNION
+                       SELECT e2.dst AS node, r.lbl
+                       FROM reach r JOIN edges e2 ON r.node = e2.src),
+             lbl AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+                     FROM reach GROUP BY node)
+             SELECT doc_id, cluster_id FROM lbl ORDER BY doc_id"""),
+  )
+
+  val queries: Seq[DeclaredQuery] =
+    Seq(mediaFeatures, frameSample, mediaResize, mediaNearDup, mediaDupClusters)
 }

@@ -154,6 +154,23 @@ class Round17bOpsSpec extends SparkSpec {
     }
   }
 
+  test("media_dup_clusters: min-id CC labels, edges land in one cluster") {
+    val cc = run("media_dup_clusters").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(cc.nonEmpty)
+    // min-id convention + canonical row present
+    assert(cc.forall { case (v, l) => l <= v })
+    val byLabel = cc.groupBy(_._2)
+    assert(byLabel.forall { case (l, members) => members.exists(_._1 == l) })
+    // every thresholded near-dup pair is in ONE cluster
+    val lbl = cc.toMap
+    run("media_near_dup").collect().foreach { r =>
+      val (da, db, shared, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      if (shared * 2 >= math.min(na, nb))
+        assert(lbl(da) == lbl(db), s"edge ($da,$db) split across clusters")
+    }
+  }
+
   test("nelson_aalen: shared risk table with kaplan_meier, hazard monotone") {
     val na = run("nelson_aalen").collect()
     val km = run("kaplan_meier").collect()
