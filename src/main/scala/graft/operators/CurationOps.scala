@@ -1221,8 +1221,76 @@ object CurationOps extends QueryModule {
             FROM g ORDER BY n_sources"""),
   )
 
+  /** Lorenz-curve decile points of per-document token counts within
+    * each source — the CURVE whose area `token_gini` summarizes: the
+    * token share held by the bottom k/10 of documents, k = 1..10 (a
+    * source whose bottom half holds 5% of tokens caps very differently
+    * from one holding 35%). Read with `token_gini` when deciding
+    * doc-level caps for mixing.
+    *
+    * Exactness: ascending (tok, doc_id) ranks per source (tie-order-
+    * invariant cumulative sums — equal values commute), decile cut at
+    * row ⌊k·n/10⌋, share = cumtok·10⁶ DIV total — all integers, one
+    * truncating division. Cuts that floor to row 0 (n < 10) are out by
+    * definition.
+    *
+    * Scale: one scan-local token count, one source-PARTITIONED window
+    * (distributed per-source sort), a 10-row broadcast grid. The
+    * cumulative Σ rides DECIMAL(38,0) ("BIGINT means out").
+    */
+  private val lorenzPoints = DeclaredQuery(
+    "lorenz_points",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val wr = Window.partitionBy("source").orderBy(col("tok"), col("doc_id"))
+      val ranked = documents(s, d)
+        .select(col("source"), col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("i", row_number().over(wr).cast("long"))
+        .withColumn(
+          "cumtok",
+          sum(col("tok").cast("decimal(38,0)"))
+            .over(wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+      val tot = documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok").cast("decimal(38,0)")).as("st"))
+      val grid = (1L to 10L).toDF("decile")
+      ranked
+        .join(tot, Seq("source"))
+        .crossJoin(broadcast(grid))
+        .filter(col("i") === expr("(decile * n_docs) DIV 10") && col("i") >= 1L)
+        .select(
+          col("source"),
+          col("decile"),
+          col("i").as("docs_cum"),
+          expr("CAST((cumtok * 1000000) DIV st AS BIGINT)").as("tok_share_e6"),
+        )
+        .orderBy("source", "decile")
+    },
+    Some("""WITH x AS (SELECT source, doc_id,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                       FROM documents),
+            r AS (SELECT source, doc_id, tok,
+                         CAST(row_number() OVER (PARTITION BY source ORDER BY tok, doc_id) AS BIGINT) AS i,
+                         sum(CAST(tok AS HUGEINT)) OVER (PARTITION BY source ORDER BY tok, doc_id
+                                                         ROWS UNBOUNDED PRECEDING) AS cumtok
+                  FROM x),
+            tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                           sum(CAST(tok AS HUGEINT)) AS st
+                    FROM x GROUP BY 1),
+            g AS (SELECT unnest(generate_series(1, 10)) AS decile)
+            SELECT r.source, CAST(g.decile AS BIGINT) AS decile, r.i AS docs_cum,
+                   CAST((r.cumtok * 1000000) // tot.st AS BIGINT) AS tok_share_e6
+            FROM r JOIN tot USING (source) CROSS JOIN g
+            WHERE r.i = (g.decile * tot.n_docs) // 10 AND r.i >= 1
+            ORDER BY source, decile"""),
+  )
+
   def queries: Seq[DeclaredQuery] =
     Seq(gopherRules, sourceReputation, temperatureMix, tokenFertility, ksDrift,
       ruleModelCrosstab, calibrationBins, scoreQuantileNorm, nucleusCoverage, kAnonymity,
-      lDiversity, tCloseness, psiDrift, mannWhitney, tokenGini, sourceDiversity)
+      lDiversity, tCloseness, psiDrift, mannWhitney, tokenGini, sourceDiversity,
+      lorenzPoints)
 }

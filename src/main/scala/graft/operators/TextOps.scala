@@ -1731,7 +1731,80 @@ object TextOps extends QueryModule {
              WHERE nr.r <= $GtMaxR ORDER BY nr.r"""),
   )
 
+  /** Corpus bigram entropy rate — H(next | prev) over the word stream,
+    * with the next-word marginal entropy and their difference (the
+    * mutual information between adjacent words): the
+    * language-predictability dashboard a tokenizer/LM stage reads
+    * before training (an MI collapsing toward 0 means the corpus lost
+    * its word-order structure — shuffled, deduped to fragments, or
+    * template spam; `char_entropy` is the same instrument one level
+    * down). `transition_entropy`'s statistic at the WORD grain.
+    *
+    * Exactness: all three numbers derive from the shared bigram-count
+    * substrate by the µnat discipline — per-group n·ln n terms
+    * ×10⁶-floored BEFORE the exact sums (context groups, bigram cells,
+    * next-word marginals), one shared-text division each. mi_e6 is the
+    * exact difference of the two declared entropies, so it inherits
+    * their determinism (and can differ from textbook MI only by the
+    * two declared roundings).
+    *
+    * Scale: one corpus bigram explode feeds the substrate (shared with
+    * the LM family); everything here is vocab²-bounded rollups of it.
+    */
+  private val bigramEntropyRate = DeclaredQuery(
+    "bigram_entropy_rate",
+    (s, d) => {
+      val bi = bigramCounts(s, d)
+      def termE6(c: org.apache.spark.sql.Column) =
+        expr(s"CAST(floor(${c.toString} * ln(${c.toString}) * 1000000.0 + 0.5) AS BIGINT)")
+      val ctx = bi.groupBy("w1").agg(sum("cb").as("cu"))
+        .agg(sum(termE6(col("cu"))).as("sum_ctx_e6"), count(lit(1)).as("n_contexts"))
+      val cells = bi
+        .agg(sum(termE6(col("cb"))).as("sum_cell_e6"), sum("cb").as("n_bigrams"),
+          count(lit(1)).as("n_distinct_bigrams"))
+      val marg = bi.groupBy("w2").agg(sum("cb").as("cm"))
+        .agg(sum(termE6(col("cm"))).as("sum_marg_e6"))
+      cells
+        .crossJoin(ctx)
+        .crossJoin(marg)
+        .withColumn(
+          "h_cond_e6",
+          expr("""CAST(floor(CAST(sum_ctx_e6 - sum_cell_e6 AS DOUBLE)
+                  / CAST(n_bigrams AS DOUBLE) + 0.5) AS BIGINT)"""),
+        )
+        .withColumn(
+          "h_next_e6",
+          expr("""CAST(floor(ln(n_bigrams) * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(floor(CAST(sum_marg_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5) AS BIGINT)"""),
+        )
+        .withColumn("mi_e6", col("h_next_e6") - col("h_cond_e6"))
+        .select("n_bigrams", "n_distinct_bigrams", "n_contexts", "h_next_e6", "h_cond_e6", "mi_e6")
+        .orderBy("n_bigrams")
+    },
+    Some(s"""WITH $docBigramsDuckCtes,
+            bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM pw GROUP BY 1, 2),
+            ctx AS (SELECT CAST(sum(CAST(floor(cu * ln(cu) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_ctx_e6,
+                           CAST(count(*) AS BIGINT) AS n_contexts
+                    FROM (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM bi GROUP BY 1)),
+            cells AS (SELECT CAST(sum(CAST(floor(cb * ln(cb) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cell_e6,
+                             CAST(sum(cb) AS BIGINT) AS n_bigrams,
+                             CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+                      FROM bi),
+            marg AS (SELECT CAST(sum(CAST(floor(cm * ln(cm) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_marg_e6
+                     FROM (SELECT w2, CAST(sum(cb) AS BIGINT) AS cm FROM bi GROUP BY 1)),
+            g AS (SELECT *,
+                         CAST(floor(CAST(sum_ctx_e6 - sum_cell_e6 AS DOUBLE)
+                              / CAST(n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS h_cond_e6,
+                         CAST(floor(ln(n_bigrams) * 1000000.0 + 0.5) AS BIGINT)
+                         - CAST(floor(CAST(sum_marg_e6 AS DOUBLE) / CAST(n_bigrams AS DOUBLE) + 0.5) AS BIGINT) AS h_next_e6
+                  FROM cells CROSS JOIN ctx CROSS JOIN marg)
+            SELECT n_bigrams, n_distinct_bigrams, n_contexts, h_next_e6, h_cond_e6,
+                   h_next_e6 - h_cond_e6 AS mi_e6
+            FROM g ORDER BY n_bigrams"""),
+  )
+
   val queries: Seq[DeclaredQuery] = Seq(
+    bigramEntropyRate,
     textrankKeywords,
     goodTuring,
     zipfSlope,

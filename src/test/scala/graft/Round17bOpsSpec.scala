@@ -154,6 +154,43 @@ class Round17bOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram_entropy_rate: entropies bounded, MI nonnegative") {
+    val r = run("bigram_entropy_rate").collect()
+    assert(r.length == 1)
+    val (nb, ndist, nctx, hNext, hCond, mi) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3), r(0).getLong(4),
+        r(0).getLong(5))
+    assert(nb >= ndist && ndist >= nctx && nctx >= 1L)
+    // conditioning cannot raise entropy (±2 µnat for the declared floors)
+    assert(hCond >= -2L && hNext >= hCond - 2L)
+    assert(mi == hNext - hCond)
+    // entropies under ln(distinct) caps
+    val capNext = math.floor(math.log(nb.toDouble) * 1e6 + 0.5).toLong + 2L
+    assert(hNext <= capNext)
+  }
+
+  test("lorenz_points: monotone shares ending at 100%, consistent with token_gini") {
+    val rows = run("lorenz_points").collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getString(0))
+    val gini = run("token_gini").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(3)))).toMap
+    bySrc.foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // shares nondecreasing in the decile, convex curve below diagonal
+      val shares = sorted.map(_.getLong(3))
+      assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+      // decile 10 cuts at row n -> full token mass
+      assert(sorted.last.getLong(1) == 10L && sorted.last.getLong(3) == 1000000L)
+      // each bottom-k share sits on/below the uniform diagonal iff gini >= 0
+      val (n, g) = gini(src)
+      sorted.foreach { r =>
+        val share = r.getLong(3); val frac = r.getLong(2) * 1000000L / n
+        if (g > 0L) assert(share <= frac + 1L, s"$src Lorenz point above diagonal")
+      }
+    }
+  }
+
   test("media_dup_clusters: min-id CC labels, edges land in one cluster") {
     val cc = run("media_dup_clusters").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(cc.nonEmpty)
