@@ -1195,9 +1195,71 @@ object PipelineOps extends QueryModule {
              FROM b GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis 2006),
+    * the one-pass k-sample the mixing family lacks: `stratified_sample`
+    * fixes per-stratum counts and `dsir_resample` thresholds importance
+    * weights, but "draw k documents with probability ∝ token count" is
+    * the A-ES key trick — key = ln(u)/w with u ∈ (0,1) per-item, take
+    * the k LARGEST keys (u^(1/w) order ≡ ln(u)/w order since ln u < 0),
+    * which is provably a weight-proportional sample, runs as one scan +
+    * top-k, and is reproducible because u derives from the shared
+    * Knuth-hash spelling, not a PRNG.
+    *
+    * Determinism: w is the exact token count; u = (h + 0.5)/2³¹ from
+    * BIGINT h — identical doubles in both engines; ln and the divide
+    * are the shared-text float chain, ×10⁹-floored for display. The
+    * top-k sort orders on the RAW key text with doc_id tiebreak.
+    *
+    * Scale: one corpus scan ending in TakeOrderedAndProject — the
+    * `bm25_rank` shape; no shuffle of the corpus, no PRNG state.
+    */
+  private val WsK = 100
+  private val weightedSample = DeclaredQuery(
+    "weighted_sample",
+    (s, d) => {
+      val keyed = documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tok"))
+        .filter(col("tok") > 0L)
+        .withColumn("h", (col("doc_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn(
+          "key",
+          expr("ln((CAST(h AS DOUBLE) + 0.5) / 2147483647.0) / CAST(tok AS DOUBLE)"),
+        )
+      keyed
+        .orderBy(col("key").desc, col("doc_id"))
+        .limit(WsK)
+        .withColumn(
+          "rank",
+          row_number()
+            .over(org.apache.spark.sql.expressions.Window.orderBy(col("key").desc, col("doc_id")))
+            .cast("long"),
+        )
+        .select(
+          col("rank"),
+          col("doc_id"),
+          col("tok"),
+          expr("CAST(floor(key * 1000000000.0 + 0.5) AS BIGINT)").as("key_e9"),
+        )
+        .orderBy("rank")
+    },
+    Some(s"""WITH x AS (SELECT doc_id,
+                               CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+                        FROM documents),
+             k AS (SELECT doc_id, tok,
+                          ln((CAST((doc_id * 2654435761) % 2147483647 AS DOUBLE) + 0.5) / 2147483647.0)
+                            / CAST(tok AS DOUBLE) AS key
+                   FROM x WHERE tok > 0),
+             r AS (SELECT doc_id, tok, key,
+                          CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+                   FROM k)
+             SELECT rank, doc_id, tok,
+                    CAST(floor(key * 1000000000.0 + 0.5) AS BIGINT) AS key_e9
+             FROM r WHERE rank <= $WsK ORDER BY rank"""),
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(cleanCorpus, stratifiedSample, mixSources, sequencePack, sequencePackSplit,
       chunkCensus, corpusShuffle, dsirWeights, dsirResample, tokenBudgetMix,
       sequencePackBpe, vocabJsDivergence, curationFunnel, perClassExamples, lengthBuckets,
-      heapsLaw, dsirEss, packEfficiency)
+      heapsLaw, dsirEss, packEfficiency, weightedSample)
 }

@@ -133,7 +133,7 @@ object ScalePatterns extends QueryModule {
         .withColumn(
           "est",
           expr(
-            s"CAST(floor(-$SketchM.0 * ln(1.0 - least(v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)"),
+            s"CAST(floor(-$SketchM.0 * ln(1.0 - CAST(least(v, ${SketchM - 1}) AS DOUBLE) / $SketchM.0) + 0.5) AS BIGINT)"),
         )
         .orderBy("event_type"),
     Some(s"""WITH b AS (SELECT event_type, user_id,
@@ -143,7 +143,7 @@ object ScalePatterns extends QueryModule {
              SELECT event_type,
                     count(DISTINCT bkt) AS v,
                     count(DISTINCT user_id) AS exact_distinct,
-                    CAST(floor(-$SketchM.0 * ln(1.0 - least(count(DISTINCT bkt), ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT) AS est
+                    CAST(floor(-$SketchM.0 * ln(1.0 - CAST(least(count(DISTINCT bkt), ${SketchM - 1}) AS DOUBLE) / $SketchM.0) + 0.5) AS BIGINT) AS est
              FROM c GROUP BY 1 ORDER BY 1"""),
   )
 
@@ -466,7 +466,7 @@ object ScalePatterns extends QueryModule {
     (s, d) => {
       val est = (v: org.apache.spark.sql.Column) =>
         expr(
-          s"CAST(floor(-$SketchM.0 * ln(1.0 - least(v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT)")
+          s"CAST(floor(-$SketchM.0 * ln(1.0 - CAST(least(v, ${SketchM - 1}) AS DOUBLE) / $SketchM.0) + 0.5) AS BIGINT)")
       val hashed = graft.Tables
         .events(s, d)
         .withColumn("a", (col("user_id") * lit(2654435761L)) % lit(2147483647L))
@@ -507,7 +507,7 @@ object ScalePatterns extends QueryModule {
                     UNION ALL
                     SELECT '(all)' AS scope, count(DISTINCT user_id) AS exact_distinct FROM c)
              SELECT pt.scope, pt.v,
-                    CAST(floor(-$SketchM.0 * ln(1.0 - least(pt.v, ${SketchM - 1}) / $SketchM.0) + 0.5) AS BIGINT) AS est,
+                    CAST(floor(-$SketchM.0 * ln(1.0 - CAST(least(pt.v, ${SketchM - 1}) AS DOUBLE) / $SketchM.0) + 0.5) AS BIGINT) AS est,
                     ex.exact_distinct
              FROM pt JOIN ex ON pt.scope = ex.scope
              ORDER BY pt.scope"""),
@@ -965,8 +965,101 @@ object ScalePatterns extends QueryModule {
             FROM h GROUP BY 1 ORDER BY 1"""),
   )
 
+  /** Pairwise audience-intersection estimates from the SAME
+    * linear-counting bucket sketches `sketch_union` merges — the
+    * inclusion–exclusion read (|A∩B| ≈ est(A) + est(B) − est(A∪B))
+    * that answers "how much do these event audiences overlap" WITHOUT
+    * ever joining user sets: sketches of every scope pair union in
+    * bucket space (|S_A ∪ S_B| = v_A + v_B − |S_A ∩ S_B|, one
+    * bucket-level join over ≤ types·m rows). The exact intersection
+    * rides along per pair as the ground truth column, so the estimate's
+    * error is part of the declared output (the `ann_recall`
+    * measure-the-approximation discipline).
+    *
+    * Exactness: bucket sets are deterministic (shared hash spelling);
+    * the three linear-counting estimates use the IDENTICAL est() text
+    * as `sketch_union`; inclusion–exclusion on the three BIGINTs is
+    * integer arithmetic (can go negative at high occupancy — reported
+    * as-is, that IS the estimator).
+    *
+    * Scale: sketches are types × m bounded; the pair frame is
+    * |types|²-bounded; the exact column's (type, user) self-join fans
+    * each user by their type-degree (≤ |types|), never user².
+    */
+  private val sketchIntersect = DeclaredQuery(
+    "sketch_intersect",
+    (s, d) => {
+      val est = (v: org.apache.spark.sql.Column) =>
+        expr(
+          s"CAST(floor(-$SketchM.0 * ln(1.0 - CAST(least(${v.toString}, ${SketchM - 1}) AS DOUBLE) / $SketchM.0) + 0.5) AS BIGINT)")
+      val hashed = graft.Tables
+        .events(s, d)
+        .withColumn("a", (col("user_id") * lit(2654435761L)) % lit(2147483647L))
+        .withColumn("bkt", expr(s"(((a ^ shiftright(a, 7)) * 97381) % 2147483647) % $SketchM"))
+      val sketches = hashed.select(col("event_type"), col("bkt")).distinct()
+      val perType = sketches.groupBy("event_type").agg(count(lit(1)).as("v"))
+      val interB = sketches
+        .select(col("event_type").as("ta"), col("bkt"))
+        .join(sketches.select(col("event_type").as("tb"), col("bkt")), Seq("bkt"))
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("vi"))
+      val exactI = hashed
+        .select(col("event_type"), col("user_id"))
+        .distinct()
+        .select(col("event_type").as("ta"), col("user_id"))
+        .join(
+          hashed.select(col("event_type").as("tb"), col("user_id")).distinct(),
+          Seq("user_id"),
+        )
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("exact_intersect"))
+      interB
+        .join(broadcast(perType.select(col("event_type").as("ta"), col("v").as("va"))), Seq("ta"))
+        .join(broadcast(perType.select(col("event_type").as("tb"), col("v").as("vb"))), Seq("tb"))
+        .withColumn("vu", col("va") + col("vb") - col("vi"))
+        .withColumn("est_a", est(col("va")))
+        .withColumn("est_b", est(col("vb")))
+        .withColumn("est_union", est(col("vu")))
+        .withColumn("est_intersect", col("est_a") + col("est_b") - col("est_union"))
+        .join(exactI, Seq("ta", "tb"))
+        .select("ta", "tb", "est_a", "est_b", "est_union", "est_intersect", "exact_intersect")
+        .orderBy("ta", "tb")
+    },
+    Some {
+      def estSql(v: String) =
+        s"CAST(floor(-$SketchM.0 * ln(1.0 - CAST(least($v, ${SketchM - 1}) AS DOUBLE) / $SketchM.0) + 0.5) AS BIGINT)"
+      s"""WITH b AS (SELECT event_type, user_id,
+                            (user_id * 2654435761) % 2147483647 AS a FROM events),
+          c AS (SELECT event_type, user_id,
+                       ((xor(a, a >> 7) * 97381) % 2147483647) % $SketchM AS bkt FROM b),
+          sk AS (SELECT DISTINCT event_type, bkt FROM c),
+          pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS v FROM sk GROUP BY 1),
+          ib AS (SELECT x.event_type AS ta, y.event_type AS tb, CAST(count(*) AS BIGINT) AS vi
+                 FROM sk x JOIN sk y ON x.bkt = y.bkt AND x.event_type < y.event_type
+                 GROUP BY 1, 2),
+          tu AS (SELECT DISTINCT event_type, user_id FROM c),
+          ei AS (SELECT x.event_type AS ta, y.event_type AS tb,
+                        CAST(count(*) AS BIGINT) AS exact_intersect
+                 FROM tu x JOIN tu y ON x.user_id = y.user_id AND x.event_type < y.event_type
+                 GROUP BY 1, 2),
+          f AS (SELECT ib.ta, ib.tb, pa.v AS va, pb.v AS vb, pa.v + pb.v - ib.vi AS vu
+                FROM ib JOIN pt pa ON ib.ta = pa.event_type
+                        JOIN pt pb ON ib.tb = pb.event_type)
+          SELECT f.ta, f.tb,
+                 ${estSql("f.va")} AS est_a,
+                 ${estSql("f.vb")} AS est_b,
+                 ${estSql("f.vu")} AS est_union,
+                 ${estSql("f.va")} + ${estSql("f.vb")} - ${estSql("f.vu")} AS est_intersect,
+                 ei.exact_intersect
+          FROM f JOIN ei ON f.ta = ei.ta AND f.tb = ei.tb
+          ORDER BY f.ta, f.tb"""
+    },
+  )
+
   val queries: Seq[DeclaredQuery] =
     Seq(saltedAgg, distinctSketch, bucketedJoinAgg, partitionedScanPrune,
       bloomPruneJoin, saltedJoin, sketchUnion, zorderScan, skewDiagnostics,
-      aggStateMerge, joinSizeAudit, tableChecksum, eventsChecksum)
+      aggStateMerge, joinSizeAudit, tableChecksum, eventsChecksum, sketchIntersect)
 }

@@ -154,6 +154,38 @@ class Round17bOpsSpec extends SparkSpec {
     }
   }
 
+  test("sketch_intersect: inclusion-exclusion identity, estimate brackets truth") {
+    val rows = run("sketch_intersect").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ta, tb, ea, eb, eu, ei, ex) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))
+      assert(ta < tb)
+      assert(ei == ea + eb - eu, "inclusion-exclusion identity broken")
+      assert(eu >= math.max(ea, eb) - 1L, "union estimate below a member")
+      // m=8192 linear counting at these audience sizes: within 15% + slack
+      assert(math.abs(ei - ex) <= ex * 15 / 100 + 50L,
+        s"($ta,$tb) est=$ei vs exact=$ex drifted beyond linear-counting error")
+    }
+  }
+
+  test("weighted_sample: deterministic keys, heavier docs over-represented") {
+    val rows = run("weighted_sample").collect()
+    assert(rows.length == 100)
+    // ranks contiguous, keys nonincreasing
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 100L))
+    val keys = rows.map(_.getLong(3))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    assert(keys.forall(_ <= 0L), "ln(u)/w keys must be nonpositive")
+    // weight-proportional: the sample's mean token count exceeds the corpus mean
+    val sampleMean = rows.map(_.getLong(2)).sum / 100.0
+    val corpus = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).cast("long").as("tok"))
+      .agg(avg("tok")).collect()(0).getDouble(0)
+    assert(sampleMean > corpus, s"weighted sample mean $sampleMean not above corpus mean $corpus")
+  }
+
   test("bigram_entropy_rate: entropies bounded, MI nonnegative") {
     val r = run("bigram_entropy_rate").collect()
     assert(r.length == 1)
