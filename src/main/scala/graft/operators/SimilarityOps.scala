@@ -432,6 +432,55 @@ object SimilarityOps extends QueryModule {
              WHERE dr.v IS NULL ORDER BY a.vec_id"""),
   )
 
+  /** Per-source loss of the SCALED semantic dedup — `dedup_loss_by_source`'s
+    * provenance read on the embedding tier: which sources lose how much
+    * of their corpus to cell-bounded cosine dedup (a source whose
+    * embeddings collapse hard is template/boilerplate even when its
+    * n-gram surface varies — the cross-tier comparison with the lexical
+    * loss table is the point). Rides the SAME survivor frame as
+    * `semantic_dedup_scaled` (doc_id ≡ vec_id, the corpus equivalence
+    * the retrieval family established); one join + one agg past it.
+    */
+  private val semanticLossBySource = DeclaredQuery(
+    "semantic_loss_by_source",
+    (s, d) => {
+      val (_, n) = Ivf.scaledEmbeddings(s, d)
+      val kept = semanticSurvivors(s, d, derivedCellCount(n))
+        .select(col("vec_id").as("doc_id"), lit(1L).as("kept"))
+      documents(s, d)
+        .select("doc_id", "source")
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(coalesce(col("kept"), lit(0L))).as("n_kept"))
+        .withColumn("dropped", expr("n_docs - n_kept"))
+        .withColumn("loss_e3", expr("(n_docs - n_kept) * 1000 DIV n_docs"))
+        .select("source", "n_docs", "n_kept", "dropped", "loss_e3")
+        .orderBy("source")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS dvec,
+                               list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS sv,
+                               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                        FROM embeddings),
+             ${Ivf.lloydOracleCteDerived(s"greatest(8, count(*) // $SemCellSize)")},
+             pr AS (SELECT a.vec_id AS u, b.vec_id AS v
+                    FROM asg1 a JOIN asg1 b USING (cid)
+                         JOIN e ea ON ea.vec_id = a.vec_id
+                         JOIN e eb ON eb.vec_id = b.vec_id
+                    WHERE a.vec_id < b.vec_id
+                      AND round(list_inner_product(ea.dvec, eb.dvec) / (ea.nrm * eb.nrm), 6) >= $SemTau),
+             dropped AS (SELECT DISTINCT v FROM pr),
+             kept AS (SELECT a.vec_id AS doc_id
+                      FROM asg1 a LEFT JOIN dropped dr ON a.vec_id = dr.v
+                      WHERE dr.v IS NULL)
+             SELECT doc.source, count(*) AS n_docs,
+                    CAST(sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                    CAST(count(*) - sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
+                    CAST(((count(*) - sum(CASE WHEN k.doc_id IS NULL THEN 0 ELSE 1 END)) * 1000)
+                         // count(*) AS BIGINT) AS loss_e3
+             FROM documents doc LEFT JOIN kept k ON doc.doc_id = k.doc_id
+             GROUP BY 1 ORDER BY 1"""),
+  )
+
   /** The kNN edge set in its PRODUCTION shape (the round-16 sf4 finding
     * closed with the round-14 twin pattern): top-3 exact-cosine
     * neighbors WITHIN derived-k IVF cells (k = max(8, n/32), the
@@ -2471,5 +2520,6 @@ object SimilarityOps extends QueryModule {
       knnGraphScaled, knnReciprocityScaled, dbscanClusters,
       knnComponentsScaled, knnLabelAgreementScaled, hubnessStatsScaled, knnClusterPurityScaled,
       labelPropagationScaled, knnModularityScaled, dbscanClustersScaled, intrinsicDim,
-      knnAssortativity, knnTriangles, knnPagerank, semanticContamination)
+      knnAssortativity, knnTriangles, knnPagerank, semanticContamination,
+      semanticLossBySource)
 }

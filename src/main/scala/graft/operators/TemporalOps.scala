@@ -2623,6 +2623,74 @@ object TemporalOps extends QueryModule {
             FROM p WHERE rk2 = 1 ORDER BY event_type"""),
   )
 
+  /** Classical additive decomposition of each feed's day-count series —
+    * trend (7-observation centered moving mean), weekday seasonal
+    * (per-dow mean of the detrended series), residual: the STL-lite
+    * read `dow_seasonality` (envelope only) and `seasonal_forecast`
+    * (one-step level) don't expose — the full per-day decomposition a
+    * capacity dashboard plots, and the residual stream anomaly rules
+    * actually want (deviation AFTER trend and weekday are explained).
+    *
+    * Exactness: everything is integer-exact under explicit scaling —
+    * trend·7 is a 7-row window SUM, the detrended series rides as
+    * 7c − trend₇, the seasonal is one truncating DIV of Σdetr₇·10⁶ by
+    * 7m, and the residual is the exact difference of the three ×10⁶
+    * terms. Rows without a complete centered window are out by
+    * definition (count-7 guard). Truncating DIV at both signs is
+    * engine-identical (Spark DIV ≡ DuckDB //).
+    *
+    * Scale: rides the shared type-day grain; all windows are per-type
+    * over calendar-bounded day rows.
+    */
+  private[graft] def seasonalDecomposeFrom(dayCounts: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy("event_type").orderBy("day_no").rowsBetween(-3, 3)
+    val complete = dayCounts
+      .withColumn("trend_x7", sum("c").over(w7))
+      .withColumn("wn", count(lit(1)).over(w7))
+      .filter(col("wn") === 7L)
+      .withColumn("dow", expr("(day_no + 4) % 7"))
+      .withColumn("detr_x7", lit(7L) * col("c") - col("trend_x7"))
+    val seas = complete
+      .groupBy("event_type", "dow")
+      .agg(sum("detr_x7").as("sdetr"), count(lit(1)).as("m"))
+      .withColumn("seas_e6", expr("(sdetr * 1000000) DIV (7 * m)"))
+      .select("event_type", "dow", "seas_e6")
+    complete
+      .join(seas, Seq("event_type", "dow"))
+      .withColumn("trend_e6", expr("(trend_x7 * 1000000) DIV 7"))
+      .withColumn("resid_e6", col("c") * lit(1000000L) - col("trend_e6") - col("seas_e6"))
+      .select("event_type", "day_no", "dow", "c", "trend_e6", "seas_e6", "resid_e6")
+      .orderBy("event_type", "day_no")
+  }
+
+  private val seasonalDecompose = DeclaredQuery(
+    "seasonal_decompose",
+    (s, d) => seasonalDecomposeFrom(typeDayCounts(events(s, d))),
+    Some("""WITH dc AS (SELECT event_type,
+                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2),
+            tw AS (SELECT event_type, day_no, c,
+                          CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day_no
+                                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_x7,
+                          count(*) OVER (PARTITION BY event_type ORDER BY day_no
+                                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn
+                   FROM dc),
+            comp AS (SELECT event_type, day_no, c, trend_x7,
+                            (day_no + 4) % 7 AS dow,
+                            7 * c - trend_x7 AS detr_x7
+                     FROM tw WHERE wn = 7),
+            seas AS (SELECT event_type, dow,
+                            (CAST(sum(detr_x7) AS BIGINT) * 1000000) // (7 * count(*)) AS seas_e6
+                     FROM comp GROUP BY 1, 2)
+            SELECT comp.event_type, comp.day_no, comp.dow, comp.c,
+                   (comp.trend_x7 * 1000000) // 7 AS trend_e6,
+                   seas.seas_e6,
+                   comp.c * 1000000 - (comp.trend_x7 * 1000000) // 7 - seas.seas_e6 AS resid_e6
+            FROM comp JOIN seas ON comp.event_type = seas.event_type AND comp.dow = seas.dow
+            ORDER BY comp.event_type, comp.day_no"""),
+  )
+
   private val trafficAnomaly = DeclaredQuery(
     "traffic_anomaly",
     (s, d) => anomalyFrom(typeDayCounts(events(s, d))),
@@ -3282,5 +3350,5 @@ object TemporalOps extends QueryModule {
       trafficAnomaly, sessionFunnel, cusumChangepoint, expSmoothForecast, forecastBaselines,
       maseSes, holtForecast, seasonalForecast, transitionPagerank, kaplanMeier,
       assocRules, hitsScores, mannKendall, theilSen, acfLag7, transitionEntropy,
-      pettittChangepoint, nelsonAalen)
+      pettittChangepoint, nelsonAalen, seasonalDecompose)
 }

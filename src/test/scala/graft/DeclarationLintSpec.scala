@@ -17,7 +17,7 @@ class DeclarationLintSpec extends SparkSpec {
 
   test("oracle coverage is total and names are unique") {
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
-    assert(SparkEntry.queries.size == 288, "declared-query count changed — update SURVEY.md §2.12")
+    assert(SparkEntry.queries.size == 290, "declared-query count changed — update SURVEY.md §2.12")
   }
 
   test("declared output schemas carry only driver-hashable dtypes (no DECIMAL)") {

@@ -154,6 +154,35 @@ class Round17bOpsSpec extends SparkSpec {
     }
   }
 
+  test("seasonal_decompose: additive identity, seasonal sums near zero") {
+    val rows = run("seasonal_decompose").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (c, t, sE, res) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      // the decomposition is exactly additive by construction
+      assert(c * 1000000L == t + sE + res, "c != trend + seasonal + residual")
+    }
+    // the seasonal offset is one value per (feed, dow) — the join can
+    // never fan distinct offsets into one weekday
+    rows.groupBy(r => (r.getString(0), r.getLong(2))).foreach { case (k, rs) =>
+      assert(rs.map(_.getLong(5)).distinct.length == 1, s"$k carries multiple seasonal offsets")
+    }
+  }
+
+  test("semantic_loss_by_source: totals shared with semantic_dedup_scaled") {
+    val rows = run("semantic_loss_by_source").collect()
+    assert(rows.nonEmpty)
+    val kept = rows.map(_.getLong(2)).sum
+    val total = rows.map(_.getLong(1)).sum
+    val survivors = run("semantic_dedup_scaled").count()
+    assert(kept == survivors, s"per-source kept $kept != survivor count $survivors")
+    assert(total == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000L)
+    }
+  }
+
   test("sketch_intersect: inclusion-exclusion identity, estimate brackets truth") {
     val rows = run("sketch_intersect").collect()
     assert(rows.nonEmpty)
