@@ -22,21 +22,85 @@ object SubstrateCache {
 
   private val entries = TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  // Substrate-derived SCALARS (node/row counts used to size recurrences):
+  // the count of a materialized substrate is immutable for the life of the
+  // (session, dataset) working set, so computing it once beside the frame
+  // removes one driver job per consumer invocation (optimization round 17
+  // — the pagerank/textrank loops and the scaled-IVF consumers each paid
+  // a count() job per run).
+  private val scalars = TrieMap.empty[(SparkSession, String, String), Long]
+
+  // Build-time physical plan per substrate (spec/audit hook): consumers
+  // see only the checkpoint leaf, so the plan that COMPUTES a substrate
+  // is recorded here at build time.
+  private val buildPlans = TrieMap.empty[(SparkSession, String, String), String]
+
+  /** The physical plan that built substrate `tag`, if it was built (and
+    * not evicted) in this session. Spec/audit hook.
+    */
+  def buildPlan(s: SparkSession, d: String, tag: String): Option[String] =
+    buildPlans.get((s, d, tag))
+
   // One lock object per key: long builds (the CC fixpoint runs whole Spark
   // jobs) must not block unrelated substrate builds behind a global
   // monitor; only same-key callers serialize.
   private val locks = TrieMap.empty[(SparkSession, String, String), Object]
 
   /** Get-or-build the persisted, materialized substrate `tag` for
-    * (session, dataset). Builds run `persist()` + `count()` so the first
-    * caller pays the materialization and later callers read cached
-    * partitions. Builds are serialized PER KEY: a concurrent
-    * `getOrElseUpdate` could otherwise run the side-effecting build twice
-    * and strand the losing persist() in the block manager, while a single
-    * global monitor would stall every other session/dataset behind one
-    * slow build.
+    * (session, dataset). Builds run eager `localCheckpoint()` so the first
+    * caller pays the materialization and later callers read the stored
+    * partitions THROUGH A LEAF PLAN (`LogicalRDD`): the substrate's full
+    * lineage (Lloyd chains, CC fixpoints, banded joins) is cut off, so
+    * every consumer action analyzes, canonicalizes and ships a one-node
+    * subtree instead of re-walking the whole build plan — measured 1.5-2x
+    * wall on the kNN-graph consumers at sf0.1 (optimization round 17,
+    * guide §5: `localCheckpoint` is the cheap lineage cut). The previous
+    * `persist()+count()` form kept the lineage attached: correct, but
+    * every reference re-analyzed and cache-matched the deep tree. At
+    * 100 TB the durable form of a substrate is a parquet table between
+    * pipeline stages, whose scan is exactly this kind of leaf.
+    *
+    * Builds are serialized PER KEY: a concurrent `getOrElseUpdate` could
+    * otherwise run the side-effecting build twice and strand the losing
+    * checkpoint in the block manager, while a single global monitor would
+    * stall every other session/dataset behind one slow build.
     */
   def substrate(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    evictStopped()
+    evictOthers(s, d)
+    val key = (s, d, tag)
+    entries.get(key) match {
+      case Some(df) => df
+      case None =>
+        val lock = locks.getOrElseUpdate(key, new Object)
+        lock.synchronized {
+          entries.get(key) match {
+            case Some(df) => df
+            case None =>
+              val b = build
+              // retain the BUILD's physical plan: the checkpoint leaf hides
+              // it from consumers, but plan-shape specs (and humans) still
+              // need to audit how the substrate itself is computed
+              buildPlans.put(key, b.queryExecution.executedPlan.toString)
+              val df = b.localCheckpoint(true)
+              entries.put(key, df)
+              df
+          }
+        }
+    }
+  }
+
+  /** Get-or-build a COLUMNAR substrate: `persist()+count()` keeps the SQL
+    * columnar cache (per-column compressed storage, column pruning at
+    * every scan) at the price of consumers re-analyzing the build lineage
+    * per action. Use for WIDE substrates (per-doc gram/signature arrays)
+    * whose consumers read a column subset or scan them repeatedly in
+    * broadcast arms — measured faster than the leaf form for `gram-sets`
+    * (simhash_est 3.2 s leaf vs 2.2 s columnar at sf0.1) because each
+    * leaf scan deserializes whole rows, arrays included. Narrow,
+    * deep-lineage substrates (knn/CC/Lloyd families) want [[substrate]].
+    */
+  def substrateColumnar(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     evictStopped()
     evictOthers(s, d)
     val key = (s, d, tag)
@@ -57,39 +121,75 @@ object SubstrateCache {
     }
   }
 
+  /** Get-or-compute a substrate-derived scalar (a count) for
+    * (session, dataset). Same lifecycle as [[substrate]] frames: evicted
+    * when the session switches datasets or stops.
+    */
+  def scalar(s: SparkSession, d: String, tag: String)(build: => Long): Long = {
+    evictStopped()
+    evictOthers(s, d)
+    scalars.getOrElseUpdate((s, d, tag), build)
+  }
+
+  /** Unpersist a substrate's storage. A localCheckpointed Dataset's blocks
+    * belong to the RDD inside its `LogicalRDD` leaf (Dataset.unpersist only
+    * consults the SQL cache manager and would silently leak them), so the
+    * release goes through the leaf's RDD handle; the legacy `persist()`
+    * path stays as the fallback for any non-checkpointed entry.
+    */
+  private def release(df: DataFrame, blocking: Boolean): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
+      case _ => df.unpersist(blocking)
+    }
+
   /** Unpersist and drop every substrate of `s` cached for a dataset other
     * than `d`.
     */
-  def evictOthers(s: SparkSession, d: String): Unit =
+  def evictOthers(s: SparkSession, d: String): Unit = {
     entries.keySet.toList.foreach { k =>
       if ((k._1 eq s) && k._2 != d) {
-        entries.remove(k).foreach(_.unpersist(blocking = true))
+        entries.remove(k).foreach(release(_, blocking = true))
         locks.remove(k)
       }
     }
+    scalars.keySet.toList.foreach { k =>
+      if ((k._1 eq s) && k._2 != d) scalars.remove(k)
+    }
+    buildPlans.keySet.toList.foreach { k =>
+      if ((k._1 eq s) && k._2 != d) buildPlans.remove(k)
+    }
+  }
 
   /** Drop every substrate of session `s` (call on session stop). */
-  def evictSession(s: SparkSession): Unit =
+  def evictSession(s: SparkSession): Unit = {
     entries.keySet.toList.foreach { k =>
       if (k._1 eq s) {
         entries.remove(k).foreach { df =>
-          if (!s.sparkContext.isStopped) df.unpersist(blocking = true)
+          if (!s.sparkContext.isStopped) release(df, blocking = true)
         }
         locks.remove(k)
       }
     }
+    scalars.keySet.toList.foreach { k => if (k._1 eq s) scalars.remove(k) }
+    buildPlans.keySet.toList.foreach { k => if (k._1 eq s) buildPlans.remove(k) }
+  }
 
   /** Release map entries of stopped/replaced sessions so a churned session
     * never pins its DataFrames (their cached blocks died with the context,
     * but the strong map key would otherwise keep the plans on the heap).
     */
-  private def evictStopped(): Unit =
+  private def evictStopped(): Unit = {
     entries.keySet.toList.foreach { k =>
       if (k._1.sparkContext.isStopped) {
         entries.remove(k)
         locks.remove(k)
       }
     }
+    scalars.keySet.toList.foreach { k =>
+      if (k._1.sparkContext.isStopped) scalars.remove(k)
+    }
+  }
 
   /** Datasets this session currently holds substrates for (spec hook). */
   def liveDatasets(s: SparkSession): Set[String] =

@@ -705,6 +705,16 @@ object CurationOps extends QueryModule {
       .groupBy("event_type", "day_no", "vb", "user_id")
       .agg(count(lit(1)).as("c"))
 
+  /** The batch-query form of [[qiUserGrain]], substrate-pinned
+    * (optimization round 17): three declared privacy audits
+    * (`k_anonymity`, `l_diversity`, `t_closeness`) share the one
+    * corpus-sized grain aggregation; the streaming store keeps applying
+    * the per-batch form, unpinned.
+    */
+  private def qiGrainPinned(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.SubstrateCache.substrate(s, d, "qi-user-grain")(qiUserGrain(events(s, d)))
+
   /** QI classes from (merged) grain rows: size + distinct sensitive
     * values per class.
     */
@@ -756,7 +766,7 @@ object CurationOps extends QueryModule {
 
   private val kAnonymity = DeclaredQuery(
     "k_anonymity",
-    (s, d) => kAnonymityFrom(s, qiClasses(qiUserGrain(events(s, d)))),
+    (s, d) => kAnonymityFrom(s, qiClasses(qiGrainPinned(s, d))),
     Some("""WITH c AS (SELECT event_type,
                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                               CAST(floor(value / 50.0) AS BIGINT) AS vb,
@@ -792,7 +802,7 @@ object CurationOps extends QueryModule {
     */
   private val lDiversity = DeclaredQuery(
     "l_diversity",
-    (s, d) => lDiversityFrom(s, qiClasses(qiUserGrain(events(s, d)))),
+    (s, d) => lDiversityFrom(s, qiClasses(qiGrainPinned(s, d))),
     Some("""WITH c AS (SELECT event_type,
                               (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                               CAST(floor(value / 50.0) AS BIGINT) AS vb,
@@ -844,9 +854,12 @@ object CurationOps extends QueryModule {
       grain: org.apache.spark.sql.DataFrame,
   ): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val cu = grain
-      .groupBy("event_type", "day_no", "vb", "user_id")
-      .agg(sum(col("c")).as("ccu"))
+    // `grain` is a MERGED (event_type, day_no, vb, user_id, c) grain —
+    // one row per key (both callers guarantee it: the batch substrate is
+    // the groupBy itself, the streaming store merges by groupBy-sum), so
+    // the former re-grouping here was a redundant full exchange of the
+    // grain (optimization round 17, guide §2.4) — a rename suffices.
+    val cu = grain.withColumnRenamed("c", "ccu")
     val ug = grain.groupBy("user_id").agg(sum(col("c")).as("cug"))
     val tot = ug.agg(sum(col("cug")).as("nn"))
     val ctot = cu.groupBy("event_type", "day_no", "vb").agg(sum(col("ccu")).as("nc"))
@@ -887,7 +900,7 @@ object CurationOps extends QueryModule {
 
   private val tCloseness = DeclaredQuery(
     "t_closeness",
-    (s, d) => tClosenessFrom(s, qiUserGrain(events(s, d))),
+    (s, d) => tClosenessFrom(s, qiGrainPinned(s, d)),
     Some("""WITH cu AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(floor(value / 50.0) AS BIGINT) AS vb,

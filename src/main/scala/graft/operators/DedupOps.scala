@@ -109,7 +109,7 @@ object DedupOps extends QueryModule {
     * the interpreted char-fold hash the substrate already paid for.
     */
   private def gramSets(s: SparkSession, d: String): DataFrame =
-    graft.SubstrateCache.substrate(s, d, "gram-sets") {
+    graft.SubstrateCache.substrateColumnar(s, d, "gram-sets") {
       gramRows(s, d)
         .groupBy("doc_id")
         .agg(collect_set(col("gh")).as("ghs"), first(col("n")).as("n"))
@@ -375,7 +375,7 @@ object DedupOps extends QueryModule {
     val simCol = (0 until 30)
       .map(b => when(col(s"b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    graft.SubstrateCache.substrate(s, d, "simhash-sigs") {
+    graft.SubstrateCache.substrateColumnar(s, d, "simhash-sigs") {
       gramRows(s, d)
         .groupBy("doc_id")
         .agg(bitSums.head, bitSums.tail: _*)
@@ -463,7 +463,8 @@ object DedupOps extends QueryModule {
   private val simhashEst = DeclaredQuery(
     "simhash_est",
     (s, d) => {
-      val nd = documents(s, d).count() // 1-row scalar, sizes the sample rate
+      // 1-row scalar, sizes the sample rate (memoized per session/dataset)
+      val nd = graft.SubstrateCache.scalar(s, d, "documents-n")(documents(s, d).count())
       val rate = math.max(1L, (nd + 4999L) / 5000L)
       val cand = simhashPairs(s, d, EstMaxHd)
         .filter(pmod(col("da") * 31L + col("db"), lit(rate)) === 0L)
@@ -694,11 +695,18 @@ object DedupOps extends QueryModule {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint()
-      // stability check: two anti-join COUNTs (scalars) — never edge data
-      // on the driver
-      val changed =
-        next.join(edges, Seq("u", "v"), "left_anti").count() +
-          edges.join(next, Seq("u", "v"), "left_anti").count()
+      // stability check: ONE symmetric-difference COUNT (a scalar) — never
+      // edge data on the driver. The tagged-union + groupBy form runs one
+      // job per round where the previous two anti-join counts ran two
+      // (optimization round 17: per-round driver jobs are the cost of this
+      // loop at every scale — each is a full scheduling round-trip).
+      val changed = next
+        .select(col("u"), col("v"), lit(1L).as("w"))
+        .unionByName(edges.select(col("u"), col("v"), lit(1L).as("w")))
+        .groupBy("u", "v")
+        .agg(sum("w").as("w"))
+        .filter(col("w") === 1L)
+        .count()
       edges = next
       round += 1
       converged = changed == 0
@@ -1154,11 +1162,17 @@ object DedupOps extends QueryModule {
     * that, which carries the dangling term. An empty graph short-circuits
     * to an empty (node, r) frame instead of dividing by zero.
     */
-  private[graft] def pagerankSymmetric(ewd: DataFrame, iters: Int = PrIters): DataFrame = {
+  private[graft] def pagerankSymmetric(
+      ewd: DataFrame,
+      iters: Int = PrIters,
+      nKnown: Option[Long] = None,
+  ): DataFrame = {
     val nodes = ewd.select(col("da").as("node")).distinct()
     // n is one scalar job on the node set (graph-sized, not corpus-sized)
-    // — folding it into literals removes a broadcast join per round
-    val n = nodes.count()
+    // — folding it into literals removes a broadcast join per round.
+    // Substrate-backed callers pass the memoized count (nKnown) so the
+    // job runs once per session/dataset instead of once per invocation.
+    val n = nKnown.getOrElse(nodes.count())
     if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
     val base = (15L * PrScale) / (100L * n)
     // FIXED iteration count ⇒ bounded lineage (depth `iters`), so the whole
@@ -1314,9 +1328,17 @@ object DedupOps extends QueryModule {
       val sym = e.unionByName(e.select(col("db").as("da"), col("da").as("db")))
       // (src, dst, deg) edge table, built once and persisted for the loop
       val ewd = graft.SubstrateCache.substrate(s, d, "fuzzy-sym-deg:1") {
+        // stored hash-partitioned on the loop's join key: every PageRank
+        // round joins on da, so the edge table — the loop's largest frame
+        // — never re-enters an exchange (guide §2.4; the checkpoint leaf
+        // preserves the partitioning)
         sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
+          .repartition(col("da"))
       }
-      pagerankSymmetric(ewd, PrIters)
+      val n = graft.SubstrateCache.scalar(s, d, "fuzzy-sym-deg:1:n") {
+        ewd.select(col("da")).distinct().count()
+      }
+      pagerankSymmetric(ewd, PrIters, Some(n))
     }, {
       val base = s"(15 * $PrScale) // (100 * (SELECT n FROM nn))"
       val steps = (1 to PrIters)

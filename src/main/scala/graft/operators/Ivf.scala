@@ -64,7 +64,10 @@ object Ivf extends QueryModule {
           ).as("sv"),
         )
     }
-    (e, e.count()) // count on the persisted substrate is a cheap cached scan
+    // the count is substrate metadata: computed once beside the frame
+    // (was one cached-scan job per CONSUMER invocation — the scaled
+    // ANN/semantic family calls this on every run)
+    (e, graft.SubstrateCache.scalar(s, d, "ivf-scaled-n")(e.count()))
   }
 
   /** One nearest-centroid pass: (vec_id, cid). Same windowless

@@ -289,7 +289,18 @@ object MultimodalOps extends QueryModule {
     * the `media_dup_clusters` CC tail, so the pair semantics (sampled
     * frames, hot-hash df cap, doc frame counts) cannot drift.
     */
-  private def mediaPairFrame(s: SparkSession, d: String): DataFrame = {
+  private def mediaPairFrame(s: SparkSession, d: String): DataFrame =
+    // Substrate-pinned (optimization round 17): the frame-hash + df-capped
+    // inverted-index join is the expensive stage of BOTH media consumers
+    // (`media_near_dup`, `media_dup_clusters`); one definition, built once
+    // per session/dataset — the same amortization the text pair family
+    // ("jaccard-pairs") already has. The frame is narrow (5 numeric
+    // columns), so the leaf form fits.
+    graft.SubstrateCache.substrate(s, d, "media-pairs") {
+      mediaPairFrameBuild(s, d)
+    }
+
+  private def mediaPairFrameBuild(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val media = mediaFromDocuments(s, d)
       .toDF()

@@ -223,6 +223,15 @@ object RetrievalOps extends QueryModule {
     * scoring cannot drift between them.
     */
   private def bm25Ranked(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    // Substrate-pinned (optimization round 17): ten declared consumers
+    // (bm25_rank, rrf_fusion, mmr_rerank, rm3_expansion, every offline
+    // eval) re-derived this 20-row ranking — two corpus scans each, per
+    // invocation. One definition, built once per session/dataset; the
+    // k-row rank list is the signature-store pattern at its smallest.
+    graft.SubstrateCache.substrate(s, d, "bm25-topk")(bm25RankedBuild(s, d))
+
+  private def bm25RankedBuild(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val words = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -403,6 +412,12 @@ object RetrievalOps extends QueryModule {
     * the declared one.
     */
   private def qlmRanked(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    // Substrate-pinned (optimization round 17) — same rationale as
+    // [[bm25Ranked]]: five declared consumers, one k-row frame.
+    graft.SubstrateCache.substrate(s, d, "qlm-topk")(qlmRankedBuild(s, d))
+
+  private def qlmRankedBuild(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     val words = documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -1018,6 +1033,12 @@ object RetrievalOps extends QueryModule {
     * relevance judgments cannot drift between metrics.
     */
   private def judgedPool(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    // Substrate-pinned (optimization round 17): the 36-row judged pool is
+    // read by all three offline eval metrics (ndcg/map/mrr).
+    graft.SubstrateCache.substrate(s, d, "judged-pool")(judgedPoolBuild(s, d))
+
+  private def judgedPoolBuild(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val qz = embeddings(s, d).select(

@@ -232,7 +232,10 @@ object SimilarityOps extends QueryModule {
       tau: Double,
   ): org.apache.spark.sql.DataFrame = {
       import s.implicits._
-      val b = nearDupBlocks(s, embeddings(s, d).count())
+      val b = nearDupBlocks(
+        s,
+        graft.SubstrateCache.scalar(s, d, "embeddings-n")(embeddings(s, d).count()),
+      )
       val replicated = embeddings(s, d)
         .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("dvec"))
         .withColumn("blk", pmod(col("vec_id"), lit(b.toLong)).cast("int"))
@@ -2423,9 +2426,14 @@ object SimilarityOps extends QueryModule {
         .distinct()
       val sym = ue.unionByName(ue.select(col("db").as("da"), col("da").as("db")))
       val ewd = graft.SubstrateCache.substrate(s, d, "knn-sym-deg:1") {
+        // hash-partitioned on the loop's join key — see fuzzy-sym-deg:1
         sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
+          .repartition(col("da"))
       }
-      DedupOps.pagerankSymmetric(ewd, DedupOps.PrIters)
+      val n = graft.SubstrateCache.scalar(s, d, "knn-sym-deg:1:n") {
+        ewd.select(col("da")).distinct().count()
+      }
+      DedupOps.pagerankSymmetric(ewd, DedupOps.PrIters, Some(n))
     }, {
       val base = s"(15 * ${DedupOps.PrScale}) // (100 * (SELECT n FROM nn))"
       val steps = (1 to DedupOps.PrIters)

@@ -159,7 +159,15 @@ object TemporalOps extends QueryModule {
   }
 
   private def sessionAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    sessionAssignedFrom(events(s, d))
+    // Substrate-pinned (optimization round 17): the per-user window sort
+    // is the corpus-sized exchange of the whole session family
+    // (`sessionize`, `session_stats`, `session_funnel`, `assoc_rules`) —
+    // four declared consumers re-ran it per invocation. One definition,
+    // built once per session/dataset (the streaming twin keeps applying
+    // [[sessionAssignedFrom]] per micro-batch, unpinned).
+    graft.SubstrateCache.substrate(s, d, "session-assigned") {
+      sessionAssignedFrom(events(s, d))
+    }
 
   /** The per-slice session table over an explicit events frame. On a
     * per-user TIME-CONTIGUOUS slice these rows are session FRAGMENTS
@@ -178,7 +186,16 @@ object TemporalOps extends QueryModule {
       .withColumn("duration_us", col("end_us") - col("start_us"))
 
   private def sessionTable(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    sessionTableFrom(events(s, d))
+    // same agg tail as [[sessionTableFrom]], but over the PINNED
+    // assignment substrate so the window sort is shared, not re-run
+    sessionAssigned(s, d)
+      .groupBy("user_id", "sess")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("t_us")).as("start_us"),
+        max(col("t_us")).as("end_us"),
+      )
+      .withColumn("duration_us", col("end_us") - col("start_us"))
 
   /** Recombine per-slice session fragments (user_id, n_events, start_us,
     * end_us) into the EXACT full-stream session table: the same
@@ -1071,7 +1088,7 @@ object TemporalOps extends QueryModule {
     // epoch-day via µs division ≡ the former datediff(date) spelling on
     // UTC timestamps; riding the shared grain pins this derivation to
     // the continuous serving path (EventStream.startTypeDayGrain)
-    (s, d) => dowEnvelopeFrom(typeDayCounts(events(s, d))),
+    (s, d) => dowEnvelopeFrom(typeDayPinned(s, d)),
     Some("""WITH byday AS (SELECT event_type,
                                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
                                   count(*) AS dn
@@ -1765,6 +1782,17 @@ object TemporalOps extends QueryModule {
       .groupBy("event_type", "day_no")
       .agg(count(lit(1)).as("c"))
 
+
+  /** The batch-query form of [[typeDayCounts]], substrate-pinned
+    * (optimization round 17): THIRTEEN declared trend/forecast/changepoint
+    * consumers reduce through this |types|×|days|-row grain — each used to
+    * re-run the corpus-sized aggregation per invocation. One definition,
+    * built once per session/dataset; the streaming store keeps applying
+    * the per-batch form, unpinned.
+    */
+  private def typeDayPinned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "type-day-grain")(typeDayCounts(events(s, d)))
+
   /** The top-10 deviation queue over (merged) day-count grain rows. */
   private[graft] def anomalyFrom(dayCounts: DataFrame): DataFrame = {
     val dd = dayCounts.withColumn("dow", expr("(day_no + 4) % 7"))
@@ -1876,7 +1904,7 @@ object TemporalOps extends QueryModule {
 
   private val expSmoothForecast = DeclaredQuery(
     "exp_smooth_forecast",
-    (s, d) => expSmoothFrom(typeDayCounts(events(s, d))),
+    (s, d) => expSmoothFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -1930,7 +1958,7 @@ object TemporalOps extends QueryModule {
 
   private val forecastBaselines = DeclaredQuery(
     "forecast_baselines",
-    (s, d) => forecastBaselinesFrom(typeDayCounts(events(s, d))),
+    (s, d) => forecastBaselinesFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2046,7 +2074,7 @@ object TemporalOps extends QueryModule {
 
   private val maseSes = DeclaredQuery(
     "mase_ses",
-    (s, d) => maseSesFrom(typeDayCounts(events(s, d))),
+    (s, d) => maseSesFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2240,7 +2268,7 @@ object TemporalOps extends QueryModule {
 
   private val seasonalForecast = DeclaredQuery(
     "seasonal_forecast",
-    (s, d) => seasonalForecastFrom(typeDayCounts(events(s, d))),
+    (s, d) => seasonalForecastFrom(typeDayPinned(s, d)),
     Some(s"""WITH $holtDuckCtes,
             dw AS (SELECT event_type, (day_no + 4) % 7 AS dow,
                           CAST(sum(c) AS BIGINT) AS sum_c,
@@ -2273,7 +2301,7 @@ object TemporalOps extends QueryModule {
 
   private val holtForecast = DeclaredQuery(
     "holt_forecast",
-    (s, d) => holtForecastFrom(typeDayCounts(events(s, d))),
+    (s, d) => holtForecastFrom(typeDayPinned(s, d)),
     Some(s"""WITH $holtDuckCtes
             SELECT l.event_type, l.n_days, l.last_dn, v.level_e6,
                    CAST(coalesce(t.trend_e6, 0) AS BIGINT) AS trend_e6,
@@ -2367,7 +2395,7 @@ object TemporalOps extends QueryModule {
 
   private val mannKendall = DeclaredQuery(
     "mann_kendall",
-    (s, d) => mannKendallFrom(typeDayCounts(events(s, d))),
+    (s, d) => mannKendallFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2397,7 +2425,7 @@ object TemporalOps extends QueryModule {
 
   private val theilSen = DeclaredQuery(
     "theil_sen",
-    (s, d) => theilSenFrom(typeDayCounts(events(s, d))),
+    (s, d) => theilSenFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2487,7 +2515,7 @@ object TemporalOps extends QueryModule {
 
   private val acfLag7 = DeclaredQuery(
     "acf_lag7",
-    (s, d) => acfLag7From(typeDayCounts(events(s, d))),
+    (s, d) => acfLag7From(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2522,7 +2550,7 @@ object TemporalOps extends QueryModule {
 
   private val cusumChangepoint = DeclaredQuery(
     "cusum_changepoint",
-    (s, d) => cusumFrom(typeDayCounts(events(s, d))),
+    (s, d) => cusumFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2595,7 +2623,7 @@ object TemporalOps extends QueryModule {
 
   private val pettittChangepoint = DeclaredQuery(
     "pettitt_changepoint",
-    (s, d) => pettittFrom(typeDayCounts(events(s, d))),
+    (s, d) => pettittFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2665,7 +2693,7 @@ object TemporalOps extends QueryModule {
 
   private val seasonalDecompose = DeclaredQuery(
     "seasonal_decompose",
-    (s, d) => seasonalDecomposeFrom(typeDayCounts(events(s, d))),
+    (s, d) => seasonalDecomposeFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -2693,7 +2721,7 @@ object TemporalOps extends QueryModule {
 
   private val trafficAnomaly = DeclaredQuery(
     "traffic_anomaly",
-    (s, d) => anomalyFrom(typeDayCounts(events(s, d))),
+    (s, d) => anomalyFrom(typeDayPinned(s, d)),
     Some("""WITH dc AS (SELECT event_type,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day_no,
                                CAST(count(*) AS BIGINT) AS c
@@ -3048,6 +3076,14 @@ object TemporalOps extends QueryModule {
         min(when(col("event_type") === "purchase", col("day"))).as("pd"),
       )
 
+  /** The batch-query form of [[kmUserGrain]], substrate-pinned
+    * (optimization round 17): both survival estimators (`kaplan_meier`,
+    * `nelson_aalen`) share the one corpus-sized grain aggregation; the
+    * streaming store keeps applying the per-batch form, unpinned.
+    */
+  private def kmGrainPinned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.SubstrateCache.substrate(s, d, "km-user-grain")(kmUserGrain(events(s, d)))
+
   /** The KM curve from a merged `(user_id, fd, pd)` grain — the SHARED
     * post-grain pipeline of the declared batch query and the streaming
     * serve, so the estimator cannot drift between the two paths.
@@ -3120,7 +3156,7 @@ object TemporalOps extends QueryModule {
 
   private val kaplanMeier = DeclaredQuery(
     "kaplan_meier",
-    (s, d) => kaplanMeierFrom(kmUserGrain(events(s, d))),
+    (s, d) => kaplanMeierFrom(kmGrainPinned(s, d)),
     Some(s"""WITH RECURSIVE ev AS (SELECT user_id,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
                                event_type FROM events),
@@ -3150,7 +3186,7 @@ object TemporalOps extends QueryModule {
 
   private val nelsonAalen = DeclaredQuery(
     "nelson_aalen",
-    (s, d) => nelsonAalenFrom(kmUserGrain(events(s, d))),
+    (s, d) => nelsonAalenFrom(kmGrainPinned(s, d)),
     Some(s"""WITH ev AS (SELECT user_id,
                                (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000) // 86400000000 AS day,
                                event_type FROM events),
@@ -3196,18 +3232,35 @@ object TemporalOps extends QueryModule {
   private val assocRules = DeclaredQuery(
     "assoc_rules",
     (s, d) => {
-      val si = sessionAssigned(s, d).select("user_id", "sess", "event_type").distinct()
-      val tot = si.select("user_id", "sess").distinct().agg(count(lit(1)).as("n"))
-      val ia = si.groupBy("event_type").agg(count(lit(1)).as("n_i"))
-      val l = si.select(col("user_id"), col("sess"), col("event_type").as("x"))
-      val r2 = si.select(
-        col("user_id").as("u2"),
-        col("sess").as("s2"),
-        col("event_type").as("y"),
-      )
-      val pp = l
-        .join(r2, col("user_id") === col("u2") && col("sess") === col("s2"))
-        .filter(col("x") < col("y"))
+      // Single-pass item-set shape (optimization round 17, guide §2.4):
+      // ONE groupBy collapses each session to its sorted distinct item
+      // array (collect_set dedupes — the former separate `.distinct()`
+      // exchange is folded into the same shuffle), then session count,
+      // item totals, and the pair census all explode the materialized
+      // array leaf — the previous shape paid the (user, sess) exchange
+      // four times (distinct + self-join both sides + totals) per run.
+      // Pair semantics unchanged: x < y over a session's distinct items
+      // ≡ the old distinct self-join (oracle unchanged, hash-identical).
+      val items = sessionAssigned(s, d)
+        .groupBy("user_id", "sess")
+        .agg(sort_array(collect_set(col("event_type"))).as("items"))
+        .select("items")
+        .localCheckpoint()
+      val tot = items.agg(count(lit(1)).as("n"))
+      val ia = items
+        .select(explode(col("items")).as("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_i"))
+      val pp = items
+        .select(
+          explode(
+            expr(
+              "flatten(transform(items, (x, i) -> " +
+                "transform(slice(items, i + 2, size(items)), y -> named_struct('x', x, 'y', y))))",
+            ),
+          ).as("p"),
+        )
+        .select(col("p.x").as("x"), col("p.y").as("y"))
         .groupBy("x", "y")
         .agg(count(lit(1)).as("n_ab"))
       val rules = pp

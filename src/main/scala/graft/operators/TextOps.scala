@@ -1607,10 +1607,13 @@ object TextOps extends QueryModule {
         val sym = pairs
           .select(col("wa").as("da"), col("wb").as("db"), col("w"))
           .unionByName(pairs.select(col("wb").as("da"), col("wa").as("db"), col("w")))
+        // hash-partitioned on the loop's join key — the per-round rank
+        // join never re-shuffles the edge table (guide §2.4)
         sym.join(sym.groupBy("da").agg(sum("w").as("wdeg")), Seq("da"))
+          .repartition(col("da"))
       }
       val nodes = ewd.select(col("da").as("node")).distinct()
-      val n = nodes.count()
+      val n = graft.SubstrateCache.scalar(s, d, "textrank-sym-edges:n")(nodes.count())
       val base = (15L * TrScale) / (100L * math.max(n, 1L))
       var ranks = nodes.select(col("node"), lit(TrScale / math.max(n, 1L)).as("r"))
       for (_ <- 1 to TrIters) {

@@ -9,6 +9,20 @@ class PlanAssertionsSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
+  /** A consumer-side read of a materialized substrate: the columnar cache
+    * scan or (since the optimization round's lineage cut) the checkpoint
+    * leaf.
+    */
+  private def readsSubstrate(p: String): Boolean =
+    p.contains("InMemoryTableScan") || p.contains("Scan ExistingRDD")
+
+  /** The physical plan that BUILT a substrate this session (consumers see
+    * only the leaf; the build shape is recorded by SubstrateCache).
+    */
+  private def buildPlanOf(tag: String): String =
+    SubstrateCache.buildPlan(spark, sfDir, tag).getOrElse(
+      fail(s"substrate '$tag' was not built in this session"))
+
   test("dimension joins broadcast (equi_join_lookup)") {
     val p = planOf("equi_join_lookup")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -56,8 +70,13 @@ class PlanAssertionsSpec extends SparkSpec {
   test("sessionize runs in one partition-by-user sort (sessionize)") {
     val p = planOf("sessionize")
     assert(!p.contains("Join"), "sessionize must never self-join")
-    val windows = "Window\n".r.findAllIn(p).size + "Window ".r.findAllIn(p).size
-    assert(windows >= 1, p.take(500))
+    // the user-keyed window sort lives in the shared session-assigned
+    // substrate build (one definition for the whole session family)
+    val b = buildPlanOf("session-assigned")
+    val windows = "Window\n".r.findAllIn(b).size + "Window ".r.findAllIn(b).size
+    assert(windows >= 1, b.take(500))
+    assert(b.contains("hashpartitioning(user_id"),
+      "the session window must partition by user:\n" + b.take(900))
   }
 
   test("cosine_near_dup is distributed: parquet-fed block pair-join, no collect/broadcast") {
@@ -114,9 +133,11 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("dsir_weights' scoring join is AQE's choice; only scalar totals ride explicit broadcasts") {
-    val p = planOf("dsir_weights")
-    // the lambda table is D=64 rows — AQE should broadcast it at runtime
+    planOf("dsir_weights") // triggers the substrate build
+    // the scoring join lives in the dsir-weights substrate build; the
+    // lambda table is D=64 rows — AQE should broadcast it at runtime
     // without a hint (the no-pin rule holds even for structural bounds)
+    val p = buildPlanOf("dsir-weights")
     assert(p.contains("BroadcastHashJoin"), "AQE should broadcast the D-row model table")
     assert(!p.contains("CartesianProduct"), "scalar totals must broadcast, never cartesian")
   }
@@ -124,7 +145,7 @@ class PlanAssertionsSpec extends SparkSpec {
   test("SQ8 consumers read the shared code substrate; coarse dot is the native kernel") {
     for (name <- Seq("embedding_quantize", "quantized_topk")) {
       val p = planOf(name)
-      assert(p.contains("InMemoryTableScan"),
+      assert(readsSubstrate(p),
         s"$name must read sq8-codes from the substrate cache, not requantize")
     }
     val topk = planOf("quantized_topk")
@@ -223,7 +244,9 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("bm25_rank takes the global top-k via TakeOrderedAndProject, not a global window") {
-    val p = planOf("bm25_rank")
+    planOf("bm25_rank") // triggers the substrate build
+    // the ranking pipeline lives in the shared bm25-topk substrate build
+    val p = buildPlanOf("bm25-topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert("HashAggregate".r.findAllIn(p).size >= 2, "tf/score aggs need map-side partials")
   }
@@ -266,9 +289,10 @@ class PlanAssertionsSpec extends SparkSpec {
 
   test("cluster_keeper reuses the cc substrate (no contraction loop in the plan)") {
     val p = planOf("cluster_keeper")
-    // the label table arrives via InMemoryTableScan from the substrate
-    // cache; only the quality join + window + agg run per invocation
-    assert(p.contains("InMemoryTableScan"), p.take(800))
+    // the label table arrives from the substrate cache (columnar scan or
+    // checkpoint leaf); only the quality join + window + agg run per
+    // invocation
+    assert(readsSubstrate(p), p.take(800))
   }
 
   test("date-partitioned layout prunes directories at planning time") {
@@ -367,7 +391,9 @@ class PlanAssertionsSpec extends SparkSpec {
   }
 
   test("fuzzy join blocks on deletion keys — an equi-join, never all-pairs") {
-    val p = planOf("fuzzy_name_join")
+    planOf("fuzzy_name_join") // triggers the substrate build
+    // the candidate generation lives in the fuzzy-pairs substrate build
+    val p = buildPlanOf("fuzzy-pairs:1")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "candidates must come from the deletion-key equi-join:\n" + p.take(800))
     assert("Join \\[k#|Join.*\\[k".r.findFirstIn(p).isDefined || p.contains("k#"),
@@ -654,7 +680,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // self-join never re-runs for them once knn_graph built it.
     for (name <- Seq("knn_label_agreement", "hubness_stats")) {
       val p = planOf(name)
-      assert(p.contains("InMemoryTableScan"),
+      assert(readsSubstrate(p),
         s"$name must read the knn-edges substrate, not rebuild it:\n" + p.take(800))
       assert(!p.contains("CartesianProduct"), p.take(800))
     }
@@ -662,7 +688,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // ivf_balance rides the shared cell assignment; the K-row centroid
     // side joins bounded (no corpus-side shuffle beyond the count agg).
     val ib = planOf("ivf_balance")
-    assert(ib.contains("InMemoryTableScan"),
+    assert(readsSubstrate(ib),
       "ivf_balance must read the ivf-assigned substrate:\n" + ib.take(800))
     assert(!ib.contains("CartesianProduct"), ib.take(800))
 
@@ -678,20 +704,20 @@ class PlanAssertionsSpec extends SparkSpec {
     // ivf_nprobe_sweep scores ONE widest-probe candidate table (the
     // substrates are cached) — the sweep must not cartesian anywhere.
     val np = planOf("ivf_nprobe_sweep")
-    assert(np.contains("InMemoryTableScan"),
+    assert(readsSubstrate(np),
       "the sweep must ride the cached IVF substrates:\n" + np.take(800))
     assert(!np.contains("CartesianProduct"), np.take(800))
 
     // dsir_ess reads the cached weight substrate — the feature pass
     // must not re-run for the diagnostic.
     val de = planOf("dsir_ess")
-    assert(de.contains("InMemoryTableScan"),
+    assert(readsSubstrate(de),
       "dsir_ess must read the dsir-weights substrate:\n" + de.take(800))
 
     // minhash_band_stats is pure counting on the banded substrate — it
     // must never join (a join would mean it generated candidate pairs).
     val mb = planOf("minhash_band_stats")
-    assert(mb.contains("InMemoryTableScan"),
+    assert(readsSubstrate(mb),
       "band stats must read the minhash-banded substrate:\n" + mb.take(800))
     assert(!mb.contains("Join"), "the diagnostic must not generate pairs:\n" + mb.take(800))
 
@@ -707,7 +733,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // corpus-sized cumsum pid-partitioned like the packers.
     for (name <- Seq("dedup_loss_by_source", "split_leak_audit")) {
       val p = planOf(name)
-      assert(p.contains("InMemoryTableScan"),
+      assert(readsSubstrate(p),
         s"$name must ride the cached dedup substrates:\n" + p.take(800))
       assert(!p.contains("CartesianProduct"), p.take(800))
     }
@@ -720,7 +746,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // (two partial aggs + one user-keyed join — no events-sized sort).
     for (name <- Seq("dup_quality_profile", "knn_cluster_purity")) {
       val p = planOf(name)
-      assert(p.contains("InMemoryTableScan"),
+      assert(readsSubstrate(p),
         s"$name must ride its cached substrates:\n" + p.take(800))
       assert(!p.contains("CartesianProduct"), p.take(800))
     }
@@ -750,7 +776,7 @@ class PlanAssertionsSpec extends SparkSpec {
     // join, no cartesian
     for (name <- Seq("knn_reciprocity", "label_propagation")) {
       val p = planOf(name)
-      assert(p.contains("InMemoryTableScan"),
+      assert(readsSubstrate(p),
         s"$name must ride the cached knn-edge substrate:\n" + p.take(800))
       assert(!p.contains("CartesianProduct"), p.take(800))
     }
@@ -765,7 +791,8 @@ class PlanAssertionsSpec extends SparkSpec {
     // dirichlet_qlm: the |Q|-element fan-out is a scan-local explode —
     // no cartesian, and the final ranking is a TakeOrderedAndProject,
     // never a global window sort
-    val dq = planOf("dirichlet_qlm")
+    planOf("dirichlet_qlm") // triggers the substrate build
+    val dq = buildPlanOf("qlm-topk")
     assert(!dq.contains("CartesianProduct"), dq.take(800))
     assert(dq.contains("TakeOrderedAndProject"), dq.take(1200))
 
