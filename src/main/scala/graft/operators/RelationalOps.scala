@@ -803,10 +803,16 @@ object RelationalOps extends QueryModule {
       // same single-shuffle trick as retention_cohort, applied per branch
       // (the self-join recomputes the subtree; without a cache the two
       // branches are separate pipelines)
+      // materialized (optimization round 17): the membership frame feeds
+      // FOUR arms (sizes, hot users, both self-join sides) — left lazy,
+      // the events scan + distinct ran 4x per invocation; the checkpoint
+      // leaf preserves the user partitioning, so every branch still costs
+      // zero extra exchanges
       val m = events(s, d)
         .select(col("event_type"), col("user_id"))
         .repartition(col("user_id"))
         .distinct()
+        .localCheckpoint()
       val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
       val hot = m
         .groupBy("user_id")

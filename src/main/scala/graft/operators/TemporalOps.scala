@@ -3245,7 +3245,6 @@ object TemporalOps extends QueryModule {
         .groupBy("user_id", "sess")
         .agg(sort_array(collect_set(col("event_type"))).as("items"))
         .select("items")
-        .localCheckpoint()
       val tot = items.agg(count(lit(1)).as("n"))
       val ia = items
         .select(explode(col("items")).as("event_type"))
