@@ -35,6 +35,18 @@ object SubstrateCache {
   // is recorded here at build time.
   private val buildPlans = TrieMap.empty[(SparkSession, String, String), String]
 
+  // Wall seconds each substrate build cost (bench reporting hook): the
+  // untimed warm pass absorbs shared-frame builds by design, so Bench
+  // prints these as their own JSON line to keep the totals interpretable
+  // (optimization round 18, verdict item #6).
+  private val buildSecs = TrieMap.empty[(SparkSession, String, String), Double]
+
+  /** Build seconds per substrate tag for (session, dataset) — what the
+    * timed bench numbers exclude. Bench reporting hook.
+    */
+  def buildSeconds(s: SparkSession, d: String): Map[String, Double] =
+    buildSecs.collect { case ((ss, dd, tag), secs) if (ss eq s) && dd == d => tag -> secs }.toMap
+
   /** The physical plan that built substrate `tag`, if it was built (and
     * not evicted) in this session. Spec/audit hook.
     */
@@ -64,6 +76,16 @@ object SubstrateCache {
     * otherwise run the side-effecting build twice and strand the losing
     * checkpoint in the block manager, while a single global monitor would
     * stall every other session/dataset behind one slow build.
+    *
+    * Cluster caveat (local-mode engine, documented per the round-17
+    * advisor): `localCheckpoint` truncates lineage with UNREPLICATED
+    * executor-local blocks — on a multi-executor cluster, losing one
+    * executor after a substrate builds makes every consumer of that
+    * (session, dataset) fail unrecoverably, and it is unsafe under
+    * dynamic allocation. The production form of a substrate is a parquet
+    * table written between pipeline stages (or `checkpoint()` to reliable
+    * storage); the local leaf is the same design one tier down and dies
+    * with the session by design.
     */
   def substrate(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
     evictStopped()
@@ -77,12 +99,20 @@ object SubstrateCache {
           entries.get(key) match {
             case Some(df) => df
             case None =>
+              val t0 = System.nanoTime()
               val b = build
               // retain the BUILD's physical plan: the checkpoint leaf hides
               // it from consumers, but plan-shape specs (and humans) still
               // need to audit how the substrate itself is computed
               buildPlans.put(key, b.queryExecution.executedPlan.toString)
-              val df = b.localCheckpoint(true)
+              val df = b.queryExecution.analyzed match {
+                // the build already materialized itself into a leaf (the
+                // fixpoint engines return checkpointed labels): adopt it —
+                // re-checkpointing a leaf would store every block twice
+                case _: org.apache.spark.sql.execution.LogicalRDD => b
+                case _ => b.localCheckpoint(true)
+              }
+              buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
               entries.put(key, df)
               df
           }
@@ -112,8 +142,10 @@ object SubstrateCache {
           entries.get(key) match {
             case Some(df) => df
             case None =>
+              val t0 = System.nanoTime()
               val df = build.persist()
               df.count()
+              buildSecs.put(key, (System.nanoTime() - t0) / 1e9)
               entries.put(key, df)
               df
           }
@@ -131,13 +163,39 @@ object SubstrateCache {
     scalars.getOrElseUpdate((s, d, tag), build)
   }
 
+  // PER-INVOCATION scratch leaves: queries that materialize a shared
+  // mid-plan frame per run (a frame their own plan references 3-12x —
+  // NOT a cross-consumer substrate) register the leaf here so the next
+  // invocation releases its predecessor's blocks. Without this each rep
+  // leaks one checkpointed RDD until the ContextCleaner happens to
+  // collect it (the round-17 advisor's audience_overlap finding) —
+  // block-manager growth is now bounded at one leaf per (session,
+  // dataset, tag).
+  private val scratch = TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Eagerly checkpoint `build` as this invocation's scratch leaf for
+    * (session, dataset, tag), releasing the PREVIOUS invocation's leaf.
+    * The caller must be done consuming the previous result before
+    * rebuilding (true for Bench reps and Verify, which materialize each
+    * query's output before the next invocation).
+    */
+  def scratchLeaf(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
+    val df = build.localCheckpoint(true)
+    scratch.put((s, d, tag), df).foreach(release(_))
+    df
+  }
+
   /** Unpersist a substrate's storage. A localCheckpointed Dataset's blocks
     * belong to the RDD inside its `LogicalRDD` leaf (Dataset.unpersist only
     * consults the SQL cache manager and would silently leak them), so the
     * release goes through the leaf's RDD handle; the legacy `persist()`
     * path stays as the fallback for any non-checkpointed entry.
+    *
+    * `private[graft]` so loop engines (the CC fixpoints) and per-invocation
+    * scratch leaves can release superseded round state instead of pinning
+    * dead blocks until the ContextCleaner happens to collect them.
     */
-  private def release(df: DataFrame, blocking: Boolean): Unit =
+  private[graft] def release(df: DataFrame, blocking: Boolean = false): Unit =
     df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking)
       case _ => df.unpersist(blocking)
@@ -159,6 +217,12 @@ object SubstrateCache {
     buildPlans.keySet.toList.foreach { k =>
       if ((k._1 eq s) && k._2 != d) buildPlans.remove(k)
     }
+    buildSecs.keySet.toList.foreach { k =>
+      if ((k._1 eq s) && k._2 != d) buildSecs.remove(k)
+    }
+    scratch.keySet.toList.foreach { k =>
+      if ((k._1 eq s) && k._2 != d) scratch.remove(k).foreach(release(_, blocking = true))
+    }
   }
 
   /** Drop every substrate of session `s` (call on session stop). */
@@ -173,6 +237,12 @@ object SubstrateCache {
     }
     scalars.keySet.toList.foreach { k => if (k._1 eq s) scalars.remove(k) }
     buildPlans.keySet.toList.foreach { k => if (k._1 eq s) buildPlans.remove(k) }
+    buildSecs.keySet.toList.foreach { k => if (k._1 eq s) buildSecs.remove(k) }
+    scratch.keySet.toList.foreach { k =>
+      if (k._1 eq s) scratch.remove(k).foreach { df =>
+        if (!s.sparkContext.isStopped) release(df, blocking = true)
+      }
+    }
   }
 
   /** Release map entries of stopped/replaced sessions so a churned session
@@ -188,6 +258,18 @@ object SubstrateCache {
     }
     scalars.keySet.toList.foreach { k =>
       if (k._1.sparkContext.isStopped) scalars.remove(k)
+    }
+    // build plans/times too: a stopped session's (potentially multi-MB)
+    // executedPlan strings would otherwise pin the session on the heap —
+    // exactly what this method exists to prevent (round-17 advisor).
+    buildPlans.keySet.toList.foreach { k =>
+      if (k._1.sparkContext.isStopped) buildPlans.remove(k)
+    }
+    buildSecs.keySet.toList.foreach { k =>
+      if (k._1.sparkContext.isStopped) buildSecs.remove(k)
+    }
+    scratch.keySet.toList.foreach { k =>
+      if (k._1.sparkContext.isStopped) scratch.remove(k)
     }
   }
 

@@ -394,15 +394,21 @@ object DedupOps extends QueryModule {
     val sigs = simhashSigs(s, d)
     val l = sigs.select(col("doc_id").as("da"), col("sim").as("sa"), col("ck"), col("cv"))
     val r = sigs.select(col("doc_id").as("db"), col("sim").as("sb"), col("ck").as("ck2"), col("cv").as("cv2"))
-    // hamming filter BEFORE the pair dedup: hd is a pure function of the
-    // candidate row, so filtering first is equivalent — and it turns the
-    // dedup's shuffle from every chunk-collision candidate (~1M rows at
-    // sf0.1) into the handful of true near-dups
+    // hamming filter on the candidate row, then exactly-once-per-pair via
+    // the FIRST-MATCHING-BAND predicate: a pair colliding in k bands used
+    // to emit k rows into a dropDuplicates EXCHANGE; keeping only the row
+    // whose earlier bands all differ emits each pair exactly once with a
+    // scan-local predicate — the dedup shuffle (~380k rows at sf0.1,
+    // candidate-volume-sized at every scale) disappears outright
+    // (optimization round 18, guide §2.4). `forall` iterates j=0..ck with
+    // the j >= ck guard so sequence() never sees a negative length.
     l.join(r, l("ck") === r("ck2") && l("cv") === r("cv2") && l("da") < r("db"))
-      .select("da", "db", "sa", "sb")
+      .select("da", "db", "sa", "sb", "ck")
       .withColumn("hd", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
       .filter(col("hd") <= maxHd)
-      .dropDuplicates("da", "db")
+      .filter(expr(
+        "forall(sequence(0, ck), j -> j >= ck OR (shiftright(sa, 6 * j) & 63) != (shiftright(sb, 6 * j) & 63))",
+      ))
       .select("da", "db", "hd")
   }
 
@@ -639,16 +645,27 @@ object DedupOps extends QueryModule {
       val prop = edges
         .join(labels, edges("da") === labels("node"))
         .select(col("db").as("node"), col("lbl"))
-      val next = labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint()
+      // LAZY checkpoint: the change-count job below computes every
+      // partition of `next`, storing the leaf's blocks as a side effect —
+      // one job per round where eager-checkpoint-then-count ran two
+      // (optimization round 18; guide §5 — per-round driver jobs are the
+      // cost of this loop at every scale).
+      val next =
+        labels.union(prop).groupBy("node").agg(min("lbl").as("lbl")).localCheckpoint(false)
       changed = next
         .join(labels.withColumnRenamed("lbl", "old"), "node")
         .filter(col("lbl") =!= col("old"))
         .count()
+      // superseded round state: release its blocks now instead of pinning
+      // them until the ContextCleaner happens to collect the RDD
+      graft.SubstrateCache.release(labels)
       labels = next
       round += 1
     }
-    if (changed != 0)
+    if (changed != 0) {
+      graft.SubstrateCache.release(labels)
       throw new graft.ConvergenceError("min-label propagation", maxRounds)
+    }
     labels
   }
 
@@ -659,7 +676,20 @@ object DedupOps extends QueryModule {
     *    smaller neighbor are pointed at min(Γ(u)).
     * Converged when the canonical edge set is stable; the survivor is a
     * star per component, so labels read directly off the edges (isolated
-    * nodes label themselves). Returns (persisted labels, rounds run).
+    * nodes label themselves). Returns (materialized checkpoint-leaf
+    * labels, rounds run) — the leaf form lets [[graft.SubstrateCache]]
+    * adopt the result without re-materializing it, and per-query callers
+    * (media_dup_clusters) read it in their output job directly.
+    *
+    * Job budget (optimization round 18, guide §5): ONE job per round —
+    * the round's new edge set is checkpointed LAZILY and materialized by
+    * the same symmetric-difference count job that decides convergence
+    * (eager-checkpoint-then-count ran two jobs per round; with the
+    * original two anti-join counts this loop once ran three). Superseded
+    * round leaves are released as the loop advances, so a bench rep
+    * leaves exactly one leaf (the labels) in the block manager instead of
+    * rounds+2 — at 8 GiB driver heap the dead blocks were real memory
+    * pressure on every query that runs after a CC consumer.
     */
   private[graft] def starContract(
       nodes: DataFrame,
@@ -668,11 +698,14 @@ object DedupOps extends QueryModule {
   ): (DataFrame, Int) = {
     // loop state is localCheckpoint'ed (leaf per round) — see
     // minLabelPropagation's note on lineage growth
+    // lazy like the round leaves: round 1's count job materializes it
+    // (an empty edge set converges in round 1, so at least one job always
+    // runs — the leaf never stays unmaterialized)
     var edges = pairs
       .select(greatest(col("da"), col("db")).as("u"), least(col("da"), col("db")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -688,18 +721,21 @@ object DedupOps extends QueryModule {
         .filter(col("u") =!= col("v"))
         .distinct()
       val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      // LAZY checkpoint: the symmetric-difference count below computes
+      // every partition of `next`, storing the leaf's blocks as a side
+      // effect — checkpoint materialization and convergence check share
+      // ONE job per round (eager + count ran two; the original two
+      // anti-join counts ran three).
       val next = ls
         .join(ssMin, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false)
       // stability check: ONE symmetric-difference COUNT (a scalar) — never
-      // edge data on the driver. The tagged-union + groupBy form runs one
-      // job per round where the previous two anti-join counts ran two
-      // (optimization round 17: per-round driver jobs are the cost of this
-      // loop at every scale — each is a full scheduling round-trip).
+      // edge data on the driver (each side is distinct, so w=1 rows are
+      // exactly the symmetric difference and 0 of them ⟺ set equality).
       val changed = next
         .select(col("u"), col("v"), lit(1L).as("w"))
         .unionByName(edges.select(col("u"), col("v"), lit(1L).as("w")))
@@ -707,17 +743,22 @@ object DedupOps extends QueryModule {
         .agg(sum("w").as("w"))
         .filter(col("w") === 1L)
         .count()
+      // the superseded round's leaf: release its blocks now instead of
+      // pinning them until the ContextCleaner happens to collect the RDD
+      graft.SubstrateCache.release(edges)
       edges = next
       round += 1
       converged = changed == 0
     }
-    if (!converged)
+    if (!converged) {
+      graft.SubstrateCache.release(edges)
       throw new graft.ConvergenceError("large-star/small-star contraction", maxRounds)
+    }
     val labels = nodes
       .join(edges.select(col("u").as("node"), col("v").as("lbl")), Seq("node"), "left")
       .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
-      .persist()
-    labels.count()
+      .localCheckpoint(true)
+    graft.SubstrateCache.release(edges)
     (labels, round)
   }
 
@@ -769,7 +810,7 @@ object DedupOps extends QueryModule {
       .persist()
     // try/finally so the cache is released on EVERY exit — the stray
     // guard's throw, a non-converging starContract throw, or success
-    // (starContract materializes its result with persist + count, so
+    // (starContract materializes its result into a checkpoint leaf, so
     // the shared double-join frame is not needed past this block)
     val relabel =
       try {
@@ -810,7 +851,9 @@ object DedupOps extends QueryModule {
       )
       .select(col("node"), coalesce(col("graft_new_lbl"), col("lbl")).as("lbl"))
       .localCheckpoint()
-    relabel.unpersist()
+    // the quotient fixpoint's labels are a checkpoint leaf: release goes
+    // through the leaf's RDD (Dataset.unpersist would silently leak it)
+    graft.SubstrateCache.release(relabel)
     out
   }
 
@@ -1181,8 +1224,17 @@ object DedupOps extends QueryModule {
     // a data-independent loop doesn't need the lesson.
     var ranks = nodes.select(col("node"), lit(PrScale / n).as("r"))
     for (_ <- 1 to iters) {
+      // MERGE hint: the edge table is stored hash-partitioned on da (the
+      // columnar substrate preserves it) and the rank frame is already
+      // hash-partitioned on node by the previous round's aggregation, so
+      // the sort-merge join needs NO exchange on either side — only the
+      // post-join contribution aggregation shuffles (node-keyed, the
+      // inherent transpose). Un-hinted the planner broadcasts the rank
+      // side: a per-round broadcast-build job locally, and an impossible
+      // plan at 100 TB where ranks are graph-sized (guide §3.1 — pick
+      // the strategy deliberately).
       ranks = ewd
-        .join(ranks, ewd("da") === ranks("node"))
+        .join(ranks.hint("merge"), ewd("da") === ranks("node"))
         .select(col("db").as("node"), expr("r DIV deg").as("c"))
         .groupBy("node")
         .agg(sum(col("c")).as("sc"))
@@ -1326,12 +1378,15 @@ object DedupOps extends QueryModule {
     (s, d) => {
       val e = fuzzyPairs(s, d).select("da", "db")
       val sym = e.unionByName(e.select(col("db").as("da"), col("da").as("db")))
-      // (src, dst, deg) edge table, built once and persisted for the loop
-      val ewd = graft.SubstrateCache.substrate(s, d, "fuzzy-sym-deg:1") {
-        // stored hash-partitioned on the loop's join key: every PageRank
-        // round joins on da, so the edge table — the loop's largest frame
-        // — never re-enters an exchange (guide §2.4; the checkpoint leaf
-        // preserves the partitioning)
+      // (src, dst, deg) edge table, built once and persisted for the loop.
+      // COLUMNAR pin, not the leaf: a checkpoint leaf advertises
+      // UnknownPartitioning and every PageRank round would re-exchange
+      // the edge table on da (the round-17 after-plans proved it);
+      // InMemoryRelation preserves the repartition(da), so the loop's
+      // largest frame never re-enters an exchange (guide §2.4) — at
+      // 100 TB that is 5 graph-sized shuffles removed. Narrow frame
+      // (3 longs), shallow build lineage over the fuzzy-pairs leaf.
+      val ewd = graft.SubstrateCache.substrateColumnar(s, d, "fuzzy-sym-deg:1") {
         sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
           .repartition(col("da"))
       }

@@ -805,14 +805,19 @@ object RelationalOps extends QueryModule {
       // branches are separate pipelines)
       // materialized (optimization round 17): the membership frame feeds
       // FOUR arms (sizes, hot users, both self-join sides) — left lazy,
-      // the events scan + distinct ran 4x per invocation; the checkpoint
-      // leaf preserves the user partitioning, so every branch still costs
-      // zero extra exchanges
-      val m = events(s, d)
-        .select(col("event_type"), col("user_id"))
-        .repartition(col("user_id"))
-        .distinct()
-        .localCheckpoint()
+      // the events scan + distinct ran 4x per invocation. Round 18: the
+      // leaf is registered as a scratch leaf so each invocation releases
+      // its predecessor's blocks (the round-17 advisor's leak finding);
+      // note the leaf does NOT preserve the user partitioning (checkpoint
+      // leaves advertise UnknownPartitioning) — the win is the 4x scan
+      // removal, and the downstream re-exchanges are of the already-
+      // reduced distinct frame.
+      val m = graft.SubstrateCache.scratchLeaf(s, d, "audience-membership") {
+        events(s, d)
+          .select(col("event_type"), col("user_id"))
+          .repartition(col("user_id"))
+          .distinct()
+      }
       val sizes = m.groupBy("event_type").agg(count(lit(1)).as("sz"))
       val hot = m
         .groupBy("user_id")

@@ -2425,8 +2425,9 @@ object SimilarityOps extends QueryModule {
         .select(least(col("src"), col("nbr")).as("da"), greatest(col("src"), col("nbr")).as("db"))
         .distinct()
       val sym = ue.unionByName(ue.select(col("db").as("da"), col("da").as("db")))
-      val ewd = graft.SubstrateCache.substrate(s, d, "knn-sym-deg:1") {
-        // hash-partitioned on the loop's join key — see fuzzy-sym-deg:1
+      // columnar pin so the repartition(da) survives into consumer plans
+      // (a checkpoint leaf would drop it) — see fuzzy-sym-deg:1
+      val ewd = graft.SubstrateCache.substrateColumnar(s, d, "knn-sym-deg:1") {
         sym.join(sym.groupBy("da").agg(count(lit(1)).as("deg")), Seq("da"))
           .repartition(col("da"))
       }

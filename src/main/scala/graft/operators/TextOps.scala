@@ -1358,14 +1358,23 @@ object TextOps extends QueryModule {
           ).as("p"),
         )
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"), lit(2).as("o"))
-      val bi = o1
-        .unionByName(o2)
-        .groupBy("w1", "w2")
-        .agg(
-          count(lit(1)).as("c12"),
-          sum(when(col("o") === 1, 1L).otherwise(0L)).as("c_adj"),
-          sum(when(col("o") === 2, 1L).otherwise(0L)).as("c_skip"),
-        )
+      // MATERIALIZE the pair table once per invocation: the plan
+      // references `bi` four times (itself + both marginals + N), and
+      // column pruning makes the four subtrees physically DIFFERENT, so
+      // exchange reuse never fires — without the leaf the corpus explode
+      // + pair aggregation ran 4x per run (4 concurrent 2-task stages,
+      // the round-17 driver's inverse-core-scaling signature; guide
+      // §2.4/§5). At 100 TB `bi` is the written stage hand-off between
+      // the pair census and the PMI scoring.
+      val bi = graft.SubstrateCache.scratchLeaf(s, d, "skipgram-bi") {
+        o1.unionByName(o2)
+          .groupBy("w1", "w2")
+          .agg(
+            count(lit(1)).as("c12"),
+            sum(when(col("o") === 1, 1L).otherwise(0L)).as("c_adj"),
+            sum(when(col("o") === 2, 1L).otherwise(0L)).as("c_skip"),
+          )
+      }
       val lm = bi.groupBy("w1").agg(sum("c12").as("c1"))
       val rm = bi.groupBy("w2").agg(sum("c12").as("c2"))
       val n = bi.agg(sum("c12").as("nn"))
@@ -1588,7 +1597,16 @@ object TextOps extends QueryModule {
   private val textrankKeywords = DeclaredQuery(
     "textrank_keywords",
     (s, d) => {
-      val ewd = graft.SubstrateCache.substrate(s, d, "textrank-sym-edges") {
+      // COLUMNAR pin, not the leaf: a checkpoint leaf advertises
+      // UnknownPartitioning, so every one of the 5 unrolled rounds would
+      // re-exchange the edge table on da (the round-17 after-plans proved
+      // the leaf form does exactly that); InMemoryRelation preserves the
+      // repartition(da) below, so the per-round rank join needs NO edge-
+      // side exchange — at 100 TB that is 5 graph-sized shuffles removed
+      // (guide §2.4). The frame is narrow (two terms + two longs), so the
+      // wide-substrate deserialization objection doesn't apply, and the
+      // build lineage kept in consumer plans is shallow.
+      val ewd = graft.SubstrateCache.substrateColumnar(s, d, "textrank-sym-edges") {
         val pairs = documents(s, d)
           .withColumn("ws", split(col("text"), " "))
           .select(
@@ -1607,8 +1625,8 @@ object TextOps extends QueryModule {
         val sym = pairs
           .select(col("wa").as("da"), col("wb").as("db"), col("w"))
           .unionByName(pairs.select(col("wb").as("da"), col("wa").as("db"), col("w")))
-        // hash-partitioned on the loop's join key — the per-round rank
-        // join never re-shuffles the edge table (guide §2.4)
+        // hash-partitioned on the loop's join key; the columnar cache
+        // preserves this partitioning for every consumer round
         sym.join(sym.groupBy("da").agg(sum("w").as("wdeg")), Seq("da"))
           .repartition(col("da"))
       }
@@ -1617,8 +1635,10 @@ object TextOps extends QueryModule {
       val base = (15L * TrScale) / (100L * math.max(n, 1L))
       var ranks = nodes.select(col("node"), lit(TrScale / math.max(n, 1L)).as("r"))
       for (_ <- 1 to TrIters) {
+        // merge hint: zero-exchange join against the da-partitioned edge
+        // cache — see pagerankSymmetric's note
         ranks = ewd
-          .join(ranks, ewd("da") === ranks("node"))
+          .join(ranks.hint("merge"), ewd("da") === ranks("node"))
           .select(col("db").as("node"), expr("(r DIV wdeg) * w").as("c"))
           .groupBy("node")
           .agg(sum(col("c")).as("sc"))
